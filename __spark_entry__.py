@@ -1,10 +1,12 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+The driver's verify runs ``entry(spark)`` as a smoke check, runs each
+``queries()[name]`` at sf=0.01 and compares it against the matching
+``oracle_sql()[name]`` via DuckDB (row-count + schema + order-insensitive
+value-hash -> CORRECTNESS_r{N}.json).
+
+All real logic lives in the ``candia_spark`` package; this module only
+adapts it to the driver's interface.
 """
 
 from __future__ import annotations
@@ -14,25 +16,37 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _configure(spark: SparkSession) -> SparkSession:
+    """Apply session confs the engine relies on (the driver owns the session)."""
+    try:
+        # events.parquet is TIMESTAMP(NANOS) — unreadable without this.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    except Exception:
+        pass
+    return spark
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    from candia_spark.plans.queries import q01_pricing_summary
+
+    return q01_pricing_summary(_configure(spark), "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    """One entry per implemented operator from SURVEY.md §2."""
+    from candia_spark.plans.queries import queries as _queries
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        name: (lambda spark, sf_dir, _fn=fn: _fn(_configure(spark), sf_dir))
+        for name, fn in _queries().items()
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-equivalent SQL per query (omitted => rows-only check)."""
+    from candia_spark.plans.queries import oracle_sql as _oracle_sql
+
+    return _oracle_sql()

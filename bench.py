@@ -1,0 +1,70 @@
+"""Benchmark harness: run the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE
+JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...},
+"sf": ...}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+HEADLINE = [
+    "q01_pricing_summary",
+    "q02_interval_join",
+    "q04_time_buckets",
+    "q06_two_level_count_filter",
+    "q08_histogram_cutoff",
+    "q09_band_join",
+    "q12_star_join_revenue",
+    "q15_count_distinct_argmax",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from candia_spark.session import get_spark
+    from candia_spark.plans.queries import QUERY_REGISTRY
+
+    spark = get_spark(app_name="candia_spark_bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    names = [n for n in HEADLINE if n in QUERY_REGISTRY]
+    extra = [n for n in QUERY_REGISTRY if n not in names]
+    timings: dict[str, float] = {}
+
+    # Warm the JVM/codegen once on the cheapest query so the measured runs
+    # reflect steady-state execution, not session startup.
+    QUERY_REGISTRY[names[0]].spark(spark, sf_dir).count()
+
+    for name in names + extra:
+        t0 = time.perf_counter()
+        df = QUERY_REGISTRY[name].spark(spark, sf_dir)
+        # Force full evaluation of every output column, not just a count.
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    try:
+        sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        sf = None
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_wall_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

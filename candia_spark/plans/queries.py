@@ -1,0 +1,719 @@
+"""Named query plans + DuckDB oracle SQL — the driver correctness surface.
+
+Every operator in SURVEY §2 gets at least one named query here, expressed on
+the driver's TPC-H-ish tables (TESTDATA.md). Each entry pairs:
+
+- a Spark callable ``(spark, sf_dir) -> DataFrame`` built from
+  ``candia_spark.operators`` / ``functions``, and
+- an equivalent ANSI-SQL oracle string for DuckDB (omitted only for
+  genuinely non-SQL-expressible operators — greedy sequential partitioning,
+  iterative tensor decomposition — which get rows-only checks plus golden
+  pytest fixtures).
+
+Hash-exactness rules (see candia_spark.functions.numeric): double sums go
+through decimal; scalar double math is written identically on both engines;
+integer outputs are cast to BIGINT on both; no raw timestamps in outputs
+(the events table is nanosecond-timestamped parquet — Spark reads it as
+nanos longs, DuckDB as microsecond timestamps; convention
+``ts div 1000 == epoch_us(ts)``).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from candia_spark.functions.numeric import (
+    cv_expr,
+    davg,
+    dsum,
+    oracle_cv,
+    oracle_davg,
+    oracle_dsum,
+)
+from candia_spark.operators import (
+    adjust_overlapping_windows,
+    band_join,
+    bucketize,
+    cross_index,
+    explode_index,
+    groupwise_argmax,
+    histogram_cutoff_filter,
+    interval_anti_join,
+    interval_join,
+    two_level_count_filter,
+)
+from candia_spark.tables import load_table
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    spark: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    survey_ref: str  # SURVEY §2 operator ids this query certifies
+
+
+QUERY_REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(name: str, oracle: str | None, survey_ref: str):
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        QUERY_REGISTRY[name] = QuerySpec(name, fn, oracle, survey_ref)
+        return fn
+
+    return deco
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {n: s.spark for n, s in QUERY_REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {n: s.oracle for n, s in QUERY_REGISTRY.items() if s.oracle is not None}
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ===========================================================================
+# q01 — pricing summary (flagship; A1/A2/A3 group-by sums & means, F1 filter)
+# ===========================================================================
+
+@register(
+    "q01_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {oracle_dsum('l_quantity')} AS sum_qty,
+           {oracle_dsum('l_extendedprice')} AS sum_base_price,
+           {oracle_dsum('l_extendedprice * (1.0 - l_discount)')} AS sum_disc_price,
+           {oracle_dsum('l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)')} AS sum_charge,
+           {oracle_davg('l_quantity')} AS avg_qty,
+           {oracle_davg('l_extendedprice')} AS avg_price,
+           {oracle_davg('l_discount')} AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    survey_ref="A1,A2,A3,F1",
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-shaped scan→filter→aggregate.
+
+    Scale: filter + projection push to the parquet scan; partial aggregation
+    (map-side combine) means the shuffle carries one row per
+    (flag, status, partition) — a few hundred rows regardless of input size.
+    """
+    l = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    charge = disc_price * (F.lit(1.0) + F.col("l_tax"))
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum(disc_price).alias("sum_disc_price"),
+            dsum(charge).alias("sum_charge"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            davg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# ===========================================================================
+# q02 — interval (point-in-range) join, first-window-wins (J1)
+# ===========================================================================
+
+_BANDS_SQL = """
+    SELECT CAST(r * 9000 AS DOUBLE) AS lo, CAST(r * 9000 + 10000 AS DOUBLE) AS hi
+    FROM range(0, 12) t(r)
+"""
+
+
+def _price_bands(spark: SparkSession) -> DataFrame:
+    """Overlapping price bands [k*9000, k*9000+10000) — the shape of SWATH
+    isolation windows (consecutive windows overlap, FIXTURES.md T2)."""
+    return spark.range(0, 12).select(
+        (F.col("id") * 9000).cast("double").alias("lo"),
+        (F.col("id") * 9000 + 10000).cast("double").alias("hi"),
+    )
+
+
+@register(
+    "q02_interval_join",
+    oracle=f"""
+    WITH bands AS ({_BANDS_SQL}),
+    assigned AS (
+        SELECT l.l_extendedprice, l.l_quantity, b.lo,
+               MIN(b.lo) OVER (PARTITION BY l.l_extendedprice) AS minlo
+        FROM lineitem l JOIN bands b
+          ON l.l_extendedprice >= b.lo AND l.l_extendedprice < b.hi
+    )
+    SELECT CAST(lo AS BIGINT) AS band_lo,
+           COUNT(*) AS n_points,
+           {oracle_dsum('l_quantity')} AS sum_qty
+    FROM assigned WHERE lo = minlo
+    GROUP BY lo
+    """,
+    survey_ref="J1",
+)
+def q02_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign each lineitem price to its first containing overlapping band
+    (parity: SWATH window assignment, msproc.py:89-91,164-170).
+
+    Scale: broadcast range join — the 12-row band table broadcasts, the
+    fact table never shuffles for the join; only the final small groupBy
+    shuffles pre-aggregated rows.
+    """
+    l = _t(spark, sf_dir, "lineitem")
+    assigned = interval_join(l, _price_bands(spark), point_col="l_extendedprice")
+    return assigned.groupBy(F.col("lo").cast("bigint").alias("band_lo")).agg(
+        F.count(F.lit(1)).alias("n_points"),
+        dsum("l_quantity").alias("sum_qty"),
+    )
+
+
+# ===========================================================================
+# q03 — overlapping-window adjustment via lead/lag (W1, W7)
+# ===========================================================================
+
+@register(
+    "q03_window_adjust",
+    oracle="""
+    WITH w AS (SELECT DISTINCT lo, hi FROM (
+        SELECT CAST(r * 9000 AS DOUBLE) AS lo, CAST(r * 9000 + 10000 AS DOUBLE) AS hi
+        FROM range(0, 12) t(r))),
+    adj AS (
+        SELECT lo, hi,
+               CAST(ROUND(COALESCE((LEAD(lo) OVER (ORDER BY lo) + hi) / 2.0, hi), 2) AS DOUBLE) AS upper_adj
+        FROM w)
+    SELECT lo, hi, upper_adj,
+           COALESCE(LAG(upper_adj) OVER (ORDER BY lo), CAST(ROUND(lo, 2) AS DOUBLE)) AS lower_adj
+    FROM adj
+    """,
+    survey_ref="W1,W7",
+)
+def q03_window_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split overlap between consecutive windows at the midpoint (parity:
+    adjust_swaths.R:26-41). Dimension-sized input; single-partition window
+    by design."""
+    return adjust_overlapping_windows(_price_bands(spark), "lo", "hi", digits=2)
+
+
+# ===========================================================================
+# q04 — fixed-width time bucketization over the events stream table (W2)
+# ===========================================================================
+
+@register(
+    "q04_time_buckets",
+    oracle=f"""
+    SELECT CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hour_bucket,
+           event_type,
+           COUNT(*) AS n_events,
+           {oracle_dsum('value')} AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    survey_ref="W2,S2",
+)
+def q04_time_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly tumbling buckets of the event stream (parity: RT-window
+    bucketization, split_csv_maps_to_slices.py:69-78). ``ts`` arrives as
+    nanosecond longs; ``div`` keeps everything integral and codegen'd."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.withColumn("hour_bucket", F.expr("(ts div 1000) div 3600000000").cast("bigint"))
+        .groupBy("hour_bucket", "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value").alias("sum_value"))
+    )
+
+
+# ===========================================================================
+# q05 — group-wise argmax keeping ties (W5)
+# ===========================================================================
+
+@register(
+    "q05_groupwise_argmax",
+    oracle="""
+    SELECT c_custkey, c_nationkey, c_acctbal
+    FROM (SELECT c_custkey, c_nationkey, c_acctbal,
+                 MAX(c_acctbal) OVER (PARTITION BY c_nationkey) AS mx
+          FROM customer)
+    WHERE c_acctbal = mx
+    """,
+    survey_ref="W5",
+)
+def q05_groupwise_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation best customers, ties kept (parity: best-model selection,
+    select_best_models.R:31-36)."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey", "c_acctbal")
+    return groupwise_argmax(c, ["c_nationkey"], "c_acctbal")
+
+
+# ===========================================================================
+# q06 — two-level max-count filter + left-semi join (A5, J4)
+# ===========================================================================
+
+@register(
+    "q06_two_level_count_filter",
+    oracle=f"""
+    WITH counts AS (
+        SELECT l_partkey, l_suppkey, COUNT(*) AS cnt
+        FROM lineitem GROUP BY l_partkey, l_suppkey),
+    qualifying AS (
+        SELECT l_partkey FROM counts GROUP BY l_partkey HAVING MAX(cnt) >= 3)
+    SELECT l_returnflag,
+           COUNT(*) AS n_rows,
+           {oracle_dsum('l_quantity')} AS sum_qty
+    FROM lineitem WHERE l_partkey IN (SELECT l_partkey FROM qualifying)
+    GROUP BY l_returnflag
+    """,
+    survey_ref="A5,J4",
+)
+def q06_two_level_count_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep lineitems of parts where some supplier ships >= 3 lines (parity:
+    m/z partitions qualifying via >=5 points in some sample,
+    generate_slice_tensor.py:154-167)."""
+    l = _t(spark, sf_dir, "lineitem")
+    kept = two_level_count_filter(
+        l, inner_key=["l_partkey", "l_suppkey"], outer_key=["l_partkey"], min_count=3
+    )
+    return kept.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"), dsum("l_quantity").alias("sum_qty")
+    )
+
+
+# ===========================================================================
+# q07 — cartesian model index + spectrum explode + deterministic ids
+#        (J7, W9, W10)
+# ===========================================================================
+
+@register(
+    "q07_model_spectrum_index",
+    oracle="""
+    WITH rf AS (SELECT DISTINCT l_returnflag FROM lineitem),
+         ls AS (SELECT DISTINCT l_linestatus FROM lineitem),
+         nc AS (SELECT CAST(r AS INT) AS ncomp FROM range(2, 5) t(r)),
+    idx AS (
+        SELECT l_returnflag, l_linestatus, ncomp,
+               ROW_NUMBER() OVER (ORDER BY l_returnflag, l_linestatus, ncomp) - 1 AS model_id
+        FROM rf CROSS JOIN ls CROSS JOIN nc),
+    expanded AS (
+        SELECT l_returnflag, l_linestatus, ncomp, model_id,
+               UNNEST(generate_series(0, ncomp - 1)) AS spectrum_num
+        FROM idx)
+    SELECT l_returnflag, l_linestatus,
+           CAST(ncomp AS BIGINT) AS ncomp,
+           CAST(model_id AS BIGINT) AS model_id,
+           CAST(spectrum_num AS BIGINT) AS spectrum_num,
+           CAST(ROW_NUMBER() OVER (ORDER BY model_id, spectrum_num) - 1 AS BIGINT) AS scan
+    FROM expanded
+    """,
+    survey_ref="J7,W9,W10",
+)
+def q07_model_spectrum_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model index = cartesian product of dimensions with dense product-order
+    ids; spectrum index = per-model explode with global scan ids (parity:
+    models.py:61-117, golden grid models.py:206-225)."""
+    l = _t(spark, sf_dir, "lineitem")
+    rf = l.select("l_returnflag").distinct()
+    ls = l.select("l_linestatus").distinct()
+    nc = spark.range(2, 5).select(F.col("id").cast("int").alias("ncomp"))
+    idx = cross_index([rf, ls, nc], id_col="model_id")
+    out = explode_index(
+        idx,
+        count_col="ncomp",
+        ordinal_col="spectrum_num",
+        global_col="scan",
+        order_cols=["model_id"],
+    )
+    return out.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("ncomp").cast("bigint").alias("ncomp"),
+        F.col("model_id").cast("bigint").alias("model_id"),
+        F.col("spectrum_num").cast("bigint").alias("spectrum_num"),
+        F.col("scan").cast("bigint").alias("scan"),
+    )
+
+
+# ===========================================================================
+# q08 — per-group histogram cutoff filter (F6, A12)
+# ===========================================================================
+
+@register(
+    "q08_histogram_cutoff",
+    oracle=f"""
+    WITH b AS (
+        SELECT l_orderkey, l_extendedprice,
+               MIN(l_extendedprice) OVER (PARTITION BY l_orderkey) AS mn,
+               MAX(l_extendedprice) OVER (PARTITION BY l_orderkey) AS mx
+        FROM lineitem),
+    bucketed AS (
+        SELECT l_orderkey, l_extendedprice,
+               CASE WHEN mx = mn THEN 0
+                    ELSE CAST(LEAST(FLOOR((l_extendedprice - mn) / ((mx - mn) / 100.0)), 99) AS INT)
+               END AS bucket
+        FROM b)
+    SELECT COUNT(*) AS n_kept,
+           {oracle_dsum('l_extendedprice')} AS sum_price
+    FROM bucketed WHERE bucket > 50
+    """,
+    survey_ref="F6,A12",
+)
+def q08_histogram_cutoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-order 100-bin histogram background removal (parity: per-spectrum
+    intensity cutoff, msproc.py:660-685)."""
+    l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    kept = histogram_cutoff_filter(
+        l, ["l_orderkey"], "l_extendedprice", nbins=100, cutoff_bin=50
+    )
+    return kept.agg(
+        F.count(F.lit(1)).alias("n_kept"), dsum("l_extendedprice").alias("sum_price")
+    )
+
+
+# ===========================================================================
+# q09 — tolerance band join, bucketed (J5, F8)
+# ===========================================================================
+
+@register(
+    "q09_band_join",
+    oracle="""
+    SELECT s.s_suppkey, COUNT(*) AS n_close_customers
+    FROM supplier s JOIN customer c ON ABS(c.c_acctbal - s.s_acctbal) <= 50.0
+    GROUP BY s.s_suppkey
+    """,
+    survey_ref="J5,F8",
+)
+def q09_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """|a-b| <= tol join (parity: np.isclose matching, msproc.py:730-743)
+    executed as a bucketed equi-join (O(N+M), broadcast-able) instead of a
+    cartesian theta-join."""
+    s = _t(spark, sf_dir, "supplier")
+    c = _t(spark, sf_dir, "customer")
+    joined = band_join(c, s, "c_acctbal", "s_acctbal", tol=50.0)
+    return joined.groupBy("s_suppkey").agg(F.count(F.lit(1)).alias("n_close_customers"))
+
+
+# ===========================================================================
+# q10 — anti join (J6, F2) and q11 — semi join (J4)
+# ===========================================================================
+
+@register(
+    "q10_anti_join",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS n_customers_without_orders
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c_mktsegment
+    """,
+    survey_ref="J6,F2",
+)
+def q10_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with no orders (parity: points in no SWATH window,
+    msproc.py:168-170). Broadcast-able anti join on the key set."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers_without_orders"))
+    )
+
+
+@register(
+    "q11_semi_join",
+    oracle=f"""
+    SELECT o_orderpriority, COUNT(*) AS n_orders,
+           {oracle_dsum('o_totalprice')} AS sum_totalprice
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_discount > 0.05)
+    GROUP BY o_orderpriority
+    """,
+    survey_ref="J4",
+)
+def q11_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders having a deep-discount line (left-semi; parity: `isin`
+    frequency filter, generate_slice_tensor.py:162-167)."""
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_discount") > 0.05)
+    return (
+        o.join(l, o.o_orderkey == l.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("sum_totalprice"),
+        )
+    )
+
+
+# ===========================================================================
+# q12 — multi-way broadcast join chain (J2, J3) — revenue per region
+# ===========================================================================
+
+@register(
+    "q12_star_join_revenue",
+    oracle=f"""
+    SELECT r.r_name AS region_name, n.n_name AS nation_name,
+           COUNT(*) AS n_lines,
+           {oracle_dsum('l.l_extendedprice * (1.0 - l.l_discount)')} AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, n.n_name
+    """,
+    survey_ref="J2,J3",
+)
+def q12_star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-schema join chain with explicit broadcast of every dimension
+    (parity: the reference's small-table equi joins, SURVEY §2.3 J2/J3).
+
+    Scale: lineitem⨝orders is the only real shuffle (both sides huge,
+    hash-partitioned on orderkey — at 100 TB this is where bucketing both
+    tables on orderkey removes the shuffle entirely); customer/nation/region
+    broadcast."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    revenue = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name"))
+        .agg(F.count(F.lit(1)).alias("n_lines"), dsum(revenue).alias("revenue"))
+    )
+
+
+# ===========================================================================
+# q13 — unimodal-fraction style conditional mean (A6)
+# ===========================================================================
+
+@register(
+    "q13_conditional_fraction",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(ROUND(CAST(SUM(CASE WHEN l_quantity <= 5.0 THEN 1 ELSE 0 END) AS DOUBLE)
+                      / COUNT(*), 6) AS DOUBLE) AS small_qty_fraction,
+           COUNT(*) AS n_rows
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    survey_ref="A6",
+)
+def q13_conditional_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fraction(predicate) per group (parity: unimodal fraction
+    count(npeaks==1)/count(*), select_best_models.R:16-29). Integer
+    count ratio — exact on both engines."""
+    l = _t(spark, sf_dir, "lineitem")
+    frac = F.round(
+        F.sum(F.when(F.col("l_quantity") <= 5.0, 1).otherwise(0)).cast("double")
+        / F.count(F.lit(1)),
+        6,
+    ).cast("double")
+    return l.groupBy("l_returnflag").agg(
+        frac.alias("small_qty_fraction"), F.count(F.lit(1)).alias("n_rows")
+    )
+
+
+# ===========================================================================
+# q14 — coefficient of variation per group (A7)
+# ===========================================================================
+
+@register(
+    "q14_cv_per_group",
+    oracle=f"""
+    SELECT o_orderpriority,
+           {oracle_cv('o_totalprice')} AS cv_totalprice,
+           COUNT(*) AS n_orders
+    FROM orders GROUP BY o_orderpriority
+    """,
+    survey_ref="A7",
+)
+def q14_cv_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CV = pop-std/mean over exact decimal sums (parity: scipy.stats
+    variation per component, collect_sample_modes.py:92-95)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        cv_expr("o_totalprice").alias("cv_totalprice"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+# ===========================================================================
+# q15 — count-distinct + max_by (A4, F9)
+# ===========================================================================
+
+@register(
+    "q15_count_distinct_argmax",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id, COUNT(DISTINCT event_type) AS n_types, COUNT(*) AS n_events
+        FROM events GROUP BY user_id)
+    SELECT user_id, CAST(n_types AS BIGINT) AS n_types, n_events
+    FROM per_user
+    QUALIFY ROW_NUMBER() OVER (ORDER BY n_events DESC, user_id ASC) <= 5
+    """,
+    survey_ref="A4,F9",
+)
+def q15_count_distinct_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-count per key + deterministic top-k (parity: distinct rt per
+    file + longest-sample pick, msproc.py:692-706)."""
+    e = _t(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.countDistinct("event_type").cast("bigint").alias("n_types"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    w = Window.orderBy(F.col("n_events").desc(), F.col("user_id").asc())
+    return (
+        per_user.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= 5)
+        .drop("__rn")
+    )
+
+
+# ===========================================================================
+# q16 — exact median / percentile (A9)
+# ===========================================================================
+
+@register(
+    "q16_median",
+    oracle="""
+    SELECT source,
+           CAST(ROUND(MEDIAN(n_chars), 4) AS DOUBLE) AS median_chars,
+           COUNT(*) AS n_docs
+    FROM documents GROUP BY source
+    """,
+    survey_ref="A9",
+)
+def q16_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median of document lengths per source (parity: median sequence
+    length for the e-value threshold, seqproc.py:61-77)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.round(F.expr("percentile(n_chars, 0.5)"), 4).cast("double").alias("median_chars"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+# ===========================================================================
+# q17 — column-aligned union (U1, U2)
+# ===========================================================================
+
+@register(
+    "q17_union_align",
+    oracle=f"""
+    WITH u AS (
+        SELECT c_nationkey AS nationkey, c_acctbal AS acctbal, 'customer' AS side
+        FROM customer
+        UNION ALL
+        SELECT s_nationkey AS nationkey, s_acctbal AS acctbal, 'supplier' AS side
+        FROM supplier)
+    SELECT side, COUNT(*) AS n, {oracle_dsum('acctbal')} AS sum_acctbal
+    FROM u GROUP BY side
+    """,
+    survey_ref="U1,U2",
+)
+def q17_union_align(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unionByName across heterogeneous schemas (parity: align_columns outer
+    union, msproc.py:746-773)."""
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey"),
+        F.col("c_acctbal").alias("acctbal"),
+        F.lit("customer").alias("side"),
+    )
+    s = _t(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey"),
+        F.col("s_acctbal").alias("acctbal"),
+        F.lit("supplier").alias("side"),
+    )
+    return (
+        c.unionByName(s, allowMissingColumns=True)
+        .groupBy("side")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("acctbal").alias("sum_acctbal"))
+    )
+
+
+# ===========================================================================
+# q18 — interval ANTI join (F2/J6 on ranges) — points outside every band
+# ===========================================================================
+
+@register(
+    "q18_interval_anti_join",
+    oracle="""
+    WITH bands AS (
+        SELECT CAST(r * 20000 AS DOUBLE) AS lo, CAST(r * 20000 + 10000 AS DOUBLE) AS hi
+        FROM range(0, 6) t(r))
+    SELECT COUNT(*) AS n_outside,
+           CAST(MIN(l_extendedprice) AS DOUBLE) AS min_price,
+           CAST(MAX(l_extendedprice) AS DOUBLE) AS max_price
+    FROM lineitem l
+    WHERE NOT EXISTS (SELECT 1 FROM bands b
+                      WHERE l.l_extendedprice >= b.lo AND l.l_extendedprice < b.hi)
+    """,
+    survey_ref="F2,J6,J1",
+)
+def q18_interval_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-all-windows discard (parity: msproc.py:164-170) — gapped bands
+    so the anti side is non-trivial."""
+    l = _t(spark, sf_dir, "lineitem")
+    bands = spark.range(0, 6).select(
+        (F.col("id") * 20000).cast("double").alias("lo"),
+        (F.col("id") * 20000 + 10000).cast("double").alias("hi"),
+    )
+    outside = interval_anti_join(l, bands, "l_extendedprice")
+    return outside.agg(
+        F.count(F.lit(1)).alias("n_outside"),
+        F.min("l_extendedprice").cast("double").alias("min_price"),
+        F.max("l_extendedprice").cast("double").alias("max_price"),
+    )
+
+
+# ===========================================================================
+# q19 — scalar function surface: string/regex/json/date (SURVEY §2.7)
+# ===========================================================================
+
+@register(
+    "q19_scalar_functions",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           COUNT(*) AS n,
+           MIN(UPPER(event_type) || '_' || CAST(user_id AS VARCHAR)) AS min_tag
+    FROM events
+    WHERE regexp_matches(event_type, '^[a-z]+$')
+    GROUP BY event_type
+    """,
+    survey_ref="§2.7 scalar fns,S13",
+)
+def q19_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String/regex/JSON scalar surface (parity: label pack/unpack + regex
+    strip + path parsing, SURVEY §2.7)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.filter(F.col("event_type").rlike("^[a-z]+$"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.get_json_object("props", "$.k").cast("bigint"))
+            .cast("bigint")
+            .alias("sum_k"),
+            F.count(F.lit(1)).alias("n"),
+            F.min(
+                F.concat(F.upper("event_type"), F.lit("_"), F.col("user_id").cast("string"))
+            ).alias("min_tag"),
+        )
+    )
