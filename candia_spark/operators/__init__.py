@@ -11,3 +11,9 @@ from candia_spark.operators.relational import (  # noqa: F401
     histogram_cutoff_filter,
     deterministic_id,
 )
+from candia_spark.operators.asof import asof_join  # noqa: F401
+from candia_spark.operators.sequential import (  # noqa: F401
+    assign_scan_cycles,
+    greedy_partition_starts,
+    greedy_ppm_partition,
+)

@@ -36,10 +36,13 @@ from candia_spark.functions.numeric import (
 )
 from candia_spark.operators import (
     adjust_overlapping_windows,
+    asof_join,
+    assign_scan_cycles,
     band_join,
     bucketize,
     cross_index,
     explode_index,
+    greedy_ppm_partition,
     groupwise_argmax,
     histogram_cutoff_filter,
     interval_anti_join,
@@ -716,4 +719,136 @@ def q19_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.concat(F.upper("event_type"), F.lit("_"), F.col("user_id").cast("string"))
             ).alias("min_tag"),
         )
+    )
+
+
+# ===========================================================================
+# q20 — greedy ppm partitioning (W4) — oracle via recursive CTE
+# ===========================================================================
+
+@register(
+    "q20_greedy_ppm_partition",
+    oracle=f"""
+    WITH RECURSIVE vals AS (
+        SELECT l_returnflag AS g, l_quantity AS v,
+               ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS rn
+        FROM (SELECT DISTINCT l_returnflag, l_quantity FROM lineitem)),
+    walk AS (
+        SELECT g, v, rn, v AS part_start FROM vals WHERE rn = 1
+        UNION ALL
+        SELECT vals.g, vals.v, vals.rn,
+               CASE WHEN vals.v - walk.part_start > walk.part_start * (300000.0 / 1000000.0)
+                    THEN vals.v ELSE walk.part_start END
+        FROM walk JOIN vals ON vals.g = walk.g AND vals.rn = walk.rn + 1)
+    SELECT l.l_returnflag, w.part_start AS partition_start,
+           COUNT(*) AS n_rows,
+           {oracle_dsum('l.l_extendedprice')} AS sum_price
+    FROM lineitem l JOIN walk w ON w.g = l.l_returnflag AND w.v = l.l_quantity
+    GROUP BY 1, 2
+    """,
+    survey_ref="W4",
+)
+def q20_greedy_ppm_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy order-dependent partitioning of l_quantity per returnflag at
+    300000 ppm (parity: generate_slice_tensor.py:181-233). The oracle
+    reproduces the greedy scan with a recursive CTE — full SQL coverage for
+    the reference's most semantics-critical operator."""
+    l = _t(spark, sf_dir, "lineitem")
+    parts = greedy_ppm_partition(
+        l, "l_quantity", ["l_returnflag"], tol_ppm=300000.0
+    )
+    return parts.groupBy("l_returnflag", "partition_start").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum("l_extendedprice").alias("sum_price"),
+    )
+
+
+# ===========================================================================
+# q21 — scan-cycle binning via as-of join (W3)
+# ===========================================================================
+
+@register(
+    "q21_scan_cycles",
+    oracle=f"""
+    WITH pts AS (SELECT user_id, epoch_us(ts) AS t, value FROM events),
+    markers AS (
+        SELECT user_id, t,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY t) - 1 AS cycle
+        FROM (SELECT DISTINCT user_id, epoch_us(ts) AS t FROM events
+              WHERE event_type = 'signup')),
+    assigned AS (
+        SELECT p.user_id, p.value,
+               (SELECT MAX(m.cycle) FROM markers m
+                WHERE m.user_id = p.user_id AND m.t <= p.t) AS cycle
+        FROM pts p)
+    SELECT user_id, CAST(cycle AS BIGINT) AS cycle,
+           COUNT(*) AS n_events,
+           {oracle_dsum('value')} AS sum_value
+    FROM assigned WHERE cycle IS NOT NULL
+    GROUP BY user_id, cycle
+    """,
+    survey_ref="W3,asof",
+)
+def q21_scan_cycles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user cycles delimited by signup events; every event joins to the
+    latest signup at-or-before it (parity: MS1-delimited cycle binning,
+    generate_slice_tensor.py:99-145) — executed as the union-sort as-of
+    join, one shuffle, no Python."""
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", F.expr("ts div 1000").alias("t"), "value", "event_type"
+    )
+    markers = e.filter(F.col("event_type") == "signup").select("user_id", "t")
+    assigned = assign_scan_cycles(
+        e.select("user_id", "t", "value"),
+        time_col="t",
+        group_cols=["user_id"],
+        marker_times=markers,
+    )
+    return assigned.groupBy("user_id", F.col("cycle").cast("bigint").alias("cycle")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dsum("value").alias("sum_value"),
+    )
+
+
+# ===========================================================================
+# q22 — generic as-of join (backward, with payload)
+# ===========================================================================
+
+@register(
+    "q22_asof_join",
+    oracle=f"""
+    WITH pts AS (SELECT event_id, user_id, epoch_us(ts) AS t, value FROM events
+                 WHERE event_type <> 'purchase'),
+    anchors AS (SELECT user_id, epoch_us(ts) AS t, value AS purchase_value
+                FROM events WHERE event_type = 'purchase'),
+    joined AS (
+        SELECT p.user_id, p.value,
+               (SELECT a.purchase_value FROM anchors a
+                WHERE a.user_id = p.user_id AND a.t <= p.t
+                ORDER BY a.t DESC LIMIT 1) AS purchase_value
+        FROM pts p)
+    SELECT user_id, COUNT(*) AS n,
+           {oracle_dsum('COALESCE(purchase_value, -1.0)')} AS sum_last_purchase
+    FROM joined GROUP BY user_id
+    """,
+    survey_ref="asof (extension beyond reference)",
+)
+def q22_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attach the most recent purchase value to every other event of the
+    same user — the canonical as-of-join workload, one shuffle."""
+    e = _t(spark, sf_dir, "events")
+    pts = e.filter(F.col("event_type") != "purchase").select(
+        "event_id", "user_id", F.expr("ts div 1000").alias("t"), "value"
+    )
+    anchors = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.expr("ts div 1000").alias("t"),
+        F.col("value").alias("purchase_value"),
+    )
+    joined = asof_join(pts, anchors, on="t", by=["user_id"])
+    return joined.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(F.coalesce(F.col("purchase_value"), F.lit(-1.0))).alias(
+            "sum_last_purchase"
+        ),
     )
