@@ -852,3 +852,86 @@ def q22_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_last_purchase"
         ),
     )
+
+
+# ===========================================================================
+# q23/q24 — NN-PARAFAC decomposition + time-mode peak counting (K1/K2/A10/
+# A11) — iterative numeric kernels, genuinely non-SQL-expressible: the
+# driver records rows-only checks; numerical behavior is pinned by the
+# golden pytest fixtures (tests/test_kernels.py).
+# ===========================================================================
+
+def _lineitem_tensor_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic small tensor table derived from lineitem: slice =
+    returnflag, sample = suppkey%5, cycle = shipdate month index, feature =
+    partkey%8, value = summed price."""
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.select(
+            F.col("l_returnflag").alias("slice_key"),
+            (F.col("l_suppkey") % 5).cast("int").alias("sample_no"),
+            (F.year("l_shipdate") * 12 + F.month("l_shipdate")).cast("int").alias("cycle"),
+            (F.col("l_partkey") % 8).cast("int").alias("mz_idx"),
+            F.col("l_extendedprice").alias("v"),
+        )
+        .groupBy("slice_key", "sample_no", "cycle", "mz_idx")
+        .agg(F.sum("v").cast("double").alias("intensity"))
+    )
+
+
+@register(
+    "q23_parafac_decompose",
+    oracle=None,
+    survey_ref="K1,K2,A10,F5",
+)
+def q23_parafac_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slice-parallel non-negative PARAFAC over lineitem-derived tensors
+    (parity: decompose_parafac.py:314-355 fleet). Output: one row per
+    (slice, ncomp) with fit quality; factors validated in pytest."""
+    from candia_spark.operators.kernels import decompose_slices
+
+    tensor_long = _lineitem_tensor_long(spark, sf_dir)
+    factors = decompose_slices(
+        tensor_long, ["slice_key"], ncomp_range=[2, 3], max_iter=300, seed=123
+    )
+    return (
+        factors.groupBy("slice_key", "ncomp")
+        .agg(
+            F.first("iterations").alias("iterations"),
+            F.round(F.first("rsq"), 6).alias("rsq"),
+            F.count(F.lit(1)).cast("bigint").alias("n_factor_rows"),
+        )
+        .select(
+            "slice_key",
+            F.col("ncomp").cast("bigint").alias("ncomp"),
+            F.col("iterations").cast("bigint").alias("iterations"),
+            F.col("rsq").cast("double").alias("rsq"),
+            "n_factor_rows",
+        )
+    )
+
+
+@register(
+    "q24_time_mode_peaks",
+    oracle=None,
+    survey_ref="A11,F7,K4",
+)
+def q24_time_mode_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak counts of each decomposed time-mode component (parity:
+    collect_time_mode_values.py:54-87), feeding model selection."""
+    from candia_spark.operators.kernels import (
+        count_time_mode_peaks,
+        decompose_slices,
+    )
+
+    tensor_long = _lineitem_tensor_long(spark, sf_dir)
+    factors = decompose_slices(
+        tensor_long, ["slice_key"], ncomp_range=[2], max_iter=300, seed=123
+    )
+    peaks = count_time_mode_peaks(factors, ["slice_key"])
+    return peaks.select(
+        "slice_key",
+        F.col("ncomp").cast("bigint").alias("ncomp"),
+        F.col("comp").cast("bigint").alias("comp"),
+        F.col("npeaks").cast("bigint").alias("npeaks"),
+    )
