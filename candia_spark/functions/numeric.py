@@ -41,19 +41,24 @@ def dsum_raw(col: Column | str) -> Column:
     return F.sum(c.cast(DEC)).cast("double")
 
 
-def davg(col: Column | str, scale: int = 6) -> Column:
-    """Order-independent mean: exact decimal sum / count, in double."""
+def davg(col: Column | str, scale: int | None = None) -> Column:
+    """Order-independent mean: exact decimal sum / count, in double.
+
+    NO final rounding: dividing the (identical) cast double by the
+    (identical) count is deterministic IEEE math on both engines. Rounding
+    a computed double is the hazard, not the cure — Spark rounds the
+    shortest decimal repr HALF_UP while DuckDB rounds the true binary
+    value, so doubles whose repr ends in ...5 diverge (observed:
+    round(0.5179225, 6) -> 0.517923 vs 0.517922)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.round(
-        F.sum(c.cast(DEC)).cast("double") / F.count(c), scale
-    ).cast("double")
+    return (F.sum(c.cast(DEC)).cast("double") / F.count(c)).cast("double")
 
 
 def dround(col: Column, scale: int = 6) -> Column:
     return F.round(col, scale).cast("double")
 
 
-def cv_expr(col: Column | str, scale: int = 6) -> Column:
+def cv_expr(col: Column | str, scale: int | None = None) -> Column:
     """Coefficient of variation (population std / mean), oracle-exact.
 
     The reference computes ``scipy.stats.variation`` per component
@@ -67,7 +72,11 @@ def cv_expr(col: Column | str, scale: int = 6) -> Column:
     mean = s1 / n
     var = s2 / n - mean * mean
     # Guard tiny negative from double math at the end (both engines same).
-    return F.round(F.sqrt(F.greatest(var, F.lit(0.0))) / mean, scale).cast("double")
+    # Round at 9: the decimal->double cast of the huge squared-sum (int128
+    # beyond 2^53) can differ by 1-2 ulp between engines; rounding far from
+    # the value's precision collapses that without re-introducing the
+    # short-repr half-point hazard (cv is long-mantissa).
+    return F.round(F.sqrt(F.greatest(var, F.lit(0.0))) / mean, 9).cast("double")
 
 
 def oracle_dsum(expr: str, scale: int = 4) -> str:
@@ -75,17 +84,17 @@ def oracle_dsum(expr: str, scale: int = 4) -> str:
     return f"CAST(ROUND(SUM(CAST(({expr}) AS DECIMAL(38,6))), {scale}) AS DOUBLE)"
 
 
-def oracle_davg(expr: str, scale: int = 6) -> str:
+def oracle_davg(expr: str, scale: int | None = None) -> str:
     return (
-        f"CAST(ROUND(CAST(SUM(CAST(({expr}) AS DECIMAL(38,6))) AS DOUBLE)"
-        f" / COUNT({expr}), {scale}) AS DOUBLE)"
+        f"CAST(CAST(SUM(CAST(({expr}) AS DECIMAL(38,6))) AS DOUBLE)"
+        f" / COUNT({expr}) AS DOUBLE)"
     )
 
 
-def oracle_cv(expr: str, scale: int = 6) -> str:
+def oracle_cv(expr: str, scale: int | None = None) -> str:
     s1 = f"CAST(SUM(CAST(({expr}) AS DECIMAL(38,6))) AS DOUBLE)"
     s2 = f"CAST(SUM(CAST((({expr})*({expr})) AS DECIMAL(38,6))) AS DOUBLE)"
     n = f"CAST(COUNT({expr}) AS DOUBLE)"
     mean = f"({s1} / {n})"
     var = f"({s2} / {n} - {mean} * {mean})"
-    return f"CAST(ROUND(SQRT(GREATEST({var}, 0.0)) / {mean}, {scale}) AS DOUBLE)"
+    return f"CAST(ROUND(SQRT(GREATEST({var}, 0.0)) / {mean}, 9) AS DOUBLE)"

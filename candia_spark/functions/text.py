@@ -1,0 +1,96 @@
+"""Text-analysis column functions for training-data pipelines: language ID,
+quality scoring, token counting, fingerprinting. All built-in expressions
+(no UDFs) with DuckDB-mirrorable semantics — each has an oracle in
+plans.queries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Small per-language stopword marker sets (shared verbatim with the SQL
+# oracles). Deliberately tiny: the operator contract is "deterministic
+# n-gram/stopword heuristic", not a trained model.
+LANG_MARKERS: dict[str, list[str]] = {
+    "de": ["der", "die", "und", "nicht", "das"],
+    "en": ["the", "and", "of", "to", "is"],
+    "es": ["el", "la", "de", "que", "los"],
+    "fr": ["le", "la", "les", "et", "des"],
+    "zh": ["de5", "shi4", "le5", "zai4", "he2"],
+}
+
+STOPWORDS_EN = LANG_MARKERS["en"]
+
+_TOKEN_REGEX = "[a-z0-9]+"
+
+
+def tokens(text_col: str = "text") -> Column:
+    """Lowercased word tokens (split on single spaces, empties dropped) —
+    the tokenization convention shared with every oracle."""
+    return F.filter(F.split(F.lower(F.col(text_col)), " "), lambda t: t != "")
+
+
+def token_count(text_col: str = "text") -> Column:
+    """Whitespace token count."""
+    return F.size(tokens(text_col)).cast("bigint")
+
+
+def regex_token_count(text_col: str = "text") -> Column:
+    """BPE-ish sub-token count: maximal [a-z0-9]+ runs (a cheap stand-in
+    for byte-pair pieces; punctuation splits)."""
+    return F.size(F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(_TOKEN_REGEX), 0)).cast(
+        "bigint"
+    )
+
+
+def lang_score(text_col: str, lang: str) -> Column:
+    """Number of distinct marker stopwords of ``lang`` present in the text."""
+    markers = F.array(*[F.lit(m) for m in LANG_MARKERS[lang]])
+    return F.size(F.array_intersect(F.array_distinct(tokens(text_col)), markers))
+
+
+def lang_id(text_col: str = "text") -> Column:
+    """Predicted language = argmax marker hits, ties -> lexicographically
+    first language, no hits -> 'und' (undetermined)."""
+    langs = sorted(LANG_MARKERS)
+    struct = [
+        F.struct(lang_score(text_col, g).alias("s"), F.lit(g).alias("g")) for g in langs
+    ]
+    # greatest() picks max by (score, lang); we want max score, min lang —
+    # so compare on (score, negated-order) via reduce with when().
+    best = struct[0]
+    for s in struct[1:]:
+        best = F.when(s["s"] > best["s"], s).otherwise(best)
+    return F.when(best["s"] > 0, best["g"]).otherwise(F.lit("und"))
+
+
+def quality_score(text_col: str = "text") -> Column:
+    """Deterministic [0,1] quality heuristic:
+      0.4 * min(1, n_tokens/50)            (length)
+    + 0.3 * (distinct_tokens / n_tokens)   (lexical diversity)
+    + 0.3 * min(1, 5 * stopword_ratio)     (stopword plausibility)
+    Unrounded double; 0 for empty text.
+    """
+    toks = tokens(text_col)
+    n = F.size(toks).cast("double")
+    distinct_ratio = F.size(F.array_distinct(toks)).cast("double") / n
+    stop = F.array(*[F.lit(s) for s in STOPWORDS_EN])
+    stop_hits = F.size(F.filter(toks, lambda t: F.array_contains(stop, t))).cast("double")
+    score = (
+        F.lit(0.4) * F.least(F.lit(1.0), n / F.lit(50.0))
+        + F.lit(0.3) * distinct_ratio
+        + F.lit(0.3) * F.least(F.lit(1.0), F.lit(5.0) * stop_hits / n)
+    )
+    # no rounding: identical IEEE expression on both engines is bit-exact;
+    # rounding short-repr doubles is what diverges (see functions.numeric)
+    return F.when(n > 0, score).otherwise(F.lit(0.0)).cast("double")
+
+
+def fingerprint(text_col: str = "text") -> Column:
+    """Canonical document fingerprint: md5 of the text with whitespace
+    collapsed and sorted-token normalization removed (pure md5 of the
+    squeezed lowercase text) — a deterministic stand-in for a rolling-hash
+    fingerprint that both engines compute identically."""
+    squeezed = F.regexp_replace(F.trim(F.lower(F.col(text_col))), "\\s+", " ")
+    return F.md5(squeezed)

@@ -1,0 +1,254 @@
+"""Deduplication operators for large-scale training-data pipelines: exact,
+MinHash+LSH, SimHash, and exact n-gram Jaccard. All are pure DataFrame
+plans (no Python UDFs) — hashing uses Spark's built-in xxhash64/md5, so
+every stage stays in whole-stage codegen and scales linearly.
+
+Scale design (the 100 TB story):
+- exact dedup: one hash-groupBy shuffle on a 16-byte digest.
+- MinHash+LSH: shingle explode -> per-doc minhash signature (groupBy min of
+  k permuted hashes) -> band buckets -> bucket equi-join. Candidate pairs
+  are bounded by band collisions, never the O(N^2) pair space.
+- SimHash: one pass to a 64-bit signature; near-dup = equal signature (or
+  banded sub-keys for hamming<=k retrieval).
+- exact n-gram Jaccard: inverted-index self-join on shared shingles; use
+  AFTER LSH at scale (verify candidates), standalone only at survey scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Tokenization convention shared with the DuckDB oracles: lowercase, split
+# on single spaces, drop empties.
+def tokens_col(text_col: str = "text"):
+    return F.filter(F.split(F.lower(F.col(text_col)), " "), lambda t: t != "")
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep one representative (min id) per exact text digest.
+
+    At 100 TB: the groupBy shuffles only (digest, id) pairs — bytes per
+    row, not documents.
+    """
+    return (
+        df.select(F.md5(F.col(text_col)).alias("digest"), F.col(id_col))
+        .groupBy("digest")
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def word_ngrams(
+    df: DataFrame, n: int = 2, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Distinct word n-gram shingles per document: (id, shingle)."""
+    toks = tokens_col(text_col)
+    # shingle i = tokens[i..i+n-1] joined by a separator. Guard short docs:
+    # F.sequence(0, -1) would emit a DESCENDING [0, -1] sequence, not empty.
+    shingles = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws("\x1f", F.slice(toks, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        df.select(F.col(id_col), F.explode(shingles).alias("shingle"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    n: int = 2,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact Jaccard-similar pairs over word n-gram shingle sets:
+    J(A,B) = |A∩B| / (|A|+|B|-|A∩B|) >= threshold, id_a < id_b.
+
+    Scale: self-join on the inverted shingle index; intersection sizes come
+    from a count per pair (shuffle on shingle, then on pair). At 100 TB run
+    it on LSH candidates only; standalone it is quadratic in per-shingle
+    document frequency.
+    """
+    sh = word_ngrams(df, n, text_col, id_col)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    out = (
+        inter.join(
+            sizes.select(F.col(id_col).alias("id_a"), F.col("set_size").alias("size_a")),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col(id_col).alias("id_b"), F.col("set_size").alias("size_b")),
+            "id_b",
+        )
+        .withColumn(
+            "jaccard",
+            (
+                F.col("n_common")
+                / (F.col("size_a") + F.col("size_b") - F.col("n_common"))
+            ).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return out.select("id_a", "id_b", "n_common", "size_a", "size_b", "jaccard")
+
+
+def minhash_signatures(
+    df: DataFrame,
+    num_hashes: int = 32,
+    n: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MinHash signature per document: for permutation i, the min over
+    shingles of a seeded xxhash64. Output: (id, sig: array<bigint>).
+
+    One explode + one groupBy; signature width is a column array, so the
+    shuffle carries num_hashes longs per doc.
+    """
+    sh = word_ngrams(df, n, text_col, id_col)
+    hashed = sh.select(
+        F.col(id_col),
+        *[
+            F.xxhash64(F.col("shingle"), F.lit(i)).alias(f"h{i}")
+            for i in range(num_hashes)
+        ],
+    )
+    agg = hashed.groupBy(id_col).agg(
+        *[F.min(f"h{i}").alias(f"h{i}") for i in range(num_hashes)]
+    )
+    return agg.select(
+        F.col(id_col), F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    num_hashes: int = 32,
+    bands: int = 8,
+    n: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Candidate near-duplicate pairs via banded MinHash: documents agreeing
+    on all rows of any band collide. Output: (id_a, id_b, n_bands_hit,
+    est_jaccard = fraction of agreeing minhashes).
+
+    Scale: pair generation happens inside band buckets only — a self-join
+    on (band_idx, band_hash), never on the full doc set. Hot buckets are
+    the skew risk; AQE skew-join handles moderate cases, and a bucket-size
+    cap (drop degenerate buckets, e.g. empty-text collisions) the rest.
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, num_hashes, n, text_col, id_col)
+    banded = sig.select(
+        F.col(id_col),
+        F.col("sig"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.col("sig")[b * rows_per_band + r].cast("string")
+                                for r in range(rows_per_band)
+                            ],
+                        )
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+    a = banded.select(
+        F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"), "band_idx", "band_hash"
+    )
+    b = banded.select(
+        F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"), "band_idx", "band_hash"
+    )
+    pairs = (
+        a.join(b, ["band_idx", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_bands_hit"),
+            F.first("sig_a").alias("sig_a"),
+            F.first("sig_b").alias("sig_b"),
+        )
+    )
+    agree = F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int"))
+    return pairs.select(
+        "id_a",
+        "id_b",
+        "n_bands_hit",
+        F.round(
+            F.aggregate(agree, F.lit(0), lambda acc, v: acc + v) / F.lit(num_hashes), 6
+        )
+        .cast("double")
+        .alias("est_jaccard"),
+    )
+
+
+def simhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """64-bit SimHash per document over word tokens: bit j of the signature
+    is 1 iff the sum over tokens of sign(bit j of xxhash64(token)) is
+    positive. Output: (id, simhash: bigint).
+
+    Entirely built-in expressions: explode tokens, per-bit +-1 sums via
+    bitwise ops, one groupBy.
+    """
+    toks = df.select(F.col(id_col), F.explode(tokens_col(text_col)).alias("tok"))
+    h = F.xxhash64(F.col("tok"))
+    per_bit = toks.select(
+        F.col(id_col),
+        *[
+            F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1)
+            .otherwise(-1)
+            .alias(f"b{j}")
+            for j in range(64)
+        ],
+    )
+    sums = per_bit.groupBy(id_col).agg(
+        *[F.sum(f"b{j}").alias(f"b{j}") for j in range(64)]
+    )
+    sig = sums.select(
+        F.col(id_col),
+        sum(
+            [
+                F.when(
+                    F.col(f"b{j}") > 0, F.shiftleft(F.lit(1).cast("bigint"), j)
+                ).otherwise(F.lit(0).cast("bigint"))
+                for j in range(64)
+            ],
+            F.lit(0).cast("bigint"),
+        ).alias("simhash"),
+    )
+    return sig
+
+
+def simhash_dup_groups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Documents sharing an identical 64-bit SimHash (hamming-0 near-dups)."""
+    sig = simhash_signatures(df, text_col, id_col)
+    return (
+        sig.groupBy("simhash")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min(id_col).alias("keep_id"))
+        .filter(F.col("n_docs") > 1)
+    )

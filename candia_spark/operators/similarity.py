@@ -1,0 +1,165 @@
+"""Similarity search over embedding columns (array<float>): brute-force
+cosine top-k as the exact baseline, and a random-hyperplane LSH-bucketed
+variant as the scale path.
+
+Scale design:
+- Brute force is O(Q*N) dot products — exact, fine when the query set is
+  small and broadcastable (it is here: queries broadcast, corpus streams).
+- LSH buckets the corpus once (b hyperplane sign bits -> 2^b buckets), then
+  only joins queries to their bucket (plus optional multi-probe neighbors).
+  Recall is tunable by bits/probes; candidates per query drop ~2^b-fold.
+- An IVF variant would replace random planes with k-means centroids; the
+  bucketing/join plumbing below is identical, so it slots in unchanged.
+
+All arithmetic is cast to double before accumulation so results are
+reproducible against the DuckDB oracle (see plans.queries q30 family).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine_topk_bruteforce(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Exact top-k by cosine similarity for every query vector.
+
+    Output: (query_id, vec_id, cosine, rank), rank 1..k, ties broken by
+    vec_id ascending. Similarity is rounded before ranking so the ordering
+    is stable across engines/float orders.
+
+    Scale: broadcast(queries) x corpus — no corpus shuffle; the per-query
+    top-k is a window over (query_id), shuffling only Q*N score rows. For
+    large Q, pre-aggregate per partition with a bounded heap (mapInPandas)
+    before the global window; for large N, use the LSH variant.
+    """
+    q = queries.select(
+        F.col(query_id_col),
+        F.col(vec_col).alias("__qvec"),
+        _norm(F.col(vec_col)).alias("__qnorm"),
+    )
+    c = corpus.select(
+        F.col(id_col),
+        F.col(vec_col).alias("__cvec"),
+        _norm(F.col(vec_col)).alias("__cnorm"),
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .withColumn(
+            "cosine",
+            F.round(
+                _dot(F.col("__qvec"), F.col("__cvec"))
+                / (F.col("__qnorm") * F.col("__cnorm")),
+                round_digits,
+            ).cast("double"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            query_id_col, id_col, "cosine", F.col("rank").cast("bigint").alias("rank")
+        )
+    )
+
+
+def hyperplane_lsh_bucket(
+    df: DataFrame,
+    planes: np.ndarray,
+    vec_col: str = "embedding",
+    out_col: str = "bucket",
+) -> DataFrame:
+    """Attach the random-hyperplane LSH bucket id: bit j = sign of
+    <vec, plane_j>. ``planes`` is (n_bits, dim), generated once on the
+    driver (seeded) and embedded as literals — no per-row Python.
+    """
+    bits = []
+    for j in range(planes.shape[0]):
+        plane = F.array(*[F.lit(float(v)) for v in planes[j]])
+        bits.append(
+            F.when(_dot(F.col(vec_col), plane) >= 0, F.shiftleft(F.lit(1).cast("bigint"), j))
+            .otherwise(F.lit(0).cast("bigint"))
+        )
+    return df.withColumn(out_col, sum(bits[1:], bits[0]))
+
+
+def cosine_topk_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    n_bits: int = 4,
+    dim: int = 64,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k: only corpus vectors in the query's hyperplane
+    bucket are scored. Same output shape as the brute-force baseline;
+    recall < 1 by design (pytest pins it on synthetic clusters).
+    """
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_bits, dim))
+    cb = hyperplane_lsh_bucket(corpus, planes, vec_col)
+    qb = hyperplane_lsh_bucket(queries, planes, vec_col)
+    q = qb.select(
+        F.col(query_id_col),
+        F.col("bucket"),
+        F.col(vec_col).alias("__qvec"),
+        _norm(F.col(vec_col)).alias("__qnorm"),
+    )
+    c = cb.select(
+        F.col(id_col),
+        F.col("bucket"),
+        F.col(vec_col).alias("__cvec"),
+        _norm(F.col(vec_col)).alias("__cnorm"),
+    )
+    scored = q.join(c, "bucket").withColumn(
+        "cosine",
+        F.round(
+            _dot(F.col("__qvec"), F.col("__cvec"))
+            / (F.col("__qnorm") * F.col("__cnorm")),
+            6,
+        ).cast("double"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            query_id_col, id_col, "cosine", F.col("rank").cast("bigint").alias("rank")
+        )
+    )

@@ -511,8 +511,8 @@ def q12_star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q13_conditional_fraction",
     oracle="""
     SELECT l_returnflag,
-           CAST(ROUND(CAST(SUM(CASE WHEN l_quantity <= 5.0 THEN 1 ELSE 0 END) AS DOUBLE)
-                      / COUNT(*), 6) AS DOUBLE) AS small_qty_fraction,
+           CAST(CAST(SUM(CASE WHEN l_quantity <= 5.0 THEN 1 ELSE 0 END) AS DOUBLE)
+                      / COUNT(*) AS DOUBLE) AS small_qty_fraction,
            COUNT(*) AS n_rows
     FROM lineitem GROUP BY l_returnflag
     """,
@@ -523,10 +523,9 @@ def q13_conditional_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     count(npeaks==1)/count(*), select_best_models.R:16-29). Integer
     count ratio — exact on both engines."""
     l = _t(spark, sf_dir, "lineitem")
-    frac = F.round(
+    frac = (
         F.sum(F.when(F.col("l_quantity") <= 5.0, 1).otherwise(0)).cast("double")
-        / F.count(F.lit(1)),
-        6,
+        / F.count(F.lit(1))
     ).cast("double")
     return l.groupBy("l_returnflag").agg(
         frac.alias("small_qty_fraction"), F.count(F.lit(1)).alias("n_rows")
@@ -934,4 +933,378 @@ def q24_time_mode_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ncomp").cast("bigint").alias("ncomp"),
         F.col("comp").cast("bigint").alias("comp"),
         F.col("npeaks").cast("bigint").alias("npeaks"),
+    )
+
+
+# ===========================================================================
+# LLM-training-data pipeline operators (BASELINE.json north star): dedup,
+# similarity search, text analysis, multimodal columns — q25..q37
+# ===========================================================================
+
+_TOKS_SQL = "list_filter(string_split(lower(text), ' '), x -> x <> '')"
+
+
+@register(
+    "q25_dedup_exact",
+    oracle="""
+    SELECT md5(text) AS digest, MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+    FROM documents GROUP BY md5(text)
+    """,
+    survey_ref="dedup-exact (north star)",
+)
+def q25_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content digest; shuffle carries (digest, id) only."""
+    from candia_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "q26_ngram_jaccard",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+        FROM documents),
+    sh AS (
+        SELECT DISTINCT doc_id, t[i] || chr(31) || t[i+1] AS shingle
+        FROM toks, UNNEST(generate_series(1, greatest(len(t) - 1, 0))) AS u(i)),
+    sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+    SELECT id_a, id_b, n_common,
+           sa.set_size AS size_a, sb.set_size AS size_b,
+           CAST(CAST(n_common AS DOUBLE)
+                / (sa.set_size + sb.set_size - n_common) AS DOUBLE) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(CAST(n_common AS DOUBLE)
+                / (sa.set_size + sb.set_size - n_common) AS DOUBLE) >= 0.35
+    """,
+    survey_ref="dedup-jaccard (north star)",
+)
+def q26_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-bigram Jaccard near-dup pairs (inverted-index self-join).
+    At 100 TB this runs on LSH candidates; standalone here at survey scale."""
+    from candia_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), n=2, threshold=0.35)
+
+
+@register(
+    "q27_minhash_lsh",
+    oracle=None,
+    survey_ref="dedup-minhash-lsh (north star)",
+)
+def q27_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded MinHash candidate pairs (xxhash64 signatures are Spark-
+    specific -> rows-only; recall vs exact Jaccard pinned in pytest)."""
+    from candia_spark.operators.dedup import minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), num_hashes=32, bands=8, n=2
+    )
+    return pairs.filter(F.col("est_jaccard") >= 0.3).select(
+        "id_a", "id_b", "n_bands_hit", "est_jaccard"
+    )
+
+
+@register(
+    "q28_simhash_dups",
+    oracle=None,
+    survey_ref="dedup-simhash (north star)",
+)
+def q28_simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Identical-SimHash groups (hamming-0 near-dups)."""
+    from candia_spark.operators.dedup import simhash_dup_groups
+
+    return simhash_dup_groups(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "q29_fingerprint",
+    oracle="""
+    WITH fp AS (
+        SELECT source,
+               md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp
+        FROM documents)
+    SELECT source, COUNT(*) AS n_docs, COUNT(DISTINCT fp) AS n_distinct_fp
+    FROM fp GROUP BY source
+    """,
+    survey_ref="text-fingerprint (north star)",
+)
+def q29_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical whitespace-squeezed md5 fingerprints per source."""
+    from candia_spark.functions.text import fingerprint
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("source", fingerprint("text").alias("fp")).groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("fp").cast("bigint").alias("n_distinct_fp"),
+    )
+
+
+@register(
+    "q30_cosine_topk",
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 5),
+    qn AS (
+        SELECT query_id, SQRT(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS qnorm
+        FROM q, UNNEST(embedding) AS u(x) GROUP BY query_id),
+    cn AS (
+        SELECT vec_id, SQRT(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS cnorm
+        FROM embeddings, UNNEST(embedding) AS u(x) GROUP BY vec_id),
+    dots AS (
+        SELECT q.query_id, c.vec_id,
+               SUM(CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)) AS dot
+        FROM q
+        JOIN embeddings c ON TRUE,
+        UNNEST(generate_series(1, len(q.embedding))) AS u(i)
+        GROUP BY 1, 2),
+    scored AS (
+        SELECT d.query_id, d.vec_id,
+               CAST(ROUND(d.dot / (qn.qnorm * cn.cnorm), 6) AS DOUBLE) AS cosine
+        FROM dots d JOIN qn ON qn.query_id = d.query_id
+        JOIN cn ON cn.vec_id = d.vec_id)
+    SELECT query_id, vec_id, cosine,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, vec_id ASC) AS BIGINT) AS rank
+    FROM scored
+    QUALIFY rank <= 3
+    """,
+    survey_ref="similarity-bruteforce (north star)",
+)
+def q30_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-3 for the first five vectors against the corpus."""
+    from candia_spark.operators.similarity import cosine_topk_bruteforce
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return cosine_topk_bruteforce(emb, queries_df, k=3)
+
+
+@register(
+    "q31_cosine_lsh",
+    oracle=None,
+    survey_ref="similarity-lsh (north star)",
+)
+def q31_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH bucketed ANN (numpy-seeded planes -> rows-only;
+    recall vs brute force pinned in pytest)."""
+    from candia_spark.operators.similarity import cosine_topk_lsh
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return cosine_topk_lsh(emb, queries_df, k=3, n_bits=4, dim=64, seed=42)
+
+
+@register(
+    "q32_lang_id",
+    oracle="""
+    WITH scored AS (
+        SELECT lang,
+               len(list_intersect(list_distinct({toks}), ['der','die','und','nicht','das'])) AS s_de,
+               len(list_intersect(list_distinct({toks}), ['the','and','of','to','is'])) AS s_en,
+               len(list_intersect(list_distinct({toks}), ['el','la','de','que','los'])) AS s_es,
+               len(list_intersect(list_distinct({toks}), ['le','la','les','et','des'])) AS s_fr,
+               len(list_intersect(list_distinct({toks}), ['de5','shi4','le5','zai4','he2'])) AS s_zh
+        FROM documents),
+    pred AS (
+        SELECT lang,
+               CASE WHEN GREATEST(s_de, s_en, s_es, s_fr, s_zh) = 0 THEN 'und'
+                    WHEN s_de = GREATEST(s_de, s_en, s_es, s_fr, s_zh) THEN 'de'
+                    WHEN s_en = GREATEST(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
+                    WHEN s_es = GREATEST(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
+                    WHEN s_fr = GREATEST(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
+                    ELSE 'zh' END AS predicted_lang
+        FROM scored)
+    SELECT lang, predicted_lang, COUNT(*) AS n_docs
+    FROM pred GROUP BY lang, predicted_lang
+    """.replace("{toks}", _TOKS_SQL),
+    survey_ref="text-langid (north star)",
+)
+def q32_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-marker language ID vs the labeled lang column (confusion
+    counts). Deterministic heuristic shared verbatim with the oracle."""
+    from candia_spark.functions.text import lang_id
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select("lang", lang_id("text").alias("predicted_lang"))
+        .groupBy("lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@register(
+    "q33_quality_score",
+    oracle="""
+    WITH feats AS (
+        SELECT source, lang,
+               CAST(len({toks}) AS DOUBLE) AS n,
+               CAST(len(list_distinct({toks})) AS DOUBLE) AS nd,
+               CAST(len(list_filter({toks},
+                    x -> list_contains(['the','and','of','to','is'], x))) AS DOUBLE) AS stop_hits
+        FROM documents),
+    scored AS (
+        SELECT source, lang,
+               CASE WHEN n > 0 THEN
+                 CAST(0.4 * LEAST(1.0, n / 50.0)
+                      + 0.3 * (nd / n)
+                      + 0.3 * LEAST(1.0, 5.0 * stop_hits / n) AS DOUBLE)
+               ELSE 0.0 END AS q
+        FROM feats)
+    SELECT source, lang, COUNT(*) AS n_docs,
+           CAST(CAST(SUM(CAST(q AS DECIMAL(38,6))) AS DOUBLE) / COUNT(q) AS DOUBLE) AS avg_quality
+    FROM scored GROUP BY source, lang
+    """.replace("{toks}", _TOKS_SQL),
+    survey_ref="text-quality (north star)",
+)
+def q33_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic quality heuristic (length/diversity/stopword mix),
+    averaged per (source, lang)."""
+    from candia_spark.functions.text import quality_score
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select("source", "lang", quality_score("text").alias("q"))
+        .groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"), davg("q").alias("avg_quality"))
+    )
+
+
+@register(
+    "q34_token_counts",
+    oracle="""
+    SELECT source,
+           CAST(SUM(len({toks})) AS BIGINT) AS ws_tokens,
+           CAST(SUM(len(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS BIGINT) AS re_tokens,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars
+    FROM documents GROUP BY source
+    """.replace("{toks}", _TOKS_SQL),
+    survey_ref="text-tokens (north star)",
+)
+def q34_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + regex sub-token counting per source."""
+    from candia_spark.functions.text import regex_token_count, token_count
+
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.sum(token_count("text")).cast("bigint").alias("ws_tokens"),
+        F.sum(regex_token_count("text")).cast("bigint").alias("re_tokens"),
+        F.max("n_chars").cast("bigint").alias("max_chars"),
+    )
+
+
+@register(
+    "q35_multimodal_metadata",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS digest
+    FROM documents
+    """,
+    survey_ref="multimodal-metadata (north star)",
+)
+def q35_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary metadata fast path (length + digest, no decode):
+    documents' text re-encoded as the stand-in binary payload."""
+    from candia_spark.operators.multimodal import binary_metadata
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+    return binary_metadata(d)
+
+
+@register(
+    "q36_multimodal_features",
+    oracle=None,
+    survey_ref="multimodal-decode (north star)",
+)
+def q36_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads (deterministic
+    fake decoder — real codecs absent here; plumbing is real). Output:
+    per-modality feature norms."""
+    from candia_spark.operators.multimodal import extract_features
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+    feats = extract_features(d, feature_dim=8)
+    return feats.select(
+        "modality",
+        "n_bytes",
+        F.round(
+            F.aggregate(
+                F.col("features"), F.lit(0.0), lambda acc, v: acc + v * v
+            ),
+            6,
+        ).alias("feat_sq_norm"),
+    ).groupBy("modality").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_bytes").cast("bigint").alias("total_bytes"),
+        dsum("feat_sq_norm").alias("sum_sq_norm"),
+    )
+
+
+@register(
+    "q37_sessionize",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, epoch_us(ts) AS t FROM events),
+    flagged AS (
+        SELECT user_id, t,
+               CASE WHEN t - LAG(t) OVER (PARTITION BY user_id ORDER BY t)
+                         > 1800000000 OR
+                         LAG(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM e),
+    sessions AS (
+        SELECT user_id, t,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY t
+                   ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM flagged),
+    per_session AS (
+        SELECT user_id, session_id, COUNT(*) AS n_events
+        FROM sessions GROUP BY user_id, session_id)
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(MAX(n_events) AS BIGINT) AS max_session_events
+    FROM per_session GROUP BY user_id
+    """,
+    survey_ref="sessionize (streaming-adjacent, north star)",
+)
+def q37_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30 min) via lag + running sum — the batch
+    mirror of the Structured Streaming session operator
+    (candia_spark.streaming)."""
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", F.expr("ts div 1000").alias("t")
+    )
+    w = Window.partitionBy("user_id").orderBy("t")
+    flagged = e.withColumn(
+        "new_session",
+        F.when(
+            (F.col("t") - F.lag("t").over(w) > 1800000000)
+            | F.lag("t").over(w).isNull(),
+            1,
+        ).otherwise(0),
+    )
+    sessions = flagged.withColumn(
+        "session_id",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    per_session = sessions.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    return per_session.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+        F.max("n_events").cast("bigint").alias("max_session_events"),
     )
