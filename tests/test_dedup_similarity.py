@@ -1,0 +1,173 @@
+"""Recall/quality pins for the approximate dedup + similarity operators.
+
+The q27/q31 docstrings promise these exist: MinHash-LSH recall vs exact
+Jaccard, and hyperplane-LSH recall vs brute-force cosine — both on
+synthetic corpora with known ground truth (the driver's documents table is
+all-distinct, so near-dup structure must be constructed).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    FloatType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from candia_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_signatures,
+)
+from candia_spark.operators.similarity import (
+    cosine_topk_bruteforce,
+    cosine_topk_lsh,
+)
+
+WORDS = [
+    "alpha", "bravo", "charlie", "delta", "echo", "foxtrot", "golf",
+    "hotel", "india", "juliet", "kilo", "lima", "mike", "november",
+    "oscar", "papa", "quebec", "romeo", "sierra", "tango",
+]
+
+
+def _near_dup_corpus():
+    """30 base docs of 40 tokens; each gets a near-dup with 2 token edits
+    (word-bigram Jaccard ~0.9) plus 30 unrelated docs. Deterministic."""
+    rng = np.random.default_rng(7)
+    rows = []
+    doc_id = 0
+    for _ in range(30):
+        base = [WORDS[i] for i in rng.integers(0, len(WORDS), 40)]
+        rows.append((doc_id, " ".join(base)))
+        dup = list(base)
+        for pos in rng.integers(0, 40, 2):
+            dup[pos] = WORDS[rng.integers(0, len(WORDS))]
+        rows.append((doc_id + 1, " ".join(dup)))
+        doc_id += 2
+    for _ in range(30):
+        rows.append((doc_id, " ".join(WORDS[i] for i in rng.integers(0, len(WORDS), 40))))
+        doc_id += 1
+    return rows
+
+
+@pytest.fixture(scope="module")
+def near_dups(spark):
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    return spark.createDataFrame(_near_dup_corpus(), schema).cache()
+
+
+def test_exact_dedup_groups(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c"), (5, "a b c"), (3, "x y")],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r["n_copies"] for r in exact_dedup(df).collect()}
+    assert got == {1: 3, 3: 1}
+
+
+def test_minhash_lsh_recall_and_estimate(near_dups):
+    """LSH candidates must recover >=90% of truly-similar pairs (exact
+    bigram Jaccard >= 0.6), and the minhash estimate must track the exact
+    value to ~0.2 mean absolute error at 32 hashes."""
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(near_dups, n=2, threshold=0.6).collect()
+    }
+    assert len(exact) >= 25, "corpus should contain planted near-dup pairs"
+    cand = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in minhash_lsh_pairs(near_dups, num_hashes=32, bands=8, n=2).collect()
+    }
+    hit = [p for p in exact if p in cand]
+    recall = len(hit) / len(exact)
+    assert recall >= 0.9, f"LSH recall {recall:.2f} over {len(exact)} true pairs"
+    mae = float(np.mean([abs(cand[p] - exact[p]) for p in hit]))
+    assert mae <= 0.2, f"minhash Jaccard estimate MAE {mae:.3f}"
+
+
+def test_minhash_lsh_precision_floor(near_dups):
+    """Banded LSH with b=8, r=4 should not flood: candidate pairs with
+    est_jaccard >= 0.5 must mostly be truly similar (>= 0.4 exact)."""
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(near_dups, n=2, threshold=0.0).collect()
+    }
+    strong = [
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(near_dups, num_hashes=32, bands=8, n=2)
+        .filter(F.col("est_jaccard") >= 0.5)
+        .collect()
+    ]
+    assert strong, "expected some strong candidates"
+    ok = sum(1 for p in strong if exact.get(p, 0.0) >= 0.4)
+    assert ok / len(strong) >= 0.9
+
+
+def test_simhash_near_dups_close(near_dups):
+    """Planted near-dups differ in few simhash bits; unrelated docs in
+    many. Compare hamming distances of pair (0,1) vs (0, last)."""
+    sigs = {r["doc_id"]: r["simhash"] for r in simhash_signatures(near_dups).collect()}
+
+    def ham(a, b):
+        return bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
+
+    planted = [ham(sigs[i], sigs[i + 1]) for i in range(0, 60, 2)]
+    unrelated = [ham(sigs[i], sigs[j]) for i in range(0, 20, 2) for j in range(61, 70)]
+    assert float(np.mean(planted)) < float(np.mean(unrelated)) - 4.0
+
+
+@pytest.fixture(scope="module")
+def clustered_vecs(spark):
+    """8 well-separated clusters in R^64, 40 points each, queries = first
+    point of each cluster. Ground truth: top-k neighbors share the cluster."""
+    rng = np.random.default_rng(11)
+    centers = rng.standard_normal((8, 64)) * 4.0
+    rows = []
+    vid = 0
+    for c in centers:
+        for _ in range(40):
+            v = c + rng.standard_normal(64) * 0.3
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("embedding", ArrayType(FloatType())),
+        ]
+    )
+    return spark.createDataFrame(rows, schema).cache()
+
+
+def test_lsh_cosine_recall_vs_bruteforce(clustered_vecs):
+    queries = clustered_vecs.filter(F.col("vec_id") % 40 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = cosine_topk_bruteforce(clustered_vecs, queries, k=10)
+    approx = cosine_topk_lsh(clustered_vecs, queries, k=10, n_bits=4, dim=64, seed=42)
+    e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.8, f"hyperplane-LSH recall {recall:.2f}"
+
+
+def test_bruteforce_topk_is_exact(clustered_vecs):
+    """Every query's top-1 is itself (cosine 1.0) and all top-10 come from
+    the query's own cluster (separation >> intra-cluster noise)."""
+    queries = clustered_vecs.filter(F.col("vec_id") % 40 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    rows = cosine_topk_bruteforce(clustered_vecs, queries, k=10).collect()
+    for r in rows:
+        if r["rank"] == 1:
+            assert r["vec_id"] == r["query_id"] and r["cosine"] == 1.0
+        assert r["vec_id"] // 40 == r["query_id"] // 40

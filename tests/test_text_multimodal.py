@@ -1,0 +1,144 @@
+"""Unit pins for the text-analysis column functions and the multimodal
+binary-column plumbing (deterministic fake decoder)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from candia_spark.functions.text import (
+    fingerprint,
+    lang_id,
+    quality_score,
+    regex_token_count,
+    token_count,
+)
+from candia_spark.operators.multimodal import (
+    _fake_decode,
+    binary_metadata,
+    extract_features,
+    frame_sample_plumbing,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the cat and the dog went to the park and it is nice"),
+        (1, "der hund und die katze nicht das haus"),
+        (2, "el perro de la casa que los gatos"),
+        (3, "le chat et les chiens des maisons la nuit"),
+        (4, "zzz qqq www"),
+        (5, ""),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"]).cache()
+
+
+def test_lang_id(docs):
+    got = {
+        r["doc_id"]: r["pred"]
+        for r in docs.select("doc_id", lang_id("text").alias("pred")).collect()
+    }
+    assert got == {0: "en", 1: "de", 2: "es", 3: "fr", 4: "und", 5: "und"}
+
+
+def test_token_counts(docs):
+    got = {
+        r["doc_id"]: (r["ws"], r["re"])
+        for r in docs.select(
+            "doc_id",
+            token_count("text").alias("ws"),
+            regex_token_count("text").alias("re"),
+        ).collect()
+    }
+    assert got[0] == (13, 13)
+    assert got[5] == (0, 0)
+    # regex tokenizer splits on punctuation where whitespace does not
+    extra = docs.sparkSession.createDataFrame([(9, "don't stop-me now")], ["doc_id", "text"])
+    r = extra.select(
+        token_count("text").alias("ws"), regex_token_count("text").alias("re")
+    ).collect()[0]
+    assert (r["ws"], r["re"]) == (3, 5)
+
+
+def test_quality_score_bounds_and_order(docs):
+    got = {
+        r["doc_id"]: r["q"]
+        for r in docs.select("doc_id", quality_score("text").alias("q")).collect()
+    }
+    assert all(0.0 <= v <= 1.0 for v in got.values())
+    assert got[5] == 0.0
+    # stopword-rich English doc beats the gibberish one
+    assert got[0] > got[4]
+
+
+def test_fingerprint_whitespace_canonical(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello   World"), (2, "  hello world "), (3, "hello worlds")],
+        ["doc_id", "text"],
+    )
+    fps = {r["doc_id"]: r["fp"] for r in df.select("doc_id", fingerprint("text").alias("fp")).collect()}
+    assert fps[1] == fps[2] != fps[3]
+    assert fps[1] == hashlib.md5(b"hello world").hexdigest()
+
+
+@pytest.fixture(scope="module")
+def payloads(spark):
+    rows = [
+        (0, bytearray(bytes(range(64)))),
+        (1, bytearray(b"\xff" * 17)),
+        (2, bytearray(b"")),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "payload"]).cache()
+
+
+def test_binary_metadata(payloads):
+    got = {r["doc_id"]: (r["n_bytes"], r["digest"]) for r in binary_metadata(payloads).collect()}
+    assert got[0][0] == 64 and got[1][0] == 17 and got[2][0] == 0
+    assert got[2][1] == hashlib.md5(b"").hexdigest()
+
+
+def test_fake_decode_deterministic():
+    f1 = _fake_decode(bytes(range(64)), 8)
+    f2 = _fake_decode(bytes(range(64)), 8)
+    assert np.array_equal(f1, f2) and f1.shape == (8,)
+    # byte-window means of 0..63 in 8 chunks: 3.5, 11.5, ...
+    assert np.allclose(f1, [3.5 + 8 * i for i in range(8)])
+    assert np.array_equal(_fake_decode(b"", 8), np.zeros(8))
+
+
+def test_extract_features_plumbing(payloads):
+    rows = extract_features(payloads, feature_dim=8).collect()
+    by_id = {r["doc_id"]: r for r in rows}
+    assert set(by_id) == {0, 1, 2}
+    assert by_id[0]["n_bytes"] == 64 and len(by_id[0]["features"]) == 8
+    assert by_id[0]["features"][0] == 3.5
+    assert by_id[2]["features"] == [0.0] * 8
+    assert all(r["modality"] == "image" for r in rows)
+
+
+def test_frame_sample_plumbing(payloads):
+    rows = frame_sample_plumbing(payloads, n_frames=4).collect()
+    frames0 = sorted(
+        (r["frame_idx"], r["frame_bytes"], r["frame_digest"])
+        for r in rows
+        if r["doc_id"] == 0
+    )
+    assert [f[0] for f in frames0] == [0, 1, 2, 3]
+    assert sum(f[1] for f in frames0) == 64
+    assert sum(f[2] for f in frames0) == sum(range(64))
+    # empty payload still yields n_frames rows of zero bytes
+    assert sum(1 for r in rows if r["doc_id"] == 2) == 4
+
+
+def test_custom_decoder_injection(payloads):
+    def decoder(payload: bytes, dim: int) -> np.ndarray:
+        return np.full(dim, float(len(payload)))
+
+    rows = extract_features(payloads, feature_dim=3, decoder=decoder, batch_note="audio").collect()
+    by_id = {r["doc_id"]: r for r in rows}
+    assert by_id[1]["features"] == [17.0, 17.0, 17.0]
+    assert all(r["modality"] == "audio" for r in rows)
