@@ -1,0 +1,142 @@
+"""Small-format adapters (SURVEY.md §2.1 S10-S13): MGF and FASTA sinks,
+charge-expansion rewrite, typed TSV/CSV report readers. All driver-side or
+schema'd ``spark.read.csv`` — none are row-volume hot paths.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_mgf(
+    path: str,
+    spectra: Iterable[dict],
+    mz_digits: int = 10,
+    i_digits: int = 8,
+) -> int:
+    """MGF sink (msproc.py:423-440 behavior): one BEGIN/END IONS block per
+    spectrum with TITLE/PEPMASS params and '%.{mz}g %.{i}g' peak lines."""
+    n = 0
+    with open(path, "w") as out:
+        for s in spectra:
+            out.write("BEGIN IONS\n")
+            out.write(f"TITLE=scan={s['scan_no']}\n")
+            pm = s.get("prec_intensity")
+            out.write(
+                f"PEPMASS={s['prec_mz']:.{mz_digits}g}"
+                + (f" {pm:.{i_digits}g}" if pm is not None else "")
+                + "\n"
+            )
+            if "charge" in s:
+                out.write(f"CHARGE={s['charge']}+\n")
+            if "rtinseconds" in s:
+                out.write(f"RTINSECONDS={s['rtinseconds']}\n")
+            if "seq" in s:
+                out.write(f"SEQ={s['seq']}\n")
+            for mz, inten in zip(s["mz"], s["intensity"]):
+                out.write(f"{mz:.{mz_digits}g} {inten:.{i_digits}g}\n")
+            out.write("END IONS\n")
+            n += 1
+    return n
+
+
+def expand_charges(
+    spectra: Iterable[dict],
+    charges: tuple[int, ...] = (2, 3),
+    fake_rt: float = 100.0,
+    fake_seq: str = "PEPTIDE",
+) -> Iterator[dict]:
+    """S11 (adjust_mgf_files.py:32-66 behavior): duplicate every spectrum
+    once per assumed charge, rewriting title/charge and adding the fake
+    rt/seq params DeepNovo requires."""
+    for s in spectra:
+        for z in charges:
+            dup = dict(s)
+            dup["charge"] = z
+            dup["scan_no"] = f"{s['scan_no']}.{z}"
+            dup["rtinseconds"] = fake_rt
+            dup["seq"] = fake_seq
+            yield dup
+
+
+def write_fasta(path: str, sequences: Iterable[tuple[str, str]], width: int = 60) -> int:
+    """FASTA sink (seqproc.py:80-93 behavior): '>id' + wrapped sequence."""
+    n = 0
+    with open(path, "w") as out:
+        for seq_id, seq in sequences:
+            out.write(f">{seq_id}\n")
+            for i in range(0, len(seq), width):
+                out.write(seq[i : i + width] + "\n")
+            n += 1
+    return n
+
+
+def fasta_sink(df: DataFrame, path: str, id_col: str = "seq_id", seq_col: str = "sequence") -> int:
+    """DataFrame -> FASTA via ordered driver iteration."""
+    rows = df.select(id_col, seq_col).orderBy(id_col).toLocalIterator()
+    return write_fasta(path, ((r[id_col], r[seq_col]) for r in rows))
+
+
+# --- S13: typed report readers -------------------------------------------
+
+# Per-tool schema + rename maps (seqproc.py:23-58; gather_model_evaluation
+# _results.py:93-121 column conventions). Columns are normalized to
+# (scan, sequence, score) so downstream joins are tool-agnostic.
+REPORT_FORMATS: dict[str, dict] = {
+    "novor": {
+        "options": {"sep": ",", "comment": "#", "header": "false"},
+        "schema": "id INT, scan INT, rt DOUBLE, mz DOUBLE, z INT, pepMass DOUBLE,"
+        " err DOUBLE, ppm DOUBLE, score DOUBLE, peptide STRING, aaScore STRING",
+        "renames": {"peptide": "sequence"},
+    },
+    "deepnovo": {
+        "options": {"sep": "\t", "header": "true"},
+        "schema": "scan STRING, predicted_sequence STRING, predicted_score DOUBLE,"
+        " predicted_position_score STRING, precursor_mz DOUBLE,"
+        " precursor_charge DOUBLE",
+        "renames": {"predicted_sequence": "sequence", "predicted_score": "score"},
+    },
+    "blastp6": {
+        "options": {"sep": "\t", "header": "false"},
+        "schema": "qseqid STRING, sseqid STRING, pident DOUBLE, length INT,"
+        " mismatch INT, gapopen INT, qstart INT, qend INT, sstart INT,"
+        " send INT, evalue DOUBLE, bitscore DOUBLE",
+        "renames": {},
+    },
+    "percolator_psms": {
+        "options": {"sep": "\t", "header": "true"},
+        "schema": None,  # header-complete TSVs: infer against the header
+        "renames": {"percolator q-value": "qvalue"},
+    },
+}
+
+
+def read_report(
+    spark: SparkSession, path: str, fmt: str, extra_renames: dict[str, str] | None = None
+) -> DataFrame:
+    """Read a sequencer/search report with its per-tool schema and
+    normalized column names."""
+    spec = REPORT_FORMATS[fmt]
+    reader = spark.read
+    for k, v in spec["options"].items():
+        reader = reader.option(k, v)
+    if spec["schema"]:
+        df = reader.schema(spec["schema"]).csv(path)
+    else:
+        df = reader.option("inferSchema", "true").csv(path)
+    for old, new in {**spec["renames"], **(extra_renames or {})}.items():
+        if old in df.columns:
+            df = df.withRenamedColumn(old, new) if hasattr(df, "withRenamedColumn") else df.withColumnRenamed(old, new)
+    return df
+
+
+def strip_modifications(df: DataFrame, seq_col: str = "sequence") -> DataFrame:
+    """Remove PTM annotations '(...)' and 'mod' markers from sequences
+    (seqproc.py:38,53 regexes)."""
+    return df.withColumn(
+        seq_col,
+        F.regexp_replace(F.regexp_replace(F.col(seq_col), r"\(.+?\)", ""), "mod", ""),
+    )

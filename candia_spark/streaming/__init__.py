@@ -1,0 +1,210 @@
+"""Structured Streaming extension over the ``events`` table.
+
+The reference has no streaming surface (SURVEY.md §2.9): its RT "windows"
+are static batch bucketizations. This module is the §7-step-8 extension —
+the same event-time semantics the batch operators compute (sessionization
+q37, time buckets q04) expressed as incremental streams, so a 100 TB
+backfill (batch) and the live tail (stream) share one definition.
+
+Design for scale:
+- Event-time + watermark everywhere: state is bounded by the watermark
+  delay, not by stream length. Without a watermark, windowed state grows
+  forever on a real cluster.
+- ``session_window`` is Spark's native gap-session operator (state merges
+  are handled by the engine); ``applyInPandasWithState`` is the escape
+  hatch for semantics the built-ins lack (here: per-user running totals
+  with idle-timeout flush, the canonical custom stateful op).
+- File source with ``maxFilesPerTrigger`` gives deterministic replay in
+  tests; on a cluster the same code points at Kafka by swapping
+  ``readStream.format``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# Explicit schema for the events parquet (ts is TIMESTAMP(NANOS); with
+# spark.sql.legacy.parquet.nanosAsLong it surfaces as long nanoseconds —
+# streaming file sources require a user schema anyway).
+EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def with_event_time(df: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Attach a proper TimestampType ``event_time`` from long-nanos ``ts``."""
+    return df.withColumn(
+        "event_time", F.timestamp_micros((F.col(ts_col) / 1000).cast("bigint"))
+    )
+
+
+def events_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source event stream (one micro-batch per file when
+    ``max_files_per_trigger=1`` — deterministic replay for tests)."""
+    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return with_event_time(reader.parquet(path))
+
+
+def windowed_counts(
+    events: DataFrame,
+    window: str = "10 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Tumbling event-time window counts per event_type with late-data
+    bound ``watermark``. Works identically on a batch DataFrame (the
+    watermark is a no-op there) — the batch/stream parity contract."""
+    df = events
+    if events.isStreaming:
+        df = events.withWatermark("event_time", watermark)
+    return (
+        df.groupBy(F.window("event_time", window).alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("win_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def session_counts(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Native gap-based session windows per user (merges handled by the
+    engine's session-window state store). Batch-compatible."""
+    df = events
+    if events.isStreaming:
+        df = events.withWatermark("event_time", watermark)
+    return (
+        df.groupBy(F.session_window("event_time", gap).alias("sw"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+RUNNING_TOTALS_STATE = StructType(
+    [StructField("n", LongType()), StructField("total", DoubleType())]
+)
+RUNNING_TOTALS_OUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+        StructField("flushed_by_timeout", StringType()),
+    ]
+)
+
+
+def running_totals_stateful(
+    events: DataFrame, idle_timeout_ms: int | None = None
+) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-user
+    running (count, sum[value]) emitted every micro-batch; with
+    ``idle_timeout_ms`` set, state is flushed+cleared after that much
+    processing-time inactivity.
+
+    This is the template for operators the built-ins can't express
+    (per-key model state, decaying counters, cross-batch dedup windows):
+    state is a tiny tuple per key, updates are Arrow-batched pandas.
+
+    ``idle_timeout_ms=None`` (NoTimeout) is what bounded drains
+    (``availableNow`` backfills) should use: with ProcessingTimeTimeout
+    registered, Spark keeps scheduling micro-batches until every pending
+    timeout has fired, so an availableNow query stays alive ~forever on
+    idle input. Timeouts belong to continuously-running queries only.
+    """
+    import pandas as pd  # executor-side
+
+    def update(key, pdf_iter, state):
+        (user_id,) = key
+        if state.hasTimedOut:
+            n, total = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "n_events": [n],
+                    "total_value": [total],
+                    "flushed_by_timeout": ["yes"],
+                }
+            )
+            return
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdf_iter:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        if idle_timeout_ms is not None:
+            state.setTimeoutDuration(idle_timeout_ms)
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "n_events": [n],
+                "total_value": [total],
+                "flushed_by_timeout": ["no"],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=RUNNING_TOTALS_OUT,
+        stateStructType=RUNNING_TOTALS_STATE,
+        outputMode="update",
+        timeoutConf=(
+            "ProcessingTimeTimeout" if idle_timeout_ms is not None else "NoTimeout"
+        ),
+    )
+
+
+def run_available_now(
+    stream_df: DataFrame,
+    query_name: str,
+    output_mode: str = "update",
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Drain a stream to completion into an in-memory table and return it
+    as a batch DataFrame (test/backfill harness). ``availableNow``
+    processes all pending input in bounded micro-batches, then stops —
+    the same code path a production backfill uses."""
+    writer = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+    )
+    if checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    q = writer.start()
+    q.awaitTermination()
+    return stream_df.sparkSession.table(query_name)

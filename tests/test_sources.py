@@ -1,0 +1,201 @@
+"""Sources layer: mzML ingestion against the reference's own test scans
+(read-only inputs), mzXML sink roundtrip, MGF/FASTA adapters."""
+
+from __future__ import annotations
+
+import base64
+import re
+import struct
+
+import numpy as np
+import pytest
+
+from candia_spark.sources.adapters import (
+    expand_charges,
+    strip_modifications,
+    write_fasta,
+    write_mgf,
+)
+from candia_spark.sources.mzml import (
+    detect_time_unit,
+    extract_swath_windows,
+    iter_spectra,
+    mzml_to_scan_table,
+    read_mzml_points,
+)
+from candia_spark.sources.mzxml import (
+    iter_component_scans,
+    peaks_base64,
+    write_mzxml,
+)
+
+MZML1 = "/root/reference/test/test_experiment/samples/scans_mzml/scan1.mzML"
+MZML2 = "/root/reference/test/test_experiment/samples/scans_mzml/scan2.mzML"
+
+
+def test_iter_spectra_structure():
+    with open(MZML1, "rb") as f:
+        specs = list(iter_spectra(f))
+    assert len(specs) == 114
+    levels = {s.level for s in specs}
+    assert levels == {1, 2}
+    s0 = specs[0]
+    assert s0.index == 0 and s0.level == 1
+    assert s0.rt == pytest.approx(1000.323)
+    assert len(s0.mz_array) == 580 and len(s0.intensity_array) == 580
+    # MS2 spectra carry full isolation-window info
+    s1 = specs[1]
+    assert s1.level == 2
+    assert s1.target_mz == pytest.approx(631.5)
+    assert s1.lower_off == pytest.approx(8.5) and s1.upper_off == pytest.approx(8.5)
+
+
+def test_detect_time_unit():
+    assert detect_time_unit(MZML1) == "second"
+
+
+def test_swath_windows(spark):
+    wins = extract_swath_windows(spark, [MZML1, MZML2]).collect()
+    # the toy experiment's scans cover 2 SWATH windows (623-640, 639-656)
+    assert len(wins) == 2
+    lowers = [w["swath_lower"] for w in wins]
+    assert lowers == sorted(lowers)
+    w0 = wins[0]
+    assert w0["swath_upper"] > w0["swath_lower"]
+
+
+def test_mzml_scan_table(spark):
+    df = mzml_to_scan_table(spark, [MZML1], min_intensity=0.0).cache()
+    n = df.count()
+    assert n > 10_000
+    cols = df.columns
+    assert cols == [
+        "sample", "spectrum_index", "level", "rt", "mz", "intensity",
+        "prec_mz", "prec_isolation_window_start", "prec_isolation_window_end",
+    ]
+    # every point is inside its assigned window (containment, begin<=x<end)
+    from pyspark.sql import functions as F
+
+    bad = df.filter(
+        (F.col("prec_mz") < F.col("prec_isolation_window_start"))
+        | (F.col("prec_mz") >= F.col("prec_isolation_window_end"))
+    ).count()
+    assert bad == 0
+    # MS1 points use their own m/z as precursor
+    ms1_bad = df.filter((F.col("level") == 1) & (F.col("mz") != F.col("prec_mz"))).count()
+    assert ms1_bad == 0
+    df.unpersist()
+
+
+def test_min_intensity_filter(spark):
+    all_pts = read_mzml_points(spark, [MZML1], min_intensity=0.0)
+    filt = read_mzml_points(spark, [MZML1], min_intensity=50.0)
+    from pyspark.sql import functions as F
+
+    n2_all = all_pts.filter(F.col("level") == 2).count()
+    n2_filt = filt.filter(F.col("level") == 2).count()
+    n1_all = all_pts.filter(F.col("level") == 1).count()
+    n1_filt = filt.filter(F.col("level") == 1).count()
+    assert n2_filt < n2_all  # MS2 filtered
+    assert n1_filt == n1_all  # MS1 untouched (msproc.py:156 filters MS2 only)
+
+
+def test_peaks_base64_roundtrip():
+    mz = np.array([100.5, 200.25, 300.125])
+    inten = np.array([1.0, 2.0, 3.0])
+    raw = base64.b64decode(peaks_base64(mz, inten))
+    vals = struct.unpack(">6f", raw)
+    assert vals == pytest.approx((100.5, 1.0, 200.25, 2.0, 300.125, 3.0))
+
+
+def test_write_mzxml_roundtrip(tmp_path):
+    path = str(tmp_path / "out.mzXML")
+    scans = [
+        {
+            "scan_no": 1,
+            "mz": [100.0, 200.0, 300.0],
+            "intensity": [5.0, 50.0, 10.0],
+            "level": 2,
+            "prec_mz": 450.5,
+            "prec_intensity": 900.0,
+        },
+        {
+            "scan_no": 2,
+            "mz": [150.0, 250.0],
+            "intensity": [7.0, 3.0],
+            "level": 2,
+            "prec_mz": 550.5,
+            "prec_intensity": 100.0,
+        },
+    ]
+    n = write_mzxml(path, scans)
+    assert n == 2
+    text = open(path, encoding="ISO-8859-1").read()
+    assert '<msRun scanCount="2">' in text
+    assert 'basePeakMz="200.0"' in text and 'totIonCurrent="65.0"' in text
+    assert '<precursorMz precursorIntensity="900.0">450.5</precursorMz>' in text
+    # the byte-offset index points exactly at each <scan
+    raw = open(path, "rb").read()
+    for num, off in re.findall(rb'<offset id = "(\d+)">(\d+)</offset>', raw):
+        assert raw[int(off) : int(off) + 5] == b"<scan"
+    idx_off = int(re.search(rb"<indexOffset>(\d+)</indexOffset>", raw).group(1))
+    assert raw[idx_off : idx_off + 6] == b"<index"
+    # peak payload decodes back
+    b64 = re.search(r"m/z-int\">([A-Za-z0-9+/=]+)</peaks>", text).group(1)
+    vals = struct.unpack(">6f", base64.b64decode(b64))
+    assert vals == pytest.approx((100.0, 5.0, 200.0, 50.0, 300.0, 10.0))
+
+
+def test_iter_component_scans_pseudo_precursor():
+    rows = [
+        # scan 10: has MS1 points -> precursor = argmax-intensity MS1 point
+        {"scan_no": 10, "level": 1, "mz": 400.0, "intensity": 10.0, "window_center": 500.0},
+        {"scan_no": 10, "level": 1, "mz": 410.0, "intensity": 99.0, "window_center": 500.0},
+        {"scan_no": 10, "level": 2, "mz": 101.0, "intensity": 1.0, "window_center": 500.0},
+        # scan 11: MS2 only -> window center + jitter in [0, 0.1)
+        {"scan_no": 11, "level": 2, "mz": 102.0, "intensity": 2.0, "window_center": 600.0},
+    ]
+    scans = list(iter_component_scans(iter(rows)))
+    assert [s["scan_no"] for s in scans] == [10, 11]
+    assert scans[0]["prec_mz"] == 410.0 and scans[0]["prec_intensity"] == 99.0
+    assert 600.0 <= scans[1]["prec_mz"] < 600.1
+    # MS1 points feed only the precursor, not the peak list
+    assert list(scans[0]["mz"]) == [101.0]
+
+
+def test_mgf_and_charge_expansion(tmp_path):
+    base = [
+        {
+            "scan_no": 5,
+            "mz": [100.0, 200.0],
+            "intensity": [1.0, 2.0],
+            "prec_mz": 450.123456,
+            "prec_intensity": 10.0,
+        }
+    ]
+    path = str(tmp_path / "out.mgf")
+    n = write_mgf(path, expand_charges(base, charges=(2, 3)))
+    assert n == 2
+    text = open(path).read()
+    assert text.count("BEGIN IONS") == 2
+    assert "TITLE=scan=5.2" in text and "TITLE=scan=5.3" in text
+    assert "CHARGE=2+" in text and "CHARGE=3+" in text
+    assert "SEQ=PEPTIDE" in text and "RTINSECONDS=100.0" in text
+
+
+def test_fasta_sink(tmp_path):
+    path = str(tmp_path / "out.fasta")
+    n = write_fasta(path, [("seq1", "ACDEFGHIKLMNPQRSTVWY" * 4), ("seq2", "MKV")], width=60)
+    assert n == 2
+    lines = open(path).read().splitlines()
+    assert lines[0] == ">seq1"
+    assert len(lines[1]) == 60 and len(lines[2]) == 20
+    assert lines[3] == ">seq2" and lines[4] == "MKV"
+
+
+def test_strip_modifications(spark):
+    df = spark.createDataFrame(
+        [("PEPT(+15.99)IDE",), ("SEQmodVAL",)], ["sequence"]
+    )
+    got = [r["sequence"] for r in strip_modifications(df).collect()]
+    assert got == ["PEPTIDE", "SEQVAL"]

@@ -1,0 +1,184 @@
+"""Structured Streaming extension: batch/stream parity, watermark late-data
+drop, native session windows, and the applyInPandasWithState custom
+stateful operator — all drained deterministically via availableNow."""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from candia_spark.streaming import (
+    EVENTS_SCHEMA,
+    events_stream,
+    run_available_now,
+    running_totals_stateful,
+    session_counts,
+    windowed_counts,
+    with_event_time,
+)
+
+SF = "/root/testdata/sf0.001"
+
+_PA_SCHEMA = pa.schema(
+    [
+        ("event_id", pa.int64()),
+        ("ts", pa.int64()),
+        ("user_id", pa.int64()),
+        ("event_type", pa.string()),
+        ("value", pa.float64()),
+        ("props", pa.string()),
+    ]
+)
+
+
+def _write_events_file(path: str, rows: list[tuple]) -> None:
+    cols = list(zip(*rows))
+    pq.write_table(
+        pa.table({f.name: list(c) for f, c in zip(_PA_SCHEMA, cols)}, schema=_PA_SCHEMA),
+        path,
+    )
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, tmp_path_factory):
+    """The sf0.001 events split time-ordered into two files (two
+    micro-batches under maxFilesPerTrigger=1)."""
+    d = tmp_path_factory.mktemp("events_src")
+    rows = [
+        tuple(r)
+        for r in spark.read.parquet(os.path.join(SF, "events.parquet"))
+        .orderBy("ts")
+        .collect()
+    ]
+    half = len(rows) // 2
+    _write_events_file(str(d / "part-000.parquet"), rows[:half])
+    time.sleep(1.1)  # file source orders micro-batches by mtime
+    _write_events_file(str(d / "part-001.parquet"), rows[half:])
+    return str(d)
+
+
+def test_windowed_counts_stream_matches_batch(spark, events_dir, tmp_path):
+    stream = windowed_counts(events_stream(spark, events_dir), window="1 hour")
+    got = run_available_now(
+        stream, "wc_stream", output_mode="complete",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    ).collect()
+    batch = windowed_counts(
+        with_event_time(spark.read.schema(EVENTS_SCHEMA).parquet(events_dir)),
+        window="1 hour",
+    ).collect()
+    key = lambda r: (r["win_start"], r["event_type"])
+    assert {key(r): (r["n_events"], round(r["sum_value"], 6)) for r in got} == {
+        key(r): (r["n_events"], round(r["sum_value"], 6)) for r in batch
+    }
+    assert len(batch) > 10
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """An event arriving a micro-batch later, with event time older than
+    the advanced watermark, must NOT count (bounded state at scale)."""
+    d = tmp_path / "late_src"
+    d.mkdir()
+    T0 = 1_700_000_000 * 1_000_000_000  # ns epoch
+    MIN = 60 * 1_000_000_000
+
+    def ev(i, t_min, typ="x"):
+        return (i, T0 + t_min * MIN, 1, typ, 1.0, "{}")
+
+    # batch 1: three events in window [T0, T0+10min) + one 2h later that
+    # advances the watermark (2h - 30min delay) far past that window.
+    _write_events_file(str(d / "a.parquet"), [ev(0, 1), ev(1, 2), ev(2, 3), ev(3, 120)])
+    time.sleep(1.1)
+    # batch 2: watermark-priming batch (the filter watermark lags one
+    # batch behind the data that advanced it).
+    _write_events_file(str(d / "b.parquet"), [ev(4, 240)])
+    time.sleep(1.1)
+    # batch 3: a LATE event into the first window, plus a fresh one.
+    _write_events_file(str(d / "c.parquet"), [ev(5, 4), ev(6, 360)])
+
+    stream = windowed_counts(
+        events_stream(spark, str(d), max_files_per_trigger=1),
+        window="10 minutes",
+        watermark="30 minutes",
+    )
+    got = run_available_now(
+        stream, "wc_late", output_mode="append", checkpoint_dir=str(tmp_path / "ck2")
+    ).collect()
+    by_start = {r["win_start"]: r["n_events"] for r in got}
+    # the T0 window emitted exactly once with the 3 on-time events; the
+    # late 4th was dropped.
+    assert 3 in by_start.values() and 4 not in by_start.values()
+
+
+def test_session_windows_stream_vs_lag_batch(spark, events_dir, tmp_path):
+    """Emitted (closed) streaming sessions must agree exactly with the
+    batch lag+cumsum sessionization (q37's definition)."""
+    stream = session_counts(
+        events_stream(spark, events_dir, max_files_per_trigger=1),
+        gap="30 minutes",
+        watermark="30 minutes",
+    )
+    got = run_available_now(
+        stream, "sess_stream", output_mode="append",
+        checkpoint_dir=str(tmp_path / "ck3"),
+    ).collect()
+
+    e = with_event_time(spark.read.schema(EVENTS_SCHEMA).parquet(events_dir))
+    w = Window.partitionBy("user_id").orderBy("event_time")
+    lagb = e.withColumn(
+        "new_s",
+        F.when(
+            F.col("event_time").cast("long") - F.lag("event_time").over(w).cast("long")
+            >= 1800,
+            1,
+        ).otherwise(0),
+    )
+    lagb = lagb.withColumn(
+        "sid", F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    batch = {
+        (r["user_id"], r["start"]): r["n"]
+        for r in lagb.groupBy("user_id", "sid")
+        .agg(F.min("event_time").alias("start"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert len(got) > 0
+    for r in got:
+        assert batch[(r["user_id"], r["session_start"])] == r["n_events"]
+    # append mode withholds only sessions still open at the final watermark
+    assert len(got) >= 0.5 * len(batch)
+
+
+def test_running_totals_stateful(spark, events_dir, tmp_path):
+    """Custom stateful operator: after draining all micro-batches, the last
+    emitted running total per user equals the batch aggregate."""
+    stream = running_totals_stateful(
+        events_stream(spark, events_dir, max_files_per_trigger=1)
+    )
+    got = run_available_now(
+        stream, "rt_stream", output_mode="update",
+        checkpoint_dir=str(tmp_path / "ck4"),
+    ).collect()
+    final = {}
+    for r in got:
+        cur = final.get(r["user_id"])
+        if cur is None or r["n_events"] > cur[0]:
+            final[r["user_id"]] = (r["n_events"], r["total_value"])
+    batch = {
+        r["user_id"]: (r["n"], r["total"])
+        for r in spark.read.schema(EVENTS_SCHEMA)
+        .parquet(events_dir)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+        .collect()
+    }
+    assert set(final) == set(batch)
+    for u in batch:
+        assert final[u][0] == batch[u][0]
+        assert abs(final[u][1] - batch[u][1]) < 1e-6
