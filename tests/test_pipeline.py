@@ -1,0 +1,144 @@
+"""End-to-end CANDIA pipeline on the reference's own toy experiment
+(2 mzML DIA scans, 114 spectra each) — stages 1 through 10 under one
+SparkSession, structural + invariant assertions per stage."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from candia_spark.pipeline import (
+    CandiaConfig,
+    run_pipeline,
+)
+
+MZML = [
+    "/root/reference/test/test_experiment/samples/scans_mzml/scan1.mzML",
+    "/root/reference/test/test_experiment/samples/scans_mzml/scan2.mzML",
+]
+CFG_YAML = "/root/reference/test/test_experiment/config/candia.yaml"
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    c = CandiaConfig.from_yaml(CFG_YAML)
+    # reference test config values (candia.yaml:12-14)
+    assert c.min_scan_intensity == 1
+    assert c.window_size_sec == 60
+    assert c.mass_tol_ppm == 40
+    return c
+
+
+@pytest.fixture(scope="module")
+def result(spark, cfg, tmp_path_factory):
+    d = tmp_path_factory.mktemp("pipe")
+    out = run_pipeline(
+        spark,
+        MZML,
+        cfg,
+        ncomp_range=[2, 3],  # toy-scale rank range; full range is 10-14
+        max_iter=50,
+        slice_store_path=str(d / "slices"),
+        mzxml_out=str(d / "best.mzXML"),
+    )
+    out["_dir"] = str(d)
+    return out
+
+
+def test_scan_map_and_adjustment(result):
+    adjusted = result["adjusted"].cache()
+    n = adjusted.count()
+    assert n > 10_000  # 14,362 windowed points from the 2 toy scans
+    # both samples present; adjusted windows are contiguous (upper_k ==
+    # lower_{k+1}) after W1
+    assert adjusted.select("sample").distinct().count() == 2
+    wins = (
+        adjusted.select("swath_lower_adjusted", "swath_upper_adjusted")
+        .distinct()
+        .orderBy("swath_lower_adjusted")
+        .collect()
+    )
+    assert len(wins) == 2
+    assert wins[0]["swath_upper_adjusted"] == wins[1]["swath_lower_adjusted"]
+
+
+def test_slice_store_partitioning(result):
+    import os
+
+    root = result["_dir"] + "/slices"
+    top = [p for p in os.listdir(root) if p.startswith("swath_lower_adjusted=")]
+    assert len(top) == 2
+    sub = os.listdir(os.path.join(root, top[0]))
+    assert any(s.startswith("rt_window=") for s in sub)
+
+
+def test_tensor_long_shape(result):
+    t = result["tensor_long"].cache()
+    assert t.count() > 100
+    # tensor cells are keyed by (slice, sample_no, cycle, mz_idx) — unique
+    dup = (
+        t.groupBy(
+            "swath_lower_adjusted", "rt_window", "sample_no", "cycle", "mz_idx"
+        )
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
+    )
+    assert dup == 0
+    assert t.filter(F.col("intensity") < 0).count() == 0
+
+
+def test_factors_and_selection(result):
+    factors = result["factors"].cache()
+    assert factors.count() > 0
+    assert {r["mode"] for r in factors.select("mode").distinct().collect()} == {0, 1, 2}
+    # fit quality recorded per (slice, ncomp)
+    rsq = factors.select("rsq").distinct().collect()
+    assert all(r["rsq"] <= 1.0 for r in rsq)
+    best = result["best_models"].collect()
+    assert len(best) >= 1
+    assert all(0.0 <= r["unimodal_fraction"] <= 1.0 for r in best)
+
+
+def test_model_and_spectrum_index(result):
+    mi = result["model_index"].cache()
+    n_models = mi.count()
+    assert n_models > 0
+    ids = sorted(r["model_id"] for r in mi.collect())
+    assert ids == list(range(n_models))  # dense deterministic ids
+    si = result["spectrum_index"]
+    per_model = {
+        r["model_id"]: r["n"]
+        for r in si.groupBy("model_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    for r in mi.collect():
+        assert per_model[r["model_id"]] == r["ncomp"]
+
+
+def test_sample_modes_cv(result):
+    sm = result["sample_modes"].cache()
+    assert sm.count() > 0
+    assert sm.filter(F.col("cv_across_samples") < 0).count() == 0
+    # abundance rows only for best models
+    best_keys = {
+        (r["swath_lower_adjusted"], r["rt_window"], r["ncomp"])
+        for r in result["best_models"].collect()
+    }
+    got_keys = {
+        (r["swath_lower_adjusted"], r["rt_window"], r["ncomp"])
+        for r in sm.select("swath_lower_adjusted", "rt_window", "ncomp")
+        .distinct()
+        .collect()
+    }
+    assert got_keys <= best_keys
+
+
+def test_mzxml_export(result):
+    import re
+
+    raw = open(result["_dir"] + "/best.mzXML", "rb").read()
+    m = re.search(rb'<msRun scanCount="(\d+)">', raw)
+    assert m and int(m.group(1)) > 0
+    # offset index resolves
+    for _num, off in re.findall(rb'<offset id = "(\d+)">(\d+)</offset>', raw):
+        assert raw[int(off) : int(off) + 5] == b"<scan"
