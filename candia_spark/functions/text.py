@@ -50,19 +50,32 @@ def lang_score(text_col: str, lang: str) -> Column:
     return F.size(F.array_intersect(F.array_distinct(tokens(text_col)), markers))
 
 
-def lang_id(text_col: str = "text") -> Column:
-    """Predicted language = argmax marker hits, ties -> lexicographically
-    first language, no hits -> 'und' (undetermined)."""
+def lang_id_from_distinct(distinct_tokens: Column) -> Column:
+    """Predicted language from a pre-computed distinct-token array column:
+    argmax marker hits, ties -> lexicographically first language, no hits
+    -> 'und'. Taking the materialized column (instead of re-tokenizing per
+    language) keeps the plan to ONE tokenize + 5 intersects per row — the
+    nested-when formulation re-evaluated the tokenizer exponentially."""
     langs = sorted(LANG_MARKERS)
-    struct = [
-        F.struct(lang_score(text_col, g).alias("s"), F.lit(g).alias("g")) for g in langs
-    ]
-    # greatest() picks max by (score, lang); we want max score, min lang —
-    # so compare on (score, negated-order) via reduce with when().
-    best = struct[0]
-    for s in struct[1:]:
-        best = F.when(s["s"] > best["s"], s).otherwise(best)
+    entries = []
+    for i, g in enumerate(langs):
+        markers = F.array(*[F.lit(m) for m in LANG_MARKERS[g]])
+        entries.append(
+            F.struct(
+                F.size(F.array_intersect(distinct_tokens, markers)).alias("s"),
+                # ties must pick the lexicographically FIRST language while
+                # array_max picks the largest struct -> invert the rank
+                F.lit(len(langs) - i).alias("rev_rank"),
+                F.lit(g).alias("g"),
+            )
+        )
+    best = F.array_max(F.array(*entries))
     return F.when(best["s"] > 0, best["g"]).otherwise(F.lit("und"))
+
+
+def lang_id(text_col: str = "text") -> Column:
+    """Predicted language = argmax marker hits over the text column."""
+    return lang_id_from_distinct(F.array_distinct(tokens(text_col)))
 
 
 def quality_score(text_col: str = "text") -> Column:

@@ -75,7 +75,17 @@ def ngram_jaccard_pairs(
     it on LSH candidates only; standalone it is quadratic in per-shingle
     document frequency.
     """
-    sh = word_ngrams(df, n, text_col, id_col)
+    # shuffle bigint shingle hashes, not strings: ~10x fewer bytes through
+    # the self-join (64-bit collisions are ~df^2/2^64 — negligible).
+    # Persisted: the plan consumes this subtree three times (both pair-join
+    # sides + set sizes) and Catalyst does not reuse the exchange across
+    # the differing aliases — without it the tokenize/shingle/distinct
+    # chain runs 3x. Size = one (id, hash) pair per distinct shingle.
+    sh = (
+        word_ngrams(df, n, text_col, id_col)
+        .select(id_col, F.xxhash64("shingle").alias("shingle"))
+        .persist()
+    )
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")
@@ -118,12 +128,20 @@ def minhash_signatures(
 
     One explode + one groupBy; signature width is a column array, so the
     shuffle carries num_hashes longs per doc.
+
+    Each shingle STRING is hashed exactly once; the k permutations are
+    derived by re-hashing the resulting bigint with a per-permutation seed
+    (xxhash64(h64, i)) — bigint hashing is ~wordlength work vs per-byte
+    string hashing, so this is ~k-fold cheaper than hashing the string k
+    times at identical uniformity.
     """
-    sh = word_ngrams(df, n, text_col, id_col)
+    sh = word_ngrams(df, n, text_col, id_col).select(
+        id_col, F.xxhash64("shingle").alias("h64")
+    )
     hashed = sh.select(
         F.col(id_col),
         *[
-            F.xxhash64(F.col("shingle"), F.lit(i)).alias(f"h{i}")
+            F.xxhash64(F.col("h64"), F.lit(i)).alias(f"h{i}")
             for i in range(num_hashes)
         ],
     )
@@ -153,21 +171,31 @@ def minhash_lsh_pairs(
     cap (drop degenerate buckets, e.g. empty-text collisions) the rest.
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, num_hashes, n, text_col, id_col)
-    banded = sig.select(
+    sh = word_ngrams(df, n, text_col, id_col).select(
+        F.col(id_col), F.xxhash64("shingle").alias("h64")
+    )
+    hashed = sh.select(
         F.col(id_col),
-        F.col("sig"),
+        *[
+            F.xxhash64(F.col("h64"), F.lit(i)).alias(f"h{i}")
+            for i in range(num_hashes)
+        ],
+    )
+    agg = hashed.groupBy(id_col).agg(
+        *[F.min(f"h{i}").alias(f"h{i}") for i in range(num_hashes)]
+    )
+    # band hash straight off the bigint minhash columns (no string concat)
+    banded = agg.select(
+        F.col(id_col),
+        F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig"),
         F.posexplode(
             F.array(
                 *[
                     F.xxhash64(
-                        F.concat_ws(
-                            ",",
-                            *[
-                                F.col("sig")[b * rows_per_band + r].cast("string")
-                                for r in range(rows_per_band)
-                            ],
-                        )
+                        *[
+                            F.col(f"h{b * rows_per_band + r}")
+                            for r in range(rows_per_band)
+                        ]
                     )
                     for b in range(bands)
                 ]

@@ -1132,11 +1132,12 @@ def q31_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q32_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-marker language ID vs the labeled lang column (confusion
     counts). Deterministic heuristic shared verbatim with the oracle."""
-    from candia_spark.functions.text import lang_id
+    from candia_spark.functions.text import lang_id_from_distinct, tokens
 
     d = _t(spark, sf_dir, "documents")
     return (
-        d.select("lang", lang_id("text").alias("predicted_lang"))
+        d.select("lang", F.array_distinct(tokens("text")).alias("__dt"))
+        .select("lang", lang_id_from_distinct(F.col("__dt")).alias("predicted_lang"))
         .groupBy("lang", "predicted_lang")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
