@@ -1,0 +1,110 @@
+"""Physical-plan shape guards: the properties that make these operators
+scale must be visible in the plan, not just hoped for — filter pushdown to
+the parquet scan, column pruning, broadcast of dimension sides, and the
+absence of Python row-at-a-time evaluation in relational paths."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from candia_spark.operators.skew import salted_join, salted_sum
+from candia_spark.tables import load_table
+
+SF = "/root/testdata/sf0.01"
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def optimized_of(df) -> str:
+    return str(df._jdf.queryExecution().optimizedPlan())
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    l = load_table(spark, SF, "lineitem")
+    q = l.filter(F.col("l_shipdate") <= "1998-09-02").select("l_returnflag")
+    plan = plan_of(q)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+
+
+def test_column_pruning_reaches_scan(spark):
+    l = load_table(spark, SF, "lineitem")
+    q = l.groupBy("l_returnflag").agg(F.sum("l_quantity"))
+    plan = plan_of(q)
+    # ReadSchema carries only the two referenced columns (of 16)
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "l_returnflag" in read and "l_quantity" in read
+    assert "l_extendedprice" not in read and "l_comment" not in read
+
+
+def test_interval_join_broadcasts_windows(spark):
+    """q02's window table must broadcast: the scan table never shuffles
+    for the range join."""
+    from candia_spark.plans.queries import q02_interval_join
+
+    plan = plan_of(q02_interval_join(spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_relational_queries_have_no_python_udfs(spark):
+    """Everything except the grouped numeric kernels and the sequential
+    partitioners stays JVM-side (no BatchEvalPython/ArrowEvalPython)."""
+    from candia_spark.plans.queries import QUERY_REGISTRY
+
+    python_ok = {
+        # grouped-map kernels / order-dependent ops are Arrow-batched by design
+        "q20_greedy_ppm_partition",
+        "q23_parafac_decompose",
+        "q24_time_mode_peaks",
+        "q36_multimodal_features",
+    }
+    for name, spec in sorted(QUERY_REGISTRY.items()):
+        plan = plan_of(spec.spark(spark, SF))
+        if name in python_ok:
+            continue
+        assert "BatchEvalPython" not in plan, f"{name} uses row-at-a-time Python"
+        assert "ArrowEvalPython" not in plan, f"{name} uses a scalar Python UDF"
+
+
+def test_whole_stage_codegen_on_hot_path(spark):
+    from candia_spark.plans.queries import q01_pricing_summary
+
+    q = q01_pricing_summary(spark, SF)
+    q.collect()  # AQE finalizes the physical plan only on execution
+    # codegen'd stages render as "*(n) Operator" in the executed plan
+    assert "*(1) HashAggregate" in plan_of(q)
+
+
+def test_salted_sum_matches_plain(spark):
+    l = load_table(spark, SF, "lineitem")
+    got = {
+        r["l_returnflag"]: (round(r["sum_l_quantity"], 4), r["count_l_orderkey"])
+        for r in salted_sum(
+            l,
+            ["l_returnflag"],
+            {"l_quantity": "sum", "l_orderkey": "count"},
+            buckets=8,
+            salt_from=["l_orderkey", "l_linenumber"],
+        ).collect()
+    }
+    want = {
+        r["l_returnflag"]: (round(r["s"], 4), r["c"])
+        for r in l.groupBy("l_returnflag")
+        .agg(F.sum("l_quantity").alias("s"), F.count("l_orderkey").alias("c"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_salted_join_matches_plain(spark):
+    l = load_table(spark, SF, "lineitem").select("l_orderkey", "l_quantity")
+    o = load_table(spark, SF, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderstatus"
+    )
+    plain = l.join(o, "l_orderkey").count()
+    salted = salted_join(
+        l, o, on=["l_orderkey"], buckets=4, salt_from=["l_orderkey", "l_quantity"]
+    ).count()
+    assert plain == salted

@@ -1,0 +1,172 @@
+"""Property-based tests (hypothesis): operator semantics against
+independent brute-force oracles on generated inputs. Spark-backed
+properties use few examples (each is a distributed job); the pure-python
+greedy-partition kernel gets full fuzzing."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from candia_spark.operators.asof import asof_join
+from candia_spark.operators.dedup import ngram_jaccard_pairs
+from candia_spark.operators.relational import interval_join
+from candia_spark.operators.sequential import greedy_partition_starts
+
+# --- pure-python kernel: fuzz hard --------------------------------------
+
+values_strategy = st.lists(
+    st.floats(min_value=1.0, max_value=1e6, allow_nan=False, allow_infinity=False),
+    min_size=1,
+    max_size=200,
+)
+
+
+@given(values_strategy, st.floats(min_value=1.0, max_value=1e5))
+@settings(max_examples=200, deadline=None)
+def test_greedy_partition_invariants(values, ppm):
+    values = sorted(set(values))
+    starts = greedy_partition_starts(values, ppm)
+    assert len(starts) == len(values)
+    # 1. each value's start is a value <= it, and the first value starts
+    #    its own partition
+    assert starts[0] == values[0]
+    for v, s in zip(values, starts):
+        assert s <= v and s in values
+    # 2. within-partition: v - start <= start*ppm/1e6; a partition break
+    #    happens exactly when tolerance is exceeded
+    prev_start = starts[0]
+    for v, s in zip(values, starts):
+        if s == prev_start:
+            assert v - s <= s * ppm / 1e6 + 1e-9
+        else:
+            assert s == v  # new partition starts at the breaking value
+            assert v - prev_start > prev_start * ppm / 1e6
+            prev_start = s
+
+
+# --- Spark-backed properties: few examples, composite inputs ------------
+
+events_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),  # key
+        st.integers(min_value=0, max_value=1000),  # t
+        st.integers(min_value=-100, max_value=100),  # payload
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+anchors_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),
+        st.integers(min_value=0, max_value=1000),
+        st.integers(min_value=-100, max_value=100),
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+@given(events_strategy, anchors_strategy)
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_asof_join_matches_pandas(spark, pts, anchors):
+    # dedupe anchor (key, t) pairs: with duplicate timestamps merge_asof's
+    # pick is positional while ours is value-deterministic
+    seen = {}
+    for k, t, v in anchors:
+        seen[(k, t)] = v
+    anchors = [(k, t, v) for (k, t), v in seen.items()]
+
+    pdf_p = pd.DataFrame(pts, columns=["k", "t", "v"]).sort_values("t", kind="stable")
+    pdf_a = pd.DataFrame(anchors, columns=["k", "t", "av"]).sort_values("t", kind="stable")
+    want = pd.merge_asof(pdf_p, pdf_a, on="t", by="k", direction="backward")
+
+    dfp = spark.createDataFrame(pdf_p)
+    dfa = spark.createDataFrame(pdf_a.rename(columns={"av": "av"}))
+    got = asof_join(dfp, dfa, on="t", by=["k"]).toPandas()
+
+    want_set = sorted(
+        (r.k, r.t, r.v, None if pd.isna(r.av) else int(r.av))
+        for r in want.itertuples()
+    )
+    got_set = sorted(
+        (r.k, r.t, r.v, None if pd.isna(r.av) else int(r.av))
+        for r in got.itertuples()
+    )
+    assert got_set == want_set
+
+
+intervals_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=90),
+        st.integers(min_value=1, max_value=30),
+    ),
+    min_size=1,
+    max_size=10,
+)
+
+points_strategy = st.lists(
+    st.integers(min_value=-10, max_value=130), min_size=1, max_size=50
+)
+
+
+@given(points_strategy, intervals_strategy)
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_interval_join_matches_bruteforce(spark, points, spans):
+    windows = sorted({(lo, lo + w) for lo, w in spans})
+    pts = spark.createDataFrame(
+        [(i, float(p)) for i, p in enumerate(points)], ["pid", "x"]
+    )
+    wins = spark.createDataFrame(
+        [(float(lo), float(hi)) for lo, hi in windows], ["lo", "hi"]
+    )
+    got = {
+        (r["pid"], r["lo"], r["hi"])
+        for r in interval_join(
+            pts, wins, point_col="x", lo_col="lo", hi_col="hi"
+        ).collect()
+    }
+    want = set()
+    for i, p in enumerate(points):
+        hits = sorted((lo, hi) for lo, hi in windows if lo <= p < hi)
+        if hits:
+            want.add((i, float(hits[0][0]), float(hits[0][1])))
+    assert got == want
+
+
+docs_strategy = st.lists(
+    st.lists(
+        st.sampled_from(["a", "b", "c", "d", "e"]), min_size=0, max_size=12
+    ),
+    min_size=2,
+    max_size=8,
+)
+
+
+@given(docs_strategy)
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_ngram_jaccard_matches_sets(spark, docs):
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(docs)], ["doc_id", "text"]
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(df, n=2, threshold=0.0).collect()
+    }
+    shingles = [
+        {tuple(toks[i : i + 2]) for i in range(len(toks) - 1)} for toks in docs
+    ]
+    want = {}
+    for a in range(len(docs)):
+        for b in range(a + 1, len(docs)):
+            inter = len(shingles[a] & shingles[b])
+            union = len(shingles[a] | shingles[b])
+            if inter > 0:
+                want[(a, b)] = inter / union
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == pytest.approx(want[k])
