@@ -23,6 +23,16 @@ def _configure(spark: SparkSession) -> SparkSession:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         spark.conf.set("spark.sql.session.timeZone", "UTC")
         spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # the driver's vanilla session defaults to 200 shuffle partitions —
+        # pure scheduling latency at test scale; AQE coalesces anyway but
+        # starting near core count avoids 200-task waves per exchange.
+        import os
+
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "")
+        if not cpus.isdigit():
+            cpus = str(os.cpu_count() or 32)
+        spark.conf.set("spark.sql.shuffle.partitions", cpus)
     except Exception:
         pass
     return spark

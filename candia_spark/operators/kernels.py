@@ -36,6 +36,34 @@ _EPS = 1e-12
 
 
 # ---------------------------------------------------------------------------
+# K3 — mode scaling (DORMANT in the reference: preprocess/postprocess are
+# defined at decompose_parafac.py:202-234 but never called from main();
+# parity therefore means NOT applying them by default — they exist behind
+# an explicit flag, SURVEY §7.3 item 6)
+# ---------------------------------------------------------------------------
+
+def rms_scale_tensor(tensor: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Scale each m/z slab of a (sample x time x mz) tensor by its RMS
+    (decompose_parafac.py:202-226 semantics). Returns (scaled tensor,
+    per-slab weights) — weights invert the scaling on the mass mode."""
+    weights = np.sqrt(np.nanmean(np.square(tensor), axis=(0, 1)))
+    weights = np.where(weights > 0, weights, 1.0)
+    return tensor / weights[None, None, :], weights
+
+
+def unscale_mass_mode(
+    mass_mode: np.ndarray, weights: np.ndarray, ms1_indices: Sequence[int] = ()
+) -> np.ndarray:
+    """Invert K3 on the mass-mode factor matrix (rows = m/z slabs) and
+    apply the reference's x1000 MS1 boost (decompose_parafac.py:229-234)."""
+    out = mass_mode * weights[:, None]
+    if len(ms1_indices):
+        out = out.copy()
+        out[list(ms1_indices), :] *= 1000.0
+    return out
+
+
+# ---------------------------------------------------------------------------
 # K1 — missing-value imputation (Gaussian blur along the time axis)
 # ---------------------------------------------------------------------------
 
@@ -198,9 +226,16 @@ def decompose_slices(
     tol: float = 1e-7,
     min_dims: tuple[int, int, int] = (2, 3, 3),
     impute: bool = True,
+    mode_scaling: bool = False,
 ) -> DataFrame:
     """Decompose every slice of a long-format tensor table into non-negative
     CP factors for each rank in ``ncomp_range``.
+
+    ``mode_scaling=False`` by default — the reference defines K3 RMS slab
+    scaling but never invokes it from main() (dormant code,
+    decompose_parafac.py:202-234); enabling it scales each m/z slab to
+    unit RMS before decomposition and inverts the scaling on the mass
+    mode after.
 
     Input: one row per present (slice, sample, cycle, mz_idx) cell; absent
     cells are missing (NaN in the dense tensor; K1 imputes them).
@@ -248,12 +283,18 @@ def decompose_slices(
             pdf[feature_col].map(f_ix).to_numpy(),
         ] = pdf[value_col].to_numpy(dtype=np.float64)
         tensor = impute_tensor(tensor) if impute else np.nan_to_num(tensor)
+        weights = None
+        if mode_scaling:
+            tensor, weights = rms_scale_tensor(tensor)
 
         frames = []
         for rank in ncomp_range:
             factors, rsq, iters = nn_parafac(
                 tensor, rank, seed=seed, max_iter=max_iter, tol=tol
             )
+            if weights is not None:
+                factors = list(factors)
+                factors[2] = unscale_mass_mode(factors[2], weights)
             for mode, fac in enumerate(factors):
                 rows, comps = np.indices(fac.shape)
                 frames.append(

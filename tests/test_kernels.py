@@ -149,3 +149,21 @@ def test_nn_parafac_other_ranks(rank):
         assert rsq > 0.99  # overcomplete still fits
     else:
         assert 0.3 < rsq < 0.999  # rank-1 underfits a rank-2 tensor
+
+
+def test_rms_scale_roundtrip():
+    """K3 (dormant in the reference): scaling then unscaling the mass mode
+    restores slab magnitudes; default decompose path never applies it."""
+    from candia_spark.operators.kernels import rms_scale_tensor, unscale_mass_mode
+
+    rng = np.random.default_rng(3)
+    t = rng.random((2, 4, 3)) * np.array([1.0, 10.0, 100.0])
+    scaled, w = rms_scale_tensor(t.copy())
+    # each slab now has unit RMS
+    assert np.allclose(np.sqrt(np.mean(np.square(scaled), axis=(0, 1))), 1.0)
+    mass = rng.random((3, 2))
+    restored = unscale_mass_mode(mass / w[:, None], w)
+    assert np.allclose(restored, mass)
+    boosted = unscale_mass_mode(mass, np.ones(3), ms1_indices=[1])
+    assert np.allclose(boosted[1], mass[1] * 1000.0)
+    assert np.allclose(boosted[0], mass[0])
