@@ -1309,3 +1309,20 @@ def q37_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
         F.max("n_events").cast("bigint").alias("max_session_events"),
     )
+
+
+@register(
+    "q38_cosine_ivf",
+    oracle=None,
+    survey_ref="similarity-ivf (north star)",
+)
+def q38_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-cell ANN (spherical k-means centroids trained on a driver-side
+    sample -> rows-only; recall vs brute force pinned in pytest)."""
+    from candia_spark.operators.similarity import cosine_topk_ivf
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return cosine_topk_ivf(emb, queries_df, k=3, n_centroids=8, nprobe=3)

@@ -171,3 +171,21 @@ def test_bruteforce_topk_is_exact(clustered_vecs):
         if r["rank"] == 1:
             assert r["vec_id"] == r["query_id"] and r["cosine"] == 1.0
         assert r["vec_id"] // 40 == r["query_id"] // 40
+
+
+def test_ivf_cosine_recall_vs_bruteforce(clustered_vecs):
+    """IVF with 8 learned cells and 2 probes must reach higher recall than
+    the fixed pin (learned cells align with the planted clusters)."""
+    from candia_spark.operators.similarity import cosine_topk_ivf
+
+    queries = clustered_vecs.filter(F.col("vec_id") % 40 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = cosine_topk_bruteforce(clustered_vecs, queries, k=10)
+    approx = cosine_topk_ivf(
+        clustered_vecs, queries, k=10, n_centroids=8, nprobe=2, seed=42
+    )
+    e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.9, f"IVF recall {recall:.2f}"
