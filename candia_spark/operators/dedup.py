@@ -60,6 +60,28 @@ def word_ngrams(
     )
 
 
+def word_ngram_hashes(
+    df: DataFrame, n: int = 2, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Distinct word n-gram shingle HASHES per document: (id, shingle:
+    bigint). Hashing before the distinct means the dedup shuffle carries
+    16-byte rows instead of strings — use this wherever the shingle text
+    itself is not needed (Jaccard counting, MinHash)."""
+    toks = tokens_col(text_col)
+    shingles = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws("\x1f", F.slice(toks, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        df.select(F.col(id_col), F.explode(shingles).alias("__sh"))
+        .select(F.col(id_col), F.xxhash64("__sh").alias("shingle"))
+        .distinct()
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     n: int = 2,
@@ -76,16 +98,12 @@ def ngram_jaccard_pairs(
     document frequency.
     """
     # shuffle bigint shingle hashes, not strings: ~10x fewer bytes through
-    # the self-join (64-bit collisions are ~df^2/2^64 — negligible).
-    # Persisted: the plan consumes this subtree three times (both pair-join
-    # sides + set sizes) and Catalyst does not reuse the exchange across
-    # the differing aliases — without it the tokenize/shingle/distinct
-    # chain runs 3x. Size = one (id, hash) pair per distinct shingle.
-    sh = (
-        word_ngrams(df, n, text_col, id_col)
-        .select(id_col, F.xxhash64("shingle").alias("shingle"))
-        .persist()
-    )
+    # the distinct AND the self-join (64-bit collisions are ~df^2/2^64 —
+    # negligible). Persisted: the plan consumes this subtree three times
+    # (both pair-join sides + set sizes) and Catalyst does not reuse the
+    # exchange across the differing aliases — without it the tokenize/
+    # shingle/distinct chain runs 3x. Size = one (id, hash) per shingle.
+    sh = word_ngram_hashes(df, n, text_col, id_col).persist()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")
@@ -135,8 +153,8 @@ def minhash_signatures(
     string hashing, so this is ~k-fold cheaper than hashing the string k
     times at identical uniformity.
     """
-    sh = word_ngrams(df, n, text_col, id_col).select(
-        id_col, F.xxhash64("shingle").alias("h64")
+    sh = word_ngram_hashes(df, n, text_col, id_col).withColumnRenamed(
+        "shingle", "h64"
     )
     hashed = sh.select(
         F.col(id_col),
@@ -171,8 +189,8 @@ def minhash_lsh_pairs(
     cap (drop degenerate buckets, e.g. empty-text collisions) the rest.
     """
     rows_per_band = num_hashes // bands
-    sh = word_ngrams(df, n, text_col, id_col).select(
-        F.col(id_col), F.xxhash64("shingle").alias("h64")
+    sh = word_ngram_hashes(df, n, text_col, id_col).withColumnRenamed(
+        "shingle", "h64"
     )
     hashed = sh.select(
         F.col(id_col),
