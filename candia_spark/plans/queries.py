@@ -1326,3 +1326,64 @@ def q38_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return cosine_topk_ivf(emb, queries_df, k=3, n_centroids=8, nprobe=3)
+
+
+@register(
+    "q39_nearest_value",
+    oracle="""
+    WITH d AS (SELECT l_returnflag, l_quantity,
+                      ABS(l_quantity - 25.5) AS dd FROM lineitem),
+    m AS (SELECT l_returnflag, MIN(dd) AS mind FROM d GROUP BY l_returnflag)
+    SELECT d.l_returnflag,
+           CAST(MIN(d.l_quantity) AS DOUBLE) AS nearest_qty,
+           CAST(MIN(m.mind) AS DOUBLE) AS distance
+    FROM d JOIN m USING (l_returnflag) WHERE d.dd = m.mind
+    GROUP BY d.l_returnflag
+    """,
+    survey_ref="F9",
+)
+def q39_nearest_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group value nearest to a target — argmin(abs(x - v)) (parity:
+    msproc.py:726-727). Deterministic ties via lexicographic struct min
+    (distance, value); one partial-aggregating shuffle, no sort."""
+    l = _t(spark, sf_dir, "lineitem")
+    target = F.lit(25.5)
+    m = F.min(
+        F.struct(
+            F.abs(F.col("l_quantity") - target).alias("d"),
+            F.col("l_quantity").alias("v"),
+        )
+    )
+    return l.groupBy("l_returnflag").agg(
+        m.getField("v").cast("double").alias("nearest_qty"),
+        m.getField("d").cast("double").alias("distance"),
+    )
+
+
+@register(
+    "q40_heavy_hitters",
+    oracle="""
+    WITH counts AS (
+        SELECT l_partkey, COUNT(*) AS n
+        FROM lineitem GROUP BY l_partkey),
+    ranked AS (
+        SELECT l_partkey, n,
+               ROW_NUMBER() OVER (ORDER BY n DESC, l_partkey ASC) AS rk
+        FROM counts)
+    SELECT l_partkey, n, CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= 10
+    """,
+    survey_ref="top-k (north star)",
+)
+def q40_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-k heavy hitters (most frequent keys) with deterministic
+    tie-break — the contamination/over-duplication detector of a training
+    corpus. Count shuffle is partial-aggregated; the final top-k sorts
+    only the distinct-key counts, never rows."""
+    l = _t(spark, sf_dir, "lineitem")
+    counts = l.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy(F.col("n").desc(), F.col("l_partkey").asc())
+    return (
+        counts.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= 10)
+    )
