@@ -39,30 +39,67 @@ def interval_join(
 
     Scale: the window table is tiny (~32 rows in the reference; any
     dimension-sized interval set), so this is a **broadcast range join** —
-    the fact table never shuffles. Deterministic overlap resolution keeps,
-    per point, the matched window with the minimum ``lo`` — computed as an
-    analytic ``min(lo)`` partitioned by the point's *value* columns, so
-    duplicate fact rows are preserved (a row_number over a non-unique key
-    would collapse them). Windows must have distinct ``lo`` values. With
-    ``first_window_wins=False`` all overlapping windows are kept.
+    the fact table NEVER shuffles, including under ``first_window_wins``.
+    Overlap resolution happens entirely on the dimension side *before* the
+    join: windows sorted by ``lo`` are clipped to the region not covered by
+    any earlier window (join-lower-bound = running max of preceding ``hi``),
+    which yields disjoint segments where "minimum-``lo`` wins" is vacuous —
+    each point matches at most one segment, duplicate fact rows are
+    preserved, and no post-join analytic window (= full fact shuffle) is
+    needed. The emitted ``lo``/``hi`` columns are the *original* window
+    bounds. ``point_key`` is retained for API compatibility but unused.
+    With ``first_window_wins=False`` all overlapping windows are kept.
     Interval semantics: [lo, hi) when ``closed_left`` (half-open, the
     rebuild's canonical form), else (lo, hi].
     """
+    del point_key  # no longer needed: dedup moved to the dimension side
     p = F.col(point_col)
-    if closed_left:
-        cond = (p >= F.col(lo_col)) & (p < F.col(hi_col))
+    if first_window_wins:
+        windows = deoverlap_first_wins(windows, lo_col, hi_col)
+        jlo = F.col("__jlo")
     else:
-        cond = (p > F.col(lo_col)) & (p <= F.col(hi_col))
+        jlo = F.col(lo_col)
+    if closed_left:
+        cond = (p >= jlo) & (p < F.col(hi_col))
+    else:
+        cond = (p > jlo) & (p <= F.col(hi_col))
     joined = points.join(F.broadcast(windows), cond, "inner")
     if first_window_wins:
-        keys = list(point_key) if point_key else [point_col]
-        w = Window.partitionBy(*[F.col(k) for k in keys])
-        joined = (
-            joined.withColumn("__minlo", F.min(F.col(lo_col)).over(w))
-            .filter(F.col(lo_col) == F.col("__minlo"))
-            .drop("__minlo")
-        )
+        joined = joined.drop("__jlo")
     return joined
+
+
+def deoverlap_first_wins(
+    windows: DataFrame, lo_col: str = "lo", hi_col: str = "hi"
+) -> DataFrame:
+    """Clip each window's join-lower-bound so that "first (min-``lo``) window
+    wins" becomes a property of the *table*, not of a post-join dedup.
+
+    For windows sorted by (lo, hi), a point x >= lo_i is claimed by an
+    earlier window j < i iff x < hi_j (lo_j <= lo_i <= x always holds), i.e.
+    iff x < max_{j<i} hi_j. So window i's winning region is
+    [max(lo_i, running-max of earlier hi), hi_i) — disjoint by construction;
+    windows fully shadowed by earlier ones drop out. Original ``lo``/``hi``
+    are preserved; the clipped bound lands in ``__jlo``.
+
+    Scale: a single-partition analytic window over a dimension-sized table —
+    deliberate and cheap. Never apply to a fact table.
+    """
+    w = Window.orderBy(F.col(lo_col), F.col(hi_col)).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    return (
+        windows.withColumn(
+            "__jlo",
+            F.greatest(
+                F.col(lo_col).cast("double"),
+                F.coalesce(F.max(F.col(hi_col)).over(w), F.col(lo_col)).cast(
+                    "double"
+                ),
+            ),
+        )
+        .filter(F.col("__jlo") < F.col(hi_col))
+    )
 
 
 def interval_anti_join(

@@ -202,7 +202,12 @@ def _windows_for_file(path: str) -> set[tuple[float, float]]:
     out = set()
     with open(path, "rb") as f:
         for rec in iter_spectra(f):
-            if rec.level == 2 and rec.target_mz is not None and rec.lower_off:
+            if (
+                rec.level == 2
+                and rec.target_mz is not None
+                and rec.lower_off is not None
+                and rec.upper_off is not None
+            ):
                 out.add(
                     (rec.target_mz - rec.lower_off, rec.target_mz + rec.upper_off)
                 )
@@ -253,24 +258,22 @@ def extract_swath_windows(spark: SparkSession, paths: list[str]) -> DataFrame:
 def assign_windows(points: DataFrame, windows: DataFrame) -> DataFrame:
     """Attach each point's SWATH window; drop out-of-SWATH points
     (msproc.py:164-170: intervaltree containment is begin <= x < end,
-    first window by lower bound wins). Broadcast range join — the window
-    table is ~dozens of rows, so no shuffle of the point table."""
-    from pyspark.sql import Window as W
+    first window by lower bound wins). Broadcast range join against the
+    de-overlapped (first-wins-clipped) window table — the point table never
+    shuffles and genuinely duplicated (mz, intensity) points survive."""
+    from candia_spark.operators.relational import interval_join
 
-    j = points.join(
-        F.broadcast(windows),
-        (F.col("prec_mz") >= F.col("swath_lower"))
-        & (F.col("prec_mz") < F.col("swath_upper")),
-        "inner",
+    j = interval_join(
+        points,
+        windows,
+        point_col="prec_mz",
+        lo_col="swath_lower",
+        hi_col="swath_upper",
+        first_window_wins=True,
+        closed_left=True,
     )
-    pick = W.partitionBy(
-        "sample", "spectrum_index", "mz", "intensity"
-    ).orderBy("swath_lower")
     return (
-        j.withColumn("__rn", F.row_number().over(pick))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
-        .select(
+        j.select(
             "sample",
             "spectrum_index",
             "level",

@@ -48,6 +48,22 @@ def test_interval_join_broadcasts_windows(spark):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
 
 
+def test_interval_join_never_shuffles_fact_side(spark):
+    """first_window_wins dedup happens on the broadcast dimension side
+    (deoverlap_first_wins), so the bare interval join plan contains NO
+    hash-partitioned exchange — the only allowed exchanges are the
+    dimension broadcast and its single-partition analytic window."""
+    from candia_spark.operators.relational import interval_join
+    from candia_spark.plans.queries import _price_bands
+
+    l = load_table(spark, SF, "lineitem")
+    plan = plan_of(
+        interval_join(l, _price_bands(spark), point_col="l_extendedprice")
+    )
+    assert "Exchange hashpartitioning" not in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
 def test_relational_queries_have_no_python_udfs(spark):
     """Everything except the grouped numeric kernels and the sequential
     partitioners stays JVM-side (no BatchEvalPython/ArrowEvalPython)."""
