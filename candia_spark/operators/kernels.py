@@ -101,13 +101,43 @@ def impute_chromatogram(col: np.ndarray, stddev: float = 0.5, size: int = 5) -> 
     return np.clip(out, 0.0, None)
 
 
-def impute_tensor(tensor: np.ndarray, stddev: float = 0.5, size: int = 5) -> np.ndarray:
-    """Apply K1 along the time axis (axis 1) of a (sample, time, mz) tensor."""
-    out = tensor.astype(np.float64).copy()
-    for s in range(out.shape[0]):
-        for m in range(out.shape[2]):
-            out[s, :, m] = impute_chromatogram(out[s, :, m], stddev, size)
+def _blur_axis1(arr: np.ndarray, k: np.ndarray) -> np.ndarray:
+    """Correlate along axis 1 with a symmetric odd-length kernel — identical
+    to per-column ``np.convolve(col, k, mode="same")`` (convolution ==
+    correlation for symmetric k), but one vectorized pass over all
+    (sample, m/z) columns instead of an O(S·M) Python loop."""
+    h = (len(k) - 1) // 2
+    padded = np.pad(arr, ((0, 0), (h, h), (0, 0)))
+    out = np.zeros_like(arr)
+    for j, w in enumerate(k):
+        out += w * padded[:, j : j + arr.shape[1], :]
     return out
+
+
+def impute_tensor(tensor: np.ndarray, stddev: float = 0.5, size: int = 5) -> np.ndarray:
+    """Apply K1 along the time axis (axis 1) of a (sample, time, mz) tensor.
+
+    Vectorized across all (sample, m/z) columns; exact same result as
+    mapping :func:`impute_chromatogram` over each column (pinned by
+    tests/test_kernels.py)."""
+    out = tensor.astype(np.float64).copy()
+    nan_mask = np.isnan(out)
+    if not nan_mask.any():
+        return np.clip(out, 0.0, None)
+    t_len = out.shape[1]
+    size = min(size, t_len if t_len % 2 == 1 else t_len - 1)
+    if size < 1:
+        out[nan_mask] = 0.0
+        return np.clip(out, 0.0, None)
+    k = gaussian_kernel(stddev, size)
+    vals = np.where(nan_mask, 0.0, out)
+    present = (~nan_mask).astype(np.float64)
+    num = _blur_axis1(vals, k)
+    den = _blur_axis1(present, k)
+    blurred = np.divide(num, den, out=np.zeros_like(num), where=den > _EPS)
+    out[nan_mask] = blurred[nan_mask]
+    out[np.isnan(out)] = 0.0
+    return np.clip(out, 0.0, None)
 
 
 # ---------------------------------------------------------------------------
@@ -244,12 +274,18 @@ def decompose_slices(
     Slices failing the trivial-tensor guard (dims < min_dims,
     decompose_parafac.py:289-295) emit no rows.
 
-    Scale: one Arrow task per slice; ~10^4-10^5 independent small tensors
-    saturate any executor fleet — this replaces the reference's GPU/MPS
-    fleet (decompose_workstation.sh:9-46). Slice tensors are small by
-    construction (a SWATH x RT window); executor memory bounds hold.
+    Scale: one Arrow task per **(slice, ncomp)** pair — the reference's
+    own scheduling unit (decompose_parafac.Snakefile:15-36, one Snakemake
+    job per slice×rank). The rank range is exploded onto the tensor rows
+    before the grouped map, so a 5-rank sweep yields 5× the tasks instead
+    of 5×-longer tasks; ~10^4-10^5 independent small tensors saturate any
+    executor fleet (replacing decompose_workstation.sh:9-46). The shuffle
+    carries each slice |ncomp_range|× — slice tensors are small by
+    construction (a SWATH x RT window), and imputation is recomputed per
+    rank (cheap relative to ALS). Executor memory bounds hold.
     """
     group_cols = list(group_cols)
+    ranks = sorted({int(r) for r in ncomp_range})
     out_schema = StructType(
         [tensor_long.schema[c] for c in group_cols]
         + [
@@ -264,6 +300,7 @@ def decompose_slices(
     )
 
     def decompose(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        rank = int(key[-1])
         samples = np.sort(pdf[sample_col].unique())
         times = np.sort(pdf[time_col].unique())
         feats = np.sort(pdf[feature_col].unique())
@@ -287,35 +324,39 @@ def decompose_slices(
         if mode_scaling:
             tensor, weights = rms_scale_tensor(tensor)
 
+        factors, rsq, iters = nn_parafac(
+            tensor, rank, seed=seed, max_iter=max_iter, tol=tol
+        )
+        if weights is not None:
+            factors = list(factors)
+            factors[2] = unscale_mass_mode(factors[2], weights)
         frames = []
-        for rank in ncomp_range:
-            factors, rsq, iters = nn_parafac(
-                tensor, rank, seed=seed, max_iter=max_iter, tol=tol
-            )
-            if weights is not None:
-                factors = list(factors)
-                factors[2] = unscale_mass_mode(factors[2], weights)
-            for mode, fac in enumerate(factors):
-                rows, comps = np.indices(fac.shape)
-                frames.append(
-                    pd.DataFrame(
-                        {
-                            "ncomp": rank,
-                            "mode": mode,
-                            "row_idx": rows.ravel(),
-                            "comp": comps.ravel(),
-                            "value": fac.ravel(),
-                            "rsq": rsq,
-                            "iterations": iters,
-                        }
-                    )
+        for mode, fac in enumerate(factors):
+            rows, comps = np.indices(fac.shape)
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "ncomp": rank,
+                        "mode": mode,
+                        "row_idx": rows.ravel(),
+                        "comp": comps.ravel(),
+                        "value": fac.ravel(),
+                        "rsq": rsq,
+                        "iterations": iters,
+                    }
                 )
+            )
         out = pd.concat(frames, ignore_index=True)
         for i, c in enumerate(group_cols):
             out.insert(i, c, key[i])
         return out
 
-    return tensor_long.groupBy(*group_cols).applyInPandas(decompose, out_schema)
+    expanded = tensor_long.withColumn(
+        "__ncomp", F.explode(F.array(*[F.lit(r) for r in ranks]))
+    )
+    return expanded.groupBy(*group_cols, "__ncomp").applyInPandas(
+        decompose, out_schema
+    )
 
 
 # ---------------------------------------------------------------------------

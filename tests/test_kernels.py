@@ -76,6 +76,33 @@ def test_impute_chromatogram():
     assert (impute_chromatogram(np.array([np.nan, np.nan])) == 0).all()
 
 
+def test_impute_tensor_matches_columnwise_reference():
+    """Vectorized impute_tensor == impute_chromatogram mapped over every
+    (sample, m/z) column (the pre-vectorization definition)."""
+    rng = np.random.default_rng(7)
+    tensor = rng.random((3, 17, 4)) * 10.0
+    tensor[rng.random(tensor.shape) < 0.3] = np.nan
+    tensor[1, :, 2] = np.nan  # one fully-missing chromatogram
+    tensor[0, :, 0] = rng.random(17)  # one fully-present chromatogram
+    from candia_spark.operators.kernels import impute_tensor
+
+    got = impute_tensor(tensor.copy())
+    want = tensor.astype(np.float64).copy()
+    for s in range(want.shape[0]):
+        for m in range(want.shape[2]):
+            want[s, :, m] = impute_chromatogram(want[s, :, m])
+    np.testing.assert_allclose(got, want, rtol=0, atol=1e-12)
+    # short series exercise the odd-length kernel clamp
+    short = np.full((2, 3, 2), np.nan)
+    short[0, 0, 0] = 1.0
+    got_s = impute_tensor(short.copy())
+    want_s = short.astype(np.float64).copy()
+    for s in range(2):
+        for m in range(2):
+            want_s[s, :, m] = impute_chromatogram(want_s[s, :, m])
+    np.testing.assert_allclose(got_s, want_s, rtol=0, atol=1e-12)
+
+
 def test_count_peaks():
     t = np.arange(30, dtype=float)
     one = np.exp(-0.5 * ((t - 15) / 2.0) ** 2)
@@ -138,6 +165,34 @@ def test_decompose_slices_end_to_end(spark):
     # A11: time-mode components of the rank-2 model are unimodal Gaussians
     peaks = count_time_mode_peaks(out.filter("slice_id = 0"), ["slice_id"]).toPandas()
     assert sorted(peaks["npeaks"].tolist()) == [1, 1]
+
+
+def test_decompose_parallel_unit_is_slice_times_rank(spark):
+    """The grouped map keys on (slice, __ncomp): a rank sweep multiplies
+    tasks, not task length (reference scheduling unit, one Snakemake job
+    per slice x rank — decompose_parafac.Snakefile:15-36)."""
+    tensor, _ = _synthetic_rank2()
+    s, t, m = np.indices(tensor.shape)
+    rows = [
+        Row(slice_id=0, sample_no=int(si), cycle=int(ti), mz_idx=int(mi),
+            intensity=float(v))
+        for si, ti, mi, v in zip(s.ravel(), t.ravel(), m.ravel(), tensor.ravel())
+    ]
+    df = spark.createDataFrame(rows)
+    out = decompose_slices(df, ["slice_id"], ncomp_range=[1, 2], max_iter=300)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "__ncomp" in plan  # rank is part of the grouping key
+    pdf = out.toPandas()
+    assert set(pdf["ncomp"]) == {1, 2}
+    # per-rank results identical to a single-rank run (same tensor, same seed)
+    solo = decompose_slices(
+        df, ["slice_id"], ncomp_range=[2], max_iter=300
+    ).toPandas()
+    both = pdf[pdf.ncomp == 2].sort_values(["mode", "row_idx", "comp"])
+    solo = solo.sort_values(["mode", "row_idx", "comp"])
+    np.testing.assert_array_equal(
+        both["value"].to_numpy(), solo["value"].to_numpy()
+    )
 
 
 @pytest.mark.parametrize("rank", [1, 3])
