@@ -16,7 +16,7 @@ Scale design (the 100 TB story):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # Tokenization convention shared with the DuckDB oracles: lowercase, split
@@ -88,31 +88,78 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     text_col: str = "text",
     id_col: str = "doc_id",
+    candidates: DataFrame | None = None,
+    max_shingle_df: int | None = None,
+    max_shingle_frac: float | None = None,
 ) -> DataFrame:
     """Exact Jaccard-similar pairs over word n-gram shingle sets:
     J(A,B) = |A∩B| / (|A|+|B|-|A∩B|) >= threshold, id_a < id_b.
 
-    Scale: self-join on the inverted shingle index; intersection sizes come
-    from a count per pair (shuffle on shingle, then on pair). At 100 TB run
-    it on LSH candidates only; standalone it is quadratic in per-shingle
-    document frequency.
+    The 100 TB contract is LSH-then-verify, and both halves are enforced
+    here, not just documented:
+
+    - ``candidates`` (id_a, id_b — e.g. :func:`minhash_lsh_pairs` output):
+      when given, intersections are computed ONLY for those pairs — the
+      inverted index joins *through* the candidate list, so the work is
+      linear in candidate-pair shingle mass, never quadratic in per-shingle
+      document frequency.
+    - ``max_shingle_df`` / ``max_shingle_frac``: standalone mode's guard
+      against hot shingles (a stopword bigram shared by 1M docs is a
+      10^12-pair explosion). Shingles with document frequency above the cap
+      (absolute, or a fraction of the corpus doc count — fractional is
+      scale-invariant and the recommended form) are dropped from the
+      universe (index AND set sizes — Jaccard over the capped shingle
+      space), standard MinHash practice.
     """
     # shuffle bigint shingle hashes, not strings: ~10x fewer bytes through
     # the distinct AND the self-join (64-bit collisions are ~df^2/2^64 —
-    # negligible). Persisted: the plan consumes this subtree three times
-    # (both pair-join sides + set sizes) and Catalyst does not reuse the
-    # exchange across the differing aliases — without it the tokenize/
-    # shingle/distinct chain runs 3x. Size = one (id, hash) per shingle.
-    sh = word_ngram_hashes(df, n, text_col, id_col).persist()
+    # negligible). Lazily localCheckpoint'ed: the plan consumes this subtree
+    # three times (both pair-join sides + set sizes) and Catalyst does not
+    # reuse the exchange across the differing aliases — without it the
+    # tokenize/shingle/distinct chain runs 3x. Unlike persist(), checkpoint
+    # blocks are released by the ContextCleaner as soon as the DataFrame is
+    # garbage-collected — no per-call cache leak into the session.
+    sh = word_ngram_hashes(df, n, text_col, id_col).localCheckpoint(eager=False)
+    if max_shingle_df is not None or max_shingle_frac is not None:
+        # the census reads the checkpointed index (one small shuffle), and
+        # only the OVER-cap shingles — tiny by definition — flow into a
+        # broadcast anti-join: the index itself never reshuffles for the cap
+        cap: Column = F.lit(max_shingle_df).cast("double")
+        if max_shingle_frac is not None:
+            ndocs = df.select(
+                F.count_distinct(F.col(id_col)).alias("__ndocs")
+            )
+            frac_cap = F.col("__ndocs") * F.lit(max_shingle_frac)
+            cap = frac_cap if max_shingle_df is None else F.least(cap, frac_cap)
+        census = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+        if max_shingle_frac is not None:
+            census = census.crossJoin(F.broadcast(ndocs))
+        hot = census.filter(F.col("__df") > cap).select("shingle")
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")
-    inter = (
-        a.join(b, "shingle")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
+    if candidates is not None:
+        # verify mode: explode each candidate pair to id_a's shingles, then
+        # equi-join on (id_b, shingle) = set intersection per pair
+        inter = (
+            candidates.select("id_a", "id_b")
+            .distinct()
+            .join(a, "id_a")
+            .join(b, ["id_b", "shingle"])
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("n_common"))
+        )
+    else:
+        inter = (
+            a.join(b, "shingle")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("n_common"))
+        )
+    # sizes join AFTER the pair agg: the pair table is the big side but
+    # both size joins broadcast (sizes is doc-count rows), measured faster
+    # than carrying sizes through the 10^7-row shingle join
     out = (
         inter.join(
             sizes.select(F.col(id_col).alias("id_a"), F.col("set_size").alias("size_a")),
@@ -178,6 +225,7 @@ def minhash_lsh_pairs(
     n: int = 2,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_bucket_size: int | None = 1000,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded MinHash: documents agreeing
     on all rows of any band collide. Output: (id_a, id_b, n_bands_hit,
@@ -185,8 +233,12 @@ def minhash_lsh_pairs(
 
     Scale: pair generation happens inside band buckets only — a self-join
     on (band_idx, band_hash), never on the full doc set. Hot buckets are
-    the skew risk; AQE skew-join handles moderate cases, and a bucket-size
-    cap (drop degenerate buckets, e.g. empty-text collisions) the rest.
+    the skew risk: AQE skew-join handles moderate cases, and
+    ``max_bucket_size`` (ENFORCED, default 1000) drops degenerate buckets
+    (e.g. empty-text collisions) before the self-join — a bucket of B docs
+    is B²/2 pairs, so an uncapped 1M-doc bucket is a 10¹²-pair explosion.
+    Dropped buckets cost recall only for pairs whose every agreeing band is
+    degenerate; real near-dup pairs agree on discriminative bands too.
     """
     rows_per_band = num_hashes // bands
     sh = word_ngram_hashes(df, n, text_col, id_col).withColumnRenamed(
@@ -202,6 +254,11 @@ def minhash_lsh_pairs(
     agg = hashed.groupBy(id_col).agg(
         *[F.min(f"h{i}").alias(f"h{i}") for i in range(num_hashes)]
     )
+    # lazy localCheckpoint: the shingle->signature pipeline (the expensive
+    # 32-hash scan) runs ONCE; both self-join sides and the bucket-size
+    # census read the materialized blocks, and the ContextCleaner frees
+    # them when this plan is dropped (no persist leak).
+    agg = agg.localCheckpoint(eager=False)
     # band hash straight off the bigint minhash columns (no string concat)
     banded = agg.select(
         F.col(id_col),
@@ -220,6 +277,18 @@ def minhash_lsh_pairs(
             )
         ).alias("band_idx", "band_hash"),
     )
+    if max_bucket_size is not None:
+        # degenerate-bucket census is tiny (only buckets over the cap) —
+        # broadcast anti-join, no extra shuffle of the banded table
+        hot = (
+            banded.groupBy("band_idx", "band_hash")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") > max_bucket_size)
+            .select("band_idx", "band_hash")
+        )
+        banded = banded.join(
+            F.broadcast(hot), ["band_idx", "band_hash"], "left_anti"
+        )
     a = banded.select(
         F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"), "band_idx", "band_hash"
     )

@@ -959,15 +959,14 @@ def q25_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup(_t(spark, sf_dir, "documents"))
 
 
-@register(
-    "q26_ngram_jaccard",
-    oracle="""
+_JACCARD_ORACLE_TEMPLATE = """
     WITH toks AS (
         SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
         FROM documents),
-    sh AS (
+    sh0 AS (
         SELECT DISTINCT doc_id, t[i] || chr(31) || t[i+1] AS shingle
         FROM toks, UNNEST(generate_series(1, greatest(len(t) - 1, 0))) AS u(i)),
+    sh AS ({shingle_universe}),
     sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY doc_id),
     inter AS (
         SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
@@ -982,33 +981,56 @@ def q25_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN sizes sb ON sb.doc_id = id_b
     WHERE CAST(CAST(n_common AS DOUBLE)
                 / (sa.set_size + sb.set_size - n_common) AS DOUBLE) >= 0.35
-    """,
+"""
+
+
+@register(
+    "q26_ngram_jaccard",
+    # oracle mirrors the enforced df cap: shingles present in more than half
+    # the corpus are dropped from the universe (index AND set sizes)
+    oracle=_JACCARD_ORACLE_TEMPLATE.format(
+        shingle_universe="""
+        SELECT sh0.* FROM sh0
+        JOIN (SELECT shingle FROM sh0 GROUP BY shingle
+              HAVING COUNT(*) <= 0.5 * (SELECT COUNT(DISTINCT doc_id)
+                                        FROM documents))
+        USING (shingle)"""
+    ),
     survey_ref="dedup-jaccard (north star)",
 )
 def q26_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact word-bigram Jaccard near-dup pairs (inverted-index self-join).
-    At 100 TB this runs on LSH candidates; standalone here at survey scale."""
+    """Exact word-bigram Jaccard near-dup pairs (inverted-index self-join)
+    with the hot-shingle cap ENFORCED (df <= 50% of corpus, scale-invariant)
+    — the standalone-mode guard against quadratic blowup on stopword
+    shingles."""
     from candia_spark.operators.dedup import ngram_jaccard_pairs
 
-    return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), n=2, threshold=0.35)
+    return ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), n=2, threshold=0.35, max_shingle_frac=0.5
+    )
 
 
 @register(
     "q27_minhash_lsh",
-    oracle=None,
+    # full LSH-then-verify pipeline: candidates from banded MinHash, exact
+    # Jaccard computed per candidate, thresholded. The emitted set equals
+    # the exact near-dup pair set whenever LSH recall is 1 at the verify
+    # threshold — which this driver comparison CHECKS, making recall itself
+    # part of the correctness gate (selection quality also pinned in
+    # tests/test_dedup_similarity.py).
+    oracle=_JACCARD_ORACLE_TEMPLATE.format(shingle_universe="SELECT * FROM sh0"),
     survey_ref="dedup-minhash-lsh (north star)",
 )
 def q27_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Banded MinHash candidate pairs (xxhash64 signatures are Spark-
-    specific -> rows-only; recall vs exact Jaccard pinned in pytest)."""
-    from candia_spark.operators.dedup import minhash_lsh_pairs
+    """Banded MinHash candidates -> exact-Jaccard verification (the 100 TB
+    dedup contract, both halves enforced): band-bucket self-join generates
+    candidate pairs without ever touching the O(N²) pair space, then the
+    inverted index verifies exactly those pairs."""
+    from candia_spark.operators.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
 
-    pairs = minhash_lsh_pairs(
-        _t(spark, sf_dir, "documents"), num_hashes=32, bands=8, n=2
-    )
-    return pairs.filter(F.col("est_jaccard") >= 0.3).select(
-        "id_a", "id_b", "n_bands_hit", "est_jaccard"
-    )
+    docs = _t(spark, sf_dir, "documents")
+    cands = minhash_lsh_pairs(docs, num_hashes=32, bands=8, n=2)
+    return ngram_jaccard_pairs(docs, n=2, threshold=0.35, candidates=cands)
 
 
 @register(
