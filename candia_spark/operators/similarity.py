@@ -124,8 +124,19 @@ def train_spherical_centroids(
 ) -> np.ndarray:
     """Driver-side spherical k-means on a bounded sample: centroids for an
     IVF index. The sample collect is O(sample_size * dim) regardless of
-    corpus size; assignment of the full corpus stays distributed."""
-    rows = corpus.select(vec_col).limit(sample_size).collect()
+    corpus size; assignment of the full corpus stays distributed.
+
+    The sample is the ``sample_size`` rows with the smallest xxhash64 of
+    the vector — a deterministic uniform draw independent of partitioning
+    (a bare ``limit`` would take whichever partitions answer first: biased
+    toward early files AND unstable across runs). Spark plans this as
+    TakeOrdered — no full sort materialization."""
+    rows = (
+        corpus.select(vec_col)
+        .orderBy(F.xxhash64(F.col(vec_col)))
+        .limit(sample_size)
+        .collect()
+    )
     x = np.array([r[vec_col] for r in rows], dtype=np.float64)
     x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
     rng = np.random.default_rng(seed)
