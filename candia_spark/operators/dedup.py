@@ -12,9 +12,15 @@ Scale design (the 100 TB story):
   banded sub-keys for hamming<=k retrieval).
 - exact n-gram Jaccard: inverted-index self-join on shared shingles; use
   AFTER LSH at scale (verify candidates), standalone only at survey scale.
+- shared shingle index: the tokenize -> shingle -> distinct scan is the
+  single most expensive pass over the corpus, so it is built ONCE per dedup
+  pipeline (:func:`shingle_index`) and handed to both the LSH-generate and
+  the exact-verify halves — never recomputed per stage.
 """
 
 from __future__ import annotations
+
+import os
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -23,6 +29,27 @@ from pyspark.sql import functions as F
 # on single spaces, drop empties.
 def tokens_col(text_col: str = "text"):
     return F.filter(F.split(F.lower(F.col(text_col)), " "), lambda t: t != "")
+
+
+def _materialize(df: DataFrame, eager: bool = True) -> DataFrame:
+    """Cut the plan so a subtree consumed by several downstream branches is
+    computed once, not once per branch (Catalyst does not reuse a non-cached
+    exchange across differing aliases).
+
+    Default is ``localCheckpoint``: blocks are executor-local and freed by
+    the ContextCleaner when the DataFrame is garbage-collected — no per-call
+    cache leak into the session. The tradeoff: lineage is TRUNCATED and the
+    blocks are unreplicated, so losing an executor (including a
+    dynamic-allocation decommission on a real cluster) fails the job instead
+    of recomputing from lineage. On local[*] and stable static clusters
+    that is the right trade; under dynamic allocation / preemptible
+    executors set ``CANDIA_SPARK_RELIABLE=1`` to use ``persist()`` instead,
+    which keeps lineage (recompute on loss) at the cost of the cache
+    outliving the call until the cleaner drops it.
+    """
+    if os.environ.get("CANDIA_SPARK_RELIABLE"):
+        return df.persist()
+    return df.localCheckpoint(eager=eager)
 
 
 def exact_dedup(
@@ -40,22 +67,31 @@ def exact_dedup(
     )
 
 
+def _shingle_array(t: Column, n: int) -> Column:
+    """Array of word n-gram shingles from a token-array column: shingle i =
+    t[i] .. t[i+n-1] joined by \\x1f. Built as n-1 zip_with passes over
+    shifted slices — measured ~3x faster than
+    transform(sequence, i -> concat_ws(slice(t, i, n))) at identical
+    output: the per-element slice allocates an array per shingle, the
+    zip_with form only concatenates strings. Short docs fall out naturally:
+    the slice length greatest(len-n+1, 0) is 0, so the array is empty (no
+    when/otherwise branch needed)."""
+    m = F.greatest(F.size(t) - (n - 1), F.lit(0))
+    acc = F.slice(t, 1, m)
+    for k in range(1, n):
+        acc = F.zip_with(
+            acc, F.slice(t, k + 1, m), lambda x, y: F.concat(x, F.lit("\x1f"), y)
+        )
+    return acc
+
+
 def word_ngrams(
     df: DataFrame, n: int = 2, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """Distinct word n-gram shingles per document: (id, shingle)."""
-    toks = tokens_col(text_col)
-    # shingle i = tokens[i..i+n-1] joined by a separator. Guard short docs:
-    # F.sequence(0, -1) would emit a DESCENDING [0, -1] sequence, not empty.
-    shingles = F.when(
-        F.size(toks) >= n,
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - n),
-            lambda i: F.concat_ws("\x1f", F.slice(toks, i + 1, n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    tdf = df.select(F.col(id_col), tokens_col(text_col).alias("__t"))
     return (
-        df.select(F.col(id_col), F.explode(shingles).alias("shingle"))
+        tdf.select(F.col(id_col), F.explode(_shingle_array(F.col("__t"), n)).alias("shingle"))
         .distinct()
     )
 
@@ -66,20 +102,65 @@ def word_ngram_hashes(
     """Distinct word n-gram shingle HASHES per document: (id, shingle:
     bigint). Hashing before the distinct means the dedup shuffle carries
     16-byte rows instead of strings — use this wherever the shingle text
-    itself is not needed (Jaccard counting, MinHash)."""
-    toks = tokens_col(text_col)
-    shingles = F.when(
-        F.size(toks) >= n,
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - n),
-            lambda i: F.concat_ws("\x1f", F.slice(toks, i + 1, n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    itself is not needed (Jaccard counting, MinHash). Tokens are projected
+    into a column first so the split/lower/filter chain runs once per row,
+    not once per reference."""
+    tdf = df.select(F.col(id_col), tokens_col(text_col).alias("__t"))
     return (
-        df.select(F.col(id_col), F.explode(shingles).alias("__sh"))
+        tdf.select(F.col(id_col), F.explode(_shingle_array(F.col("__t"), n)).alias("__sh"))
         .select(F.col(id_col), F.xxhash64("__sh").alias("shingle"))
         .distinct()
     )
+
+
+def shingle_index(
+    df: DataFrame,
+    n: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_shingle_df: int | None = None,
+    max_shingle_frac: float | None = None,
+) -> DataFrame:
+    """Materialized distinct (id, shingle-hash) inverted index, optionally
+    hot-shingle-capped. Build ONCE per dedup pipeline and pass it to
+    :func:`ngram_jaccard_pairs` / :func:`minhash_lsh_pairs` via ``index=``
+    so the tokenize -> shingle -> distinct corpus scan runs exactly once no
+    matter how many stages (LSH generate, exact verify, sizes, census)
+    consume it.
+
+    ``max_shingle_df`` / ``max_shingle_frac`` drop hot shingles (a stopword
+    bigram shared by 1M docs is a 10^12-pair explosion in standalone
+    Jaccard). The fractional form is scale-invariant: the cap is a fraction
+    of the documents PRESENT IN THE INDEX (= docs with >= 1 shingle), so it
+    needs no second scan of the corpus. Capping is applied as: one census
+    pass over the materialized base index -> tiny over-cap shingle set ->
+    broadcast anti-join -> the CAPPED index is materialized too, so
+    downstream consumers read capped blocks with no census subtree in
+    their plans at all.
+    """
+    base = _materialize(word_ngram_hashes(df, n, text_col, id_col))
+    if max_shingle_df is None and max_shingle_frac is None:
+        return base
+    cap: Column = F.lit(max_shingle_df).cast("double")
+    if max_shingle_frac is not None:
+        ndocs = base.select(F.count_distinct(F.col(id_col)).alias("__ndocs"))
+        frac_cap = F.col("__ndocs") * F.lit(max_shingle_frac)
+        cap = frac_cap if max_shingle_df is None else F.least(cap, frac_cap)
+        census = (
+            base.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .crossJoin(F.broadcast(ndocs))
+        )
+    else:
+        census = base.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+    hot = _materialize(census.filter(F.col("__df") > cap).select("shingle"))
+    # The cap usually doesn't bite (hot shingles are pathological by
+    # definition): count the over-cap set first — one tiny job over the
+    # already-materialized base — and skip the second index materialization
+    # entirely when it's empty.
+    if hot.count() == 0:
+        return base
+    return _materialize(base.join(F.broadcast(hot), "shingle", "left_anti"))
 
 
 def ngram_jaccard_pairs(
@@ -91,6 +172,7 @@ def ngram_jaccard_pairs(
     candidates: DataFrame | None = None,
     max_shingle_df: int | None = None,
     max_shingle_frac: float | None = None,
+    index: DataFrame | None = None,
 ) -> DataFrame:
     """Exact Jaccard-similar pairs over word n-gram shingle sets:
     J(A,B) = |A∩B| / (|A|+|B|-|A∩B|) >= threshold, id_a < id_b.
@@ -102,49 +184,46 @@ def ngram_jaccard_pairs(
       when given, intersections are computed ONLY for those pairs — the
       inverted index joins *through* the candidate list, so the work is
       linear in candidate-pair shingle mass, never quadratic in per-shingle
-      document frequency.
+      document frequency. Pairs are canonicalized (least/greatest +
+      distinct) so any orientation or duplication in the caller's list
+      still honors the id_a < id_b output contract.
     - ``max_shingle_df`` / ``max_shingle_frac``: standalone mode's guard
-      against hot shingles (a stopword bigram shared by 1M docs is a
-      10^12-pair explosion). Shingles with document frequency above the cap
-      (absolute, or a fraction of the corpus doc count — fractional is
-      scale-invariant and the recommended form) are dropped from the
-      universe (index AND set sizes — Jaccard over the capped shingle
-      space), standard MinHash practice.
+      against hot shingles — see :func:`shingle_index`.
+    - ``index``: a pre-built :func:`shingle_index` to reuse (the cap args
+      are ignored then — the index carries its own capping). ALWAYS pass
+      this when the same corpus also feeds :func:`minhash_lsh_pairs`:
+      sharing the materialized index is what keeps the whole
+      LSH-then-verify pipeline at one corpus scan.
     """
-    # shuffle bigint shingle hashes, not strings: ~10x fewer bytes through
-    # the distinct AND the self-join (64-bit collisions are ~df^2/2^64 —
-    # negligible). Lazily localCheckpoint'ed: the plan consumes this subtree
-    # three times (both pair-join sides + set sizes) and Catalyst does not
-    # reuse the exchange across the differing aliases — without it the
-    # tokenize/shingle/distinct chain runs 3x. Unlike persist(), checkpoint
-    # blocks are released by the ContextCleaner as soon as the DataFrame is
-    # garbage-collected — no per-call cache leak into the session.
-    sh = word_ngram_hashes(df, n, text_col, id_col).localCheckpoint(eager=False)
-    if max_shingle_df is not None or max_shingle_frac is not None:
-        # the census reads the checkpointed index (one small shuffle), and
-        # only the OVER-cap shingles — tiny by definition — flow into a
-        # broadcast anti-join: the index itself never reshuffles for the cap
-        cap: Column = F.lit(max_shingle_df).cast("double")
-        if max_shingle_frac is not None:
-            ndocs = df.select(
-                F.count_distinct(F.col(id_col)).alias("__ndocs")
-            )
-            frac_cap = F.col("__ndocs") * F.lit(max_shingle_frac)
-            cap = frac_cap if max_shingle_df is None else F.least(cap, frac_cap)
-        census = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
-        if max_shingle_frac is not None:
-            census = census.crossJoin(F.broadcast(ndocs))
-        hot = census.filter(F.col("__df") > cap).select("shingle")
-        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    if index is None:
+        index = shingle_index(
+            df, n, text_col, id_col, max_shingle_df, max_shingle_frac
+        )
+    sh = index
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    # The inverted-index self-join EXPANDS: its output is sum(df^2) rows,
+    # orders of magnitude beyond its input bytes. AQE sizes post-shuffle
+    # partitions by INPUT bytes and is blind to that expansion — left
+    # alone it coalesces the join stage to a handful of tasks and the
+    # 10^7-row partial aggregation runs near-serial (measured 4x slower at
+    # sf0.1). Pin the join parallelism explicitly: an exact repartition
+    # count is honored by AQE, a bare repartition(col) is not.
+    par = 2 * index.sparkSession.sparkContext.defaultParallelism
     if candidates is not None:
         # verify mode: explode each candidate pair to id_a's shingles, then
         # equi-join on (id_b, shingle) = set intersection per pair
-        inter = (
-            candidates.select("id_a", "id_b")
+        canon = (
+            candidates.select(
+                F.least("id_a", "id_b").alias("id_a"),
+                F.greatest("id_a", "id_b").alias("id_b"),
+            )
+            .filter(F.col("id_a") < F.col("id_b"))
             .distinct()
+        )
+        inter = (
+            canon.repartition(par, "id_a")
             .join(a, "id_a")
             .join(b, ["id_b", "shingle"])
             .groupBy("id_a", "id_b")
@@ -152,7 +231,8 @@ def ngram_jaccard_pairs(
         )
     else:
         inter = (
-            a.join(b, "shingle")
+            a.repartition(par, "shingle")
+            .join(b.repartition(par, "shingle"), "shingle")
             .filter(F.col("id_a") < F.col("id_b"))
             .groupBy("id_a", "id_b")
             .agg(F.count(F.lit(1)).alias("n_common"))
@@ -181,38 +261,47 @@ def ngram_jaccard_pairs(
     return out.select("id_a", "id_b", "n_common", "size_a", "size_b", "jaccard")
 
 
+def _minhash_agg(
+    index: DataFrame, num_hashes: int, id_col: str
+) -> DataFrame:
+    """(id, h0..h{k-1}) minhash columns from a shingle index.
+
+    Each shingle STRING was hashed exactly once upstream; the k
+    permutations re-hash the resulting bigint with a per-permutation seed
+    (xxhash64(h64, i)) — bigint hashing is ~wordlength work vs per-byte
+    string hashing, so this is ~k-fold cheaper than hashing the string k
+    times at identical uniformity.
+    """
+    hashed = index.select(
+        F.col(id_col),
+        *[
+            F.xxhash64(F.col("shingle"), F.lit(i)).alias(f"h{i}")
+            for i in range(num_hashes)
+        ],
+    )
+    return hashed.groupBy(id_col).agg(
+        *[F.min(f"h{i}").alias(f"h{i}") for i in range(num_hashes)]
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     num_hashes: int = 32,
     n: int = 2,
     text_col: str = "text",
     id_col: str = "doc_id",
+    index: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash signature per document: for permutation i, the min over
     shingles of a seeded xxhash64. Output: (id, sig: array<bigint>).
 
     One explode + one groupBy; signature width is a column array, so the
-    shuffle carries num_hashes longs per doc.
-
-    Each shingle STRING is hashed exactly once; the k permutations are
-    derived by re-hashing the resulting bigint with a per-permutation seed
-    (xxhash64(h64, i)) — bigint hashing is ~wordlength work vs per-byte
-    string hashing, so this is ~k-fold cheaper than hashing the string k
-    times at identical uniformity.
+    shuffle carries num_hashes longs per doc. Pass ``index`` to reuse a
+    shared :func:`shingle_index`.
     """
-    sh = word_ngram_hashes(df, n, text_col, id_col).withColumnRenamed(
-        "shingle", "h64"
-    )
-    hashed = sh.select(
-        F.col(id_col),
-        *[
-            F.xxhash64(F.col("h64"), F.lit(i)).alias(f"h{i}")
-            for i in range(num_hashes)
-        ],
-    )
-    agg = hashed.groupBy(id_col).agg(
-        *[F.min(f"h{i}").alias(f"h{i}") for i in range(num_hashes)]
-    )
+    if index is None:
+        index = shingle_index(df, n, text_col, id_col)
+    agg = _minhash_agg(index, num_hashes, id_col)
     return agg.select(
         F.col(id_col), F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
     )
@@ -226,6 +315,7 @@ def minhash_lsh_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_bucket_size: int | None = 1000,
+    index: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded MinHash: documents agreeing
     on all rows of any band collide. Output: (id_a, id_b, n_bands_hit,
@@ -233,32 +323,29 @@ def minhash_lsh_pairs(
 
     Scale: pair generation happens inside band buckets only — a self-join
     on (band_idx, band_hash), never on the full doc set. Hot buckets are
-    the skew risk: AQE skew-join handles moderate cases, and
-    ``max_bucket_size`` (ENFORCED, default 1000) drops degenerate buckets
-    (e.g. empty-text collisions) before the self-join — a bucket of B docs
-    is B²/2 pairs, so an uncapped 1M-doc bucket is a 10¹²-pair explosion.
-    Dropped buckets cost recall only for pairs whose every agreeing band is
-    degenerate; real near-dup pairs agree on discriminative bands too.
+    the skew risk: a bucket of B docs is B²/2 pairs, so an uncapped 1M-doc
+    bucket is a 10¹²-pair explosion. Buckets over ``max_bucket_size``
+    (ENFORCED, default 1000) are NOT dropped — for a giant near-dup cluster
+    every band bucket IS the whole cluster, so dropping hot buckets would
+    yield zero pairs exactly where dedup matters most. Instead each hot
+    bucket emits STAR pairs to its min-id representative: B-1 pairs instead
+    of B²/2, preserving cluster connectivity (every member pairs with the
+    representative, so a connected-components / keep-min-id consumer
+    collapses the cluster identically). Pairs between two non-representative
+    members of a hot bucket are the only recall loss, and they are
+    irrelevant for dedup-by-representative.
+
+    Pass ``index`` (a shared :func:`shingle_index`) whenever exact
+    verification follows — that keeps LSH-then-verify at ONE corpus scan.
     """
     rows_per_band = num_hashes // bands
-    sh = word_ngram_hashes(df, n, text_col, id_col).withColumnRenamed(
-        "shingle", "h64"
-    )
-    hashed = sh.select(
-        F.col(id_col),
-        *[
-            F.xxhash64(F.col("h64"), F.lit(i)).alias(f"h{i}")
-            for i in range(num_hashes)
-        ],
-    )
-    agg = hashed.groupBy(id_col).agg(
-        *[F.min(f"h{i}").alias(f"h{i}") for i in range(num_hashes)]
-    )
-    # lazy localCheckpoint: the shingle->signature pipeline (the expensive
-    # 32-hash scan) runs ONCE; both self-join sides and the bucket-size
-    # census read the materialized blocks, and the ContextCleaner frees
-    # them when this plan is dropped (no persist leak).
-    agg = agg.localCheckpoint(eager=False)
+    if index is None:
+        index = shingle_index(df, n, text_col, id_col)
+    # Materialize the signature table: the expensive 32-hash + groupBy-min
+    # shuffle runs once; both self-join sides, the bucket census, and the
+    # hot-bucket representative lookup all read the materialized blocks.
+    # (See _materialize for the fault-tolerance tradeoff.)
+    agg = _materialize(_minhash_agg(index, num_hashes, id_col))
     # band hash straight off the bigint minhash columns (no string concat)
     banded = agg.select(
         F.col(id_col),
@@ -277,33 +364,59 @@ def minhash_lsh_pairs(
             )
         ).alias("band_idx", "band_hash"),
     )
-    if max_bucket_size is not None:
-        # degenerate-bucket census is tiny (only buckets over the cap) —
-        # broadcast anti-join, no extra shuffle of the banded table
-        hot = (
-            banded.groupBy("band_idx", "band_hash")
-            .agg(F.count(F.lit(1)).alias("__n"))
-            .filter(F.col("__n") > max_bucket_size)
-            .select("band_idx", "band_hash")
-        )
-        banded = banded.join(
-            F.broadcast(hot), ["band_idx", "band_hash"], "left_anti"
-        )
     a = banded.select(
         F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"), "band_idx", "band_hash"
     )
     b = banded.select(
         F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"), "band_idx", "band_hash"
     )
-    pairs = (
-        a.join(b, ["band_idx", "band_hash"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(
-            F.count(F.lit(1)).alias("n_bands_hit"),
-            F.first("sig_a").alias("sig_a"),
-            F.first("sig_b").alias("sig_b"),
+    if max_bucket_size is not None:
+        # hot-bucket census is tiny (only buckets over the cap, with their
+        # min-id representative) — broadcast, no extra shuffle of banded
+        hot = (
+            banded.groupBy("band_idx", "band_hash")
+            .agg(F.count(F.lit(1)).alias("__n"), F.min(id_col).alias("__rep"))
+            .filter(F.col("__n") > max_bucket_size)
+            .select("band_idx", "band_hash", "__rep")
         )
+        hot_keys = F.broadcast(hot.select("band_idx", "band_hash"))
+        cold_a = a.join(hot_keys, ["band_idx", "band_hash"], "left_anti")
+        cold_b = b.join(hot_keys, ["band_idx", "band_hash"], "left_anti")
+        cold_pairs = cold_a.join(cold_b, ["band_idx", "band_hash"]).filter(
+            F.col("id_a") < F.col("id_b")
+        )
+        # star pairs: representative (bucket min id, so always id_a) x each
+        # other member; rep signature via one broadcast lookup into agg
+        rep_sigs = F.broadcast(
+            hot.join(
+                banded.select(
+                    F.col(id_col).alias("__rep"), F.col("sig").alias("sig_a"),
+                    "band_idx", "band_hash",
+                ),
+                ["band_idx", "band_hash", "__rep"],
+            )
+        )
+        star_pairs = (
+            b.join(rep_sigs, ["band_idx", "band_hash"])
+            .filter(F.col("id_b") != F.col("__rep"))
+            .select(
+                "band_idx", "band_hash",
+                F.col("__rep").alias("id_a"), "sig_a", "id_b", "sig_b",
+            )
+        )
+        pairs_src = cold_pairs.select(
+            "id_a", "id_b", "sig_a", "sig_b"
+        ).unionByName(star_pairs.select("id_a", "id_b", "sig_a", "sig_b"))
+    else:
+        pairs_src = (
+            a.join(b, ["band_idx", "band_hash"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", "sig_a", "sig_b")
+        )
+    pairs = pairs_src.groupBy("id_a", "id_b").agg(
+        F.count(F.lit(1)).alias("n_bands_hit"),
+        F.first("sig_a").alias("sig_a"),
+        F.first("sig_b").alias("sig_b"),
     )
     agree = F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int"))
     return pairs.select(

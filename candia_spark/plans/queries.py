@@ -980,29 +980,32 @@ _JACCARD_ORACLE_TEMPLATE = """
     JOIN sizes sa ON sa.doc_id = id_a
     JOIN sizes sb ON sb.doc_id = id_b
     WHERE CAST(CAST(n_common AS DOUBLE)
-                / (sa.set_size + sb.set_size - n_common) AS DOUBLE) >= 0.35
+                / (sa.set_size + sb.set_size - n_common) AS DOUBLE) >= {threshold}
 """
 
 
 @register(
     "q26_ngram_jaccard",
     # oracle mirrors the enforced df cap: shingles present in more than half
-    # the corpus are dropped from the universe (index AND set sizes)
+    # the indexed corpus (docs with >= 1 shingle — matches shingle_index,
+    # which derives the count from the index itself to avoid a second
+    # corpus scan) are dropped from the universe (index AND set sizes)
     oracle=_JACCARD_ORACLE_TEMPLATE.format(
+        threshold="0.35",
         shingle_universe="""
         SELECT sh0.* FROM sh0
         JOIN (SELECT shingle FROM sh0 GROUP BY shingle
               HAVING COUNT(*) <= 0.5 * (SELECT COUNT(DISTINCT doc_id)
-                                        FROM documents))
-        USING (shingle)"""
+                                        FROM sh0))
+        USING (shingle)""",
     ),
     survey_ref="dedup-jaccard (north star)",
 )
 def q26_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-bigram Jaccard near-dup pairs (inverted-index self-join)
-    with the hot-shingle cap ENFORCED (df <= 50% of corpus, scale-invariant)
-    — the standalone-mode guard against quadratic blowup on stopword
-    shingles."""
+    with the hot-shingle cap ENFORCED (df <= 50% of indexed corpus,
+    scale-invariant) — the standalone-mode guard against quadratic blowup
+    on stopword shingles."""
     from candia_spark.operators.dedup import ngram_jaccard_pairs
 
     return ngram_jaccard_pairs(
@@ -1016,21 +1019,36 @@ def q26_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Jaccard computed per candidate, thresholded. The emitted set equals
     # the exact near-dup pair set whenever LSH recall is 1 at the verify
     # threshold — which this driver comparison CHECKS, making recall itself
-    # part of the correctness gate (selection quality also pinned in
-    # tests/test_dedup_similarity.py).
-    oracle=_JACCARD_ORACLE_TEMPLATE.format(shingle_universe="SELECT * FROM sh0"),
+    # part of the correctness gate. The banding is chosen so that holds
+    # robustly, not just on this fixture: with 32 hashes in 16 bands of
+    # r=2 rows, a pair at the tau=0.7 verify threshold is a candidate with
+    # probability 1-(1-0.7^2)^16 ~ 1 - 2e-5 (and higher above tau), so the
+    # gate no longer assumes fixture pairs are far from the threshold.
+    # (Selection quality also pinned in tests/test_dedup_similarity.py.)
+    oracle=_JACCARD_ORACLE_TEMPLATE.format(
+        threshold="0.7", shingle_universe="SELECT * FROM sh0"
+    ),
     survey_ref="dedup-minhash-lsh (north star)",
 )
 def q27_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded MinHash candidates -> exact-Jaccard verification (the 100 TB
     dedup contract, both halves enforced): band-bucket self-join generates
     candidate pairs without ever touching the O(N²) pair space, then the
-    inverted index verifies exactly those pairs."""
-    from candia_spark.operators.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+    inverted index verifies exactly those pairs. The tokenize->shingle->
+    distinct corpus scan happens ONCE: both halves share one materialized
+    shingle_index."""
+    from candia_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+        shingle_index,
+    )
 
     docs = _t(spark, sf_dir, "documents")
-    cands = minhash_lsh_pairs(docs, num_hashes=32, bands=8, n=2)
-    return ngram_jaccard_pairs(docs, n=2, threshold=0.35, candidates=cands)
+    idx = shingle_index(docs, n=2)
+    cands = minhash_lsh_pairs(docs, num_hashes=32, bands=16, n=2, index=idx)
+    return ngram_jaccard_pairs(
+        docs, n=2, threshold=0.7, candidates=cands, index=idx
+    )
 
 
 @register(
