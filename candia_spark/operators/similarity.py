@@ -94,6 +94,19 @@ def cosine_topk_bruteforce(
     )
 
 
+def hyperplanes(n_bits: int = 4, dim: int = 64, seed: int = 42) -> np.ndarray:
+    """The seeded random hyperplane set used by :func:`cosine_topk_lsh`.
+
+    Exposed as a function (rather than generated inline) so the DuckDB
+    oracle for q31 can embed the SAME plane values as SQL literals — the
+    bucket assignment then becomes a pure function both engines compute
+    identically, which is what makes an approximate-selection query
+    hash-checkable.
+    """
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_bits, dim))
+
+
 def hyperplane_lsh_bucket(
     df: DataFrame,
     planes: np.ndarray,
@@ -263,8 +276,7 @@ def cosine_topk_lsh(
     bucket are scored. Same output shape as the brute-force baseline;
     recall < 1 by design (pytest pins it on synthetic clusters).
     """
-    rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((n_bits, dim))
+    planes = hyperplanes(n_bits, dim, seed)
     cb = hyperplane_lsh_bucket(corpus, planes, vec_col)
     qb = hyperplane_lsh_bucket(queries, planes, vec_col)
     q = qb.select(

@@ -1127,14 +1127,63 @@ def q30_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_bruteforce(emb, queries_df, k=3)
 
 
+def _vec_sql(vs) -> str:
+    """DOUBLE[] literal from a float sequence. repr(float) is Python's
+    shortest round-trip form, and both engines parse it to the identical
+    IEEE double — so the literal planes/centroids are bit-equal on the
+    Spark side (F.lit(float(v))) and the DuckDB side."""
+    return "CAST([" + ", ".join(repr(float(v)) for v in vs) + "] AS DOUBLE[])"
+
+
+def _q31_oracle() -> str:
+    """Hyperplane-LSH ANN as pure SQL: the seeded planes are embedded as
+    literals, so bucket assignment (sign of <v, plane_j>) is a pure
+    function both engines compute identically — the approximate SELECTION
+    itself is deterministic and hash-checkable, as is the top-k."""
+    from candia_spark.operators.similarity import hyperplanes
+
+    planes = hyperplanes(n_bits=4, dim=64, seed=42)
+    rows = ",\n        ".join(
+        f"({j}, {_vec_sql(planes[j])})" for j in range(planes.shape[0])
+    )
+    return f"""
+    WITH pl(pid, pvec) AS (VALUES
+        {rows}),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    b AS (
+        SELECT e.vec_id,
+               CAST(SUM(CASE WHEN list_dot_product(e.v, pl.pvec) >= 0
+                             THEN (CAST(1 AS BIGINT) << pid) ELSE 0 END) AS BIGINT) AS bucket
+        FROM e CROSS JOIN pl GROUP BY e.vec_id),
+    n AS (SELECT vec_id, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+    cand AS (
+        SELECT bq.vec_id AS query_id, bc.vec_id AS vec_id,
+               ROUND(list_dot_product(eq.v, ec.v) / (nq.nrm * nc.nrm), 6) AS cosine
+        FROM b bq JOIN b bc ON bq.bucket = bc.bucket
+        JOIN e eq ON eq.vec_id = bq.vec_id
+        JOIN e ec ON ec.vec_id = bc.vec_id
+        JOIN n nq ON nq.vec_id = bq.vec_id
+        JOIN n nc ON nc.vec_id = bc.vec_id
+        WHERE bq.vec_id < 5)
+    SELECT query_id, vec_id, cosine, CAST(rk AS BIGINT) AS "rank"
+    FROM (SELECT query_id, vec_id, cosine,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY cosine DESC, vec_id ASC) AS rk
+          FROM cand)
+    WHERE rk <= 3
+    """
+
+
 @register(
     "q31_cosine_lsh",
-    oracle=None,
+    oracle=_q31_oracle(),
     survey_ref="similarity-lsh (north star)",
 )
 def q31_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hyperplane-LSH bucketed ANN (numpy-seeded planes -> rows-only;
-    recall vs brute force pinned in pytest)."""
+    """Hyperplane-LSH bucketed ANN. The planes are seeded literals shared
+    with the oracle (similarity.hyperplanes), so the bucketed selection is
+    a deterministic pure function — fully hash-checked, not rows-only.
+    Recall vs brute force additionally pinned in pytest."""
     from candia_spark.operators.similarity import cosine_topk_lsh
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -1351,21 +1400,86 @@ def q37_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q38_oracle() -> str:
+    """IVF ANN as pure SQL over the PINNED centroids: cell assignment is
+    argmax-dot over 8 literal centroids (the norm divisor is a positive
+    per-vector constant, so argmax over dots equals argmax over cosines),
+    query probing is the top-nprobe cells. Tie-breaks mirror the Spark
+    plan exactly: corpus cell = first-max (cid ASC), query probes =
+    reverse-sorted (score DESC, cid DESC)."""
+    from candia_spark.plans.ivf_pinned import PINNED_CENTROIDS_8x64
+
+    rows = ",\n        ".join(
+        f"({i + 1}, {_vec_sql(c)})" for i, c in enumerate(PINNED_CENTROIDS_8x64)
+    )
+    return f"""
+    WITH cent(cid, cvec) AS (VALUES
+        {rows}),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cell_scores AS (
+        SELECT e.vec_id, cent.cid, list_dot_product(e.v, cent.cvec) AS dot
+        FROM e CROSS JOIN cent),
+    cb AS (
+        SELECT vec_id, cid FROM (
+            SELECT vec_id, cid,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY dot DESC, cid ASC) AS r
+            FROM cell_scores)
+        WHERE r = 1),
+    qp AS (
+        SELECT vec_id AS query_id, cid FROM (
+            SELECT vec_id, cid,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY dot DESC, cid DESC) AS r
+            FROM cell_scores WHERE vec_id < 5)
+        WHERE r <= 3),
+    n AS (SELECT vec_id, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+    cand AS (
+        SELECT qp.query_id, cb.vec_id,
+               ROUND(list_dot_product(eq.v, ec.v) / (nq.nrm * nc.nrm), 6) AS cosine
+        FROM qp JOIN cb ON qp.cid = cb.cid
+        JOIN e eq ON eq.vec_id = qp.query_id
+        JOIN e ec ON ec.vec_id = cb.vec_id
+        JOIN n nq ON nq.vec_id = qp.query_id
+        JOIN n nc ON nc.vec_id = cb.vec_id)
+    SELECT query_id, vec_id, cosine, CAST(rk AS BIGINT) AS "rank"
+    FROM (SELECT query_id, vec_id, cosine,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY cosine DESC, vec_id ASC) AS rk
+          FROM cand)
+    WHERE rk <= 3
+    """
+
+
 @register(
     "q38_cosine_ivf",
-    oracle=None,
+    oracle=_q38_oracle(),
     survey_ref="similarity-ivf (north star)",
 )
 def q38_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-cell ANN (spherical k-means centroids trained on a driver-side
-    sample -> rows-only; recall vs brute force pinned in pytest)."""
+    """IVF-cell ANN over the PINNED centroid index (plans.ivf_pinned:
+    spherical k-means trained once offline, seed 42) — the production IVF
+    pattern: train the index offline, reuse it across query batches. No
+    per-call training, no driver-side collect; cell assignment is a pure
+    function of the literals, so the oracle hash-checks the approximate
+    selection itself. Recall vs brute force pinned in pytest."""
+    import numpy as np
+
     from candia_spark.operators.similarity import cosine_topk_ivf
+    from candia_spark.plans.ivf_pinned import PINNED_CENTROIDS_8x64
 
     emb = _t(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return cosine_topk_ivf(emb, queries_df, k=3, n_centroids=8, nprobe=3)
+    return cosine_topk_ivf(
+        emb,
+        queries_df,
+        k=3,
+        n_centroids=8,
+        nprobe=3,
+        centroids=np.array(PINNED_CENTROIDS_8x64, dtype=np.float64),
+    )
 
 
 @register(
