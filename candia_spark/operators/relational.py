@@ -361,28 +361,40 @@ def histogram_cutoff_filter(
     value_col: str,
     nbins: int = 100,
     cutoff_bin: int = 0,
+    subset: Column | None = None,
 ) -> DataFrame:
-    """Background removal: per group, bucket values into ``nbins`` equal-width
-    bins over [min, max] and keep rows strictly above ``cutoff_bin``.
+    """Background removal: per group, keep rows whose value is strictly above
+    the **lower edge** of histogram bin ``cutoff_bin`` (``nbins`` equal-width
+    bins over [min, max] of the group).
 
-    Parity: per-spectrum 100-bin intensity histogram; rows below the upper
-    edge of bin ``k`` are dropped (scripts/util/msproc.py:660-685). numpy
-    histogram places x == max in the last bin; the ``least(nbins-1)`` clamp
-    reproduces that.
+    Parity: per-spectrum 100-bin intensity histogram with
+    ``cutoff = np.histogram(...)[1][cutoff_bin]`` — the lower edge of bin k —
+    then ``intensity > cutoff`` (scripts/util/msproc.py:660-685). At the
+    default k=0 only exact-minimum values drop. Degenerate all-equal groups
+    mirror numpy's implicit range ``(v-0.5, v+0.5)``: edges are
+    ``v-0.5 + k/nbins``, so at k=0 everything is kept.
+
+    ``subset`` restricts both the histogram and the filter to rows matching
+    the predicate; non-matching rows are always kept (the reference computes
+    the histogram over MS2 rows only and keeps MS1 unconditionally,
+    msproc.py:676-684).
 
     Scale: two analytic windows (min/max) over the group key — one shuffle,
     no applyInPandas, stays in whole-stage codegen.
     """
     w = Window.partitionBy(*group_cols)
     v = F.col(value_col)
-    mn = F.min(v).over(w)
-    mx = F.max(v).over(w)
-    width = (mx - mn) / F.lit(float(nbins))
-    bucket = F.when(mx == mn, F.lit(0)).otherwise(
-        F.least(F.floor((v - mn) / width), F.lit(nbins - 1))
-    )
+    hv = v if subset is None else F.when(subset, v)
+    mn = F.min(hv).over(w)
+    mx = F.max(hv).over(w)
+    cutoff = F.when(
+        mx == mn, mn - 0.5 + F.lit(cutoff_bin / float(nbins))
+    ).otherwise(mn + F.lit(float(cutoff_bin)) * (mx - mn) / F.lit(float(nbins)))
+    keep = v > cutoff
+    if subset is not None:
+        keep = ~subset | keep
     return (
-        df.withColumn("__bucket", bucket.cast("int"))
-        .filter(F.col("__bucket") > cutoff_bin)
-        .drop("__bucket")
+        df.withColumn("__keep", keep)
+        .filter(F.col("__keep"))
+        .drop("__keep")
     )

@@ -292,10 +292,19 @@ def export_best_models_mzxml(
     spectrum_index: DataFrame,
     path: str,
     window_centers: DataFrame | None = None,
+    intensity_cutoff_bin: int = 0,
 ) -> int:
     """Mass-mode components of the best models -> indexed mzXML, ordered
     by global scan id; single driver-side writer over toLocalIterator
-    (msproc.py:229-420 byte format)."""
+    (msproc.py:229-420 byte format).
+
+    Before serialization each component's MS2 points pass the per-component
+    background filter: 100-bin histogram over that component's MS2
+    intensities, keep ``intensity > lower edge of bin intensity_cutoff_bin``;
+    MS1 points are kept unconditionally (msproc.py:270-274 call site,
+    filter at msproc.py:661-685). Components whose points all drop simply
+    emit no scan, matching the reference's empty-spectrum skip."""
+    from candia_spark.operators.relational import histogram_cutoff_filter
     from candia_spark.sources.mzxml import iter_component_scans, write_mzxml
 
     slice_cols = ["swath_lower_adjusted", "rt_window"]
@@ -320,6 +329,14 @@ def export_best_models_mzxml(
         F.col("mz_partition_start").alias("mz"),
         F.col("value").alias("intensity"),
         center.cast("double").alias("window_center"),
+    )
+    rows = histogram_cutoff_filter(
+        rows,
+        ["scan_no"],
+        "intensity",
+        nbins=100,
+        cutoff_bin=intensity_cutoff_bin,
+        subset=F.col("level") == 2,
     ).orderBy("scan_no", "mz")
     return write_mzxml(path, iter_component_scans(rows.toLocalIterator()))
 

@@ -359,22 +359,20 @@ def q07_model_spectrum_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT l_orderkey, l_extendedprice,
                MIN(l_extendedprice) OVER (PARTITION BY l_orderkey) AS mn,
                MAX(l_extendedprice) OVER (PARTITION BY l_orderkey) AS mx
-        FROM lineitem),
-    bucketed AS (
-        SELECT l_orderkey, l_extendedprice,
-               CASE WHEN mx = mn THEN 0
-                    ELSE CAST(LEAST(FLOOR((l_extendedprice - mn) / ((mx - mn) / 100.0)), 99) AS INT)
-               END AS bucket
-        FROM b)
+        FROM lineitem)
     SELECT COUNT(*) AS n_kept,
            {oracle_dsum('l_extendedprice')} AS sum_price
-    FROM bucketed WHERE bucket > 50
+    FROM b
+    WHERE l_extendedprice > (CASE WHEN mx = mn THEN mn - 0.5 + 50 / 100.0
+                                  ELSE mn + 50 * (mx - mn) / 100.0 END)
     """,
     survey_ref="F6,A12",
 )
 def q08_histogram_cutoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-order 100-bin histogram background removal (parity: per-spectrum
-    intensity cutoff, msproc.py:660-685)."""
+    intensity cutoff, msproc.py:660-685 — cutoff is the LOWER edge of bin k,
+    ``np.histogram(...)[1][cutoff_bin]``, and the kept predicate is strict
+    ``value > cutoff``)."""
     l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
     kept = histogram_cutoff_filter(
         l, ["l_orderkey"], "l_extendedprice", nbins=100, cutoff_bin=50

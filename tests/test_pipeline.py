@@ -142,3 +142,49 @@ def test_mzxml_export(result):
     # offset index resolves
     for _num, off in re.findall(rb'<offset id = "(\d+)">(\d+)</offset>', raw):
         assert raw[int(off) : int(off) + 5] == b"<scan"
+
+
+def test_export_applies_ms2_background_filter(spark, tmp_path):
+    """Stage 10 parity (msproc.py:270-274): every component's MS2 points
+    pass the per-component histogram cutoff before serialization — at the
+    default bin 0 the exact-minimum MS2 intensities drop, MS1 points are
+    kept (and feed the pseudo-precursor)."""
+    import base64
+    import re
+
+    import numpy as np
+
+    from candia_spark.pipeline import export_best_models_mzxml
+
+    slice_key = {"swath_lower_adjusted": 400.0, "rt_window": 0}
+    # one component; mz_idx 0 is an MS1 point, 1-4 are MS2 with two rows
+    # at the exact minimum intensity (10.0) that the filter must drop
+    intensities = {0: 5.0, 1: 10.0, 2: 10.0, 3: 50.0, 4: 100.0}
+    factors = spark.createDataFrame(
+        [
+            {**slice_key, "ncomp": 1, "mode": 2, "comp": 0, "row_idx": i, "value": v}
+            for i, v in intensities.items()
+        ]
+    )
+    best = spark.createDataFrame([{**slice_key, "ncomp": 1}])
+    mz_dim = spark.createDataFrame(
+        [
+            {**slice_key, "level": 1 if i == 0 else 2,
+             "mz_partition_start": 99.0 + i, "mz_idx": i}
+            for i in intensities
+        ]
+    )
+    spectrum_index = spark.createDataFrame(
+        [{**slice_key, "ncomp": 1, "model_id": 0, "spectrum_num": 0, "scan": 1}]
+    )
+    path = str(tmp_path / "filtered.mzXML")
+    n = export_best_models_mzxml(factors, best, mz_dim, spectrum_index, path)
+    assert n == 1
+    raw = open(path).read()
+    peaks_b64 = re.search(r"contentType=\"m/z-int\">([^<]+)</peaks>", raw).group(1)
+    pairs = np.frombuffer(base64.standard_b64decode(peaks_b64), dtype=">f4")
+    got_mz = sorted(float(x) for x in pairs[0::2])
+    # MS2 mz 100.0 and 101.0 (intensity == group min) are filtered out
+    assert got_mz == [102.0, 103.0]
+    # the MS1 point survived the filter and became the pseudo-precursor
+    assert re.search(r"<precursorMz [^>]*>99\.0</precursorMz>", raw)

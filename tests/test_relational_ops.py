@@ -128,11 +128,38 @@ def test_deterministic_id_stable(spark):
 
 
 def test_histogram_cutoff_filter(spark):
-    # group with values 0..100: bins of width ~1; cutoff_bin=50 keeps v>51ish
+    # values 0..100, nbins=100 -> bin width 1, edges[50] = 50 -> keep v > 50
     df = spark.createDataFrame([Row(g=1, v=float(i)) for i in range(101)])
     out = histogram_cutoff_filter(df, ["g"], "v", nbins=100, cutoff_bin=50)
     vals = sorted(r.v for r in out.collect())
     assert vals[0] == 51.0 and vals[-1] == 100.0
-    # constant group: bucket 0 -> all dropped for cutoff >= 0
+    # reference k=0 semantics: cutoff = lower edge of bin 0 = group min,
+    # so only exact-minimum values drop (msproc.py:678-685)
+    df0 = spark.createDataFrame([Row(g=1, v=v) for v in [1.0, 1.0, 2.0, 3.0]])
+    assert sorted(
+        r.v for r in histogram_cutoff_filter(df0, ["g"], "v").collect()
+    ) == [2.0, 3.0]
+    # constant group mirrors numpy's (v-0.5, v+0.5) implicit range: all kept
     const = spark.createDataFrame([Row(g=1, v=5.0)] * 3)
-    assert histogram_cutoff_filter(const, ["g"], "v").count() == 0
+    assert histogram_cutoff_filter(const, ["g"], "v").count() == 3
+
+
+def test_histogram_cutoff_filter_subset(spark):
+    # histogram over level==2 rows only; level==1 rows always kept
+    rows = [Row(g=1, level=1, v=0.001)] + [
+        Row(g=1, level=2, v=float(i)) for i in range(101)
+    ]
+    out = histogram_cutoff_filter(
+        spark.createDataFrame(rows),
+        ["g"],
+        "v",
+        nbins=100,
+        cutoff_bin=0,
+        subset=F.col("level") == 2,
+    )
+    got = sorted((r.level, r.v) for r in out.collect())
+    # MS1 row survives despite v below the MS2 cutoff; MS2 v=0.0 (the exact
+    # minimum) is the only dropped row
+    assert got[0] == (1, 0.001)
+    assert [v for lv, v in got if lv == 2][0] == 1.0
+    assert len(got) == 101
