@@ -1539,3 +1539,111 @@ def q40_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts.withColumn("rk", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rk") <= 10)
     )
+
+
+# ===========================================================================
+# q41 — bio-domain scalars: tryptic digestion, decoy rotate, b/y fragments
+# ===========================================================================
+
+def _q41_oracle() -> str:
+    from candia_spark.functions.bio import (
+        AA_ALPHABET,
+        PROTON_X1E5,
+        WATER_X1E5,
+        oracle_mass_values_sql,
+    )
+
+    return f"""
+    WITH {oracle_mass_values_sql("aa_mass")},
+    proteins AS (
+        SELECT p_partkey,
+               regexp_replace(upper(p_name), '[^{AA_ALPHABET}]', '', 'g') AS protein
+        FROM part WHERE p_partkey <= 40),
+    cuts AS (
+        SELECT p_partkey, protein,
+               list_concat(list_concat([0],
+                   list_filter(range(1, length(protein)),
+                       i -> substr(protein, i, 1) IN ('K', 'R')
+                            AND substr(protein, i + 1, 1) <> 'P')),
+                   [length(protein)]) AS cutpos
+        FROM proteins),
+    peptides AS (
+        SELECT p_partkey,
+               CAST(j - 2 AS BIGINT) AS pep_idx,
+               substr(protein, cutpos[j - 1] + 1,
+                      cutpos[j] - cutpos[j - 1]) AS peptide
+        FROM cuts, UNNEST(range(2, len(cutpos) + 1)) AS t(j)
+        WHERE cutpos[j] > cutpos[j - 1]),
+    withdecoy AS (
+        SELECT p_partkey, pep_idx, peptide,
+               substr(peptide, 1, greatest(length(peptide) - 5, 0))
+               || substr(peptide, greatest(length(peptide) - 3, 0) + 1)
+               || substr(peptide, greatest(length(peptide) - 5, 0) + 1,
+                         greatest(length(peptide) - 3, 0)
+                         - greatest(length(peptide) - 5, 0)) AS decoy
+        FROM peptides),
+    chars AS (
+        SELECT p_partkey, pep_idx, peptide, decoy,
+               i AS pos, substr(peptide, i, 1) AS aa
+        FROM withdecoy, UNNEST(range(1, length(peptide) + 1)) AS t(i)
+        WHERE length(peptide) >= 3),
+    cum AS (
+        SELECT c.p_partkey, c.pep_idx, c.peptide, c.decoy, c.pos,
+               SUM(m.m) OVER (PARTITION BY c.p_partkey, c.pep_idx
+                              ORDER BY c.pos) AS prefix_mass,
+               SUM(m.m) OVER (PARTITION BY c.p_partkey, c.pep_idx) AS total_mass
+        FROM chars c JOIN aa_mass m ON c.aa = m.aa),
+    frag AS (SELECT * FROM cum WHERE pos <= length(peptide) - 2)
+    SELECT CAST(p_partkey AS BIGINT) AS p_partkey, pep_idx, peptide, decoy,
+           CAST(pos AS BIGINT) AS frag_len, CAST(charge AS BIGINT) AS charge,
+           ion,
+           CASE WHEN ion = 'b'
+                THEN (prefix_mass + charge * {PROTON_X1E5})
+                     / (100000.0 * charge)
+                ELSE (total_mass - prefix_mass + {WATER_X1E5}
+                      + charge * {PROTON_X1E5}) / (100000.0 * charge)
+           END AS mz
+    FROM frag,
+         (SELECT unnest([1, 2]) AS charge) z,
+         (SELECT unnest(['b', 'y']) AS ion) ions
+    """
+
+
+@register(
+    "q41_fragment_ions",
+    oracle=_q41_oracle(),
+    survey_ref="§2.7-bio (msproc.py:709-719, seqproc.py:108-150)",
+)
+def q41_fragment_ions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bio-domain scalar chain: clean residue strings -> tryptic digestion
+    (cleave after K/R not before P) -> deterministic 'rotate' decoy
+    mutation -> theoretical b/y fragment m/z at charges 1-2, all with
+    JVM-side column functions over integer-scaled monoisotopic masses
+    (candia_spark.functions.bio; parity: scripts/util/msproc.py:709-719,
+    scripts/denovo/seqproc.py:108-150)."""
+    from candia_spark.functions.bio import (
+        clean_protein,
+        decoy_rotate,
+        fragment_mz,
+        tryptic_peptides,
+    )
+
+    p = _t(spark, sf_dir, "part").filter(F.col("p_partkey") <= 40)
+    prot = p.select("p_partkey", clean_protein("p_name").alias("protein"))
+    peps = prot.select(
+        "p_partkey",
+        F.posexplode(tryptic_peptides("protein")).alias("pep_idx", "peptide"),
+    ).withColumn("decoy", decoy_rotate("peptide"))
+    frags = fragment_mz(
+        peps, "peptide", ["p_partkey", "pep_idx", "decoy"], charges=(1, 2)
+    )
+    return frags.select(
+        F.col("p_partkey").cast("bigint").alias("p_partkey"),
+        F.col("pep_idx").cast("bigint").alias("pep_idx"),
+        "peptide",
+        "decoy",
+        F.col("frag_len").cast("bigint").alias("frag_len"),
+        F.col("charge").cast("bigint").alias("charge"),
+        "ion",
+        "mz",
+    )
