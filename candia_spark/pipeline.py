@@ -341,6 +341,66 @@ def export_best_models_mzxml(
     return write_mzxml(path, iter_component_scans(rows.toLocalIterator()))
 
 
+# --- identification seam (S13 + J5 + spectrum index) ----------------------
+
+def identify_results(
+    reports: dict[str, DataFrame],
+    spectrum_index: DataFrame,
+    adjusted_windows: DataFrame | None = None,
+    tol: float = 1e-5,
+) -> DataFrame:
+    """Concatenated identification table: per-tool search/de-novo reports
+    resolved to their models.
+
+    Parity: the reference joins search results back to the model index by
+    scan id and matches each model's swath_start to the adjusted isolation
+    windows with ``np.isclose`` to recover the window center
+    (scripts/identification/id_models_concat.py:85-90; report parsing
+    scripts/denovo/seqproc.py:23-58). Here: normalize every tool report to
+    (scan, sequence?, score?, qvalue?) + a ``tool`` provenance column,
+    union them column-aligned (U2), resolve scan -> model via the spectrum
+    index, and attach ``isolation_window_center`` with a tolerance band
+    join (J5) instead of the float ``isclose`` scan.
+
+    Scale: reports are result-sized; the spectrum index and window set are
+    dimension-sized broadcasts — no fact-table shuffle anywhere.
+    """
+    from candia_spark.operators.relational import band_join
+
+    norm = []
+    for tool, df in reports.items():
+        cols = [F.col("scan").cast("long").alias("scan")]
+        for c in ("sequence", "score", "qvalue"):
+            if c in df.columns:
+                cols.append(F.col(c))
+        norm.append(df.select(*cols).withColumn("tool", F.lit(tool)))
+    ids = norm[0]
+    for d in norm[1:]:
+        ids = ids.unionByName(d, allowMissingColumns=True)
+    out = ids.join(F.broadcast(spectrum_index), on="scan", how="inner")
+    if adjusted_windows is not None:
+        centers = (
+            adjusted_windows.select(
+                "swath_lower_adjusted", "swath_upper_adjusted"
+            )
+            .distinct()
+            .select(
+                F.col("swath_lower_adjusted").alias("__wlo"),
+                (
+                    (
+                        F.col("swath_lower_adjusted")
+                        + F.col("swath_upper_adjusted")
+                    )
+                    / 2
+                ).alias("isolation_window_center"),
+            )
+        )
+        out = band_join(
+            out, F.broadcast(centers), "swath_lower_adjusted", "__wlo", tol, how="left"
+        ).drop("__wlo")
+    return out
+
+
 # --- full run -------------------------------------------------------------
 
 def run_pipeline(

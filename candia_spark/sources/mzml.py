@@ -214,6 +214,64 @@ def _windows_for_file(path: str) -> set[tuple[float, float]]:
     return out
 
 
+DIAG_SCHEMA = StructType(
+    [
+        StructField("sample", StringType()),
+        StructField("n_processed", LongType()),
+        StructField("n_problematic", LongType()),
+        StructField("n_missing_level", LongType()),
+        StructField("n_missing_rt", LongType()),
+        StructField("n_missing_precursor", LongType()),
+        StructField("n_missing_mz", LongType()),
+    ]
+)
+
+
+def _diagnostics_for_file(path: str) -> tuple:
+    """Per-file malformed-spectrum census mirroring the reference's counters
+    (msproc.py:119-152): missing MS level counts as problematic but does not
+    skip; missing scan time and missing m/z array count and skip; a missing
+    precursor window on an MS2 spectrum skips WITHOUT incrementing the
+    problematic counter (the reference's own quirk, msproc.py:139-143 —
+    counted separately here so the gap is observable)."""
+    sample = path.rsplit("/", 1)[-1]
+    n = n_level = n_rt = n_prec = n_mz = 0
+    with open(path, "rb") as f:
+        for rec in iter_spectra(f):
+            n += 1
+            if rec.level is None:
+                n_level += 1  # counted but not skipped (msproc.py:121-126)
+            if rec.rt is None:
+                n_rt += 1
+            elif rec.level == 2 and rec.target_mz is None:
+                n_prec += 1  # reference skips without counting
+            elif rec.mz_array is None:
+                n_mz += 1
+    # the reference's counter increments once PER ISSUE, so a spectrum
+    # missing both level and scan time counts twice (msproc.py:126,131)
+    n_prob = n_level + n_rt + n_mz
+    return (sample, n, n_prob, n_level, n_rt, n_prec, n_mz)
+
+
+def spectrum_diagnostics(spark: SparkSession, paths: list[str]) -> DataFrame:
+    """F4 observability (SURVEY §2.2): distributed per-sample counts of
+    processed vs malformed spectra — the ingest-quality report the
+    reference logs per file (msproc.py:199-201). One task per file; the
+    result is sample-count-sized."""
+    pdf = spark.createDataFrame([(p,) for p in paths], "path string").repartition(
+        len(paths)
+    )
+
+    def diag(iterator):
+        import pandas as pd
+
+        for batch in iterator:
+            rows = [_diagnostics_for_file(p) for p in batch["path"]]
+            yield pd.DataFrame(rows, columns=[f.name for f in DIAG_SCHEMA.fields])
+
+    return pdf.mapInPandas(diag, DIAG_SCHEMA)
+
+
 def read_mzml_points(
     spark: SparkSession, paths: list[str], min_intensity: float = 0.0
 ) -> DataFrame:

@@ -135,6 +135,64 @@ def write_mzxml(
     return len(offsets)
 
 
+def read_mzxml(path: str) -> Iterator[dict]:
+    """mzXML reader (second half of S10, SURVEY §2.1): parse an indexed
+    mzXML file — including this module's own sink output — back into scan
+    dicts (scan_no, mz, intensity, level, prec_mz, prec_intensity).
+
+    Parity: the reference round-trips its exported mzXML into MGF via
+    pyteomics (scripts/util/msproc.py:423-440); this reader provides the
+    same capability without the dependency. The trailing byte-offset
+    ``<index>`` is used to locate scans (validating the sink's index as a
+    side effect), with a scan-tag fallback for files lacking one. Peaks
+    decode as interleaved big-endian float32 (mz, intensity) pairs —
+    bit-exact with what ``peaks_base64`` encoded.
+
+    Scale: one XML file = one driver-side parse, mirroring the single-writer
+    sink; corpus-level ingestion fans out one task per file upstream.
+    """
+    import re
+
+    raw = open(path, "rb").read()
+    text = raw.decode("ISO-8859-1")
+    offsets: list[int] = []
+    m = re.search(r"<indexOffset>(\d+)</indexOffset>", text)
+    if m:
+        index_block = text[int(m.group(1)) :]
+        offsets = [int(x) for x in re.findall(r">(\d+)</offset>", index_block)]
+    starts = offsets or [s.start() for s in re.finditer(r"<scan ", text)]
+    for start in starts:
+        if text[start : start + 5] != "<scan":
+            raise ValueError(f"offset {start} does not point at a <scan> in {path}")
+        end = text.index("</scan>", start)
+        block = text[start:end]
+        attrs = dict(re.findall(r'(\w+)="([^"]*)"', block))
+        prec = re.search(
+            r'<precursorMz precursorIntensity="([^"]*)">([^<]*)</precursorMz>',
+            block,
+        )
+        peaks_m = re.search(r"contentType=\"m/z-int\">([^<]*)</peaks>", block)
+        pairs = np.frombuffer(
+            base64.standard_b64decode(peaks_m.group(1)), dtype=">f4"
+        ) if peaks_m and peaks_m.group(1) else np.empty(0, dtype=">f4")
+        yield {
+            "scan_no": int(attrs["num"]),
+            "level": int(attrs.get("msLevel", 2)),
+            "mz": pairs[0::2].astype(np.float32),
+            "intensity": pairs[1::2].astype(np.float32),
+            "prec_mz": float(prec.group(2)) if prec else None,
+            "prec_intensity": float(prec.group(1)) if prec else None,
+        }
+
+
+def convert_mzxml_to_mgf(input_mzxml: str, output_mgf: str) -> int:
+    """S10: mzXML -> MGF (msproc.py:423-440 behavior — TITLE=scan=N and
+    PEPMASS=(precursor mz, intensity) per spectrum)."""
+    from candia_spark.sources.adapters import write_mgf
+
+    return write_mgf(output_mgf, read_mzxml(input_mzxml))
+
+
 def iter_component_scans(rows: Iterator, jitter_seed: int = 123) -> Iterator[dict]:
     """Group ordered long rows (model_id, comp, level, mz, intensity,
     window_center) into scan dicts with the K5 pseudo-precursor rule:

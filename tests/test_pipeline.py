@@ -144,6 +144,52 @@ def test_mzxml_export(result):
         assert raw[int(off) : int(off) + 5] == b"<scan"
 
 
+def test_identify_results_seam(spark, tmp_path):
+    """Identification seam (id_models_concat.py:85-90): toy novor +
+    percolator reports -> one concatenated id table with model resolution
+    and tolerance-matched isolation window centers."""
+    from candia_spark.pipeline import identify_results
+    from candia_spark.sources.adapters import read_report
+
+    novor_csv = tmp_path / "novor.csv"
+    novor_csv.write_text(
+        "# novor output\n"
+        "1,3,12.5,450.1,2,900.2,0.1,1.2,77.5,PEPTIDEK,50-60\n"
+        "2,4,13.5,451.1,2,902.2,0.2,1.3,88.5,AAKCCR,60-70\n"
+    )
+    perc_tsv = tmp_path / "perc.tsv"
+    perc_tsv.write_text(
+        "PSMId\tscan\tscore\tpercolator q-value\tsequence\n"
+        "psm_1\t3\t1.25\t0.01\tK.PEPTIDEK.A\n"
+        "psm_2\t5\t0.75\t0.20\tK.AACCK.A\n"
+    )
+    reports = {
+        "novor": read_report(spark, str(novor_csv), "novor"),
+        "percolator": read_report(spark, str(perc_tsv), "percolator_psms"),
+    }
+    spectrum_index = spark.createDataFrame(
+        [
+            {"swath_lower_adjusted": 400.0, "rt_window": 0, "ncomp": 2,
+             "model_id": 0, "spectrum_num": s, "scan": s + 3}
+            for s in range(3)
+        ]
+    )
+    windows = spark.createDataFrame(
+        [{"swath_lower_adjusted": 400.0, "swath_upper_adjusted": 425.0}]
+    )
+    out = identify_results(reports, spectrum_index, windows).collect()
+    # scans 3 and 4 resolve for novor, 3 and 5 for percolator
+    got = {(r.tool, r.scan) for r in out}
+    assert got == {("novor", 3), ("novor", 4), ("percolator", 3), ("percolator", 5)}
+    by_key = {(r.tool, r.scan): r for r in out}
+    assert by_key[("novor", 3)].sequence == "PEPTIDEK"
+    assert by_key[("percolator", 3)].qvalue == 0.01
+    assert by_key[("novor", 3)].score == 77.5
+    # window center tolerance-joined from the adjusted windows
+    assert all(r.isolation_window_center == 412.5 for r in out)
+    assert all(r.model_id == 0 for r in out)
+
+
 def test_export_applies_ms2_background_filter(spark, tmp_path):
     """Stage 10 parity (msproc.py:270-274): every component's MS2 points
     pass the per-component histogram cutoff before serialization — at the
