@@ -480,3 +480,56 @@ def simhash_dup_groups(
         .agg(F.count(F.lit(1)).alias("n_docs"), F.min(id_col).alias("keep_id"))
         .filter(F.col("n_docs") > 1)
     )
+
+
+def simhash_bits_md5(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Cross-engine-checkable SimHash variant: the per-token hash is md5
+    (hex output is identical in every engine, unlike Spark's xxhash64), and
+    the signature is emitted as a 64-char '0'/'1' bitstring (``sigbits``)
+    instead of a packed bigint — assembling bit 63 into a BIGINT overflows
+    ANSI engines that don't wrap on signed overflow.
+
+    Bit j of a token = bit (j mod 4) of hex nibble j//4 of md5(token);
+    signature bit j = 1 iff the +-1 sum over tokens is > 0 — the same
+    aggregation contract as :func:`simhash_signatures`, which remains the
+    production default (xxhash64 on the JVM is much cheaper than md5 and a
+    bigint groups with a narrower shuffle key). This variant exists so the
+    driver's DuckDB oracle can recompute the FULL algorithm value-exactly
+    (q28); the shared aggregation logic means the gate certifies both.
+    """
+    toks = df.select(F.col(id_col), F.explode(tokens_col(text_col)).alias("tok"))
+    # only the first 16 hex chars (64 bits) matter; two 8-char chunks become
+    # 32-bit ints so bit extraction is pure shift/mask (no per-nibble array)
+    chunked = toks.select(
+        F.col(id_col),
+        F.expr("cast(conv(substr(md5(tok), 1, 8), 16, 10) as bigint)").alias("c1"),
+        F.expr("cast(conv(substr(md5(tok), 9, 8), 16, 10) as bigint)").alias("c2"),
+    )
+
+    def _bit(j: int):
+        chunk = F.col("c1") if j < 32 else F.col("c2")
+        nib_in_chunk = (j // 4) % 8
+        shift = 4 * (7 - nib_in_chunk) + (j % 4)
+        return F.shiftright(chunk, shift).bitwiseAND(F.lit(1))
+
+    per_bit = chunked.select(
+        F.col(id_col),
+        *[
+            F.when(_bit(j) == 1, 1).otherwise(-1).alias(f"b{j}")
+            for j in range(64)
+        ],
+    )
+    sums = per_bit.groupBy(id_col).agg(
+        *[F.sum(f"b{j}").alias(f"b{j}") for j in range(64)]
+    )
+    return sums.select(
+        F.col(id_col),
+        F.concat(
+            *[
+                F.when(F.col(f"b{j}") > 0, F.lit("1")).otherwise(F.lit("0"))
+                for j in range(64)
+            ]
+        ).alias("sigbits"),
+    )

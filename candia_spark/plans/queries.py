@@ -1049,16 +1049,86 @@ def q27_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q28_oracle() -> str:
+    def bit(j: int) -> str:
+        chunk = "c1" if j < 32 else "c2"
+        shift = 4 * (7 - (j // 4) % 8) + (j % 4)
+        return f"({chunk} >> {shift}) & 1"
+
+    sums = ",\n               ".join(
+        f"SUM(CASE WHEN {bit(j)} = 1 THEN 1 ELSE -1 END) AS s{j}"
+        for j in range(64)
+    )
+    sig = "\n               || ".join(
+        f"(CASE WHEN s{j} > 0 THEN '1' ELSE '0' END)" for j in range(64)
+    )
+    return f"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split(lower(text), ' '),
+                                  t -> t <> '')) AS tok
+        FROM documents),
+    chunked AS (
+        SELECT doc_id,
+               CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) AS c1,
+               CAST('0x' || substr(md5(tok), 9, 8) AS BIGINT) AS c2
+        FROM toks),
+    bits AS (
+        SELECT doc_id,
+               {sums}
+        FROM chunked GROUP BY doc_id),
+    sig AS (
+        SELECT doc_id,
+               {sig} AS sigbits
+        FROM bits),
+    grp AS (
+        SELECT sigbits, COUNT(*) AS n_docs, MIN(doc_id) AS keep_id,
+               string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+                   AS members
+        FROM sig GROUP BY sigbits)
+    SELECT sigbits, CAST(keep_id AS BIGINT) AS keep_id,
+           CAST(n_docs AS BIGINT) AS n_docs, members
+    FROM grp WHERE n_docs > 1
+    """
+
+
 @register(
     "q28_simhash_dups",
-    oracle=None,
+    oracle=_q28_oracle(),
     survey_ref="dedup-simhash (north star)",
 )
 def q28_simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Identical-SimHash groups (hamming-0 near-dups)."""
-    from candia_spark.operators.dedup import simhash_dup_groups
+    """Identical-SimHash groups (hamming-0 near-dups) with full membership,
+    computed with the cross-engine-checkable md5 SimHash variant
+    (operators.dedup.simhash_bits_md5) so the DuckDB oracle recomputes the
+    ENTIRE algorithm — token hash, per-bit +-1 sums, sign threshold, group
+    membership — value-exactly, not just a derived property. The xxhash64
+    production variant shares the aggregation contract and keeps its own
+    pytest coverage."""
+    from candia_spark.operators.dedup import simhash_bits_md5
 
-    return simhash_dup_groups(_t(spark, sf_dir, "documents"))
+    sig = simhash_bits_md5(_t(spark, sf_dir, "documents"))
+    return (
+        sig.groupBy("sigbits")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("keep_id"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list("doc_id")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("members"),
+        )
+        .filter(F.col("n_docs") > 1)
+        .select(
+            "sigbits",
+            F.col("keep_id").cast("bigint").alias("keep_id"),
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            "members",
+        )
+    )
 
 
 @register(

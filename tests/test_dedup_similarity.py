@@ -126,6 +126,43 @@ def test_simhash_near_dups_close(near_dups):
     assert float(np.mean(planted)) < float(np.mean(unrelated)) - 4.0
 
 
+def test_simhash_bits_md5_contract(spark):
+    """The cross-engine md5 SimHash variant (q28's gate): 64-char bitstring;
+    identical token streams (incl. case/whitespace normalization) share the
+    signature; a Python md5 re-implementation reproduces it exactly."""
+    import hashlib
+
+    from pyspark.sql import Row
+
+    from candia_spark.operators.dedup import simhash_bits_md5
+
+    docs = [
+        Row(doc_id=0, text="the quick brown fox"),
+        Row(doc_id=1, text="THE  Quick   BROWN fox"),  # same tokens
+        Row(doc_id=2, text="a completely different document body"),
+    ]
+    sigs = {
+        r.doc_id: r.sigbits
+        for r in simhash_bits_md5(spark.createDataFrame(docs)).collect()
+    }
+    assert all(len(s) == 64 and set(s) <= {"0", "1"} for s in sigs.values())
+    assert sigs[0] == sigs[1]
+    assert sigs[0] != sigs[2]
+
+    def py_sig(text):
+        toks = [t for t in text.lower().split(" ") if t]
+        sums = [0] * 64
+        for t in toks:
+            h = hashlib.md5(t.encode()).hexdigest()
+            for j in range(64):
+                nib = int(h[j // 4], 16)
+                sums[j] += 1 if (nib >> (j % 4)) & 1 else -1
+        return "".join("1" if s > 0 else "0" for s in sums)
+
+    assert sigs[0] == py_sig("the quick brown fox")
+    assert sigs[2] == py_sig("a completely different document body")
+
+
 @pytest.fixture(scope="module")
 def clustered_vecs(spark):
     """8 well-separated clusters in R^64, 40 points each, queries = first
