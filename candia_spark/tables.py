@@ -46,7 +46,11 @@ def load_table(
         return df
     if min_parallelism is None:
         min_parallelism = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < min_parallelism:
+    # file count as the parallelism proxy: inputFiles() is a metadata-only
+    # listing (no RDD conversion plan per load, unlike rdd.getNumPartitions).
+    # Single-file driver parquet fans out to core count for the heavy
+    # per-row expressions; a many-file corpus at scale is left untouched.
+    if len(df.inputFiles()) < min_parallelism:
         df = df.repartition(min_parallelism)
     return df
 
