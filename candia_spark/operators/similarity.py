@@ -309,3 +309,80 @@ def cosine_topk_lsh(
             query_id_col, id_col, "cosine", F.col("rank").cast("bigint").alias("rank")
         )
     )
+
+
+def cosine_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.9,
+    n_bits: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+    multiprobe: bool = True,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs — the vector-space member of
+    the dedup family (exact / n-gram / MinHash-LSH / SimHash / this).
+
+    Same generate-then-verify contract as the text dedup operators:
+    candidates are pairs whose hyperplane-LSH buckets agree (optionally
+    within Hamming distance 1 via single-bit multiprobe on ONE side — xor
+    symmetry makes one-sided probing cover both directions), then the exact
+    cosine is computed on candidates only and pairs >= ``threshold`` are
+    kept with id_a < id_b.
+
+    Scale: pair generation happens inside buckets (an equi-join on the
+    bucket id), never across the full corpus; multiprobe multiplies one
+    side's rows by (n_bits + 1), not the pair count. The exact verify
+    touches candidates only. Deterministic: seeded planes embedded as
+    literals (no per-row Python), so the q42 oracle recomputes the same
+    selection in SQL.
+    """
+    planes = hyperplanes(n_bits, dim, seed)
+    base = df.select(
+        F.col(id_col),
+        F.col(vec_col).alias("__v"),
+        _norm(F.col(vec_col)).alias("__n"),
+    )
+    b = hyperplane_lsh_bucket(base, planes, vec_col="__v", out_col="__bucket")
+    if multiprobe:
+        probes = F.explode(
+            F.array(
+                F.col("__bucket"),
+                *[
+                    F.col("__bucket").bitwiseXOR(F.lit(1 << j))
+                    for j in range(n_bits)
+                ],
+            )
+        )
+    else:
+        probes = F.col("__bucket")
+    left = b.select(
+        F.col(id_col).alias("id_a"),
+        F.col("__v").alias("__va"),
+        F.col("__n").alias("__na"),
+        probes.alias("__probe"),
+    )
+    right = b.select(
+        F.col(id_col).alias("id_b"),
+        F.col("__v").alias("__vb"),
+        F.col("__n").alias("__nb"),
+        F.col("__bucket").alias("__probe"),
+    )
+    # a pair meets at most once: probes differ from the base bucket in
+    # exactly one bit, so (bucket_a == bucket_b) matches only via the
+    # identity probe and hamming-1 pairs only via the single matching flip
+    pairs = left.join(right, on="__probe").filter(F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.withColumn(
+            "cosine",
+            F.round(
+                _dot(F.col("__va"), F.col("__vb"))
+                / (F.col("__na") * F.col("__nb")),
+                round_digits,
+            ).cast("double"),
+        )
+        .filter(F.col("cosine") >= F.lit(threshold))
+        .select("id_a", "id_b", "cosine")
+    )

