@@ -211,14 +211,14 @@ def nn_parafac(
 # ---------------------------------------------------------------------------
 
 def count_peaks(series: np.ndarray, clip_frac: float = 0.1, smooth: int = 3) -> int:
-    """Count chromatographic peaks in a 1-D non-negative series: clip values
+    """Fast peak counter for a 1-D non-negative series: clip values
     <= clip_frac * max to 0 (parity: collect_time_mode_values.py:81-84,
     F7), box-smooth, count strict local maxima of the smoothed signal.
 
-    Behavioral (not bitwise) parity with the reference's
-    ``scipy.signal.find_peaks_cwt`` (collect_time_mode_values.py:54-87):
-    both count distinct elution peaks; exact counts can differ on noisy
-    series, so model selection tests are tolerance/shape based.
+    This is the cheap O(n) fallback; the reference-faithful path is
+    ``functions.cwt.count_peaks_cwt`` (ridge-line CWT, the
+    ``find_peaks_cwt`` algorithm), which ``count_time_mode_peaks`` uses
+    whenever an expected peak width is supplied.
     """
     x = np.asarray(series, dtype=np.float64)
     if x.size < 3 or np.all(x <= 0) or np.nanmax(x) <= 0:
@@ -426,10 +426,19 @@ def count_time_mode_peaks(
     factors_long: DataFrame,
     group_cols: Sequence[str],
     clip_frac: float = 0.1,
+    peak_width_frac: float | None = None,
 ) -> DataFrame:
     """Per (slice-group, ncomp, comp): number of peaks in the time-mode
     column (parity: collect_time_mode_values.py:54-87 + the F7 low-value
-    clip). Input = decompose_slices output filtered to mode==1."""
+    clip). Input = decompose_slices output filtered to mode==1.
+
+    With ``peak_width_frac`` (= avg_peak_fwhm_sec / window_size_sec, the
+    reference's config-derived ratio at collect_time_mode_values.py:64-66)
+    the reference-faithful CWT ridge-line counter runs with
+    ``expected_peak_width = series_length * peak_width_frac``; without it
+    the cheap local-maxima counter is used."""
+    from candia_spark.functions.cwt import count_peaks_cwt
+
     group_cols = list(group_cols)
     out_schema = StructType(
         [factors_long.schema[c] for c in group_cols]
@@ -444,9 +453,13 @@ def count_time_mode_peaks(
         rows = []
         for (rank, comp), sub in pdf[pdf["mode"] == 1].groupby(["ncomp", "comp"]):
             series = sub.sort_values("row_idx")["value"].to_numpy()
-            rows.append(
-                {"ncomp": rank, "comp": comp, "npeaks": count_peaks(series, clip_frac)}
-            )
+            if peak_width_frac is not None:
+                n = count_peaks_cwt(
+                    series, len(series) * peak_width_frac, clip_frac
+                )
+            else:
+                n = count_peaks(series, clip_frac)
+            rows.append({"ncomp": rank, "comp": comp, "npeaks": n})
         out = pd.DataFrame(rows, columns=["ncomp", "comp", "npeaks"])
         for i, c in enumerate(group_cols):
             out.insert(i, c, key[i])

@@ -242,7 +242,12 @@ def index_models(spark: SparkSession, factors: DataFrame) -> tuple[DataFrame, Da
 def time_mode_peaks(factors: DataFrame, cfg: CandiaConfig) -> DataFrame:
     slice_cols = ["swath_lower_adjusted", "rt_window"]
     time_modes = factors.filter(F.col("mode") == 1)
-    return count_time_mode_peaks(time_modes, slice_cols, clip_frac=0.1)
+    return count_time_mode_peaks(
+        time_modes,
+        slice_cols,
+        clip_frac=0.1,
+        peak_width_frac=cfg.avg_peak_fwhm_sec / cfg.window_size_sec,
+    )
 
 
 # --- stage 8: best-model selection (A6 + W5) ------------------------------

@@ -925,7 +925,9 @@ def q24_time_mode_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     factors = decompose_slices(
         tensor_long, ["slice_key"], ncomp_range=[2], max_iter=300, seed=123
     )
-    peaks = count_time_mode_peaks(factors, ["slice_key"])
+    # 0.2 = the reference test config's avg_peak_fwhm_sec / window_size_sec
+    # (12 / 60) -> the CWT ridge-line counter, not the fast fallback
+    peaks = count_time_mode_peaks(factors, ["slice_key"], peak_width_frac=0.2)
     return peaks.select(
         "slice_key",
         F.col("ncomp").cast("bigint").alias("ncomp"),
