@@ -124,3 +124,29 @@ def test_salted_join_matches_plain(spark):
         l, o, on=["l_orderkey"], buckets=4, salt_from=["l_orderkey", "l_quantity"]
     ).count()
     assert plain == salted
+
+
+def test_q41_fragment_ions_plan_is_jvm_only(spark):
+    """Bio scalars stay JVM-side: no Python evaluation anywhere, and the
+    only hash exchange is the per-peptide cumsum window (keyed by peptide,
+    so it scales with the corpus)."""
+    from candia_spark.plans.queries import q41_fragment_ions
+
+    plan = plan_of(q41_fragment_ions(spark, SF))
+    assert "Python" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_q42_embedding_dups_no_cartesian(spark):
+    """Vector near-dup pairs must pair inside LSH buckets via an equi-join
+    — never a cartesian/theta join over the corpus — and verify cosine on
+    candidates only, with zero Python in the plan."""
+    from candia_spark.plans.queries import q42_embedding_dups
+
+    plan = plan_of(q42_embedding_dups(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Python" not in plan
+    # bucket equi-join present (broadcast at this scale; SMJ at corpus scale)
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
