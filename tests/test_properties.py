@@ -170,3 +170,64 @@ def test_ngram_jaccard_matches_sets(spark, docs):
     assert set(got) == set(want)
     for k in want:
         assert got[k] == pytest.approx(want[k])
+
+
+# --- bio-domain scalars: fuzz against python reference semantics ---------
+
+aa_strategy = st.text(alphabet="ACDEFGHIKLMNPQRSTVWY", min_size=0, max_size=60)
+
+
+def _py_digest(seq: str) -> list[str]:
+    """Independent python oracle: cleave after K/R not before P."""
+    peps, cur = [], []
+    for i, ch in enumerate(seq):
+        cur.append(ch)
+        nxt = seq[i + 1] if i + 1 < len(seq) else None
+        if ch in "KR" and nxt is not None and nxt != "P":
+            peps.append("".join(cur))
+            cur = []
+    if cur:
+        peps.append("".join(cur))
+    return peps
+
+
+@given(st.lists(aa_strategy, min_size=1, max_size=8))
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_tryptic_digestion_properties(spark, seqs):
+    from pyspark.sql import functions as F
+
+    from candia_spark.functions.bio import tryptic_peptides
+
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(seqs)], "i int, seq string")
+    got = {
+        r.i: list(r.peps)
+        for r in df.select("i", tryptic_peptides("seq").alias("peps")).collect()
+    }
+    for i, s in enumerate(seqs):
+        peps = got[i]
+        # 1. matches the independent oracle
+        assert peps == _py_digest(s), s
+        # 2. lossless: concatenation reconstructs the protein
+        assert "".join(peps) == s
+        # 3. every internal boundary is a legal cleavage site
+        pos = 0
+        for p in peps[:-1]:
+            pos += len(p)
+            assert s[pos - 1] in "KR" and s[pos] != "P", s
+
+
+@given(aa_strategy)
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_decoy_rotate_is_length_preserving_permutation(spark, seq):
+    from pyspark.sql import functions as F
+
+    from candia_spark.functions.bio import decoy_rotate
+
+    got = (
+        spark.createDataFrame([(seq,)], "seq string")
+        .select(decoy_rotate("seq").alias("d"))
+        .collect()[0]
+        .d
+    )
+    assert got == seq[:-5] + seq[-3:] + seq[-5:-3]
+    assert sorted(got) == sorted(seq)  # permutation of the same residues
