@@ -97,3 +97,54 @@ def test_reconstruct_component_subset(spark, known_factors):
         if r["slice_key"] == "a":
             got[r["sample_no"], r["cycle"], r["mz_idx"]] = r["intensity"]
     assert np.allclose(got, want, atol=1e-12)
+
+
+def test_tensorize_slice_golden(spark):
+    """The reference's own (commented-out) tensorize golden spec, revived:
+    generate_slice_tensor.py:321-380 — 2 samples, 3 scans worth of points,
+    expected 2x2x8 tensor with exact NaN placement. Our long format
+    represents NaN cells as absent rows; sample ordinals follow the sorted
+    sample-name contract (W9), so file=1 -> 0, file=2 -> 1."""
+    from candia_spark.pipeline import tensorize_slices
+
+    rows = [
+        # sample file=1 (reference sample_11 + sample_12)
+        ("file=1", 1, 1.01, 10.0, 100.0),
+        ("file=1", 2, 1.02, 20.0, 200.0),
+        ("file=1", 1, 3.02, 30.0, 300.0),
+        ("file=1", 2, 3.03, 30.0, 333.0),
+        # sample file=2 (reference sample_2)
+        ("file=2", 1, 2.01, 11.0, 400.0),
+        ("file=2", 2, 2.06, 22.0, 500.0),
+        ("file=2", 1, 2.07, 22.0, 800.0),
+        ("file=2", 2, 2.08, 33.0, 600.0),
+    ]
+    sliced = spark.createDataFrame(
+        [(0.0, 0) + r for r in rows],
+        "swath_lower_adjusted double, rt_window bigint, sample string,"
+        " level int, rt double, mz double, intensity double",
+    )
+    tensor_long, mz_dim = tensorize_slices(
+        sliced, mass_tol_ppm=40.0, min_tensor_points=1
+    )
+    # m/z dimension: (level, partition_start) sorted -> the reference's
+    # expected_mz_indices order [10,11,22,30]_ms1 + [20,22,30,33]_ms2
+    dim = {
+        (r.level, r.mz_partition_start): r.mz_idx for r in mz_dim.collect()
+    }
+    assert dim == {
+        (1, 10.0): 0, (1, 11.0): 1, (1, 22.0): 2, (1, 30.0): 3,
+        (2, 20.0): 4, (2, 22.0): 5, (2, 30.0): 6, (2, 33.0): 7,
+    }
+    got = {
+        (r.sample_no, r.cycle, r.mz_idx): r.intensity
+        for r in tensor_long.collect()
+    }
+    # exactly the reference's expected_tensor non-NaN cells (sample axis
+    # re-indexed to the sorted-name contract: file=1 -> 0, file=2 -> 1)
+    assert got == {
+        (0, 0, 0): 100.0, (0, 0, 4): 200.0,   # file=1 cycle of rt 1.01-1.02
+        (0, 1, 3): 300.0, (0, 1, 6): 333.0,   # file=1 cycle of rt 3.02-3.03
+        (1, 0, 1): 400.0, (1, 0, 5): 500.0,   # file=2 cycle of rt 2.01-2.06
+        (1, 1, 2): 800.0, (1, 1, 7): 600.0,   # file=2 cycle of rt 2.07-2.08
+    }
