@@ -1383,14 +1383,62 @@ def q35_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     return binary_metadata(d)
 
 
+def _q36_oracle() -> str:
+    """The fake decoder is a pure function of the payload bytes (per-chunk
+    byte means, np.array_split boundaries), so the oracle recomputes it in
+    SQL: bytes via hex() two-char slices, chunk ids via the array_split
+    size rule (first n%8 chunks one longer), means as exact integer sums /
+    size (uint8 sums are exact in float64 regardless of order), and the
+    square norm as an explicit left-associative 8-term chain matching
+    Spark's sequential F.aggregate."""
+    m = [f"m{i}" for i in range(8)]
+    pivot = ",\n               ".join(
+        f"COALESCE(MAX(CASE WHEN chunk = {i} THEN m END), 0.0) AS m{i}"
+        for i in range(8)
+    )
+    sq = " + ".join(f"{x}*{x}" for x in m)
+    return f"""
+    WITH b AS (
+        SELECT doc_id, octet_length(encode(text)) AS n, hex(encode(text)) AS h
+        FROM documents),
+    bytes AS (
+        SELECT doc_id, n, p,
+               CAST('0x' || substr(h, 2 * p + 1, 2) AS INT) AS v,
+               CASE WHEN p < (n % 8) * ((n // 8) + 1)
+                    THEN p // ((n // 8) + 1)
+                    ELSE (n % 8) + (p - (n % 8) * ((n // 8) + 1)) // (n // 8)
+               END AS chunk
+        FROM b, UNNEST(range(0, n)) AS t(p)
+        WHERE n > 0),
+    means AS (
+        SELECT doc_id, chunk, CAST(SUM(v) AS DOUBLE) / COUNT(*) AS m
+        FROM bytes GROUP BY doc_id, chunk),
+    pivoted AS (
+        SELECT doc_id,
+               {pivot}
+        FROM means GROUP BY doc_id),
+    norms AS (
+        SELECT b.doc_id, b.n,
+               ROUND(COALESCE({sq}, 0.0), 6) AS feat_sq_norm
+        FROM b LEFT JOIN pivoted p ON p.doc_id = b.doc_id)
+    SELECT 'image' AS modality, COUNT(*) AS n_docs,
+           CAST(SUM(n) AS BIGINT) AS total_bytes,
+           {oracle_dsum('feat_sq_norm')} AS sum_sq_norm
+    FROM norms
+    """
+
+
 @register(
     "q36_multimodal_features",
-    oracle=None,
+    oracle=_q36_oracle(),
     survey_ref="multimodal-decode (north star)",
 )
 def q36_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow-batched feature extraction over binary payloads (deterministic
-    fake decoder — real codecs absent here; plumbing is real). Output:
+    """Arrow-batched feature extraction over binary payloads. The decoder
+    is the documented deterministic stand-in (real codecs absent here;
+    plumbing is real) — and because it is a pure byte function, the DuckDB
+    oracle recomputes the features value-exactly (see _q36_oracle), so the
+    Arrow mapInPandas path is hash-gated, not rows-only. Output:
     per-modality feature norms."""
     from candia_spark.operators.multimodal import extract_features
 
