@@ -386,3 +386,79 @@ def cosine_dup_pairs(
         .filter(F.col("cosine") >= F.lit(threshold))
         .select("id_a", "id_b", "cosine")
     )
+
+
+def cosine_topk_bruteforce_heap(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Exact top-k for LARGE query sets — the scale path the plain
+    broadcast-window formulation documents but cannot take.
+
+    ``cosine_topk_bruteforce`` shuffles Q*N score rows into the per-query
+    window; at Q=10k, N=10M that is 10^11 rows. Here each corpus partition
+    computes scores against ALL queries with one Arrow-batched numpy
+    matmul (vectorized, no per-row expression work) and emits only its
+    per-partition top-k candidates per query — rows that tie the k-th
+    score are INCLUDED, so the per-partition cut provably contains the
+    global winners under the (cosine desc, id asc) contract. The final
+    window ranks Q*k*P candidate rows instead of Q*N.
+
+    Output and rounding contract match cosine_topk_bruteforce exactly;
+    the pytest pins set-equality of the two paths.
+    """
+    sess = corpus.sparkSession
+    qrows = queries.select(query_id_col, vec_col).collect()
+    q_ids = np.array([r[query_id_col] for r in qrows], dtype=np.int64)
+    qm = np.array([list(r[vec_col]) for r in qrows], dtype=np.float64)
+    qn = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+    bc = sess.sparkContext.broadcast((q_ids, qn))
+
+    schema = (
+        f"{query_id_col} long, {id_col} long, cosine double"
+    )
+
+    def part(batches):
+        import pandas as pd
+
+        ids_q, qmat = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            cid = pdf[id_col].to_numpy(dtype=np.int64)
+            cm = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
+            cm = cm / np.linalg.norm(cm, axis=1, keepdims=True)
+            scores = np.round(qmat @ cm.T, round_digits)  # Q x B
+            b = scores.shape[1]
+            keff = min(k, b)
+            kth = np.partition(scores, b - keff, axis=1)[:, b - keff]
+            out_q, out_c, out_s = [], [], []
+            for qi in range(scores.shape[0]):
+                mask = scores[qi] >= kth[qi]  # ties at the boundary kept
+                out_q.append(np.full(mask.sum(), ids_q[qi]))
+                out_c.append(cid[mask])
+                out_s.append(scores[qi][mask])
+            yield pd.DataFrame(
+                {
+                    query_id_col: np.concatenate(out_q),
+                    id_col: np.concatenate(out_c),
+                    "cosine": np.concatenate(out_s),
+                }
+            )
+
+    cand = corpus.select(id_col, vec_col).mapInPandas(part, schema)
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            query_id_col, id_col, "cosine", F.col("rank").cast("bigint").alias("rank")
+        )
+    )

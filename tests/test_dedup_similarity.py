@@ -243,3 +243,25 @@ def test_ivf_cosine_recall_vs_bruteforce(clustered_vecs):
     a = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
     recall = len(e & a) / len(e)
     assert recall >= 0.9, f"IVF recall {recall:.2f}"
+
+
+def test_cosine_topk_heap_matches_bruteforce(clustered_vecs):
+    """The large-Q heap path must produce EXACTLY the window path's output
+    (same rounding and tie-break contract)."""
+    from candia_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        cosine_topk_bruteforce_heap,
+    )
+
+    queries = clustered_vecs.filter(F.col("vec_id") % 40 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    base = {
+        (r.query_id, r.rank): (r.vec_id, r.cosine)
+        for r in cosine_topk_bruteforce(clustered_vecs, queries, k=5).collect()
+    }
+    heap = {
+        (r.query_id, r.rank): (r.vec_id, r.cosine)
+        for r in cosine_topk_bruteforce_heap(clustered_vecs, queries, k=5).collect()
+    }
+    assert base == heap and len(base) == 8 * 5
