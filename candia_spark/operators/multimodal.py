@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
+    BinaryType,
     DoubleType,
     LongType,
     StringType,
@@ -92,6 +93,74 @@ def extract_features(
                     "features": [
                         list(decode(bytes(p), feature_dim)) for p in payloads
                     ],
+                }
+            )
+
+    return narrowed.mapInPandas(run, out_schema)
+
+
+def resize_plumbing(
+    df: DataFrame,
+    binary_col: str = "payload",
+    id_col: str = "doc_id",
+    target_h: int = 8,
+    target_w: int = 8,
+) -> DataFrame:
+    """Image-style resize: decode-stub the binary payload to a square
+    grayscale grid (side = floor(sqrt(n_bytes)), row-major uint8 — the
+    deterministic no-codec stand-in, same stance as ``_fake_decode``),
+    area-average down to (target_h, target_w), and re-encode the resized
+    pixels as a binary payload. A real pipeline swaps the two marked lines
+    for PIL decode/encode; batch shape, schema, and the binary-in /
+    binary-out contract are the real, tested part.
+
+    Output: (id, src_side, height, width, resized: binary).
+    """
+    out_schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField("src_side", LongType()),
+            StructField("height", LongType()),
+            StructField("width", LongType()),
+            StructField("resized", BinaryType()),
+        ]
+    )
+    narrowed = df.select(id_col, binary_col)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"ids": [], "side": [], "out": []}
+            for i, payload in zip(pdf[id_col], pdf[binary_col]):
+                raw = np.frombuffer(bytes(payload), dtype=np.uint8)
+                side = int(np.sqrt(raw.size))
+                if side == 0:
+                    img = np.zeros((1, 1), dtype=np.float64)
+                    side = 1
+                else:
+                    # decode stub: square crop of the byte stream
+                    img = raw[: side * side].reshape(side, side).astype(np.float64)
+                # area-average resize: mean over each target cell's source
+                # box (edges by rounded proportional split — exact for
+                # integer ratios, deterministic always)
+                ys = np.linspace(0, img.shape[0], target_h + 1).round().astype(int)
+                xs = np.linspace(0, img.shape[1], target_w + 1).round().astype(int)
+                out = np.zeros((target_h, target_w), dtype=np.float64)
+                for r in range(target_h):
+                    for c in range(target_w):
+                        cell = img[ys[r] : max(ys[r + 1], ys[r] + 1),
+                                   xs[c] : max(xs[c + 1], xs[c] + 1)]
+                        out[r, c] = cell.mean()
+                rows["ids"].append(int(i))
+                rows["side"].append(side)
+                # encode stub: row-major uint8 bytes
+                rows["out"].append(out.round().clip(0, 255).astype(np.uint8).tobytes())
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(rows["ids"], dtype="int64"),
+                    "src_side": pd.Series(rows["side"], dtype="int64"),
+                    "height": pd.Series([target_h] * len(rows["ids"]), dtype="int64"),
+                    "width": pd.Series([target_w] * len(rows["ids"]), dtype="int64"),
+                    "resized": rows["out"],
                 }
             )
 

@@ -113,6 +113,38 @@ def session_counts(
     )
 
 
+def dedup_stream(
+    events: DataFrame,
+    watermark: str = "30 minutes",
+    key_cols: tuple[str, ...] = ("event_type", "props"),
+) -> DataFrame:
+    """Streaming exact dedup: keep the first event per content digest.
+
+    The streaming face of ``operators.dedup.exact_dedup``: arriving rows
+    are keyed by a digest of ``key_cols`` and duplicates within the
+    watermark horizon are dropped. ``dropDuplicatesWithinWatermark``
+    (not plain ``dropDuplicates``) is what makes this viable on an
+    unbounded stream: digest state is EVICTED once the watermark passes
+    it, so state size is bounded by (dup horizon x arrival rate), not by
+    stream length — the same state-bounding stance as the windowed aggs
+    above. Duplicates farther apart than the watermark pass through; at
+    100 TB/day that tail is the batch compaction job's business, not the
+    online path's.
+
+    Batch-compatible: on a batch DataFrame this is a global
+    ``dropDuplicates`` on the digest (the watermark bound is moot when
+    the whole input is visible at once).
+    """
+    digest = F.md5(F.concat_ws("\x1f", *key_cols)).alias("digest")
+    if not events.isStreaming:
+        return events.select("*", digest).dropDuplicates(["digest"])
+    return (
+        events.withWatermark("event_time", watermark)
+        .select("*", digest)
+        .dropDuplicatesWithinWatermark(["digest"])
+    )
+
+
 RUNNING_TOTALS_STATE = StructType(
     [StructField("n", LongType()), StructField("total", DoubleType())]
 )

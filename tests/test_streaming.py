@@ -15,6 +15,7 @@ from pyspark.sql.window import Window
 
 from candia_spark.streaming import (
     EVENTS_SCHEMA,
+    dedup_stream,
     events_stream,
     run_available_now,
     running_totals_stateful,
@@ -153,6 +154,42 @@ def test_session_windows_stream_vs_lag_batch(spark, events_dir, tmp_path):
         assert batch[(r["user_id"], r["session_start"])] == r["n_events"]
     # append mode withholds only sessions still open at the final watermark
     assert len(got) >= 0.5 * len(batch)
+
+
+def test_dedup_stream_drops_in_horizon_duplicates(spark, tmp_path):
+    """Duplicates of (event_type, props) inside the watermark horizon are
+    dropped — both within one micro-batch and across micro-batches — and
+    the survivor set matches the batch dedup of the same files."""
+    d = tmp_path / "dup_src"
+    d.mkdir()
+    T0 = 1_700_000_000 * 1_000_000_000
+    MIN = 60 * 1_000_000_000
+
+    def ev(i, t_min, typ, props):
+        return (i, T0 + t_min * MIN, 1, typ, 1.0, props)
+
+    # batch 1: A, B, dup-of-A (same batch)
+    _write_events_file(
+        str(d / "a.parquet"),
+        [ev(0, 1, "click", "p1"), ev(1, 2, "view", "p2"), ev(2, 3, "click", "p1")],
+    )
+    time.sleep(1.1)
+    # batch 2 (within the 30min watermark of batch 1): dup-of-B + fresh C
+    _write_events_file(
+        str(d / "b.parquet"), [ev(3, 5, "view", "p2"), ev(4, 6, "buy", "p3")]
+    )
+
+    got = run_available_now(
+        dedup_stream(events_stream(spark, str(d), max_files_per_trigger=1)),
+        "dedup_stream_t", output_mode="append",
+        checkpoint_dir=str(tmp_path / "ck5"),
+    ).collect()
+    assert sorted(r["event_id"] for r in got) == [0, 1, 4]
+
+    batch = dedup_stream(
+        with_event_time(spark.read.schema(EVENTS_SCHEMA).parquet(str(d)))
+    )
+    assert {r["digest"] for r in batch.collect()} == {r["digest"] for r in got}
 
 
 def test_running_totals_stateful(spark, events_dir, tmp_path):

@@ -21,6 +21,7 @@ from candia_spark.operators.multimodal import (
     binary_metadata,
     extract_features,
     frame_sample_plumbing,
+    resize_plumbing,
 )
 
 
@@ -132,6 +133,29 @@ def test_frame_sample_plumbing(payloads):
     assert sum(f[2] for f in frames0) == sum(range(64))
     # empty payload still yields n_frames rows of zero bytes
     assert sum(1 for r in rows if r["doc_id"] == 2) == 4
+
+
+def test_resize_plumbing(payloads):
+    rows = resize_plumbing(payloads, target_h=4, target_w=4).collect()
+    by_id = {r["doc_id"]: r for r in rows}
+    assert set(by_id) == {0, 1, 2}
+    # 64 bytes -> 8x8 grid; 4x4 area-mean of an 8x8 of 0..63: each output
+    # cell is the mean of a 2x2 block, e.g. top-left = mean(0,1,8,9) = 4.5
+    # -> rounds to 4 (numpy banker's rounding: 4.5 -> 4)
+    r0 = by_id[0]
+    assert (r0["src_side"], r0["height"], r0["width"]) == (8, 4, 4)
+    px = np.frombuffer(bytes(r0["resized"]), dtype=np.uint8).reshape(4, 4)
+    src = np.arange(64, dtype=np.float64).reshape(8, 8)
+    expect = src.reshape(4, 2, 4, 2).mean(axis=(1, 3)).round().astype(np.uint8)
+    assert np.array_equal(px, expect)
+    # constant image stays constant through resize
+    p1 = np.frombuffer(bytes(by_id[1]["resized"]), dtype=np.uint8)
+    assert by_id[1]["src_side"] == 4 and (p1 == 255).all()
+    # empty payload -> 1x1 zero source, all-zero output, no crash
+    assert np.frombuffer(bytes(by_id[2]["resized"]), dtype=np.uint8).sum() == 0
+    # determinism across executions
+    again = {r["doc_id"]: bytes(r["resized"]) for r in resize_plumbing(payloads, target_h=4, target_w=4).collect()}
+    assert again == {k: bytes(v["resized"]) for k, v in by_id.items()}
 
 
 def test_custom_decoder_injection(payloads):
