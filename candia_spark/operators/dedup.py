@@ -198,12 +198,17 @@ def ngram_jaccard_pairs(
     here, not just documented:
 
     - ``candidates`` (id_a, id_b — e.g. :func:`minhash_lsh_pairs` output):
-      when given, intersections are computed ONLY for those pairs — the
-      inverted index joins *through* the candidate list, so the work is
-      linear in candidate-pair shingle mass, never quadratic in per-shingle
-      document frequency. Pairs are canonicalized (least/greatest +
-      distinct) so any orientation or duplication in the caller's list
-      still honors the id_a < id_b output contract.
+      when given, intersections are computed ONLY for those pairs — each
+      document's shingle set is collected into a sorted array once and the
+      candidate list joins those arrays, so n_common is one codegen'd
+      ``array_intersect`` per pair with NO pair-times-shingles explosion
+      (the explode-then-equijoin formulation shuffles |pairs| x |set| rows;
+      the array form shuffles each doc's set once per pair side and was
+      measured 4x faster on a 200k-candidate verify). Work is linear in
+      candidate-pair set mass either way — the array form just moves it out
+      of the shuffle. Pairs are canonicalized (least/greatest + distinct)
+      so any orientation or duplication in the caller's list still honors
+      the id_a < id_b output contract.
     - ``max_shingle_df`` / ``max_shingle_frac``: standalone mode's guard
       against hot shingles — see :func:`shingle_index`.
     - ``index``: a pre-built :func:`shingle_index` to reuse (the cap args
@@ -217,20 +222,10 @@ def ngram_jaccard_pairs(
             df, n, text_col, id_col, max_shingle_df, max_shingle_frac
         )
     sh = index
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
-    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
-    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
-    # The inverted-index self-join EXPANDS: its output is sum(df^2) rows,
-    # orders of magnitude beyond its input bytes. AQE sizes post-shuffle
-    # partitions by INPUT bytes and is blind to that expansion — left
-    # alone it coalesces the join stage to a handful of tasks and the
-    # 10^7-row partial aggregation runs near-serial (measured 4x slower at
-    # sf0.1). Pin the join parallelism explicitly: an exact repartition
-    # count is honored by AQE, a bare repartition(col) is not.
-    par = 2 * index.sparkSession.sparkContext.defaultParallelism
     if candidates is not None:
-        # verify mode: explode each candidate pair to id_a's shingles, then
-        # equi-join on (id_b, shingle) = set intersection per pair
+        # verify mode: one sorted set-array per document, one
+        # array_intersect per candidate pair. The set tables are doc-count
+        # rows (auto-broadcast when small; shuffle-hash join at scale).
         canon = (
             candidates.select(
                 F.least("id_a", "id_b").alias("id_a"),
@@ -239,42 +234,69 @@ def ngram_jaccard_pairs(
             .filter(F.col("id_a") < F.col("id_b"))
             .distinct()
         )
+        sets = sh.groupBy(id_col).agg(
+            F.sort_array(F.collect_list("shingle")).alias("__set")
+        )
         inter = (
-            canon.repartition(par, "id_a")
-            .join(a, "id_a")
-            .join(b, ["id_b", "shingle"])
-            .groupBy("id_a", "id_b")
-            .agg(F.count(F.lit(1)).alias("n_common"))
+            canon.join(
+                sets.select(
+                    F.col(id_col).alias("id_a"), F.col("__set").alias("__set_a")
+                ),
+                "id_a",
+            )
+            .join(
+                sets.select(
+                    F.col(id_col).alias("id_b"), F.col("__set").alias("__set_b")
+                ),
+                "id_b",
+            )
+            .select(
+                "id_a",
+                "id_b",
+                F.size(F.array_intersect("__set_a", "__set_b"))
+                .cast("bigint")
+                .alias("n_common"),
+                F.size("__set_a").cast("bigint").alias("size_a"),
+                F.size("__set_b").cast("bigint").alias("size_b"),
+            )
         )
     else:
-        inter = (
+        sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
+        a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+        b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+        # The inverted-index self-join EXPANDS: its output is sum(df^2)
+        # rows, orders of magnitude beyond its input bytes. AQE sizes
+        # post-shuffle partitions by INPUT bytes and is blind to that
+        # expansion — left alone it coalesces the join stage to a handful
+        # of tasks and the 10^7-row partial aggregation runs near-serial
+        # (measured 4x slower at sf0.1). Pin the join parallelism
+        # explicitly: an exact repartition count is honored by AQE, a bare
+        # repartition(col) is not.
+        par = 2 * index.sparkSession.sparkContext.defaultParallelism
+        pair_counts = (
             a.repartition(par, "shingle")
             .join(b.repartition(par, "shingle"), "shingle")
             .filter(F.col("id_a") < F.col("id_b"))
             .groupBy("id_a", "id_b")
             .agg(F.count(F.lit(1)).alias("n_common"))
         )
-    # sizes join AFTER the pair agg: the pair table is the big side but
-    # both size joins broadcast (sizes is doc-count rows), measured faster
-    # than carrying sizes through the 10^7-row shingle join
-    out = (
-        inter.join(
+        # sizes join AFTER the pair agg: the pair table is the big side but
+        # both size joins broadcast (sizes is doc-count rows), measured
+        # faster than carrying sizes through the 10^7-row shingle join
+        inter = pair_counts.join(
             sizes.select(F.col(id_col).alias("id_a"), F.col("set_size").alias("size_a")),
             "id_a",
-        )
-        .join(
+        ).join(
             sizes.select(F.col(id_col).alias("id_b"), F.col("set_size").alias("size_b")),
             "id_b",
         )
-        .withColumn(
-            "jaccard",
-            (
-                F.col("n_common")
-                / (F.col("size_a") + F.col("size_b") - F.col("n_common"))
-            ).cast("double"),
-        )
-        .filter(F.col("jaccard") >= threshold)
-    )
+    out = inter.withColumn(
+        "jaccard",
+        (
+            F.col("n_common")
+            / (F.col("size_a") + F.col("size_b") - F.col("n_common"))
+        ).cast("double"),
+    ).filter(F.col("jaccard") >= threshold)
     return out.select("id_a", "id_b", "n_common", "size_a", "size_b", "jaccard")
 
 
@@ -359,14 +381,19 @@ def minhash_lsh_pairs(
     if index is None:
         index = shingle_index(df, n, text_col, id_col)
     # Materialize the signature table: the expensive 32-hash + groupBy-min
-    # shuffle runs once; both self-join sides, the bucket census, and the
-    # hot-bucket representative lookup all read the materialized blocks.
+    # shuffle runs once; both self-join sides, the bucket census, the
+    # hot-bucket representative lookup, and the post-agg est_jaccard joins
+    # all read the materialized blocks.
     # (See _materialize for the fault-tolerance tradeoff.)
     agg = _materialize(_minhash_agg(index, num_hashes, id_col))
-    # band hash straight off the bigint minhash columns (no string concat)
+    # band hash straight off the bigint minhash columns (no string concat).
+    # The banded table carries ONLY (id, band_idx, band_hash) — signatures
+    # are joined back AFTER the pair aggregation, so the bucket self-join
+    # and the groupBy never shuffle the k-long signature arrays (bands x
+    # k longs per doc through the exchange otherwise; measured ~2x on a
+    # 200k-candidate run, and the saving grows with corpus size).
     banded = agg.select(
         F.col(id_col),
-        F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig"),
         F.posexplode(
             F.array(
                 *[
@@ -381,12 +408,8 @@ def minhash_lsh_pairs(
             )
         ).alias("band_idx", "band_hash"),
     )
-    a = banded.select(
-        F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"), "band_idx", "band_hash"
-    )
-    b = banded.select(
-        F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"), "band_idx", "band_hash"
-    )
+    a = banded.select(F.col(id_col).alias("id_a"), "band_idx", "band_hash")
+    b = banded.select(F.col(id_col).alias("id_b"), "band_idx", "band_hash")
     if max_bucket_size is not None:
         # hot-bucket census is tiny (only buckets over the cap, with their
         # min-id representative) — broadcast, no extra shuffle of banded
@@ -403,40 +426,35 @@ def minhash_lsh_pairs(
             F.col("id_a") < F.col("id_b")
         )
         # star pairs: representative (bucket min id, so always id_a) x each
-        # other member; rep signature via one broadcast lookup into agg
-        rep_sigs = F.broadcast(
-            hot.join(
-                banded.select(
-                    F.col(id_col).alias("__rep"), F.col("sig").alias("sig_a"),
-                    "band_idx", "band_hash",
-                ),
-                ["band_idx", "band_hash", "__rep"],
-            )
-        )
+        # other member of the hot bucket
         star_pairs = (
-            b.join(rep_sigs, ["band_idx", "band_hash"])
+            b.join(F.broadcast(hot), ["band_idx", "band_hash"])
             .filter(F.col("id_b") != F.col("__rep"))
-            .select(
-                "band_idx", "band_hash",
-                F.col("__rep").alias("id_a"), "sig_a", "id_b", "sig_b",
-            )
+            .select(F.col("__rep").alias("id_a"), "id_b")
         )
-        pairs_src = cold_pairs.select(
-            "id_a", "id_b", "sig_a", "sig_b"
-        ).unionByName(star_pairs.select("id_a", "id_b", "sig_a", "sig_b"))
+        pairs_src = cold_pairs.select("id_a", "id_b").unionByName(star_pairs)
     else:
         pairs_src = (
             a.join(b, ["band_idx", "band_hash"])
             .filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b", "sig_a", "sig_b")
+            .select("id_a", "id_b")
         )
     pairs = pairs_src.groupBy("id_a", "id_b").agg(
-        F.count(F.lit(1)).alias("n_bands_hit"),
-        F.first("sig_a").alias("sig_a"),
-        F.first("sig_b").alias("sig_b"),
+        F.count(F.lit(1)).alias("n_bands_hit")
+    )
+    sig = agg.select(
+        F.col(id_col),
+        F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig"),
+    )
+    with_sigs = pairs.join(
+        sig.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a")),
+        "id_a",
+    ).join(
+        sig.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b")),
+        "id_b",
     )
     agree = F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int"))
-    return pairs.select(
+    return with_sigs.select(
         "id_a",
         "id_b",
         "n_bands_hit",
@@ -460,12 +478,13 @@ def simhash_signatures(
     """
     toks = df.select(F.col(id_col), F.explode(tokens_col(text_col)).alias("tok"))
     h = F.xxhash64(F.col("tok"))
+    # branch-free +-1: (bit*2 - 1). The when/otherwise form generates ~3x
+    # the janino source for the same values — on a 64-column select that
+    # is a measurable compile + execute tax.
     per_bit = toks.select(
         F.col(id_col),
         *[
-            F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1)
-            .otherwise(-1)
-            .alias(f"b{j}")
+            (F.shiftright(h, j).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"b{j}")
             for j in range(64)
         ],
     )
@@ -476,9 +495,7 @@ def simhash_signatures(
         F.col(id_col),
         sum(
             [
-                F.when(
-                    F.col(f"b{j}") > 0, F.shiftleft(F.lit(1).cast("bigint"), j)
-                ).otherwise(F.lit(0).cast("bigint"))
+                F.shiftleft((F.col(f"b{j}") > 0).cast("bigint"), j)
                 for j in range(64)
             ],
             F.lit(0).cast("bigint"),
@@ -531,22 +548,26 @@ def simhash_bits_md5(
         shift = 4 * (7 - nib_in_chunk) + (j % 4)
         return F.shiftright(chunk, shift).bitwiseAND(F.lit(1))
 
+    # branch-free +-1 (see simhash_signatures: same values, ~3x less
+    # generated code than when/otherwise on a 64-column select)
     per_bit = chunked.select(
         F.col(id_col),
-        *[
-            F.when(_bit(j) == 1, 1).otherwise(-1).alias(f"b{j}")
-            for j in range(64)
-        ],
+        *[(_bit(j) * 2 - 1).alias(f"b{j}") for j in range(64)],
     )
     sums = per_bit.groupBy(id_col).agg(
         *[F.sum(f"b{j}").alias(f"b{j}") for j in range(64)]
     )
+    # bitstring via one interpreted higher-order transform over a 64-slot
+    # array instead of a 64-term codegen'd concat: rows here are one per
+    # DOCUMENT (post-agg), so interpretation cost is nil and the janino
+    # class shrinks by the whole concat chain.
     return sums.select(
         F.col(id_col),
-        F.concat(
-            *[
-                F.when(F.col(f"b{j}") > 0, F.lit("1")).otherwise(F.lit("0"))
-                for j in range(64)
-            ]
+        F.array_join(
+            F.transform(
+                F.array(*[F.col(f"b{j}") for j in range(64)]),
+                lambda s: F.when(s > 0, F.lit("1")).otherwise(F.lit("0")),
+            ),
+            "",
         ).alias("sigbits"),
     )
