@@ -466,6 +466,101 @@ def minhash_lsh_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Collapse a near-duplicate pair graph into components: one row per
+    node, labeled with its component's minimum id. Output: (node, rep).
+
+    This is the consumer the pair generators (minhash_lsh_pairs /
+    ngram_jaccard_pairs / cosine_dup_pairs) are designed for — including
+    the hot-bucket star pairs, whose connectivity contract ("every member
+    pairs with the representative") exists precisely so this collapse
+    yields the same components as the uncapped pair set.
+
+    Algorithm: alternating large-star / small-star contractions (the
+    standard MapReduce connected-components formulation — converges in
+    O(log^2 n) rounds, each round one groupBy-min plus one equi-join, so
+    the per-round shuffle carries edge rows only, never component
+    membership lists):
+
+    - large-star: every node v > u moves its edge to m(u) = min of u's
+      neighborhood including u.
+    - small-star: every smaller-side neighbor of u (and u itself) edges to
+      the minimum of u's smaller-side neighborhood.
+
+    Each round's edge set is materialized (lineage truncation — iterative
+    plans otherwise grow exponentially) and convergence is detected by an
+    order-insensitive (count, hash-sum) fingerprint, one tiny agg per
+    round. Dedup graphs converge in a handful of rounds: near-dup clusters
+    are near-cliques, and star pairs are depth-1 already.
+    """
+    e = (
+        pairs.select(
+            F.least(id_a, id_b).alias("a"), F.greatest(id_a, id_b).alias("b")
+        )
+        .filter(F.col("a") < F.col("b"))
+        .distinct()
+    )
+    nodes = e.select(F.col("a").alias("node")).unionByName(
+        e.select(F.col("b").alias("node"))
+    ).distinct()
+    e = _materialize(e)
+    prev_fp = None
+    for _ in range(max_iter):
+        # large-star over the symmetric edge view
+        d = e.select(F.col("a").alias("u"), F.col("b").alias("v")).unionByName(
+            e.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        )
+        mins = d.groupBy("u").agg(F.min("v").alias("__mn"))
+        m = F.least(F.col("__mn"), F.col("u"))
+        large = (
+            d.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(m.alias("a"), F.col("v").alias("b"))
+            .filter(F.col("a") < F.col("b"))
+            .distinct()
+        )
+        # small-star over edges oriented big -> small (large output already
+        # has a < b, so u = b side)
+        s = large.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        mins2 = s.groupBy("u").agg(F.min("v").alias("__mn"))
+        small = (
+            s.join(mins2, "u")
+            .select(
+                F.col("__mn").alias("a"),
+                F.explode(F.array("u", "v")).alias("b"),
+            )
+            .filter(F.col("a") < F.col("b"))
+            .distinct()
+        )
+        e = _materialize(small)
+        # bit_xor: order-insensitive over the (distinct) edge set and
+        # cannot overflow (ANSI mode makes a plain sum of hashes throw)
+        fp = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(a, b))").alias("h"),
+        ).first()
+        if prev_fp == (fp["n"], fp["h"]):
+            break
+        prev_fp = (fp["n"], fp["h"])
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds"
+        )
+    labels = nodes.join(
+        e.select(F.col("b").alias("node"), F.col("a").alias("rep")),
+        "node",
+        "left",
+    ).select(
+        F.col("node"), F.coalesce(F.col("rep"), F.col("node")).alias("rep")
+    )
+    return labels
+
+
 def simhash_signatures(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

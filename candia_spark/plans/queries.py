@@ -1826,3 +1826,62 @@ def q42_embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     return cosine_dup_pairs(emb, threshold=0.4, n_bits=4, dim=64, seed=42)
+
+
+# ===========================================================================
+# q43 — near-dup graph collapse: connected components + min-id representative
+# ===========================================================================
+
+@register(
+    "q43_dedup_components",
+    # pairs CTE = the exact tau=0.7 near-dup pair set (same algebra as the
+    # q27 oracle); components via a recursive reachability closure — the
+    # component representative is the minimum reachable id. Closure size is
+    # sum of squared component sizes: fine for an oracle, which is exactly
+    # why the Spark side uses star contraction instead.
+    oracle=(
+        "WITH RECURSIVE pairs AS (\n"
+        + _JACCARD_ORACLE_TEMPLATE.format(
+            threshold="0.7", shingle_universe="SELECT * FROM sh0"
+        )
+        + """),
+    edges AS (
+        SELECT id_a AS a, id_b AS b FROM pairs
+        UNION
+        SELECT id_b, id_a FROM pairs),
+    nodes AS (SELECT DISTINCT a AS n FROM edges),
+    reach(n, r) AS (
+        SELECT n, n FROM nodes
+        UNION
+        SELECT reach.n, e.b FROM reach JOIN edges e ON e.a = reach.r)
+    SELECT CAST(n AS BIGINT) AS node, CAST(MIN(r) AS BIGINT) AS rep
+    FROM reach GROUP BY n
+    """
+    ),
+    survey_ref="dedup-collapse (north star)",
+)
+def q43_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup close-out: LSH-generate -> exact-verify near-dup pairs
+    (one shared shingle index, as in q27), then collapse the pair graph
+    into components via alternating star contraction and label every
+    member with its component's min-id representative
+    (operators.dedup.connected_components). A keep-one-per-component
+    filter is then a single anti-join of (node != rep) against the corpus."""
+    from candia_spark.operators.dedup import (
+        connected_components,
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+        shingle_index,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    idx = shingle_index(docs, n=2)
+    cands = minhash_lsh_pairs(docs, num_hashes=32, bands=16, n=2, index=idx)
+    pairs = ngram_jaccard_pairs(
+        docs, n=2, threshold=0.7, candidates=cands, index=idx
+    )
+    comp = connected_components(pairs)
+    return comp.select(
+        F.col("node").cast("bigint").alias("node"),
+        F.col("rep").cast("bigint").alias("rep"),
+    )

@@ -265,3 +265,51 @@ def test_cosine_topk_heap_matches_bruteforce(clustered_vecs):
         for r in cosine_topk_bruteforce_heap(clustered_vecs, queries, k=5).collect()
     }
     assert base == heap and len(base) == 8 * 5
+
+
+def test_connected_components_fuzz_vs_union_find(spark):
+    """Star-contraction components must equal a driver-side union-find on
+    random graphs: mixed shapes (chains force multi-round convergence,
+    cliques mirror near-dup clusters, singleton pairs stay pairs)."""
+    import random
+
+    from candia_spark.operators.dedup import connected_components
+
+    rng = random.Random(7)
+    for trial in range(3):
+        n = 60
+        edges = set()
+        # random chains (worst case for naive propagation)
+        chain = rng.sample(range(n), 12)
+        edges |= {tuple(sorted(p)) for p in zip(chain, chain[1:])}
+        # a clique
+        cl = rng.sample(range(n), 5)
+        edges |= {tuple(sorted((a, b))) for a in cl for b in cl if a < b}
+        # random extra pairs
+        for _ in range(15):
+            a, b = rng.sample(range(n), 2)
+            edges.add(tuple(sorted((a, b))))
+
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        touched = {v for e in edges for v in e}
+        expected = {v: find(v) for v in touched}
+
+        pairs = spark.createDataFrame(
+            [(a, b) for a, b in edges], "id_a long, id_b long"
+        )
+        got = {
+            r["node"]: r["rep"]
+            for r in connected_components(pairs).collect()
+        }
+        assert got == expected, f"trial {trial}"
