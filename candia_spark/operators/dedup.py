@@ -561,6 +561,59 @@ def connected_components(
     return labels
 
 
+def dedup_corpus(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+    n: int = 2,
+    num_hashes: int = 32,
+    bands: int = 16,
+    max_bucket_size: int | None = 1000,
+) -> DataFrame:
+    """End-to-end corpus dedup: the composition a training-data pipeline
+    actually runs. Returns the SURVIVING rows of ``df``.
+
+    1. exact dedup first (md5 digest, keep min id) — this is also what
+       makes the near-dup hot-bucket star-pair cap safe: giant identical
+       clusters collapse here, before LSH ever sees them.
+    2. near-dup dedup on the exact survivors: one shared shingle index ->
+       banded MinHash candidates -> exact-Jaccard verify at ``threshold``
+       -> connected-components collapse -> drop every non-representative.
+
+    Scale: each stage is the capped/shared-index form documented on its
+    operator; the final keeps are two left-anti/semi joins on bare ids.
+    """
+    keep_exact = exact_dedup(df, text_col, id_col).select(id_col)
+    survivors = df.join(keep_exact, id_col, "left_semi")
+    idx = shingle_index(survivors, n, text_col, id_col)
+    cands = minhash_lsh_pairs(
+        survivors,
+        num_hashes=num_hashes,
+        bands=bands,
+        n=n,
+        text_col=text_col,
+        id_col=id_col,
+        max_bucket_size=max_bucket_size,
+        index=idx,
+    )
+    pairs = ngram_jaccard_pairs(
+        survivors,
+        n=n,
+        threshold=threshold,
+        text_col=text_col,
+        id_col=id_col,
+        candidates=cands,
+        index=idx,
+    )
+    drop = (
+        connected_components(pairs)
+        .filter(F.col("node") != F.col("rep"))
+        .select(F.col("node").alias(id_col))
+    )
+    return survivors.join(drop, id_col, "left_anti")
+
+
 def simhash_signatures(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

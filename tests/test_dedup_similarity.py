@@ -313,3 +313,25 @@ def test_connected_components_fuzz_vs_union_find(spark):
             for r in connected_components(pairs).collect()
         }
         assert got == expected, f"trial {trial}"
+
+
+def test_dedup_corpus_end_to_end(spark):
+    """Exact copies collapse to min id; near-dup cluster keeps one
+    representative; distinct docs all survive."""
+    from candia_spark.operators.dedup import dedup_corpus
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    near1 = base + " extra"
+    near2 = base + " more extra"
+    rows = [
+        (1, base), (2, base),            # exact dups -> keep 1
+        (3, near1), (4, near2),          # near-dups of each other & of 1
+        (5, "completely different text about spark shuffles and joins"),
+        (6, "another unrelated document mentioning tensors and scans"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kept = sorted(
+        r["doc_id"] for r in dedup_corpus(df, threshold=0.5).collect()
+    )
+    # 2 drops as exact dup of 1; 3,4 join 1's near-dup component
+    assert kept == [1, 5, 6], kept

@@ -150,3 +150,35 @@ def test_q42_embedding_dups_no_cartesian(spark):
     assert "Python" not in plan
     # bucket equi-join present (broadcast at this scale; SMJ at corpus scale)
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_minhash_pair_shuffles_carry_no_signatures(spark):
+    """The LSH bucket self-join and pair aggregation must move only
+    (id, band) / (id_a, id_b) rows; the k-long minhash signature arrays
+    join back AFTER the pair agg (broadcast at this scale). A sig column
+    inside any exchange or aggregate is the shuffle-mass regression this
+    pins against."""
+    from candia_spark.operators.dedup import minhash_lsh_pairs
+
+    df = minhash_lsh_pairs(load_table(spark, SF, "documents"))
+    plan = plan_of(df)
+    for ln in plan.splitlines():
+        if "Exchange hashpartitioning" in ln or "HashAggregate" in ln:
+            assert "sig" not in ln, ln
+
+
+def test_jaccard_verify_uses_array_intersect(spark):
+    """Candidate verification must be the set-array form (one
+    array_intersect per pair), not the pair-times-postings explode join."""
+    from candia_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+        shingle_index,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    idx = shingle_index(docs, n=2)
+    cands = minhash_lsh_pairs(docs, index=idx)
+    out = ngram_jaccard_pairs(docs, threshold=0.7, candidates=cands, index=idx)
+    plan = optimized_of(out)
+    assert "array_intersect" in plan
