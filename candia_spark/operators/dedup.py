@@ -494,41 +494,57 @@ def connected_components(
 
     Each round's edge set is materialized (lineage truncation — iterative
     plans otherwise grow exponentially) and convergence is detected by an
-    order-insensitive (count, hash-sum) fingerprint, one tiny agg per
-    round. Dedup graphs converge in a handful of rounds: near-dup clusters
-    are near-cliques, and star pairs are depth-1 already.
+    order-insensitive (count, xor-hash) fingerprint observed ON the
+    materialization pass itself (Observation API), so every round is
+    exactly ONE Spark job. Dedup graphs converge in a handful of rounds:
+    near-dup clusters are near-cliques, and star pairs are depth-1 already.
     """
-    e = (
+    from pyspark.sql import Observation
+
+    e = _materialize(
         pairs.select(
             F.least(id_a, id_b).alias("a"), F.greatest(id_a, id_b).alias("b")
         )
         .filter(F.col("a") < F.col("b"))
         .distinct()
     )
-    nodes = e.select(F.col("a").alias("node")).unionByName(
-        e.select(F.col("b").alias("node"))
-    ).distinct()
-    e = _materialize(e)
-    prev_fp = None
-    for _ in range(max_iter):
-        # large-star over the symmetric edge view
-        d = e.select(F.col("a").alias("u"), F.col("b").alias("v")).unionByName(
-            e.select(F.col("b").alias("u"), F.col("a").alias("v"))
+
+    def _materialize_observed(df: DataFrame, obs: Observation) -> DataFrame:
+        """One Spark job per round: the convergence fingerprint rides the
+        materialization pass as observed metrics instead of a second agg
+        job over the checkpointed edges."""
+        observed = df.observe(
+            obs,
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(a, b))").alias("h"),
         )
+        if os.environ.get("CANDIA_SPARK_RELIABLE"):
+            out = observed.persist()
+            out.count()  # materialize the cache (persist alone is lazy)
+            return out
+        return observed.localCheckpoint(eager=True)
+
+    def _superstep(edges: DataFrame) -> DataFrame:
+        """One large-star + small-star contraction. No intermediate
+        distinct: large-star emits exactly one row per input edge (each
+        undirected edge is seen with v > u once), so the blowup bound is
+        2|E| rows into small-star's explode — the final distinct dedups
+        everything in one exchange instead of two."""
+        d = edges.select(
+            F.col("a").alias("u"), F.col("b").alias("v")
+        ).unionByName(edges.select(F.col("b").alias("u"), F.col("a").alias("v")))
         mins = d.groupBy("u").agg(F.min("v").alias("__mn"))
         m = F.least(F.col("__mn"), F.col("u"))
+        # large-star: v > u re-edges to m(u); m <= u < v so a < b holds
         large = (
             d.join(mins, "u")
             .filter(F.col("v") > F.col("u"))
             .select(m.alias("a"), F.col("v").alias("b"))
-            .filter(F.col("a") < F.col("b"))
-            .distinct()
         )
-        # small-star over edges oriented big -> small (large output already
-        # has a < b, so u = b side)
+        # small-star over edges oriented big -> small (u = b side)
         s = large.select(F.col("b").alias("u"), F.col("a").alias("v"))
         mins2 = s.groupBy("u").agg(F.min("v").alias("__mn"))
-        small = (
+        return (
             s.join(mins2, "u")
             .select(
                 F.col("__mn").alias("a"),
@@ -537,26 +553,31 @@ def connected_components(
             .filter(F.col("a") < F.col("b"))
             .distinct()
         )
-        e = _materialize(small)
+
+    prev_fp = None
+    for it in range(max_iter):
+        small = _superstep(e)
         # bit_xor: order-insensitive over the (distinct) edge set and
         # cannot overflow (ANSI mode makes a plain sum of hashes throw)
-        fp = e.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.expr("bit_xor(xxhash64(a, b))").alias("h"),
-        ).first()
-        if prev_fp == (fp["n"], fp["h"]):
+        obs = Observation(f"cc_round_{it}")
+        e = _materialize_observed(small, obs)
+        fp = (obs.get["n"], obs.get["h"])
+        if prev_fp == fp:
             break
-        prev_fp = (fp["n"], fp["h"])
+        prev_fp = fp
     else:
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds"
         )
-    labels = nodes.join(
-        e.select(F.col("b").alias("node"), F.col("a").alias("rep")),
-        "node",
-        "left",
-    ).select(
-        F.col("node"), F.coalesce(F.col("rep"), F.col("node")).alias("rep")
+    # At the fixpoint the edge set IS a star forest rooted at component
+    # minima: members appear as b exactly once, roots only as a. Every
+    # node of the input pair graph appears (pairs have no singletons), so
+    # labels come straight off the converged edges — no join back to the
+    # original node set.
+    labels = e.select(
+        F.col("b").alias("node"), F.col("a").alias("rep")
+    ).unionByName(
+        e.select(F.col("a").alias("node"), F.col("a").alias("rep")).distinct()
     )
     return labels
 

@@ -1834,16 +1834,15 @@ def q42_embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q43_dedup_components",
-    # pairs CTE = the exact tau=0.7 near-dup pair set (same algebra as the
-    # q27 oracle); components via a recursive reachability closure — the
-    # component representative is the minimum reachable id. Closure size is
-    # sum of squared component sizes: fine for an oracle, which is exactly
-    # why the Spark side uses star contraction instead.
+    # pairs CTE = q42's exact embedding near-dup pair set (pinned planes,
+    # multiprobe candidates, cosine >= 0.4 verify); components via a
+    # recursive reachability closure — the representative is the minimum
+    # reachable id. Closure size is sum of squared component sizes: fine
+    # for an oracle, which is exactly why the Spark side uses star
+    # contraction instead.
     oracle=(
         "WITH RECURSIVE pairs AS (\n"
-        + _JACCARD_ORACLE_TEMPLATE.format(
-            threshold="0.7", shingle_universe="SELECT * FROM sh0"
-        )
+        + _q42_oracle()
         + """),
     edges AS (
         SELECT id_a AS a, id_b AS b FROM pairs
@@ -1861,26 +1860,20 @@ def q42_embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey_ref="dedup-collapse (north star)",
 )
 def q43_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The dedup close-out: LSH-generate -> exact-verify near-dup pairs
-    (one shared shingle index, as in q27), then collapse the pair graph
-    into components via alternating star contraction and label every
-    member with its component's min-id representative
-    (operators.dedup.connected_components). A keep-one-per-component
-    filter is then a single anti-join of (node != rep) against the corpus."""
-    from candia_spark.operators.dedup import (
-        connected_components,
-        minhash_lsh_pairs,
-        ngram_jaccard_pairs,
-        shingle_index,
-    )
+    """The dedup close-out: generate-verify near-dup pairs (here q42's
+    embedding-cosine graph; the operator is identical over the MinHash or
+    SimHash graphs — dedup_corpus runs it on the Jaccard-verified pairs),
+    then collapse the pair graph into components via alternating star
+    contraction and label every member with its component's min-id
+    representative (operators.dedup.connected_components). A
+    keep-one-per-component filter is then a single anti-join of
+    (node != rep) against the corpus."""
+    from candia_spark.operators.dedup import connected_components
+    from candia_spark.operators.similarity import cosine_dup_pairs
 
-    docs = _t(spark, sf_dir, "documents")
-    idx = shingle_index(docs, n=2)
-    cands = minhash_lsh_pairs(docs, num_hashes=32, bands=16, n=2, index=idx)
-    pairs = ngram_jaccard_pairs(
-        docs, n=2, threshold=0.7, candidates=cands, index=idx
-    )
-    comp = connected_components(pairs)
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = cosine_dup_pairs(emb, threshold=0.4, n_bits=4, dim=64, seed=42)
+    comp = connected_components(pairs, id_a="id_a", id_b="id_b")
     return comp.select(
         F.col("node").cast("bigint").alias("node"),
         F.col("rep").cast("bigint").alias("rep"),
