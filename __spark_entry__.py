@@ -19,7 +19,10 @@ from pyspark.sql import DataFrame, SparkSession
 def _configure(spark: SparkSession) -> SparkSession:
     """Apply session confs the engine relies on (the driver owns the session)."""
     try:
-        # events.parquet is TIMESTAMP(NANOS) — unreadable without this.
+        # On Spark <= 4.0 this makes events.parquet (TIMESTAMP(NANOS)) read
+        # as long nanos; on 4.1+ it silently no-ops and the column reads as
+        # timestamp_ntz. NOT load-bearing either way: tables.load_table
+        # normalizes whichever representation comes back to long nanos.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         spark.conf.set("spark.sql.session.timeZone", "UTC")
         spark.conf.set("spark.sql.adaptive.enabled", "true")

@@ -35,6 +35,7 @@ def main() -> None:
     names = [n for n in HEADLINE if n in QUERY_REGISTRY]
     extra = [n for n in QUERY_REGISTRY if n not in names]
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
 
     # Warm the JVM/codegen once per execution family so the measured runs
     # reflect steady-state execution, not session startup: one relational
@@ -43,7 +44,10 @@ def main() -> None:
     # a tiny mapInPandas job (forks the Python worker pool and initializes
     # the Arrow serialization path, which otherwise lands on whichever
     # pandas-UDF query runs first — measured ~2.5s attributed to q36).
-    QUERY_REGISTRY[names[0]].spark(spark, sf_dir).count()
+    try:
+        QUERY_REGISTRY[names[0]].spark(spark, sf_dir).count()
+    except Exception:
+        pass
     try:
         from pyspark.sql import functions as F
 
@@ -59,30 +63,38 @@ def main() -> None:
     except Exception:
         pass
 
+    # Per-query fault isolation: one broken query must never cost the
+    # round its timings (round 3 lost ALL perf evidence to a single
+    # AnalysisException). Errors are recorded in the JSON instead.
     for name in names + extra:
         t0 = time.perf_counter()
-        df = QUERY_REGISTRY[name].spark(spark, sf_dir)
-        # Force full evaluation of every output column, not just a count.
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        try:
+            df = QUERY_REGISTRY[name].spark(spark, sf_dir)
+            # Force full evaluation of every output column, not just a count.
+            df.write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as exc:  # noqa: BLE001 — isolate, record, continue
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
 
     total = round(sum(timings.values()), 3)
     try:
         sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
     except ValueError:
         sf = None
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "total_query_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
     spark.stop()
+    # Exit 0 as long as at least one query produced a timing; rc=1 only
+    # when the harness measured nothing at all.
+    return 0 if timings else 1
 
 
 if __name__ == "__main__":

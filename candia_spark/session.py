@@ -50,9 +50,11 @@ def get_spark(
         # Deterministic session timezone so timestamp-derived keys hash
         # identically against the DuckDB oracle.
         .config("spark.sql.session.timeZone", "UTC")
-        # The driver's events table stores TIMESTAMP(NANOS) parquet, which
-        # Spark cannot represent natively; read it as raw nanosecond longs.
-        # Convention: `ts div 1000` (microseconds) == DuckDB `epoch_us(ts)`.
+        # Spark <= 4.0: read TIMESTAMP(NANOS) parquet as raw nanosecond
+        # longs. Spark 4.1+ ignores this conf and reads timestamp_ntz;
+        # tables._normalize_event_ts converts either representation back to
+        # long nanos, so the engine's `ts div 1000 == epoch_us(ts)`
+        # convention holds on every Spark. Kept for old-Spark determinism.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")

@@ -29,11 +29,15 @@ from pyspark.sql.types import (
     StringType,
     StructField,
     StructType,
+    TimestampNTZType,
+    TimestampType,
 )
 
-# Explicit schema for the events parquet (ts is TIMESTAMP(NANOS); with
-# spark.sql.legacy.parquet.nanosAsLong it surfaces as long nanoseconds —
-# streaming file sources require a user schema anyway).
+# Nominal schema of the events parquet when ``ts`` reads as long nanos
+# (Spark <= 4.0 with spark.sql.legacy.parquet.nanosAsLong). On Spark 4.1+
+# the same file reads ``ts`` as timestamp_ntz, so ``events_stream`` infers
+# the schema from the files instead of trusting this constant; it remains
+# exported for callers constructing synthetic long-ts event frames.
 EVENTS_SCHEMA = StructType(
     [
         StructField("event_id", LongType()),
@@ -47,18 +51,37 @@ EVENTS_SCHEMA = StructType(
 
 
 def with_event_time(df: DataFrame, ts_col: str = "ts") -> DataFrame:
-    """Attach a proper TimestampType ``event_time`` from long-nanos ``ts``."""
-    return df.withColumn(
-        "event_time", F.timestamp_micros((F.col(ts_col) / 1000).cast("bigint"))
-    )
+    """Attach a proper TimestampType ``event_time`` from ``ts``.
+
+    Schema-adaptive: accepts long nanoseconds (legacy nanosAsLong read) or
+    timestamp / timestamp_ntz (Spark 4.1+ native TIMESTAMP(NANOS) read,
+    micro precision). Both land on the same micro-exact event_time, so the
+    streaming operators are insensitive to which Spark read the files.
+    """
+    dt = df.schema[ts_col].dataType
+    if isinstance(dt, LongType):
+        ev = F.timestamp_micros(F.expr(f"{ts_col} div 1000"))
+    elif isinstance(dt, (TimestampType, TimestampNTZType)):
+        # Session tz is UTC, so ntz -> ltz cast is instant-preserving.
+        ev = F.col(ts_col).cast("timestamp")
+    else:
+        raise TypeError(f"{ts_col} has unsupported event-time type {dt}")
+    return df.withColumn("event_time", ev)
 
 
 def events_stream(
     spark: SparkSession, path: str, max_files_per_trigger: int | None = None
 ) -> DataFrame:
     """File-source event stream (one micro-batch per file when
-    ``max_files_per_trigger=1`` — deterministic replay for tests)."""
-    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    ``max_files_per_trigger=1`` — deterministic replay for tests).
+
+    Streaming file sources require an explicit schema; rather than pin one
+    (it differs across Spark versions for TIMESTAMP(NANOS) columns), take
+    it from a metadata-only batch read of the same path — the stream then
+    always matches what this Spark actually decodes.
+    """
+    schema = spark.read.parquet(path).schema
+    reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     return with_event_time(reader.parquet(path))

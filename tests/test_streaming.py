@@ -4,7 +4,6 @@ stateful operator — all drained deterministically via availableNow."""
 
 from __future__ import annotations
 
-import os
 import time
 
 import pyarrow as pa
@@ -13,6 +12,7 @@ import pytest
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from candia_spark.tables import load_table
 from candia_spark.streaming import (
     EVENTS_SCHEMA,
     dedup_stream,
@@ -49,14 +49,11 @@ def _write_events_file(path: str, rows: list[tuple]) -> None:
 @pytest.fixture(scope="module")
 def events_dir(spark, tmp_path_factory):
     """The sf0.001 events split time-ordered into two files (two
-    micro-batches under maxFilesPerTrigger=1)."""
+    micro-batches under maxFilesPerTrigger=1). Rows come through
+    ``load_table`` so ``ts`` is long nanos regardless of how this Spark
+    decodes TIMESTAMP(NANOS) parquet."""
     d = tmp_path_factory.mktemp("events_src")
-    rows = [
-        tuple(r)
-        for r in spark.read.parquet(os.path.join(SF, "events.parquet"))
-        .orderBy("ts")
-        .collect()
-    ]
+    rows = [tuple(r) for r in load_table(spark, SF, "events").orderBy("ts").collect()]
     half = len(rows) // 2
     _write_events_file(str(d / "part-000.parquet"), rows[:half])
     time.sleep(1.1)  # file source orders micro-batches by mtime
