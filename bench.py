@@ -90,6 +90,16 @@ def main() -> None:
     }
     if errors:
         out["errors"] = errors
+    # Convergence telemetry: the contraction-round count of the last
+    # connected-components collapse (q43) — a convergence regression shows
+    # up as a number here rather than as silent wall-time.
+    try:
+        from candia_spark.operators.dedup import LAST_CC_TELEMETRY
+
+        if LAST_CC_TELEMETRY:
+            out["cc_rounds"] = LAST_CC_TELEMETRY.get("rounds")
+    except Exception:
+        pass
     print(json.dumps(out))
     spark.stop()
     # Exit 0 as long as at least one query produced a timing; rc=1 only

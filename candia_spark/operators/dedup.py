@@ -466,11 +466,19 @@ def minhash_lsh_pairs(
     )
 
 
+# Telemetry from the most recent connected_components call on this driver
+# (contraction-round count). Convergence regressions (deep chain graphs)
+# show up here as a number instead of as silent wall-time; bench.py copies
+# it into the bench JSON.
+LAST_CC_TELEMETRY: dict[str, int] = {}
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 25,
+    telemetry: dict | None = None,
 ) -> DataFrame:
     """Collapse a near-duplicate pair graph into components: one row per
     node, labeled with its component's minimum id. Output: (node, rep).
@@ -555,12 +563,14 @@ def connected_components(
         )
 
     prev_fp = None
+    rounds = 0
     for it in range(max_iter):
         small = _superstep(e)
         # bit_xor: order-insensitive over the (distinct) edge set and
         # cannot overflow (ANSI mode makes a plain sum of hashes throw)
         obs = Observation(f"cc_round_{it}")
         e = _materialize_observed(small, obs)
+        rounds = it + 1
         fp = (obs.get["n"], obs.get["h"])
         if prev_fp == fp:
             break
@@ -569,6 +579,9 @@ def connected_components(
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds"
         )
+    LAST_CC_TELEMETRY["rounds"] = rounds
+    if telemetry is not None:
+        telemetry["rounds"] = rounds
     # At the fixpoint the edge set IS a star forest rooted at component
     # minima: members appear as b exactly once, roots only as a. Every
     # node of the input pair graph appears (pairs have no singletons), so

@@ -106,6 +106,25 @@ TOOL_SPECS: dict[str, ToolSpec] = {
             report_format="novor",
         ),
         ToolSpec(
+            name="deepnovo",
+            # The reference drives DeepNovo via a conda-env shell dance
+            # (sequence_best_models.Snakefile:52-57: DEEPNOVO_INPUT env,
+            # pushd into the install dir, beam-search decode, copy
+            # train.example/decode_output.tab to the output). Here the same
+            # invocation is a template over a pinned install dir; the
+            # decode output is parsed by adapters.read_report("deepnovo")
+            # (the existing DeepNovo report reader).
+            executable="python",
+            path_env="DEEPNOVO_PATH",
+            command=(
+                "{exe}", "{tool_dir}/deepnovo_main.py",
+                "--train_dir", "{train_dir}",
+                "--decode", "--beam_search", "--beam_size", "{beam_size}",
+            ),
+            report_format="deepnovo",
+            defaults={"beam_size": 5, "train_dir": "train.example"},
+        ),
+        ToolSpec(
             name="diaumpire",
             executable="java",
             path_env="DIAUMPIRE_PATH",

@@ -308,11 +308,26 @@ def test_connected_components_fuzz_vs_union_find(spark):
         pairs = spark.createDataFrame(
             [(a, b) for a, b in edges], "id_a long, id_b long"
         )
+        telemetry: dict = {}
         got = {
             r["node"]: r["rep"]
-            for r in connected_components(pairs).collect()
+            for r in connected_components(pairs, telemetry=telemetry).collect()
         }
         assert got == expected, f"trial {trial}"
+        # Convergence telemetry: rounds executed, bounded and > 0 (chains
+        # force multi-round convergence; O(log^2 n) upper bound).
+        assert 0 < telemetry["rounds"] <= 25
+
+
+def test_connected_components_round_telemetry_module_level(spark):
+    from candia_spark.operators.dedup import (
+        LAST_CC_TELEMETRY,
+        connected_components,
+    )
+
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    connected_components(pairs).collect()
+    assert LAST_CC_TELEMETRY.get("rounds", 0) > 0
 
 
 def test_dedup_corpus_end_to_end(spark):

@@ -85,6 +85,23 @@ def test_run_distributed_one_task_per_input(spark, fake_novor, tmp_path):
         assert os.path.exists(str(tmp_path / f"r{i}.csv"))
 
 
+def test_deepnovo_spec_command_and_report_format():
+    """The de novo seam covers both reference sequencers: novor (shell) and
+    DeepNovo (python decode, sequence_best_models.Snakefile:52-57)."""
+    from candia_spark.sources.adapters import REPORT_FORMATS
+
+    spec = TOOL_SPECS["deepnovo"]
+    assert spec.report_format in REPORT_FORMATS
+    w = ToolWrapper("deepnovo", executable_override="sh")
+    cmd = w.build_command(tool_dir="/opt/DeepNovo")
+    assert cmd[1:] == [
+        "/opt/DeepNovo/deepnovo_main.py", "--train_dir", "train.example",
+        "--decode", "--beam_search", "--beam_size", "5",
+    ]
+    # install dir resolves from DEEPNOVO_PATH when not passed explicitly
+    assert spec.path_env == "DEEPNOVO_PATH"
+
+
 def test_all_specs_have_placeholder_closure():
     """Every template placeholder must come from defaults, run() params, or
     the reserved names — formatting with a probe dict must not KeyError on
