@@ -24,6 +24,7 @@ import os
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructField, StructType
 
 # Tokenization convention shared with the DuckDB oracles: lowercase, split
 # on single spaces, drop empties.
@@ -355,10 +356,16 @@ def minhash_lsh_pairs(
     id_col: str = "doc_id",
     max_bucket_size: int | None = 1000,
     index: DataFrame | None = None,
+    with_est_jaccard: bool = True,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded MinHash: documents agreeing
     on all rows of any band collide. Output: (id_a, id_b, n_bands_hit,
     est_jaccard = fraction of agreeing minhashes).
+
+    ``with_est_jaccard=False`` drops the est_jaccard column and with it the
+    two signature joins that produce it — the right call in
+    LSH-then-verify pipelines (:func:`dedup_corpus`, q27), where exact
+    Jaccard supersedes the estimate and the candidate list only needs ids.
 
     Scale: pair generation happens inside band buckets only — a self-join
     on (band_idx, band_hash), never on the full doc set. Hot buckets are
@@ -410,15 +417,25 @@ def minhash_lsh_pairs(
     )
     a = banded.select(F.col(id_col).alias("id_a"), "band_idx", "band_hash")
     b = banded.select(F.col(id_col).alias("id_b"), "band_idx", "band_hash")
+    hot = None
     if max_bucket_size is not None:
         # hot-bucket census is tiny (only buckets over the cap, with their
-        # min-id representative) — broadcast, no extra shuffle of banded
-        hot = (
+        # min-id representative) — broadcast, no extra shuffle of banded.
+        # The cap usually doesn't bite (hot buckets are pathological by
+        # definition), so materialize+count the over-cap set first — one
+        # small job over the materialized signatures — and keep the plain
+        # self-join plan (no anti-joins, no star branch, no union) when it
+        # is empty. Same eager-census trick as shingle_index's hot set;
+        # measured ~2s of per-call broadcast/anti-join overhead at sf0.1.
+        hot = _materialize(
             banded.groupBy("band_idx", "band_hash")
             .agg(F.count(F.lit(1)).alias("__n"), F.min(id_col).alias("__rep"))
             .filter(F.col("__n") > max_bucket_size)
             .select("band_idx", "band_hash", "__rep")
         )
+        if hot.count() == 0:
+            hot = None
+    if hot is not None:
         hot_keys = F.broadcast(hot.select("band_idx", "band_hash"))
         cold_a = a.join(hot_keys, ["band_idx", "band_hash"], "left_anti")
         cold_b = b.join(hot_keys, ["band_idx", "band_hash"], "left_anti")
@@ -442,6 +459,8 @@ def minhash_lsh_pairs(
     pairs = pairs_src.groupBy("id_a", "id_b").agg(
         F.count(F.lit(1)).alias("n_bands_hit")
     )
+    if not with_est_jaccard:
+        return pairs
     sig = agg.select(
         F.col(id_col),
         F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig"),
@@ -467,10 +486,37 @@ def minhash_lsh_pairs(
 
 
 # Telemetry from the most recent connected_components call on this driver
-# (contraction-round count). Convergence regressions (deep chain graphs)
-# show up here as a number instead of as silent wall-time; bench.py copies
-# it into the bench JSON.
+# (contraction-round count; 0 = the small-graph driver-side path ran).
+# Convergence regressions (deep chain graphs) show up here as a number
+# instead of as silent wall-time; bench.py copies it into the bench JSON.
 LAST_CC_TELEMETRY: dict[str, int] = {}
+
+
+def _union_find_labels(edge_rows) -> list[tuple]:
+    """Driver-side union-find over a bounded edge list: (node, min-id rep)
+    for every node appearing in an edge — the small-graph fast path of
+    :func:`connected_components` (same output contract as the distributed
+    star contraction)."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in edge_rows:
+        a, b = r["a"], r["b"]
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by min so every root IS its component's min id
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    return [(node, find(node)) for node in parent]
 
 
 def connected_components(
@@ -479,6 +525,7 @@ def connected_components(
     id_b: str = "id_b",
     max_iter: int = 25,
     telemetry: dict | None = None,
+    small_graph_max_edges: int | None = 2_000_000,
 ) -> DataFrame:
     """Collapse a near-duplicate pair graph into components: one row per
     node, labeled with its component's minimum id. Output: (node, rep).
@@ -506,16 +553,18 @@ def connected_components(
     materialization pass itself (Observation API), so every round is
     exactly ONE Spark job. Dedup graphs converge in a handful of rounds:
     near-dup clusters are near-cliques, and star pairs are depth-1 already.
+
+    Size-adaptive: the initial materialization already observes the edge
+    count for free, and a generate-then-verify pair graph is orders of
+    magnitude smaller than its corpus by construction. When it fits
+    ``small_graph_max_edges`` (default 2M edges ~ 32 MB on the driver) the
+    collapse finishes with a driver-side union-find — one collect + one
+    parallelize instead of ~log^2(n) shuffle rounds, worth multiple
+    whole-job round-trips per call. Larger graphs (a 100 TB corpus can
+    emit billions of verified pairs) take the distributed path untouched;
+    pass ``small_graph_max_edges=None`` to force it.
     """
     from pyspark.sql import Observation
-
-    e = _materialize(
-        pairs.select(
-            F.least(id_a, id_b).alias("a"), F.greatest(id_a, id_b).alias("b")
-        )
-        .filter(F.col("a") < F.col("b"))
-        .distinct()
-    )
 
     def _materialize_observed(df: DataFrame, obs: Observation) -> DataFrame:
         """One Spark job per round: the convergence fingerprint rides the
@@ -531,6 +580,29 @@ def connected_components(
             out.count()  # materialize the cache (persist alone is lazy)
             return out
         return observed.localCheckpoint(eager=True)
+
+    obs0 = Observation("cc_input")
+    e = _materialize_observed(
+        pairs.select(
+            F.least(id_a, id_b).alias("a"), F.greatest(id_a, id_b).alias("b")
+        )
+        .filter(F.col("a") < F.col("b"))
+        .distinct(),
+        obs0,
+    )
+
+    if small_graph_max_edges is not None and obs0.get["n"] <= small_graph_max_edges:
+        labels = _union_find_labels(e.collect())
+        LAST_CC_TELEMETRY["rounds"] = 0
+        if telemetry is not None:
+            telemetry["rounds"] = 0
+        schema = StructType(
+            [
+                StructField("node", e.schema["b"].dataType),
+                StructField("rep", e.schema["a"].dataType),
+            ]
+        )
+        return e.sparkSession.createDataFrame(labels, schema)
 
     def _superstep(edges: DataFrame) -> DataFrame:
         """One large-star + small-star contraction. No intermediate
@@ -630,6 +702,7 @@ def dedup_corpus(
         id_col=id_col,
         max_bucket_size=max_bucket_size,
         index=idx,
+        with_est_jaccard=False,
     )
     pairs = ngram_jaccard_pairs(
         survivors,

@@ -1107,7 +1107,9 @@ def q27_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     idx = shingle_index(docs, n=2)
-    cands = minhash_lsh_pairs(docs, num_hashes=32, bands=16, n=2, index=idx)
+    cands = minhash_lsh_pairs(
+        docs, num_hashes=32, bands=16, n=2, index=idx, with_est_jaccard=False
+    )
     return ngram_jaccard_pairs(
         docs, n=2, threshold=0.7, candidates=cands, index=idx
     )

@@ -308,15 +308,26 @@ def test_connected_components_fuzz_vs_union_find(spark):
         pairs = spark.createDataFrame(
             [(a, b) for a, b in edges], "id_a long, id_b long"
         )
+        # Both execution paths must produce identical labels: the
+        # distributed star contraction (forced) and the small-graph
+        # driver-side union-find (default for graphs this size).
         telemetry: dict = {}
-        got = {
+        got_dist = {
             r["node"]: r["rep"]
-            for r in connected_components(pairs, telemetry=telemetry).collect()
+            for r in connected_components(
+                pairs, telemetry=telemetry, small_graph_max_edges=None
+            ).collect()
         }
-        assert got == expected, f"trial {trial}"
+        assert got_dist == expected, f"trial {trial} (distributed)"
         # Convergence telemetry: rounds executed, bounded and > 0 (chains
         # force multi-round convergence; O(log^2 n) upper bound).
         assert 0 < telemetry["rounds"] <= 25
+        got_local = {
+            r["node"]: r["rep"]
+            for r in connected_components(pairs, telemetry=telemetry).collect()
+        }
+        assert got_local == expected, f"trial {trial} (union-find)"
+        assert telemetry["rounds"] == 0  # small path ran, no Spark rounds
 
 
 def test_connected_components_round_telemetry_module_level(spark):
@@ -326,8 +337,10 @@ def test_connected_components_round_telemetry_module_level(spark):
     )
 
     pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
-    connected_components(pairs).collect()
+    connected_components(pairs, small_graph_max_edges=None).collect()
     assert LAST_CC_TELEMETRY.get("rounds", 0) > 0
+    connected_components(pairs).collect()
+    assert LAST_CC_TELEMETRY.get("rounds") == 0
 
 
 def test_dedup_corpus_end_to_end(spark):
