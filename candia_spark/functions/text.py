@@ -100,6 +100,56 @@ def quality_score(text_col: str = "text") -> Column:
     return F.when(n > 0, score).otherwise(F.lit(0.0)).cast("double")
 
 
+def _bigrams(toks: Column) -> Column:
+    """Word-bigram array from a token array (zip of the array with its own
+    1-shifted slice; the trailing null pair is filtered out)."""
+    grams = F.zip_with(
+        toks,
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(1))),
+        lambda a, b: F.concat(a, F.lit("\x1f"), b),
+    )
+    return F.filter(grams, lambda g: g.isNotNull())
+
+
+def top_token_fraction(text_col: str = "text") -> Column:
+    """Fraction of token slots occupied by the single most frequent token —
+    the Gopher-style "top word" repetition signal (Rae et al. 2021 use the
+    same family of thresholds to drop degenerate/boilerplate documents).
+
+    Shuffle-free by design: counting happens inside the row with array
+    higher-order functions (O(distinct x len) per row), so at 100 TB this
+    is a pure map over the corpus scan — no explode, no groupBy.
+    """
+    toks = tokens(text_col)
+    top = F.array_max(
+        F.transform(
+            F.array_distinct(toks),
+            lambda t: F.size(F.filter(toks, lambda x: x == t)),
+        )
+    )
+    n = F.size(toks)
+    return F.when(n > 0, top.cast("double") / n.cast("double")).otherwise(
+        F.lit(0.0)
+    )
+
+
+def top_bigram_fraction(text_col: str = "text") -> Column:
+    """Fraction of bigram slots occupied by the most frequent word bigram
+    (the 2-gram member of Gopher's duplicate-n-gram family). Same
+    shuffle-free per-row counting as :func:`top_token_fraction`."""
+    grams = _bigrams(tokens(text_col))
+    top = F.array_max(
+        F.transform(
+            F.array_distinct(grams),
+            lambda g: F.size(F.filter(grams, lambda x: x == g)),
+        )
+    )
+    n = F.size(grams)
+    return F.when(n > 0, top.cast("double") / n.cast("double")).otherwise(
+        F.lit(0.0)
+    )
+
+
 def fingerprint(text_col: str = "text") -> Column:
     """Canonical document fingerprint: md5 of the text with whitespace
     collapsed and sorted-token normalization removed (pure md5 of the

@@ -721,6 +721,43 @@ def dedup_corpus(
     return survivors.join(drop, id_col, "left_anti")
 
 
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_overlap: int = 1,
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing at least
+    ``min_overlap`` distinct word n-gram shingles with ANY benchmark
+    document. Output: (id, n_shared_shingles) for flagged docs — the keep
+    set is then one anti-join on bare ids.
+
+    This is the eval-leakage guard every serious training-data pipeline
+    runs (the GPT-3/Gopher appendices document the same n-gram-overlap
+    formulation). Scale shape: benchmark suites are tiny relative to a
+    100 TB corpus, so the benchmark shingle-hash set (distinct, deduped
+    across benchmark docs) BROADCASTS, and the corpus side is a pure
+    map-side hash-join probe on its one shingle scan — no corpus shuffle
+    until the per-doc overlap count, which carries only matched (id,
+    shingle-hash) rows. Matched mass is bounded by |benchmark shingles| x
+    their corpus df, not by corpus size.
+    """
+    c_idx = word_ngram_hashes(corpus, n, text_col, id_col)
+    b_sh = (
+        word_ngram_hashes(benchmark, n, text_col, id_col)
+        .select("shingle")
+        .distinct()
+    )
+    return (
+        c_idx.join(F.broadcast(b_sh), "shingle")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared_shingles"))
+        .filter(F.col("n_shared_shingles") >= min_overlap)
+    )
+
+
 def simhash_signatures(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -1942,3 +1942,114 @@ def q43_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").cast("bigint").alias("node"),
         F.col("rep").cast("bigint").alias("rep"),
     )
+
+
+@register(
+    "q44_repetition_metrics",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+        FROM documents),
+    tok AS (
+        SELECT doc_id, t[i] AS w
+        FROM toks, UNNEST(generate_series(1, len(t))) AS u(i)),
+    topw AS (
+        SELECT doc_id, MAX(c) AS top_tok FROM (
+            SELECT doc_id, w, COUNT(*) AS c FROM tok GROUP BY 1, 2)
+        GROUP BY 1),
+    big AS (
+        SELECT doc_id, t[i] || chr(31) || t[i+1] AS g
+        FROM toks, UNNEST(generate_series(1, greatest(len(t) - 1, 0))) AS u(i)),
+    topg AS (
+        SELECT doc_id, MAX(c) AS top_gram FROM (
+            SELECT doc_id, g, COUNT(*) AS c FROM big GROUP BY 1, 2)
+        GROUP BY 1)
+    SELECT toks.doc_id,
+           CAST(len(t) AS BIGINT) AS n_tokens,
+           CAST(topw.top_tok AS DOUBLE) / len(t) AS top_token_frac,
+           CAST(topg.top_gram AS DOUBLE) / (len(t) - 1) AS top_bigram_frac
+    FROM toks
+    JOIN topw USING (doc_id)
+    JOIN topg USING (doc_id)
+    WHERE len(t) >= 2
+    """,
+    survey_ref="quality-repetition (north star)",
+)
+def q44_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals per document: fraction of
+    token slots taken by the most frequent token / bigram (the thresholds
+    training pipelines use to drop degenerate boilerplate). Counting is
+    per-row array HOFs — a pure map over the scan, zero shuffles (the
+    oracle's explode+groupBy formulation is what this plan shape avoids
+    at 100 TB)."""
+    from candia_spark.functions.text import (
+        token_count,
+        top_bigram_fraction,
+        top_token_fraction,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        top_token_fraction("text").cast("double").alias("top_token_frac"),
+        top_bigram_fraction("text").cast("double").alias("top_bigram_frac"),
+    ).filter(F.col("n_tokens") >= 2)
+
+
+@register(
+    "q45_decontaminate",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+        FROM documents),
+    sh AS (
+        SELECT DISTINCT doc_id, t[i] || chr(31) || t[i+1] || chr(31) || t[i+2] AS s
+        FROM toks, UNNEST(generate_series(1, greatest(len(t) - 2, 0))) AS u(i)),
+    bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0),
+    corp AS (SELECT doc_id, s FROM sh WHERE doc_id % 97 <> 0)
+    SELECT corp.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared_shingles
+    FROM corp JOIN bench USING (s)
+    GROUP BY 1
+    """,
+    survey_ref="decontaminate (north star)",
+)
+def q45_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination: flag corpus docs sharing any 3-gram
+    shingle with a benchmark suite (here the deterministic doc_id%97
+    slice stands in for the eval set). The benchmark shingle set
+    broadcasts; the corpus side stays map-side until the per-doc overlap
+    count (operators.dedup.decontaminate)."""
+    from candia_spark.operators.dedup import decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    return decontaminate(corpus, bench, n=3)
+
+
+@register(
+    "q46_stratified_sample",
+    # threshold '3333' = sample_threshold(0.2): round(0.2 * 16^4) in hex —
+    # the md5-prefix rule is the cross-engine-checkable sampling primitive
+    # (same md5 trick as the q28 SimHash oracle variant).
+    oracle="""
+    SELECT lang, source,
+           CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(SUM(CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || 'r4'), 1, 4)
+                              < '3333' THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+    FROM documents GROUP BY lang, source
+    """,
+    survey_ref="sampling (north star)",
+)
+def q46_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content-hash sampling audited per (lang, source)
+    stratum: reproducible across runs/retries/partitionings (no RNG
+    state), pushdown-friendly, and the audit is ONE aggregation pass
+    (operators.sampling)."""
+    from candia_spark.operators.sampling import stratified_sample_counts
+
+    docs = _t(spark, sf_dir, "documents")
+    return stratified_sample_counts(
+        docs, ["lang", "source"], fraction=0.2, key_col="doc_id", salt="r4"
+    )

@@ -343,6 +343,66 @@ def test_connected_components_round_telemetry_module_level(spark):
     assert LAST_CC_TELEMETRY.get("rounds") == 0
 
 
+def test_decontaminate_flags_overlap_only(spark):
+    """Docs sharing >= min_overlap distinct n-grams with the benchmark are
+    flagged with exact overlap counts; disjoint docs are not."""
+    from candia_spark.operators.dedup import decontaminate
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps high")], ["doc_id", "text"]
+    )
+    corpus = spark.createDataFrame(
+        [
+            # shares "the quick brown" and "quick brown fox" (2 shingles)
+            (0, "see the quick brown fox run"),
+            # shares nothing at 3-gram granularity
+            (1, "a completely different document body"),
+            # repeats a shared shingle -> still counted once (distinct)
+            (2, "the quick brown stuff the quick brown stuff"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: r["n_shared_shingles"]
+        for r in decontaminate(corpus, bench, n=3).collect()
+    }
+    assert got == {0: 2, 2: 1}
+    strict = decontaminate(corpus, bench, n=3, min_overlap=2)
+    assert {r["doc_id"] for r in strict.collect()} == {0}
+
+
+def test_deterministic_sample_reproducible_and_salted(spark):
+    from candia_spark.operators.sampling import (
+        deterministic_sample,
+        sample_threshold,
+        stratified_sample_counts,
+    )
+
+    df = spark.range(5000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 3).cast("string").alias("lang")
+    )
+    s1 = {r["doc_id"] for r in deterministic_sample(df, 0.2, "doc_id").collect()}
+    s2 = {r["doc_id"] for r in deterministic_sample(df, 0.2, "doc_id").collect()}
+    assert s1 == s2  # pure function of the row — no RNG state anywhere
+    assert 0.15 < len(s1) / 5000 < 0.25
+    other = {
+        r["doc_id"]
+        for r in deterministic_sample(df, 0.2, "doc_id", salt="b").collect()
+    }
+    assert other != s1  # the salt is the re-roll knob
+    # a smaller fraction of the SAME salt is a subset (threshold monotone)
+    s_small = {r["doc_id"] for r in deterministic_sample(df, 0.05, "doc_id").collect()}
+    assert s_small <= s1
+    # audit counts agree with the materialized sample
+    audit = {
+        r["lang"]: (r["n_total"], r["n_sampled"])
+        for r in stratified_sample_counts(df, ["lang"], 0.2, "doc_id").collect()
+    }
+    assert sum(t for t, _ in audit.values()) == 5000
+    assert sum(s for _, s in audit.values()) == len(s1)
+    assert sample_threshold(0.2) == "3333"
+
+
 def test_dedup_corpus_end_to_end(spark):
     """Exact copies collapse to min id; near-dup cluster keeps one
     representative; distinct docs all survive."""

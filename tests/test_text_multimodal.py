@@ -15,6 +15,8 @@ from candia_spark.functions.text import (
     quality_score,
     regex_token_count,
     token_count,
+    top_bigram_fraction,
+    top_token_fraction,
 )
 from candia_spark.operators.multimodal import (
     _fake_decode,
@@ -74,6 +76,42 @@ def test_quality_score_bounds_and_order(docs):
     assert got[5] == 0.0
     # stopword-rich English doc beats the gibberish one
     assert got[0] > got[4]
+
+
+def test_repetition_fractions_known_values(spark):
+    rows = [
+        (0, "a a a b"),      # top token 3/4; bigrams [aa, aa, ab] -> 2/3
+        (1, "x y x y x"),    # top token 3/5; bigrams [xy, yx, xy, yx] -> 2/4
+        (2, "unique words only here"),  # all distinct -> 1/4 and 1/3
+        (3, "solo"),         # one token: no bigrams -> 0.0 by convention
+        (4, ""),             # empty -> both 0.0
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["tt"], r["tb"])
+        for r in df.select(
+            "doc_id",
+            top_token_fraction("text").alias("tt"),
+            top_bigram_fraction("text").alias("tb"),
+        ).collect()
+    }
+    assert got[0] == (3 / 4, 2 / 3)
+    assert got[1] == (3 / 5, 2 / 4)
+    assert got[2] == (1 / 4, 1 / 3)
+    assert got[3] == (1.0, 0.0)
+    assert got[4] == (0.0, 0.0)
+
+
+def test_repetition_is_shuffle_free(spark):
+    df = spark.createDataFrame([(0, "a b a")], ["doc_id", "text"])
+    plan = (
+        df.select(top_token_fraction("text"), top_bigram_fraction("text"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the 100 TB contract: per-row HOF counting, no explode/groupBy
+    assert "Exchange" not in plan and "Generate" not in plan
 
 
 def test_fingerprint_whitespace_canonical(spark):
