@@ -191,6 +191,7 @@ def ngram_jaccard_pairs(
     max_shingle_df: int | None = None,
     max_shingle_frac: float | None = None,
     index: DataFrame | None = None,
+    prefix_filter: bool = False,
 ) -> DataFrame:
     """Exact Jaccard-similar pairs over word n-gram shingle sets:
     J(A,B) = |A∩B| / (|A|+|B|-|A∩B|) >= threshold, id_a < id_b.
@@ -217,6 +218,25 @@ def ngram_jaccard_pairs(
       this when the same corpus also feeds :func:`minhash_lsh_pairs`:
       sharing the materialized index is what keeps the whole
       LSH-then-verify pipeline at one corpus scan.
+    - ``prefix_filter`` (standalone mode only): the AllPairs/PPJoin prefix
+      filter (Bayardo et al., WWW'07; Chaudhuri et al., ICDE'06). With
+      every set ordered by a common (df asc, shingle) total order, a pair
+      at Jaccard >= t MUST share one of each side's first
+      |s| - ceil(t*|s|) + 1 elements (the smallest common element x sits
+      at position <= |s| - o + 1 and o >= ceil(t*|s|)), so the self-join
+      runs on prefix postings only and the survivors get the exact
+      ``array_intersect`` verify. Exactness is preserved by construction
+      (pinned exact-equal to the plain path across thresholds in pytest);
+      what changes is the joined mass: sum of prefix-df^2 instead of
+      df^2. Rare-first ordering concentrates prefixes on low-df shingles,
+      so the pruning power tracks the skew of the shingle-df
+      distribution — strong on Zipfian real-corpus text, nil on uniform
+      text. OPT-IN for exactly that reason: on the uniform synthetic
+      bench corpus it measured SLOWER (4.7s -> 6.7s at sf0.1; flat df =
+      worst case, the candidate distinct + set joins don't pay for
+      themselves), while a skewed corpus is where it wins. Measure on
+      your corpus; the df cap already handles the pathological head
+      either way.
     """
     if index is None:
         index = shingle_index(
@@ -259,6 +279,69 @@ def ngram_jaccard_pairs(
                 .alias("n_common"),
                 F.size("__set_a").cast("bigint").alias("size_a"),
                 F.size("__set_b").cast("bigint").alias("size_b"),
+            )
+        )
+    elif prefix_filter:
+        # one census + one ordered-set build, then join prefixes only
+        dfc = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+        osets = sh.join(dfc, "shingle").groupBy(id_col).agg(
+            F.sort_array(F.collect_list(F.struct("__df", "shingle"))).alias(
+                "__oset"
+            )
+        )
+        sets = osets.select(
+            F.col(id_col),
+            F.transform("__oset", lambda x: x["shingle"]).alias("__set"),
+            F.size("__oset").alias("__sz"),
+        )
+        plen = F.greatest(
+            F.col("__sz")
+            - F.ceil(F.lit(threshold) * F.col("__sz")).cast("int")
+            + F.lit(1),
+            F.lit(1),
+        )
+        pre = sets.select(
+            F.col(id_col), F.explode(F.slice("__set", F.lit(1), plen)).alias("shingle")
+        )
+        par = 2 * index.sparkSession.sparkContext.defaultParallelism
+        cand = (
+            pre.select(F.col(id_col).alias("id_a"), "shingle")
+            .repartition(par, "shingle")
+            .join(
+                pre.select(F.col(id_col).alias("id_b"), "shingle").repartition(
+                    par, "shingle"
+                ),
+                "shingle",
+            )
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+        inter = (
+            cand.join(
+                sets.select(
+                    F.col(id_col).alias("id_a"),
+                    F.col("__set").alias("__set_a"),
+                    F.col("__sz").alias("size_a"),
+                ),
+                "id_a",
+            )
+            .join(
+                sets.select(
+                    F.col(id_col).alias("id_b"),
+                    F.col("__set").alias("__set_b"),
+                    F.col("__sz").alias("size_b"),
+                ),
+                "id_b",
+            )
+            .select(
+                "id_a",
+                "id_b",
+                F.size(F.array_intersect("__set_a", "__set_b"))
+                .cast("bigint")
+                .alias("n_common"),
+                F.col("size_a").cast("bigint").alias("size_a"),
+                F.col("size_b").cast("bigint").alias("size_b"),
             )
         )
     else:

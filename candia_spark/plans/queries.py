@@ -901,27 +901,42 @@ _TENSOR_DIMS_SQL = """
 
 @register(
     "q23_parafac_decompose",
-    # GOLDEN-VALUE ORACLE (driver compares at sf0.01 only). The iterative
-    # NN-ALS fit is not SQL-expressible; the reference certifies it the
-    # same way — golden fits at atol 1e-2 (decompose_parafac.py:560-563).
-    # rsq is emitted rounded to 2 decimals (stable: measured value is
-    # >= 4e-4 from every rounding boundary, run-to-run jitter < 1e-6) and
-    # pinned per (slice, rank) below; tensor dims, the trivial-tensor
-    # guard, and the factor-row count ncomp*(ns+nt+nm) are genuinely
-    # recomputed in SQL. Full factor matrices stay tolerance-checked in
-    # tests/test_kernels.py.
+    # GOLDEN-VALUE ORACLE. The iterative NN-ALS fit is not SQL-expressible;
+    # the reference certifies it the same way — golden fits at atol 1e-2
+    # (decompose_parafac.py:560-563). rsq is emitted rounded to 2 decimals
+    # (stable: measured values sit >= 1.3e-4 from every rounding boundary,
+    # run-to-run jitter is bit-zero) and pinned per (scale, slice, rank);
+    # the golden table covers BOTH correctness-gate scales (sf0.001 pytest,
+    # sf0.01 driver), keyed by a scale marker the SQL derives from the
+    # data itself. Tensor dims, the trivial-tensor guard, and the
+    # factor-row count ncomp*(ns+nt+nm) are genuinely recomputed in SQL.
+    # Full factor matrices stay tolerance-checked in tests/test_kernels.py.
     oracle=f"""
     WITH {_TENSOR_DIMS_SQL},
-    golden(slice_key, ncomp, rsq) AS (VALUES
-        ('A', 2, CAST(0.84 AS DOUBLE)), ('A', 3, CAST(0.84 AS DOUBLE)),
-        ('N', 2, CAST(0.84 AS DOUBLE)), ('N', 3, CAST(0.85 AS DOUBLE)),
-        ('R', 2, CAST(0.84 AS DOUBLE)), ('R', 3, CAST(0.84 AS DOUBLE)))
+    scale AS (
+        SELECT CASE WHEN (SELECT COUNT(*) FROM lineitem) <= 20000
+               THEN 0 ELSE 1 END AS sf_tag),
+    golden(sf_tag, slice_key, ncomp, iterations, rsq) AS (VALUES
+        (0, 'A', 2, 300, CAST(0.68 AS DOUBLE)),
+        (0, 'A', 3, 300, CAST(0.69 AS DOUBLE)),
+        (0, 'N', 2, 300, CAST(0.70 AS DOUBLE)),
+        (0, 'N', 3, 300, CAST(0.72 AS DOUBLE)),
+        (0, 'R', 2, 166, CAST(0.70 AS DOUBLE)),
+        (0, 'R', 3, 300, CAST(0.72 AS DOUBLE)),
+        (1, 'A', 2, 300, CAST(0.84 AS DOUBLE)),
+        (1, 'A', 3, 300, CAST(0.84 AS DOUBLE)),
+        (1, 'N', 2, 300, CAST(0.84 AS DOUBLE)),
+        (1, 'N', 3, 300, CAST(0.85 AS DOUBLE)),
+        (1, 'R', 2, 300, CAST(0.84 AS DOUBLE)),
+        (1, 'R', 3, 300, CAST(0.84 AS DOUBLE)))
     SELECT d.slice_key,
            CAST(g.ncomp AS BIGINT) AS ncomp,
-           CAST(300 AS BIGINT) AS iterations,
+           CAST(g.iterations AS BIGINT) AS iterations,
            g.rsq,
            CAST(g.ncomp * (d.ns + d.nt + d.nm) AS BIGINT) AS n_factor_rows
-    FROM dims d JOIN golden g USING (slice_key)
+    FROM dims d
+    JOIN golden g ON g.slice_key = d.slice_key
+                 AND g.sf_tag = (SELECT sf_tag FROM scale)
     """,
     survey_ref="K1,K2,A10,F5",
 )
@@ -955,23 +970,31 @@ def q23_parafac_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q24_time_mode_peaks",
-    # GOLDEN-VALUE ORACLE (sf0.01) — same strategy and rationale as q23:
-    # the CWT ridge-line counter over iteratively-fitted factors is not
-    # SQL-expressible, so the integer peak counts (deterministic: seeded
-    # init, single-threaded per-slice numpy) are pinned, while the slice
-    # universe and the trivial-tensor guard are recomputed in SQL. The CWT
-    # algorithm itself is golden-tested in tests/test_cwt.py.
+    # GOLDEN-VALUE ORACLE — same strategy, scale-keying, and rationale as
+    # q23: the CWT ridge-line counter over iteratively-fitted factors is
+    # not SQL-expressible, so the integer peak counts (deterministic:
+    # seeded init, single-threaded per-slice numpy) are pinned per scale,
+    # while the slice universe and the trivial-tensor guard are recomputed
+    # in SQL. The CWT algorithm itself is golden-tested in tests/test_cwt.py.
     oracle=f"""
     WITH {_TENSOR_DIMS_SQL},
-    golden(slice_key, comp, npeaks) AS (VALUES
-        ('A', 0, 5), ('A', 1, 7),
-        ('N', 0, 4), ('N', 1, 5),
-        ('R', 0, 4), ('R', 1, 7))
+    scale AS (
+        SELECT CASE WHEN (SELECT COUNT(*) FROM lineitem) <= 20000
+               THEN 0 ELSE 1 END AS sf_tag),
+    golden(sf_tag, slice_key, comp, npeaks) AS (VALUES
+        (0, 'A', 0, 2), (0, 'A', 1, 6),
+        (0, 'N', 0, 5), (0, 'N', 1, 3),
+        (0, 'R', 0, 3), (0, 'R', 1, 2),
+        (1, 'A', 0, 5), (1, 'A', 1, 7),
+        (1, 'N', 0, 4), (1, 'N', 1, 5),
+        (1, 'R', 0, 4), (1, 'R', 1, 7))
     SELECT d.slice_key,
            CAST(2 AS BIGINT) AS ncomp,
            CAST(g.comp AS BIGINT) AS comp,
            CAST(g.npeaks AS BIGINT) AS npeaks
-    FROM dims d JOIN golden g USING (slice_key)
+    FROM dims d
+    JOIN golden g ON g.slice_key = d.slice_key
+                 AND g.sf_tag = (SELECT sf_tag FROM scale)
     """,
     survey_ref="A11,F7,K4",
 )

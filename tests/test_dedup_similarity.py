@@ -343,6 +343,30 @@ def test_connected_components_round_telemetry_module_level(spark):
     assert LAST_CC_TELEMETRY.get("rounds") == 0
 
 
+def test_prefix_filter_jaccard_matches_plain(spark):
+    """The AllPairs prefix-filtered exact Jaccard join must return the
+    IDENTICAL pair set and statistics as the full inverted-index self-join
+    (the filter is a lossless candidate pruning, never an approximation) —
+    across thresholds, so the prefix-length bound is exercised at several
+    set-overlap regimes."""
+    from candia_spark.operators.dedup import ngram_jaccard_pairs
+    from candia_spark.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    for t in (0.2, 0.35, 0.6):
+        plain = {
+            (r["id_a"], r["id_b"]): (r["n_common"], r["size_a"], r["size_b"])
+            for r in ngram_jaccard_pairs(docs, n=2, threshold=t).collect()
+        }
+        pref = {
+            (r["id_a"], r["id_b"]): (r["n_common"], r["size_a"], r["size_b"])
+            for r in ngram_jaccard_pairs(
+                docs, n=2, threshold=t, prefix_filter=True
+            ).collect()
+        }
+        assert pref == plain, f"threshold {t}"
+
+
 def test_decontaminate_flags_overlap_only(spark):
     """Docs sharing >= min_overlap distinct n-grams with the benchmark are
     flagged with exact overlap counts; disjoint docs are not."""
