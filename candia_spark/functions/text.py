@@ -157,3 +157,31 @@ def fingerprint(text_col: str = "text") -> Column:
     fingerprint that both engines compute identically."""
     squeezed = F.regexp_replace(F.trim(F.lower(F.col(text_col))), "\\s+", " ")
     return F.md5(squeezed)
+
+
+# PII patterns shared verbatim with the SQL oracles. Deliberately restricted
+# to syntax with identical semantics in Java regex (Spark) and RE2 (DuckDB):
+# character classes, bounded quantifiers, no lookaround, no \b/\d shorthand.
+EMAIL_REGEX = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+PHONE_REGEX = "[0-9]{3}-[0-9]{4}"
+
+
+def pii_counts(text_col: str = "text") -> tuple[Column, Column]:
+    """(n_emails, n_phones) match counts — the audit columns a redaction
+    pass reports per document."""
+    t = F.col(text_col)
+    return (
+        F.size(F.regexp_extract_all(t, F.lit(EMAIL_REGEX), 0)).cast("bigint"),
+        F.size(F.regexp_extract_all(t, F.lit(PHONE_REGEX), 0)).cast("bigint"),
+    )
+
+
+def redact_pii(text_col: str = "text") -> Column:
+    """Text with email addresses and phone numbers replaced by typed
+    placeholder tokens — the standard pre-training scrub. Pure
+    ``regexp_replace`` chain: stays in codegen, no UDF, a map over the
+    scan at any corpus size. Emails are replaced before phones so a digit
+    run inside an address can't double-match."""
+    t = F.col(text_col)
+    t = F.regexp_replace(t, EMAIL_REGEX, "<EMAIL>")
+    return F.regexp_replace(t, PHONE_REGEX, "<PHONE>")

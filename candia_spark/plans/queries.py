@@ -2052,6 +2052,62 @@ def q45_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q47_redact_pii",
+    # The synthetic corpus carries no PII, so the query plants a
+    # deterministic email+phone per doc and then scrubs it — the redaction
+    # itself is the operator under test, and md5(clean) makes the full
+    # redacted text hash-gated, not just the counts. Patterns restricted
+    # to the Java-regex/RE2 common subset (functions.text).
+    oracle="""
+    WITH planted AS (
+        SELECT doc_id,
+               text || ' contact user' || CAST(doc_id AS VARCHAR)
+                    || '@example.com or call 555-'
+                    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+        FROM documents)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t,
+                '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}')) AS BIGINT)
+               AS n_emails,
+           CAST(len(regexp_extract_all(t, '[0-9]{3}-[0-9]{4}')) AS BIGINT)
+               AS n_phones,
+           md5(regexp_replace(
+                   regexp_replace(t,
+                       '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}',
+                       '<EMAIL>', 'g'),
+                   '[0-9]{3}-[0-9]{4}', '<PHONE>', 'g')) AS clean_md5
+    FROM planted
+    """,
+    survey_ref="pii-redaction (north star)",
+)
+def q47_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub audit: per-doc email/phone match counts plus the md5 of
+    the fully redacted text (functions.text.redact_pii — a regexp_replace
+    chain, codegen'd, no UDF). The plant step exists only because the
+    synthetic corpus is PII-free; a real corpus drops it."""
+    from candia_spark.functions.text import pii_counts, redact_pii
+
+    docs = _t(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or call 555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("text"),
+    )
+    n_emails, n_phones = pii_counts("text")
+    return planted.select(
+        "doc_id",
+        n_emails.alias("n_emails"),
+        n_phones.alias("n_phones"),
+        F.md5(redact_pii("text")).alias("clean_md5"),
+    )
+
+
+@register(
     "q46_stratified_sample",
     # threshold '3333' = sample_threshold(0.2): round(0.2 * 16^4) in hex —
     # the md5-prefix rule is the cross-engine-checkable sampling primitive

@@ -182,3 +182,41 @@ def test_jaccard_verify_uses_array_intersect(spark):
     out = ngram_jaccard_pairs(docs, threshold=0.7, candidates=cands, index=idx)
     plan = optimized_of(out)
     assert "array_intersect" in plan
+
+
+def test_q44_repetition_is_pure_map(spark):
+    """Repetition metrics must be a projection+filter over the scan — any
+    Generate (explode) or Exchange here would be the per-token shuffle
+    this operator exists to avoid at corpus scale."""
+    from candia_spark.plans.queries import q44_repetition_metrics
+
+    plan = plan_of(q44_repetition_metrics(spark, SF))
+    body = plan.split("Scan parquet")[0]  # shapes above the scan only
+    assert "Generate" not in body
+    assert "Exchange hashpartitioning" not in body
+    assert "Python" not in body
+
+
+def test_q45_decontaminate_broadcasts_benchmark(spark):
+    """The benchmark shingle set must broadcast (eval suites are tiny next
+    to the corpus); the corpus side stays map-side until the per-doc
+    overlap count — exactly one hash-partition exchange (the groupBy)."""
+    from candia_spark.plans.queries import q45_decontaminate
+
+    plan = plan_of(q45_decontaminate(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # corpus must never shuffle to join
+    # the only corpus-side hash exchange is the per-doc overlap count
+    # (the benchmark side may exchange freely inside its broadcast build)
+    assert plan.count("Exchange hashpartitioning(doc_id") == 1
+
+
+def test_q46_sampling_is_single_agg_pass(spark):
+    """The stratified audit is ONE aggregation over the scan: total and
+    sampled counts share the same partial agg (no join of two groupBys,
+    no second scan)."""
+    from candia_spark.plans.queries import q46_stratified_sample
+
+    plan = plan_of(q46_stratified_sample(spark, SF))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan

@@ -114,6 +114,29 @@ def test_repetition_is_shuffle_free(spark):
     assert "Exchange" not in plan and "Generate" not in plan
 
 
+def test_redact_pii_and_counts(spark):
+    from candia_spark.functions.text import pii_counts, redact_pii
+
+    rows = [
+        (0, "mail a.b+c@x-mail.co.uk and b@y.io call 555-0100 now"),
+        (1, "no pii here at all"),
+        (2, "edge: @not-an-email, 12-3456 not a phone, 555-12345 matches prefix"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    ne, np_ = pii_counts("text")
+    got = {
+        r["doc_id"]: (r["ne"], r["np"], r["clean"])
+        for r in df.select(
+            "doc_id", ne.alias("ne"), np_.alias("np"), redact_pii("text").alias("clean")
+        ).collect()
+    }
+    assert got[0][:2] == (2, 1)
+    assert got[0][2] == "mail <EMAIL> and <EMAIL> call <PHONE> now"
+    assert got[1] == (0, 0, "no pii here at all")
+    # '555-1234' inside '555-12345' still matches the 3-4 digit shape
+    assert got[2][:2] == (0, 1)
+
+
 def test_fingerprint_whitespace_canonical(spark):
     df = spark.createDataFrame(
         [(1, "Hello   World"), (2, "  hello world "), (3, "hello worlds")],
