@@ -2052,6 +2052,45 @@ def q45_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q48_rollup_pricing",
+    oracle=f"""
+    SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+           COALESCE(l_linestatus, 'ALL') AS linestatus,
+           CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+           {oracle_dsum('l_extendedprice * (1.0 - l_discount)')} AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    survey_ref="A2 multi-level (grouping sets)",
+)
+def q48_rollup_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-level aggregation via ROLLUP: per (returnflag, linestatus),
+    per returnflag subtotal, and grand total in ONE pass (Spark expands
+    grouping sets inside a single aggregation — no union of three
+    groupBys, no triple scan). Revenue follows the decimal-sum
+    convention so every level is order-independent and oracle-exact;
+    grouping_id disambiguates subtotal rows from real 'ALL' values."""
+    l = _t(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        l.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().cast("bigint").alias("gid"),
+            dsum(disc).alias("revenue"),
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "gid",
+            "revenue",
+            "n_items",
+        )
+    )
+
+
+@register(
     "q47_redact_pii",
     # The synthetic corpus carries no PII, so the query plants a
     # deterministic email+phone per doc and then scrubs it — the redaction
