@@ -346,20 +346,25 @@ def ngram_jaccard_pairs(
         )
     else:
         sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
-        a = sh.select(F.col(id_col).alias("id_a"), "shingle")
-        b = sh.select(F.col(id_col).alias("id_b"), "shingle")
         # The inverted-index self-join EXPANDS: its output is sum(df^2)
         # rows, orders of magnitude beyond its input bytes. AQE sizes
         # post-shuffle partitions by INPUT bytes and is blind to that
         # expansion — left alone it coalesces the join stage to a handful
         # of tasks and the 10^7-row partial aggregation runs near-serial
         # (measured 4x slower at sf0.1). Pin the join parallelism
-        # explicitly: an exact repartition count is honored by AQE, a bare
-        # repartition(col) is not.
+        # explicitly on the PROBE side only: an exact repartition count is
+        # honored by AQE, a bare repartition(col) is not. The build side
+        # gets no manual exchange — when the index fits the broadcast
+        # threshold the planner broadcasts it (repartitioning a broadcast
+        # build is pure wasted shuffle), and at corpus scale
+        # EnsureRequirements inserts the co-partitioning exchange itself.
         par = 2 * index.sparkSession.sparkContext.defaultParallelism
+        a = sh.repartition(par, "shingle").select(
+            F.col(id_col).alias("id_a"), "shingle"
+        )
+        b = sh.select(F.col(id_col).alias("id_b"), "shingle")
         pair_counts = (
-            a.repartition(par, "shingle")
-            .join(b.repartition(par, "shingle"), "shingle")
+            a.join(b, "shingle")
             .filter(F.col("id_a") < F.col("id_b"))
             .groupBy("id_a", "id_b")
             .agg(F.count(F.lit(1)).alias("n_common"))
