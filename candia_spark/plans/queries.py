@@ -2052,6 +2052,66 @@ def q45_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q49_dedup_corpus",
+    # End-to-end corpus dedup, fully recomputed in SQL: exact dedup (min
+    # id per md5 digest), exact bigram-Jaccard pairs >= 0.7 over the
+    # exact-survivors, recursive-CTE component closure, drop every
+    # non-representative. The Spark side runs the SCALED composition
+    # (shared shingle index -> banded MinHash candidates -> exact verify
+    # -> star contraction, hot buckets star-capped) — the oracle matching
+    # certifies that none of those scale devices (LSH recall at r=2 x 16
+    # bands, the star-pair connectivity contract, the union-find fast
+    # path) changes the answer.
+    oracle="""
+    WITH RECURSIVE keep_exact AS (
+        SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+    toks AS (
+        SELECT d.doc_id,
+               list_filter(string_split(lower(d.text), ' '), x -> x <> '') AS t
+        FROM documents d JOIN keep_exact USING (doc_id)),
+    sh AS (
+        SELECT DISTINCT doc_id, t[i] || chr(31) || t[i+1] AS shingle
+        FROM toks, UNNEST(generate_series(1, greatest(len(t) - 1, 0))) AS u(i)),
+    sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY doc_id),
+    pc AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS nc
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+    pairs AS (
+        SELECT id_a, id_b FROM pc
+        JOIN sizes sa ON sa.doc_id = pc.id_a
+        JOIN sizes sb ON sb.doc_id = pc.id_b
+        WHERE CAST(nc AS DOUBLE) / (sa.set_size + sb.set_size - nc) >= 0.7),
+    edges AS (
+        SELECT id_a AS a, id_b AS b FROM pairs
+        UNION
+        SELECT id_b, id_a FROM pairs),
+    nodes AS (SELECT DISTINCT a AS n FROM edges),
+    reach(n, r) AS (
+        SELECT n, n FROM nodes
+        UNION
+        SELECT reach.n, e.b FROM reach JOIN edges e ON e.a = reach.r),
+    labels AS (SELECT n, MIN(r) AS rep FROM reach GROUP BY n)
+    SELECT k.doc_id
+    FROM keep_exact k
+    WHERE k.doc_id NOT IN (SELECT n FROM labels WHERE n <> rep)
+    """,
+    survey_ref="dedup-corpus e2e (north star)",
+)
+def q49_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full dedup composition a training pipeline runs (operators.
+    dedup.dedup_corpus): exact-first, then LSH-generate / exact-verify /
+    component-collapse, keep one representative per cluster. Returns the
+    surviving doc ids."""
+    from candia_spark.operators.dedup import dedup_corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    return dedup_corpus(docs, threshold=0.7, n=2, num_hashes=32, bands=16).select(
+        "doc_id"
+    )
+
+
+@register(
     "q48_rollup_pricing",
     oracle=f"""
     SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
