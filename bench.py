@@ -63,10 +63,17 @@ def main() -> None:
     except Exception:
         pass
 
+    try:
+        from candia_spark.operators.dedup import LAST_CC_TELEMETRY
+    except Exception:
+        LAST_CC_TELEMETRY = {}
+    cc_rounds_by_query: dict[str, int] = {}
+
     # Per-query fault isolation: one broken query must never cost the
     # round its timings (round 3 lost ALL perf evidence to a single
     # AnalysisException). Errors are recorded in the JSON instead.
     for name in names + extra:
+        cc_calls_before = LAST_CC_TELEMETRY.get("calls", 0)
         t0 = time.perf_counter()
         try:
             df = QUERY_REGISTRY[name].spark(spark, sf_dir)
@@ -75,6 +82,12 @@ def main() -> None:
             timings[name] = round(time.perf_counter() - t0, 3)
         except Exception as exc:  # noqa: BLE001 — isolate, record, continue
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+        # Attribute connected-components convergence telemetry to the
+        # query whose run advanced the call counter (several queries
+        # collapse pair graphs; a single last-value field would misassign
+        # them all to whichever ran last).
+        if LAST_CC_TELEMETRY.get("calls", 0) != cc_calls_before:
+            cc_rounds_by_query[name] = LAST_CC_TELEMETRY.get("rounds", -1)
 
     total = round(sum(timings.values()), 3)
     try:
@@ -90,16 +103,10 @@ def main() -> None:
     }
     if errors:
         out["errors"] = errors
-    # Convergence telemetry: the contraction-round count of the last
-    # connected-components collapse (q43) — a convergence regression shows
-    # up as a number here rather than as silent wall-time.
-    try:
-        from candia_spark.operators.dedup import LAST_CC_TELEMETRY
-
-        if LAST_CC_TELEMETRY:
-            out["cc_rounds"] = LAST_CC_TELEMETRY.get("rounds")
-    except Exception:
-        pass
+    # Convergence telemetry per collapsing query — a convergence
+    # regression shows up as a number rather than as silent wall-time.
+    if cc_rounds_by_query:
+        out["cc_rounds"] = cc_rounds_by_query
     print(json.dumps(out))
     spark.stop()
     # Exit 0 as long as at least one query produced a timing; rc=1 only

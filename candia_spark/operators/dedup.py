@@ -282,17 +282,22 @@ def ngram_jaccard_pairs(
             )
         )
     elif prefix_filter:
-        # one census + one ordered-set build, then join prefixes only
+        # one census + one ordered-set build, MATERIALIZED: three
+        # consumers read it (the prefix explode and both sides of the
+        # verify join) — without the cut each would re-run the census
+        # join and the per-doc sort (see _materialize for the tradeoff)
         dfc = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
         osets = sh.join(dfc, "shingle").groupBy(id_col).agg(
             F.sort_array(F.collect_list(F.struct("__df", "shingle"))).alias(
                 "__oset"
             )
         )
-        sets = osets.select(
-            F.col(id_col),
-            F.transform("__oset", lambda x: x["shingle"]).alias("__set"),
-            F.size("__oset").alias("__sz"),
+        sets = _materialize(
+            osets.select(
+                F.col(id_col),
+                F.transform("__oset", lambda x: x["shingle"]).alias("__set"),
+                F.size("__oset").alias("__sz"),
+            )
         )
         plen = F.greatest(
             F.col("__sz")
@@ -303,16 +308,14 @@ def ngram_jaccard_pairs(
         pre = sets.select(
             F.col(id_col), F.explode(F.slice("__set", F.lit(1), plen)).alias("shingle")
         )
+        # parallelism pin on the probe side only — same rationale as the
+        # plain branch below (broadcastable build stays unshuffled; at
+        # scale EnsureRequirements co-partitions it itself)
         par = 2 * index.sparkSession.sparkContext.defaultParallelism
         cand = (
             pre.select(F.col(id_col).alias("id_a"), "shingle")
             .repartition(par, "shingle")
-            .join(
-                pre.select(F.col(id_col).alias("id_b"), "shingle").repartition(
-                    par, "shingle"
-                ),
-                "shingle",
-            )
+            .join(pre.select(F.col(id_col).alias("id_b"), "shingle"), "shingle")
             .filter(F.col("id_a") < F.col("id_b"))
             .select("id_a", "id_b")
             .distinct()
@@ -573,18 +576,28 @@ def minhash_lsh_pairs(
     )
 
 
-# Telemetry from the most recent connected_components call on this driver
-# (contraction-round count; 0 = the small-graph driver-side path ran).
-# Convergence regressions (deep chain graphs) show up here as a number
-# instead of as silent wall-time; bench.py copies it into the bench JSON.
+# Telemetry from the most recent connected_components call on this driver:
+# "rounds" = contraction-round count (0 = the small-graph driver-side path
+# ran) and "calls" = a monotone call counter so a consumer polling between
+# queries can attribute the rounds to the call that produced them even
+# when consecutive calls report the same count. Convergence regressions
+# (deep chain graphs) show up here as a number instead of as silent
+# wall-time; bench.py records it per query.
 LAST_CC_TELEMETRY: dict[str, int] = {}
 
 
-def _union_find_labels(edge_rows) -> list[tuple]:
-    """Driver-side union-find over a bounded edge list: (node, min-id rep)
-    for every node appearing in an edge — the small-graph fast path of
-    :func:`connected_components` (same output contract as the distributed
-    star contraction)."""
+def _record_cc_rounds(rounds: int, telemetry: dict | None) -> None:
+    LAST_CC_TELEMETRY["rounds"] = rounds
+    LAST_CC_TELEMETRY["calls"] = LAST_CC_TELEMETRY.get("calls", 0) + 1
+    if telemetry is not None:
+        telemetry["rounds"] = rounds
+
+
+def _union_find_labels(edges) -> list[tuple]:
+    """Driver-side union-find over a bounded iterable of (a, b) edges:
+    (node, min-id rep) for every node appearing in an edge — the
+    small-graph fast path of :func:`connected_components` (same output
+    contract as the distributed star contraction)."""
     parent: dict = {}
 
     def find(x):
@@ -595,8 +608,7 @@ def _union_find_labels(edge_rows) -> list[tuple]:
             parent[x], x = root, parent[x]
         return root
 
-    for r in edge_rows:
-        a, b = r["a"], r["b"]
+    for a, b in edges:
         parent.setdefault(a, a)
         parent.setdefault(b, b)
         ra, rb = find(a), find(b)
@@ -613,7 +625,7 @@ def connected_components(
     id_b: str = "id_b",
     max_iter: int = 25,
     telemetry: dict | None = None,
-    small_graph_max_edges: int | None = 2_000_000,
+    small_graph_max_edges: int | None = 1_000_000,
 ) -> DataFrame:
     """Collapse a near-duplicate pair graph into components: one row per
     node, labeled with its component's minimum id. Output: (node, rep).
@@ -645,12 +657,16 @@ def connected_components(
     Size-adaptive: the initial materialization already observes the edge
     count for free, and a generate-then-verify pair graph is orders of
     magnitude smaller than its corpus by construction. When it fits
-    ``small_graph_max_edges`` (default 2M edges ~ 32 MB on the driver) the
-    collapse finishes with a driver-side union-find — one collect + one
-    parallelize instead of ~log^2(n) shuffle rounds, worth multiple
-    whole-job round-trips per call. Larger graphs (a 100 TB corpus can
-    emit billions of verified pairs) take the distributed path untouched;
-    pass ``small_graph_max_edges=None`` to force it.
+    ``small_graph_max_edges`` the collapse finishes with a driver-side
+    union-find — one Arrow collect + one parallelize instead of
+    ~log^2(n) shuffle rounds, worth multiple whole-job round-trips per
+    call. Driver cost at the 1M-edge default ceiling: ~16 MB over the
+    wire (Arrow columnar), but the union-find dict is Python objects at
+    ~100 B/entry, i.e. a few hundred MB worst-case — that object
+    overhead, not the transfer, is what sizes the ceiling. Larger graphs
+    (a 100 TB corpus can emit billions of verified pairs) take the
+    distributed path untouched; pass ``small_graph_max_edges=None`` to
+    force it.
     """
     from pyspark.sql import Observation
 
@@ -680,10 +696,11 @@ def connected_components(
     )
 
     if small_graph_max_edges is not None and obs0.get["n"] <= small_graph_max_edges:
-        labels = _union_find_labels(e.collect())
-        LAST_CC_TELEMETRY["rounds"] = 0
-        if telemetry is not None:
-            telemetry["rounds"] = 0
+        # Arrow-columnar collect (toPandas), NOT .collect(): 2 longs/edge
+        # on the wire instead of a pyspark Row object per edge.
+        pdf = e.toPandas()
+        labels = _union_find_labels(zip(pdf["a"].tolist(), pdf["b"].tolist()))
+        _record_cc_rounds(0, telemetry)
         schema = StructType(
             [
                 StructField("node", e.schema["b"].dataType),
@@ -739,9 +756,7 @@ def connected_components(
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds"
         )
-    LAST_CC_TELEMETRY["rounds"] = rounds
-    if telemetry is not None:
-        telemetry["rounds"] = rounds
+    _record_cc_rounds(rounds, telemetry)
     # At the fixpoint the edge set IS a star forest rooted at component
     # minima: members appear as b exactly once, roots only as a. Every
     # node of the input pair graph appears (pairs have no singletons), so

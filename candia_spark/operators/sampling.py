@@ -26,10 +26,14 @@ _BUCKETS = 65536  # 16^4: membership decided on the first 4 md5 hex chars
 
 def sample_threshold(fraction: float) -> str:
     """The 4-hex-char threshold string for ``fraction`` (shared with SQL
-    oracles: ``substr(md5(..), 1, 4) < threshold``)."""
+    oracles: ``substr(md5(..), 1, 4) < threshold``). Capped at 4 chars:
+    a bucket count of exactly 16^4 would format as the 5-char '10000',
+    which lexicographically compares BELOW almost every 4-char digest
+    prefix and would silently invert the sample — fractions rounding to
+    the full bucket range are handled in :func:`sample_flag` instead."""
     if not 0.0 <= fraction <= 1.0:
         raise ValueError(f"fraction must be in [0, 1], got {fraction}")
-    return format(round(fraction * _BUCKETS), "04x")
+    return format(min(round(fraction * _BUCKETS), _BUCKETS - 1), "04x")
 
 
 def sample_flag(key_col: Column | str, fraction: float, salt: str = "") -> Column:
@@ -38,7 +42,16 @@ def sample_flag(key_col: Column | str, fraction: float, salt: str = "") -> Colum
     Membership = first 4 hex chars of md5(key || salt) below the fraction
     threshold. Changing ``salt`` draws an independent sample (the re-roll
     knob); the same (key, salt) is in or out forever.
+
+    Fractions rounding to the full bucket range short-circuit to literal
+    True ('ffff' itself must be in a 100% sample, which no `< threshold`
+    string can express); fraction 0 likewise to literal False.
     """
+    k = round(fraction * _BUCKETS)
+    if k >= _BUCKETS:
+        return F.lit(True)
+    if k <= 0:
+        return F.lit(False)
     key = F.col(key_col) if isinstance(key_col, str) else key_col
     digest = F.md5(F.concat(key.cast("string"), F.lit(salt)).cast("binary"))
     return F.substring(digest, 1, 4) < F.lit(sample_threshold(fraction))

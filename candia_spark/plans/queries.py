@@ -914,8 +914,12 @@ _TENSOR_DIMS_SQL = """
     oracle=f"""
     WITH {_TENSOR_DIMS_SQL},
     scale AS (
-        SELECT CASE WHEN (SELECT COUNT(*) FROM lineitem) <= 20000
-               THEN 0 ELSE 1 END AS sf_tag),
+        -- EXACT row-count keys for the two pinned gate scales; any other
+        -- scale maps to -1, joins no goldens, and fails the gate as an
+        -- obvious zero-row mismatch instead of asserting another scale's
+        -- golden values against this one's data
+        SELECT CASE (SELECT COUNT(*) FROM lineitem)
+               WHEN 6000 THEN 0 WHEN 60000 THEN 1 ELSE -1 END AS sf_tag),
     golden(sf_tag, slice_key, ncomp, iterations, rsq) AS (VALUES
         (0, 'A', 2, 300, CAST(0.68 AS DOUBLE)),
         (0, 'A', 3, 300, CAST(0.69 AS DOUBLE)),
@@ -979,8 +983,12 @@ def q23_parafac_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH {_TENSOR_DIMS_SQL},
     scale AS (
-        SELECT CASE WHEN (SELECT COUNT(*) FROM lineitem) <= 20000
-               THEN 0 ELSE 1 END AS sf_tag),
+        -- EXACT row-count keys for the two pinned gate scales; any other
+        -- scale maps to -1, joins no goldens, and fails the gate as an
+        -- obvious zero-row mismatch instead of asserting another scale's
+        -- golden values against this one's data
+        SELECT CASE (SELECT COUNT(*) FROM lineitem)
+               WHEN 6000 THEN 0 WHEN 60000 THEN 1 ELSE -1 END AS sf_tag),
     golden(sf_tag, slice_key, comp, npeaks) AS (VALUES
         (0, 'A', 0, 2), (0, 'A', 1, 6),
         (0, 'N', 0, 5), (0, 'N', 1, 3),

@@ -78,9 +78,16 @@ def events_stream(
     Streaming file sources require an explicit schema; rather than pin one
     (it differs across Spark versions for TIMESTAMP(NANOS) columns), take
     it from a metadata-only batch read of the same path — the stream then
-    always matches what this Spark actually decodes.
+    always matches what this Spark actually decodes. A source directory
+    with no files yet (the normal deployment order: define the stream,
+    start it, let producers write) has nothing to infer from, so that
+    case falls back to the nominal long-ts EVENTS_SCHEMA instead of
+    failing at stream-definition time.
     """
-    schema = spark.read.parquet(path).schema
+    try:
+        schema = spark.read.parquet(path).schema
+    except Exception:  # empty/not-yet-populated source dir: nothing to infer
+        schema = EVENTS_SCHEMA
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)

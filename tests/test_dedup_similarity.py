@@ -425,6 +425,11 @@ def test_deterministic_sample_reproducible_and_salted(spark):
     assert sum(t for t, _ in audit.values()) == 5000
     assert sum(s for _, s in audit.values()) == len(s1)
     assert sample_threshold(0.2) == "3333"
+    # boundary fractions: 1.0 keeps EVERY row (the 16^4 bucket count
+    # formats as a 5-char hex string that lexicographically inverts the
+    # comparison — regression), 0.0 keeps none
+    assert deterministic_sample(df, 1.0, "doc_id").count() == 5000
+    assert deterministic_sample(df, 0.0, "doc_id").count() == 0
 
 
 def test_dedup_corpus_end_to_end(spark):

@@ -61,6 +61,17 @@ def events_dir(spark, tmp_path_factory):
     return str(d)
 
 
+def test_events_stream_on_empty_source_dir(spark, tmp_path):
+    """Defining a stream over a not-yet-populated source directory must
+    work (the normal deployment order is define -> start -> producers
+    write); schema inference falls back to the nominal EVENTS_SCHEMA."""
+    d = tmp_path / "empty_src"
+    d.mkdir()
+    stream = events_stream(spark, str(d))
+    assert stream.isStreaming
+    assert "event_time" in stream.columns
+
+
 def test_windowed_counts_stream_matches_batch(spark, events_dir, tmp_path):
     stream = windowed_counts(events_stream(spark, events_dir), window="1 hour")
     got = run_available_now(
