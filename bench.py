@@ -2,10 +2,16 @@
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE
 JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...},
 "sf": ...}.
+
+``--runs N`` (default 1) times every query N times and reports the
+per-query MINIMUM — the stable statistic on a box with ±20% run-to-run
+noise (the round-4 local-evidence methodology, folded into the one
+harness so driver evidence and local evidence share a code path).
 """
 
 from __future__ import annotations
 
+import argparse
 import json
 import os
 import sys
@@ -25,6 +31,14 @@ HEADLINE = [
 
 
 def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--runs",
+        type=int,
+        default=1,
+        help="time each query this many times, report the per-query minimum",
+    )
+    cli = ap.parse_args()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from candia_spark.session import get_spark
     from candia_spark.plans.queries import QUERY_REGISTRY
@@ -73,21 +87,24 @@ def main() -> None:
     # round its timings (round 3 lost ALL perf evidence to a single
     # AnalysisException). Errors are recorded in the JSON instead.
     for name in names + extra:
-        cc_calls_before = LAST_CC_TELEMETRY.get("calls", 0)
-        t0 = time.perf_counter()
-        try:
-            df = QUERY_REGISTRY[name].spark(spark, sf_dir)
-            # Force full evaluation of every output column, not just a count.
-            df.write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.perf_counter() - t0, 3)
-        except Exception as exc:  # noqa: BLE001 — isolate, record, continue
-            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
-        # Attribute connected-components convergence telemetry to the
-        # query whose run advanced the call counter (several queries
-        # collapse pair graphs; a single last-value field would misassign
-        # them all to whichever ran last).
-        if LAST_CC_TELEMETRY.get("calls", 0) != cc_calls_before:
-            cc_rounds_by_query[name] = LAST_CC_TELEMETRY.get("rounds", -1)
+        for _run in range(max(1, cli.runs)):
+            cc_calls_before = LAST_CC_TELEMETRY.get("calls", 0)
+            t0 = time.perf_counter()
+            try:
+                df = QUERY_REGISTRY[name].spark(spark, sf_dir)
+                # Force full evaluation of every output column, not just
+                # a count.
+                df.write.format("noop").mode("overwrite").save()
+                elapsed = round(time.perf_counter() - t0, 3)
+                timings[name] = min(timings.get(name, elapsed), elapsed)
+            except Exception as exc:  # noqa: BLE001 — isolate, record, continue
+                errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            # Attribute connected-components convergence telemetry to the
+            # query whose run advanced the call counter (several queries
+            # collapse pair graphs; a single last-value field would
+            # misassign them all to whichever ran last).
+            if LAST_CC_TELEMETRY.get("calls", 0) != cc_calls_before:
+                cc_rounds_by_query[name] = LAST_CC_TELEMETRY.get("rounds", -1)
 
     total = round(sum(timings.values()), 3)
     try:
@@ -101,6 +118,8 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
     }
+    if cli.runs > 1:
+        out["runs"] = cli.runs  # per-query minima over this many runs
     if errors:
         out["errors"] = errors
     # Convergence telemetry per collapsing query — a convergence

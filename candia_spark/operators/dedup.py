@@ -238,6 +238,13 @@ def ngram_jaccard_pairs(
       your corpus; the df cap already handles the pathological head
       either way.
     """
+    if candidates is not None and prefix_filter:
+        # standalone-mode-only contract: the candidates branch would win
+        # silently and the flag would do nothing — fail loudly instead.
+        raise ValueError(
+            "prefix_filter applies to standalone (self-join) mode only; "
+            "it has no effect when a candidates list is supplied"
+        )
     if index is None:
         index = shingle_index(
             df, n, text_col, id_col, max_shingle_df, max_shingle_frac

@@ -83,10 +83,27 @@ def events_stream(
     start it, let producers write) has nothing to infer from, so that
     case falls back to the nominal long-ts EVENTS_SCHEMA instead of
     failing at stream-definition time.
+
+    OPERATOR NOTE on the empty-dir fallback: the fallback schema types
+    ``ts`` as long nanos, which only suits producers writing long-ts
+    files. On Spark 4.1+ (where TIMESTAMP(NANOS) parquet reads as
+    timestamp_ntz and ``nanosAsLong`` no-ops), a stream defined over an
+    empty dir whose producers later write timestamp-typed files will hit
+    a schema mismatch at micro-batch time — restart the stream once files
+    exist so the schema is re-inferred from real data. Only the
+    "can't infer schema" AnalysisException triggers the fallback; genuine
+    read errors (permissions, bad path) still raise at definition time.
     """
+    from pyspark.errors import AnalysisException
+
     try:
         schema = spark.read.parquet(path).schema
-    except Exception:  # empty/not-yet-populated source dir: nothing to infer
+    except AnalysisException as exc:
+        # Only the empty/not-yet-populated case falls back; anything else
+        # (PATH_NOT_FOUND for a bad path, permission errors) fails loudly
+        # at definition time instead of masquerading as the empty-dir case.
+        if "UNABLE_TO_INFER_SCHEMA" not in str(exc):
+            raise
         schema = EVENTS_SCHEMA
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:

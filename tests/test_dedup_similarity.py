@@ -367,6 +367,20 @@ def test_prefix_filter_jaccard_matches_plain(spark):
         assert pref == plain, f"threshold {t}"
 
 
+def test_prefix_filter_with_candidates_raises(spark):
+    """prefix_filter is a standalone-mode knob; combining it with a
+    candidates list must fail loudly instead of silently ignoring the
+    flag (ADVICE r4)."""
+    from candia_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b d")], ["doc_id", "text"]
+    )
+    cands = spark.createDataFrame([(1, 2)], ["id_a", "id_b"])
+    with pytest.raises(ValueError, match="standalone"):
+        ngram_jaccard_pairs(docs, candidates=cands, prefix_filter=True)
+
+
 def test_decontaminate_flags_overlap_only(spark):
     """Docs sharing >= min_overlap distinct n-grams with the benchmark are
     flagged with exact overlap counts; disjoint docs are not."""

@@ -72,6 +72,16 @@ def test_events_stream_on_empty_source_dir(spark, tmp_path):
     assert "event_time" in stream.columns
 
 
+def test_events_stream_bad_path_raises(spark, tmp_path):
+    """A genuinely missing path must fail loudly at definition time, not
+    silently become the empty-dir fallback schema (ADVICE r4: the broad
+    except masked permissions/bad-path errors)."""
+    from pyspark.errors import AnalysisException
+
+    with pytest.raises(AnalysisException):
+        events_stream(spark, str(tmp_path / "does_not_exist"))
+
+
 def test_windowed_counts_stream_matches_batch(spark, events_dir, tmp_path):
     stream = windowed_counts(events_stream(spark, events_dir), window="1 hour")
     got = run_available_now(
