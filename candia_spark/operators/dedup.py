@@ -593,11 +593,17 @@ def minhash_lsh_pairs(
 LAST_CC_TELEMETRY: dict[str, int] = {}
 
 
-def _record_cc_rounds(rounds: int, telemetry: dict | None) -> None:
+def _record_cc_rounds(
+    rounds: int, telemetry: dict | None, edges: int | None = None
+) -> None:
     LAST_CC_TELEMETRY["rounds"] = rounds
     LAST_CC_TELEMETRY["calls"] = LAST_CC_TELEMETRY.get("calls", 0) + 1
+    if edges is not None:
+        LAST_CC_TELEMETRY["edges"] = edges
     if telemetry is not None:
         telemetry["rounds"] = rounds
+        if edges is not None:
+            telemetry["edges"] = edges
 
 
 def _union_find_labels(edges) -> list[tuple]:
@@ -702,12 +708,13 @@ def connected_components(
         obs0,
     )
 
-    if small_graph_max_edges is not None and obs0.get["n"] <= small_graph_max_edges:
+    n_edges = obs0.get["n"]
+    if small_graph_max_edges is not None and n_edges <= small_graph_max_edges:
         # Arrow-columnar collect (toPandas), NOT .collect(): 2 longs/edge
         # on the wire instead of a pyspark Row object per edge.
         pdf = e.toPandas()
         labels = _union_find_labels(zip(pdf["a"].tolist(), pdf["b"].tolist()))
-        _record_cc_rounds(0, telemetry)
+        _record_cc_rounds(0, telemetry, edges=n_edges)
         schema = StructType(
             [
                 StructField("node", e.schema["b"].dataType),
@@ -763,7 +770,7 @@ def connected_components(
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds"
         )
-    _record_cc_rounds(rounds, telemetry)
+    _record_cc_rounds(rounds, telemetry, edges=n_edges)
     # At the fixpoint the edge set IS a star forest rooted at component
     # minima: members appear as b exactly once, roots only as a. Every
     # node of the input pair graph appears (pairs have no singletons), so

@@ -1976,6 +1976,56 @@ def q43_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q50_dedup_components_distributed",
+    # identical answer contract to q43 (same pair graph, same collapse
+    # semantics), so the SAME recursive-closure oracle hash-gates it; what
+    # differs is the execution path under test.
+    oracle=(
+        "WITH RECURSIVE pairs AS (\n"
+        + _q42_oracle()
+        + """),
+    edges AS (
+        SELECT id_a AS a, id_b AS b FROM pairs
+        UNION
+        SELECT id_b, id_a FROM pairs),
+    nodes AS (SELECT DISTINCT a AS n FROM edges),
+    reach(n, r) AS (
+        SELECT n, n FROM nodes
+        UNION
+        SELECT reach.n, e.b FROM reach JOIN edges e ON e.a = reach.r)
+    SELECT CAST(n AS BIGINT) AS node, CAST(MIN(r) AS BIGINT) AS rep
+    FROM reach GROUP BY n
+    """
+    ),
+    survey_ref="dedup-collapse distributed path (north star)",
+)
+def q50_dedup_components_distributed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """q43's collapse with the driver-side union-find fast path DISABLED
+    (``small_graph_max_edges=None``), forcing the distributed alternating
+    star-contraction loop. At bench scale every natural pair graph fits
+    the fast path, which made the distributed loop invisible to measured
+    evidence (round-4 watch-item): this entry keeps a multi-round
+    star-contraction number in every BENCH_r{N}.json (cc_rounds > 0) and
+    hash-gates its answer against the same recursive-CTE oracle as q43 —
+    certifying the two paths agree on real driver data, not just in
+    pytest fixtures."""
+    from candia_spark.operators.dedup import connected_components
+    from candia_spark.operators.similarity import cosine_dup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = cosine_dup_pairs(emb, threshold=0.4, n_bits=4, dim=64, seed=42)
+    comp = connected_components(
+        pairs, id_a="id_a", id_b="id_b", small_graph_max_edges=None
+    )
+    return comp.select(
+        F.col("node").cast("bigint").alias("node"),
+        F.col("rep").cast("bigint").alias("rep"),
+    )
+
+
+@register(
     "q44_repetition_metrics",
     oracle="""
     WITH toks AS (

@@ -1,0 +1,442 @@
+"""Scale-stress harness for the dedup/ANN family: tiled synthetic corpora
+at configurable multipliers over the sf0.1 base tables, per-query
+wall-time scaling curves, hot-cap trigger counts, and connected-components
+telemetry. Writes SCALING_r05.json at the repo root.
+
+Usage:
+    python scripts/scale_stress.py                   # multipliers 10 25 50
+    python scripts/scale_stress.py --sizes 5 10      # quicker local sweep
+    python scripts/scale_stress.py --skip-skew       # omit the Zipf corpus
+
+Corpus construction (fully deterministic — hash-derived, no RNG state):
+
+- ``documents`` tile t of k: tile 0 is the base corpus verbatim; tile t>0
+  is the base corpus with every token suffixed ``_t{t}`` (vocabulary
+  renaming). Each tile therefore reproduces the base shingle-df
+  distribution EXACTLY, so total inverted-index join mass grows linearly
+  with tile count — the construction isolates the ENGINE's scaling
+  (shuffles, aggregations, materializations) from data-inherent
+  quadratics. (A shared-vocabulary corpus whose per-shingle df grows with
+  corpus size makes standalone all-pairs Jaccard inherently super-linear
+  no matter the engine; that regime is what the LSH-then-verify contract
+  and the df caps exist for, and the separate Zipf-skew experiment below
+  measures it directly.)
+- near-dup injection: base ids with ``id % 20 == 3`` emit one partner per
+  tile with every 20th token replaced (bigram Jaccard ~0.86 vs its
+  parent, above the 0.7 pipeline threshold) — bounded cluster size, so
+  the true near-dup pair count grows linearly with corpus size.
+- exact-dup injection: base ids with ``id % 20 == 7`` emit one verbatim
+  copy per tile (exercises exact-first dedup and J=1.0 pairs).
+- ``embeddings`` tile t>0: fresh hash-uniform vectors in [-1,1]^64; ids
+  with ``id % 20 == 3`` emit a small-perturbation partner
+  (cosine ~0.999 >= the 0.4 dup threshold).
+
+Embedding LSH bits scale with corpus size (n_bits ~ log2(N/64), floor 4):
+with FIXED n_bits the in-bucket candidate mass is N^2/2^n_bits — at 100k
+vectors and the sf0.1 setting of 4 bits that is a 300M-pair explosion.
+Growing the bucket count with the corpus is the documented operating
+contract for hyperplane LSH (the same reason IVF scales nlist with N);
+the JSON records the n_bits used at each size.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import shutil
+import sys
+import time
+
+os.environ.setdefault("SPARK_DRIVER_MEMORY", "24g")
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from pyspark.sql import SparkSession  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+BASE_SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+OUT_ROOT = os.path.join(REPO, ".scale")
+TILE_STRIDE = 1_000_000  # base ids < 10^4, partners at +5e5 / +7e5
+ND_OFF = 500_000
+EX_OFF = 700_000
+
+
+# ---------------------------------------------------------------------------
+# corpus generation
+# ---------------------------------------------------------------------------
+
+def _toks(col: str = "text"):
+    return F.filter(F.split(F.lower(F.col(col)), " "), lambda t: t != "")
+
+
+def build_documents(spark: SparkSession, k: int, out: str) -> int:
+    """Tiled documents corpus; returns row count."""
+    from candia_spark.tables import load_table
+
+    docs = load_table(spark, BASE_SF, "documents")
+    tiles = spark.range(k).select(F.col("id").alias("tile"))
+    d = docs.crossJoin(tiles)
+    suffixed = F.array_join(
+        F.transform(
+            _toks("text"),
+            lambda x: F.concat(x, F.lit("_t"), F.col("tile").cast("string")),
+        ),
+        " ",
+    )
+    inter = d.select(
+        F.col("doc_id").alias("base_id"),
+        "tile",
+        F.when(F.col("tile") == 0, F.col("text")).otherwise(suffixed).alias("text"),
+        "lang",
+        "source",
+    )
+    new_id = (F.col("base_id") + F.col("tile") * TILE_STRIDE).alias("doc_id")
+    main = inter.select(new_id, "text", "lang", "source")
+    # near-dup partner: every 20th token replaced by a tile-local marker
+    nd_text = F.array_join(
+        F.transform(
+            _toks("text"),
+            lambda x, i: F.when(
+                i % 20 == 19, F.concat(F.lit("nd"), F.col("tile").cast("string"))
+            ).otherwise(x),
+        ),
+        " ",
+    )
+    nd = inter.filter(F.col("base_id") % 20 == 3).select(
+        (F.col("base_id") + F.col("tile") * TILE_STRIDE + ND_OFF).alias("doc_id"),
+        nd_text.alias("text"),
+        "lang",
+        "source",
+    )
+    ex = inter.filter(F.col("base_id") % 20 == 7).select(
+        (F.col("base_id") + F.col("tile") * TILE_STRIDE + EX_OFF).alias("doc_id"),
+        "text",
+        "lang",
+        "source",
+    )
+    full = (
+        main.unionByName(nd)
+        .unionByName(ex)
+        .withColumn("n_chars", F.length("text").cast("bigint"))
+    )
+    full.write.mode("overwrite").parquet(os.path.join(out, "documents.parquet"))
+    return spark.read.parquet(os.path.join(out, "documents.parquet")).count()
+
+
+def build_embeddings(spark: SparkSession, k: int, out: str) -> int:
+    from candia_spark.tables import load_table
+
+    emb = load_table(spark, BASE_SF, "embeddings")
+    tiles = spark.range(k).select(F.col("id").alias("tile"))
+    d = emb.crossJoin(tiles)
+
+    def uniform(*seed_cols):
+        # hash-uniform in [-1, 1], deterministic per (id, tile, dim, salt)
+        return (F.pmod(F.xxhash64(*seed_cols), F.lit(2001)) - 1000) / 1000.0
+
+    fresh = F.transform(
+        "embedding",
+        lambda x, j: uniform(F.col("vec_id"), F.col("tile"), j).cast("float"),
+    )
+    vec = F.when(F.col("tile") == 0, F.col("embedding")).otherwise(fresh)
+    inter = d.select(
+        F.col("vec_id").alias("base_id"), "tile", vec.alias("embedding"), "label"
+    )
+    main = inter.select(
+        (F.col("base_id") + F.col("tile") * TILE_STRIDE).alias("vec_id"),
+        "embedding",
+        "label",
+    )
+    nd_vec = F.transform(
+        "embedding",
+        lambda x, j: (
+            x + 0.05 * uniform(F.col("base_id"), F.col("tile"), j, F.lit(7))
+        ).cast("float"),
+    )
+    nd = inter.filter(F.col("base_id") % 20 == 3).select(
+        (F.col("base_id") + F.col("tile") * TILE_STRIDE + ND_OFF).alias("vec_id"),
+        nd_vec.alias("embedding"),
+        "label",
+    )
+    full = main.unionByName(nd)
+    full.write.mode("overwrite").parquet(os.path.join(out, "embeddings.parquet"))
+    return spark.read.parquet(os.path.join(out, "embeddings.parquet")).count()
+
+
+def build_zipf_corpus(spark: SparkSession, n_docs: int, n_tokens: int, out: str) -> int:
+    """Zipf-skewed shared-vocabulary corpus: token at position i of doc d is
+    ``w{ceil(1/u)}`` with u hash-uniform in (0, 1] — P(rank >= r) ~ 1/r, the
+    classic s=1 Zipf tail. Shingle df is heavy-headed like real text, which
+    is exactly the regime the AllPairs prefix filter targets (and where the
+    df-frac cap only removes the stopword-grade head)."""
+    docs = spark.range(n_docs).select(F.col("id").alias("doc_id"))
+
+    def zipf_token(i):
+        u = (
+            F.pmod(F.xxhash64(F.col("doc_id"), i), F.lit(1_000_000)) + 1
+        ) / 1_000_000.0
+        rank = F.least(F.ceil(1.0 / u), F.lit(2_000_000)).cast("long")
+        return F.concat(F.lit("w"), rank.cast("string"))
+
+    text = F.array_join(
+        F.transform(F.sequence(F.lit(1), F.lit(n_tokens)), zipf_token), " "
+    )
+    full = docs.select(
+        "doc_id",
+        text.alias("text"),
+        F.lit("zz").alias("lang"),
+        F.lit("zipf").alias("source"),
+    ).withColumn("n_chars", F.length("text").cast("bigint"))
+    full.write.mode("overwrite").parquet(os.path.join(out, "documents.parquet"))
+    return spark.read.parquet(os.path.join(out, "documents.parquet")).count()
+
+
+# ---------------------------------------------------------------------------
+# measurement
+# ---------------------------------------------------------------------------
+
+def timed(thunk) -> float:
+    """Wall seconds for build-plan + full evaluation. The thunk returns the
+    DataFrame — construction must happen INSIDE the timer because the dedup
+    operators materialize eagerly (shingle-index checkpoint, cap censuses,
+    the whole connected-components collapse) during plan construction."""
+    t0 = time.perf_counter()
+    df = thunk()
+    df.write.format("noop").mode("overwrite").save()
+    return round(time.perf_counter() - t0, 3)
+
+
+def cap_stats(spark: SparkSession, sf_dir: str) -> dict:
+    """How hard do the hot caps bite at this size? One census pass each."""
+    from candia_spark.operators.dedup import (
+        _minhash_agg,
+        shingle_index,
+        word_ngram_hashes,
+    )
+    from candia_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = word_ngram_hashes(docs, n=2)
+    census = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    ndocs = docs.count()
+    row = census.agg(
+        F.max("df").alias("max_df"),
+        F.expr("percentile_approx(df, 0.99)").alias("p99_df"),
+        F.sum((F.col("df") > 0.5 * ndocs).cast("long")).alias("over_frac_cap"),
+        F.count(F.lit(1)).alias("n_shingles"),
+    ).collect()[0]
+    # LSH band-bucket census at the q27/q49 setting (32 hashes, 16 bands)
+    idx = shingle_index(docs, n=2)
+    agg = _minhash_agg(idx, 32, "doc_id")
+    rows_per_band = 2
+    banded = agg.select(
+        F.col("doc_id"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+                    )
+                    for b in range(16)
+                ]
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+    brow = (
+        banded.groupBy("band_idx", "band_hash")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(
+            F.max("n").alias("max_bucket"),
+            F.sum((F.col("n") > 1000).cast("long")).alias("over_bucket_cap"),
+        )
+        .collect()[0]
+    )
+    return {
+        "n_docs": ndocs,
+        "n_distinct_shingles": row["n_shingles"],
+        "max_shingle_df": row["max_df"],
+        "p99_shingle_df": row["p99_df"],
+        "shingles_over_frac0.5_cap": row["over_frac_cap"],
+        "max_band_bucket": brow["max_bucket"],
+        "band_buckets_over_1000_cap": brow["over_bucket_cap"],
+    }
+
+
+def run_text_queries(spark: SparkSession, sf_dir: str) -> dict:
+    from candia_spark.operators.dedup import LAST_CC_TELEMETRY
+    from candia_spark.plans.queries import QUERY_REGISTRY
+
+    # q26 is measured by run_jaccard_modes (cap_default_sec IS q26's exact
+    # form) — not repeated here.
+    names = [
+        "q25_dedup_exact",
+        "q27_minhash_lsh",
+        "q28_simhash_dups",
+        "q45_decontaminate",
+        "q49_dedup_corpus",
+    ]
+    out: dict = {"queries": {}, "cc": {}}
+    for name in names:
+        calls0 = LAST_CC_TELEMETRY.get("calls", 0)
+        out["queries"][name] = timed(
+            lambda name=name: QUERY_REGISTRY[name].spark(spark, sf_dir)
+        )
+        if LAST_CC_TELEMETRY.get("calls", 0) != calls0:
+            out["cc"][name] = {
+                "rounds": LAST_CC_TELEMETRY.get("rounds"),
+                "edges": LAST_CC_TELEMETRY.get("edges"),
+            }
+    return out
+
+
+def run_embedding_queries(spark: SparkSession, sf_dir: str, n_vecs: int) -> dict:
+    from candia_spark.operators.dedup import LAST_CC_TELEMETRY, connected_components
+    from candia_spark.operators.similarity import cosine_dup_pairs
+    from candia_spark.tables import load_table
+
+    n_bits = max(4, math.ceil(math.log2(max(n_vecs, 64) / 64)))
+    emb = load_table(spark, sf_dir, "embeddings")
+    out: dict = {"n_bits": n_bits, "queries": {}, "cc": {}}
+
+    def dup_pairs():
+        return cosine_dup_pairs(emb, threshold=0.4, n_bits=n_bits, dim=64, seed=42)
+
+    out["queries"]["q42_embedding_dups"] = timed(dup_pairs)
+    out["queries"]["q43_dedup_components"] = timed(
+        lambda: connected_components(dup_pairs(), id_a="id_a", id_b="id_b")
+    )
+    out["cc"]["q43_dedup_components"] = {
+        "rounds": LAST_CC_TELEMETRY.get("rounds"),
+        "edges": LAST_CC_TELEMETRY.get("edges"),
+    }
+    # forced distributed star contraction on the same graph (the q50 path)
+    out["queries"]["q50_components_distributed"] = timed(
+        lambda: connected_components(
+            dup_pairs(), id_a="id_a", id_b="id_b", small_graph_max_edges=None
+        )
+    )
+    out["cc"]["q50_components_distributed"] = {
+        "rounds": LAST_CC_TELEMETRY.get("rounds"),
+        "edges": LAST_CC_TELEMETRY.get("edges"),
+    }
+    return out
+
+
+def run_jaccard_modes(spark: SparkSession, sf_dir: str) -> dict:
+    """Task: settle prefix-filter vs df-cap by measurement (q26 setting)."""
+    from candia_spark.operators.dedup import ngram_jaccard_pairs
+    from candia_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = {}
+    out["cap_default_sec"] = timed(
+        lambda: ngram_jaccard_pairs(docs, n=2, threshold=0.35, max_shingle_frac=0.5)
+    )
+    out["prefix_filter_sec"] = timed(
+        lambda: ngram_jaccard_pairs(
+            docs, n=2, threshold=0.35, max_shingle_frac=0.5, prefix_filter=True
+        )
+    )
+    return out
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sizes", type=int, nargs="+", default=[10, 25, 50])
+    ap.add_argument("--skip-skew", action="store_true")
+    ap.add_argument("--keep-data", action="store_true")
+    ap.add_argument(
+        "--out", default=os.path.join(REPO, "SCALING_r05.json")
+    )
+    args = ap.parse_args()
+
+    from candia_spark.session import get_spark
+
+    spark = get_spark(app_name="candia_scale_stress")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm codegen/HOF/arrow paths once so size-1 timings aren't startup
+    from candia_spark.operators.dedup import word_ngram_hashes
+    from candia_spark.tables import load_table
+
+    word_ngram_hashes(load_table(spark, BASE_SF, "documents").limit(200)).count()
+
+    report: dict = {
+        "base_sf_dir": BASE_SF,
+        "construction": (
+            "documents: k vocab-suffixed tiles of the sf0.1 corpus "
+            "(per-tile shingle-df distribution == base, so engine scaling "
+            "is measured in the linear regime) + 5% near-dup partners "
+            "(J~0.86) + 5% exact copies per tile; embeddings: fresh "
+            "hash-uniform vectors per tile + 5% cosine~0.999 partners; "
+            "embedding LSH n_bits grows log2 with N (recorded per size)"
+        ),
+        "sizes": [],
+    }
+
+    for k in args.sizes:
+        out_dir = os.path.join(OUT_ROOT, f"x{k}")
+        t0 = time.perf_counter()
+        n_docs = build_documents(spark, k, out_dir)
+        n_vecs = build_embeddings(spark, k, out_dir)
+        gen_sec = round(time.perf_counter() - t0, 3)
+        entry: dict = {
+            "mult": k,
+            "n_docs": n_docs,
+            "n_vecs": n_vecs,
+            "gen_sec": gen_sec,
+        }
+        entry["caps"] = cap_stats(spark, out_dir)
+        text = run_text_queries(spark, out_dir)
+        embq = run_embedding_queries(spark, out_dir, n_vecs)
+        entry["jaccard_modes"] = run_jaccard_modes(spark, out_dir)
+        entry["queries"] = {
+            **text["queries"],
+            **embq["queries"],
+            # the cap-default mode IS q26's exact form
+            "q26_ngram_jaccard": entry["jaccard_modes"]["cap_default_sec"],
+        }
+        entry["cc"] = {**text["cc"], **embq["cc"]}
+        entry["embedding_n_bits"] = embq["n_bits"]
+        report["sizes"].append(entry)
+        print(json.dumps({"progress": f"x{k} done", **entry}), flush=True)
+        if not args.keep_data:
+            shutil.rmtree(out_dir, ignore_errors=True)
+
+    # per-doc normalized seconds across sizes: near-linear scaling shows as
+    # a flat (or falling, as fixed overhead amortizes) normalized curve
+    if len(report["sizes"]) >= 2:
+        norm = {}
+        for q in report["sizes"][0]["queries"]:
+            norm[q] = [
+                round(s["queries"][q] / s["n_docs"] * 1e6, 3)
+                for s in report["sizes"]
+                if q in s["queries"]
+            ]
+        report["usec_per_doc_by_size"] = norm
+
+    if not args.skip_skew:
+        skew_dir = os.path.join(OUT_ROOT, "zipf")
+        n = build_zipf_corpus(spark, n_docs=20_000, n_tokens=50, out=skew_dir)
+        report["skew_corpus"] = {
+            "n_docs": n,
+            "n_tokens_per_doc": 50,
+            "zipf": "rank = ceil(1/u), s=1 tail",
+            "caps": cap_stats(spark, skew_dir),
+            "jaccard_modes": run_jaccard_modes(spark, skew_dir),
+        }
+        if not args.keep_data:
+            shutil.rmtree(skew_dir, ignore_errors=True)
+
+    with open(args.out, "w") as f:
+        json.dump(report, f, indent=1)
+    print(json.dumps({"metric": "scale_stress", "out": args.out}))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
