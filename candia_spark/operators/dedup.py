@@ -181,6 +181,67 @@ def shingle_index(
     return _materialize(base.join(F.broadcast(hot), "shingle", "left_anti"))
 
 
+# Telemetry from the most recent standalone ngram_jaccard_pairs mode
+# decision on this driver: {"mode": "prefix"|"plain", "auto": bool,
+# "top_mass_frac": float|None} — how the bench/scale harnesses see which
+# path a corpus routed to without re-deriving the census.
+LAST_JACCARD_TELEMETRY: dict = {}
+
+# Fraction of the would-be inverted-index join mass (sum over shingles of
+# df^2) that must sit in the top df percentile for the auto default to
+# pick the AllPairs prefix path. Calibration (SCALING_r05.json): the
+# flat-df tiled bench corpus and the Zipf-skewed corpus land on opposite
+# sides with a wide margin at every measured size.
+_PREFIX_AUTO_TOP_MASS_FRAC = 0.5
+
+
+def _jaccard_mass_is_skewed(index: DataFrame) -> bool:
+    """One aggregation over the materialized (capped) index: does the top
+    df-percentile of shingles carry most of the sum(df^2) join mass?
+
+    This is the statistic the prefix filter's win condition actually
+    depends on — rare-first ordering excludes exactly the high-df head
+    from every document's prefix, so the prefix join mass collapses iff
+    that head dominates. Cost: one groupBy over index rows (bytes-per-row
+    bigint pairs) + one two-row agg — marginal next to the self-join
+    either branch runs afterwards, and only paid in auto mode.
+    """
+    census = index.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+    stats = census.agg(
+        F.expr("percentile_approx(__df, 0.99)").alias("p99"),
+        F.expr("percentile_approx(__df, 0.5)").alias("p50"),
+        F.sum(F.col("__df") * F.col("__df")).alias("total"),
+    ).collect()[0]
+    if stats["total"] is None or stats["total"] == 0:
+        LAST_JACCARD_TELEMETRY.update(
+            {"mode": "plain", "auto": True, "top_mass_frac": None}
+        )
+        return False
+    # a head must exist at all: with near-uniform dfs (mostly-unique text,
+    # df ~1 everywhere) `df >= p99` degenerately matches the whole census
+    # and the mass fraction saturates at 1.0 — but there is no head for
+    # rare-first prefixes to exclude, so the prefix pass buys nothing.
+    has_head = stats["p99"] >= 2 * max(stats["p50"], 1)
+    frac = None
+    skewed = False
+    if has_head:
+        top = (
+            census.filter(F.col("__df") >= stats["p99"])
+            .agg(F.sum(F.col("__df") * F.col("__df")).alias("t"))
+            .collect()[0]["t"]
+        )
+        frac = round(float(top or 0) / float(stats["total"]), 4)
+        skewed = frac > _PREFIX_AUTO_TOP_MASS_FRAC
+    LAST_JACCARD_TELEMETRY.update(
+        {
+            "mode": "prefix" if skewed else "plain",
+            "auto": True,
+            "top_mass_frac": frac,
+        }
+    )
+    return skewed
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     n: int = 2,
@@ -191,7 +252,7 @@ def ngram_jaccard_pairs(
     max_shingle_df: int | None = None,
     max_shingle_frac: float | None = None,
     index: DataFrame | None = None,
-    prefix_filter: bool = False,
+    prefix_filter: bool | None = None,
 ) -> DataFrame:
     """Exact Jaccard-similar pairs over word n-gram shingle sets:
     J(A,B) = |A∩B| / (|A|+|B|-|A∩B|) >= threshold, id_a < id_b.
@@ -230,13 +291,22 @@ def ngram_jaccard_pairs(
       what changes is the joined mass: sum of prefix-df^2 instead of
       df^2. Rare-first ordering concentrates prefixes on low-df shingles,
       so the pruning power tracks the skew of the shingle-df
-      distribution — strong on Zipfian real-corpus text, nil on uniform
-      text. OPT-IN for exactly that reason: on the uniform synthetic
-      bench corpus it measured SLOWER (4.7s -> 6.7s at sf0.1; flat df =
-      worst case, the candidate distinct + set joins don't pay for
-      themselves), while a skewed corpus is where it wins. Measure on
-      your corpus; the df cap already handles the pathological head
-      either way.
+      distribution — 12x faster on a Zipf-skewed 20k-doc corpus, a wash
+      (within run noise) on the flat-df synthetic bench corpus, where the
+      census/sort/distinct overhead buys nothing (SCALING_r05.json,
+      jaccard_modes at every size).
+
+      The DEFAULT (``prefix_filter=None``) is therefore DATA-ADAPTIVE:
+      one tiny census aggregation over the (already materialized, already
+      capped) index measures how concentrated the would-be join mass is —
+      the fraction of sum(df^2) carried by shingles in the top df
+      percentile. Skewed-head corpora (real text) route to the prefix
+      path, flat-df corpora to the plain inverted-index join; measured
+      calibration: the driver corpora at every gate scale and the tiled
+      bench corpus sit at top-1%-df mass 1.5-3.6% of sum(df^2), the Zipf
+      corpus at 98.6% — the 0.5 threshold is far from both sides. Pass
+      True/False to pin a mode; the decision is recorded in
+      ``LAST_JACCARD_TELEMETRY``.
     """
     if candidates is not None and prefix_filter:
         # standalone-mode-only contract: the candidates branch would win
@@ -250,6 +320,16 @@ def ngram_jaccard_pairs(
             df, n, text_col, id_col, max_shingle_df, max_shingle_frac
         )
     sh = index
+    if candidates is None and prefix_filter is None:
+        prefix_filter = _jaccard_mass_is_skewed(sh)
+    elif candidates is None:
+        LAST_JACCARD_TELEMETRY.update(
+            {
+                "mode": "prefix" if prefix_filter else "plain",
+                "auto": False,
+                "top_mass_frac": None,
+            }
+        )
     if candidates is not None:
         # verify mode: one sorted set-array per document, one
         # array_intersect per candidate pair. The set tables are doc-count

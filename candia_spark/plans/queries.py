@@ -899,6 +899,64 @@ _TENSOR_DIMS_SQL = """
 """
 
 
+# ---------------------------------------------------------------------------
+# q23/q24 golden tables — SINGLE SOURCE OF TRUTH for both the DuckDB oracle
+# VALUES clauses below and the recompute-parity pytest
+# (tests/test_golden_parity.py::test_parafac_goldens_recompute): a testdata
+# regeneration or a numpy/BLAS change breaks the pytest LOUDLY (with a
+# pointer to scripts/regen_goldens.py) instead of surfacing as a cryptic
+# driver oracle mismatch. sf_tag: 0 = sf0.001 (6000 lineitem rows),
+# 1 = sf0.01 (60000 rows); any other scale maps to -1 and fails the gate
+# as an obvious zero-row mismatch.
+# ---------------------------------------------------------------------------
+
+GOLDEN_SCALE_KEYS = {6000: 0, 60000: 1}
+# numpy lineage the goldens were computed under (ADVICE r4): a failing
+# recompute test under a DIFFERENT numpy means "refresh the goldens", not
+# "the engine regressed" — the pytest says which.
+GOLDEN_NUMPY_VERSION = "1.26"
+
+# (sf_tag, slice_key, ncomp) -> (iterations, rsq rounded to 2 decimals)
+Q23_GOLDENS: dict[tuple[int, str, int], tuple[int, float]] = {
+    (0, "A", 2): (300, 0.68),
+    (0, "A", 3): (300, 0.69),
+    (0, "N", 2): (300, 0.70),
+    (0, "N", 3): (300, 0.72),
+    (0, "R", 2): (166, 0.70),
+    (0, "R", 3): (300, 0.72),
+    (1, "A", 2): (300, 0.84),
+    (1, "A", 3): (300, 0.84),
+    (1, "N", 2): (300, 0.84),
+    (1, "N", 3): (300, 0.85),
+    (1, "R", 2): (300, 0.84),
+    (1, "R", 3): (300, 0.84),
+}
+
+# (sf_tag, slice_key, comp) -> npeaks (ncomp fixed at 2)
+Q24_GOLDENS: dict[tuple[int, str, int], int] = {
+    (0, "A", 0): 2, (0, "A", 1): 6,
+    (0, "N", 0): 5, (0, "N", 1): 3,
+    (0, "R", 0): 3, (0, "R", 1): 2,
+    (1, "A", 0): 5, (1, "A", 1): 7,
+    (1, "N", 0): 4, (1, "N", 1): 5,
+    (1, "R", 0): 4, (1, "R", 1): 7,
+}
+
+_SCALE_CASE_SQL = " ".join(
+    f"WHEN {rows} THEN {tag}" for rows, tag in GOLDEN_SCALE_KEYS.items()
+)
+
+_Q23_VALUES_SQL = ",\n        ".join(
+    f"({t}, '{s}', {nc}, {it}, CAST({rsq} AS DOUBLE))"
+    for (t, s, nc), (it, rsq) in sorted(Q23_GOLDENS.items())
+)
+
+_Q24_VALUES_SQL = ",\n        ".join(
+    f"({t}, '{s}', {c}, {np_})"
+    for (t, s, c), np_ in sorted(Q24_GOLDENS.items())
+)
+
+
 @register(
     "q23_parafac_decompose",
     # GOLDEN-VALUE ORACLE. The iterative NN-ALS fit is not SQL-expressible;
@@ -914,25 +972,14 @@ _TENSOR_DIMS_SQL = """
     oracle=f"""
     WITH {_TENSOR_DIMS_SQL},
     scale AS (
-        -- EXACT row-count keys for the two pinned gate scales; any other
+        -- EXACT row-count keys for the pinned gate scales; any other
         -- scale maps to -1, joins no goldens, and fails the gate as an
         -- obvious zero-row mismatch instead of asserting another scale's
         -- golden values against this one's data
         SELECT CASE (SELECT COUNT(*) FROM lineitem)
-               WHEN 6000 THEN 0 WHEN 60000 THEN 1 ELSE -1 END AS sf_tag),
+               {_SCALE_CASE_SQL} ELSE -1 END AS sf_tag),
     golden(sf_tag, slice_key, ncomp, iterations, rsq) AS (VALUES
-        (0, 'A', 2, 300, CAST(0.68 AS DOUBLE)),
-        (0, 'A', 3, 300, CAST(0.69 AS DOUBLE)),
-        (0, 'N', 2, 300, CAST(0.70 AS DOUBLE)),
-        (0, 'N', 3, 300, CAST(0.72 AS DOUBLE)),
-        (0, 'R', 2, 166, CAST(0.70 AS DOUBLE)),
-        (0, 'R', 3, 300, CAST(0.72 AS DOUBLE)),
-        (1, 'A', 2, 300, CAST(0.84 AS DOUBLE)),
-        (1, 'A', 3, 300, CAST(0.84 AS DOUBLE)),
-        (1, 'N', 2, 300, CAST(0.84 AS DOUBLE)),
-        (1, 'N', 3, 300, CAST(0.85 AS DOUBLE)),
-        (1, 'R', 2, 300, CAST(0.84 AS DOUBLE)),
-        (1, 'R', 3, 300, CAST(0.84 AS DOUBLE)))
+        {_Q23_VALUES_SQL})
     SELECT d.slice_key,
            CAST(g.ncomp AS BIGINT) AS ncomp,
            CAST(g.iterations AS BIGINT) AS iterations,
@@ -983,19 +1030,14 @@ def q23_parafac_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH {_TENSOR_DIMS_SQL},
     scale AS (
-        -- EXACT row-count keys for the two pinned gate scales; any other
+        -- EXACT row-count keys for the pinned gate scales; any other
         -- scale maps to -1, joins no goldens, and fails the gate as an
         -- obvious zero-row mismatch instead of asserting another scale's
         -- golden values against this one's data
         SELECT CASE (SELECT COUNT(*) FROM lineitem)
-               WHEN 6000 THEN 0 WHEN 60000 THEN 1 ELSE -1 END AS sf_tag),
+               {_SCALE_CASE_SQL} ELSE -1 END AS sf_tag),
     golden(sf_tag, slice_key, comp, npeaks) AS (VALUES
-        (0, 'A', 0, 2), (0, 'A', 1, 6),
-        (0, 'N', 0, 5), (0, 'N', 1, 3),
-        (0, 'R', 0, 3), (0, 'R', 1, 2),
-        (1, 'A', 0, 5), (1, 'A', 1, 7),
-        (1, 'N', 0, 4), (1, 'N', 1, 5),
-        (1, 'R', 0, 4), (1, 'R', 1, 7))
+        {_Q24_VALUES_SQL})
     SELECT d.slice_key,
            CAST(2 AS BIGINT) AS ncomp,
            CAST(g.comp AS BIGINT) AS comp,

@@ -41,6 +41,17 @@ class ToolSpec:
     executable. ``path_env`` names an env var holding the install dir
     (the reference's DIAUMPIRE_PATH convention, wrappers.py:28-30).
     ``report_format`` keys adapters.REPORT_FORMATS for reading the output.
+
+    Tools whose CLIs can't take every parameter as an argument get three
+    extra seams (all ``str.format`` templates over the same params):
+
+    - ``env``: extra environment variables for the subprocess (the
+      reference's DEEPNOVO_INPUT convention).
+    - ``cwd``: working directory to run in (the reference pushd's into the
+      DeepNovo install dir so relative ``--train_dir`` resolves there).
+    - ``output_written``: where the tool actually leaves its report when
+      it ignores an ``{output}`` argument; ``run_and_read`` copies it to
+      the caller's requested output path before parsing.
     """
 
     name: str
@@ -49,6 +60,9 @@ class ToolSpec:
     path_env: str | None = None
     report_format: str | None = None
     defaults: dict = field(default_factory=dict)
+    env: dict = field(default_factory=dict)
+    cwd: str | None = None
+    output_written: str | None = None
 
 
 # Command templates mirror the reference invocations (file:line above);
@@ -110,10 +124,14 @@ TOOL_SPECS: dict[str, ToolSpec] = {
             # The reference drives DeepNovo via a conda-env shell dance
             # (sequence_best_models.Snakefile:52-57: DEEPNOVO_INPUT env,
             # pushd into the install dir, beam-search decode, copy
-            # train.example/decode_output.tab to the output). Here the same
-            # invocation is a template over a pinned install dir; the
-            # decode output is parsed by adapters.read_report("deepnovo")
-            # (the existing DeepNovo report reader).
+            # train.example/decode_output.tab to the output). The same
+            # contract here, expressed through the spec seams: the input
+            # rides the DEEPNOVO_INPUT env var, the subprocess runs FROM
+            # the install dir (so the relative --train_dir resolves against
+            # it, as the reference's pushd arranges), and the decode report
+            # the tool drops at {train_dir}/decode_output.tab is copied to
+            # the caller's output path and parsed by
+            # adapters.read_report("deepnovo").
             executable="python",
             path_env="DEEPNOVO_PATH",
             command=(
@@ -123,6 +141,9 @@ TOOL_SPECS: dict[str, ToolSpec] = {
             ),
             report_format="deepnovo",
             defaults={"beam_size": 5, "train_dir": "train.example"},
+            env={"DEEPNOVO_INPUT": "{input}"},
+            cwd="{tool_dir}",
+            output_written="{tool_dir}/{train_dir}/decode_output.tab",
         ),
         ToolSpec(
             name="diaumpire",
@@ -157,7 +178,7 @@ class ToolWrapper:
     def available(self) -> bool:
         return self.resolve() is not None
 
-    def build_command(self, **params) -> list[str]:
+    def _merged(self, params: dict) -> dict:
         exe = self.resolve()
         if exe is None:
             raise ToolUnavailableError(
@@ -167,21 +188,45 @@ class ToolWrapper:
         merged = {**self.spec.defaults, **params, "exe": exe}
         if self.spec.path_env and "tool_dir" not in merged:
             merged["tool_dir"] = os.environ.get(self.spec.path_env, "")
+        return merged
+
+    def build_command(self, **params) -> list[str]:
+        merged = self._merged(params)
         return [c.format(**merged) for c in self.spec.command]
 
     def run(self, check: bool = True, **params) -> subprocess.CompletedProcess:
-        cmd = self.build_command(**params)
-        return subprocess.run(cmd, check=check, capture_output=True, text=True)
+        """Run the tool with the spec's env/cwd seams applied: extra env
+        vars are formatted from the same param dict as the command, and the
+        subprocess runs from the spec's cwd (both no-ops when unset)."""
+        merged = self._merged(params)
+        cmd = [c.format(**merged) for c in self.spec.command]
+        env = None
+        if self.spec.env:
+            env = {
+                **os.environ,
+                **{k: v.format(**merged) for k, v in self.spec.env.items()},
+            }
+        cwd = self.spec.cwd.format(**merged) if self.spec.cwd else None
+        return subprocess.run(
+            cmd, check=check, capture_output=True, text=True, env=env, cwd=cwd
+        )
 
     def run_and_read(
         self, spark: SparkSession, output: str, **params
     ) -> DataFrame:
-        """Run the tool, then parse its report with the typed reader."""
+        """Run the tool, then parse its report with the typed reader. When
+        the spec declares ``output_written`` (the tool ignores {output} and
+        drops its report at a fixed location — DeepNovo), that file is
+        copied to the requested ``output`` path first, so callers see one
+        contract regardless of the tool's CLI shape."""
         from candia_spark.sources.adapters import read_report
 
         if self.spec.report_format is None:
             raise ValueError(f"{self.spec.name} has no registered report format")
         self.run(output=output, **params)
+        if self.spec.output_written is not None:
+            merged = self._merged({**params, "output": output})
+            shutil.copyfile(self.spec.output_written.format(**merged), output)
         return read_report(spark, output, self.spec.report_format)
 
 

@@ -326,20 +326,31 @@ def run_embedding_queries(spark: SparkSession, sf_dir: str, n_vecs: int) -> dict
 
 
 def run_jaccard_modes(spark: SparkSession, sf_dir: str) -> dict:
-    """Task: settle prefix-filter vs df-cap by measurement (q26 setting)."""
-    from candia_spark.operators.dedup import ngram_jaccard_pairs
+    """Task: settle prefix-filter vs df-cap by measurement (q26 setting).
+    Three runs: both modes pinned, plus the data-adaptive auto default
+    (with its decision telemetry)."""
+    from candia_spark.operators.dedup import (
+        LAST_JACCARD_TELEMETRY,
+        ngram_jaccard_pairs,
+    )
     from candia_spark.tables import load_table
 
     docs = load_table(spark, sf_dir, "documents")
     out = {}
     out["cap_default_sec"] = timed(
-        lambda: ngram_jaccard_pairs(docs, n=2, threshold=0.35, max_shingle_frac=0.5)
+        lambda: ngram_jaccard_pairs(
+            docs, n=2, threshold=0.35, max_shingle_frac=0.5, prefix_filter=False
+        )
     )
     out["prefix_filter_sec"] = timed(
         lambda: ngram_jaccard_pairs(
             docs, n=2, threshold=0.35, max_shingle_frac=0.5, prefix_filter=True
         )
     )
+    out["auto_sec"] = timed(
+        lambda: ngram_jaccard_pairs(docs, n=2, threshold=0.35, max_shingle_frac=0.5)
+    )
+    out["auto_decision"] = dict(LAST_JACCARD_TELEMETRY)
     return out
 
 
@@ -396,8 +407,8 @@ def main() -> int:
         entry["queries"] = {
             **text["queries"],
             **embq["queries"],
-            # the cap-default mode IS q26's exact form
-            "q26_ngram_jaccard": entry["jaccard_modes"]["cap_default_sec"],
+            # the auto-default mode IS q26's exact form
+            "q26_ngram_jaccard": entry["jaccard_modes"]["auto_sec"],
         }
         entry["cc"] = {**text["cc"], **embq["cc"]}
         entry["embedding_n_bits"] = embq["n_bits"]

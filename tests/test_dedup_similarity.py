@@ -367,6 +367,45 @@ def test_prefix_filter_jaccard_matches_plain(spark):
         assert pref == plain, f"threshold {t}"
 
 
+def test_auto_prefix_decision_routes_by_skew(spark):
+    """The data-adaptive default (verdict r4 #3): a flat-df corpus routes
+    to the plain inverted-index join, a hot-head corpus (most join mass
+    in the top df percentile) routes to the AllPairs prefix path — and
+    both paths return identical answers on the same corpus (the exactness
+    half is pinned by test_prefix_filter_jaccard_matches_plain)."""
+    from candia_spark.operators.dedup import (
+        LAST_JACCARD_TELEMETRY,
+        ngram_jaccard_pairs,
+    )
+
+    # flat: every doc a distinct word pair -> df 1 everywhere
+    flat = spark.createDataFrame(
+        [(i, f"w{i}a w{i}b w{i}c") for i in range(60)], ["doc_id", "text"]
+    )
+    ngram_jaccard_pairs(flat, n=2, threshold=0.5).collect()
+    assert LAST_JACCARD_TELEMETRY["auto"] is True
+    assert LAST_JACCARD_TELEMETRY["mode"] == "plain"
+
+    # skewed: one shared hot phrase in every doc + a unique tail token
+    hot = spark.createDataFrame(
+        [(i, f"the same hot phrase every time u{i}") for i in range(60)],
+        ["doc_id", "text"],
+    )
+    res = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(hot, n=2, threshold=0.5).collect()
+    }
+    assert LAST_JACCARD_TELEMETRY["mode"] == "prefix"
+    assert LAST_JACCARD_TELEMETRY["top_mass_frac"] > 0.5
+    pinned = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(
+            hot, n=2, threshold=0.5, prefix_filter=False
+        ).collect()
+    }
+    assert res == pinned and len(res) == 60 * 59 // 2
+
+
 def test_prefix_filter_with_candidates_raises(spark):
     """prefix_filter is a standalone-mode knob; combining it with a
     candidates list must fail loudly instead of silently ignoring the

@@ -1,5 +1,6 @@
 """Reference golden-test parity (SURVEY.md §5): the exact spectrum-index
-grid from models.py:206-225 and exact scan reconstruction (K4)."""
+grid from models.py:206-225 and exact scan reconstruction (K4), plus the
+q23/q24 PARAFAC golden-table recompute gate."""
 
 from __future__ import annotations
 
@@ -9,6 +10,61 @@ from pyspark.sql import functions as F
 
 from candia_spark.operators.kernels import reconstruct_scans
 from candia_spark.operators.relational import cross_index, explode_index
+
+
+@pytest.mark.parametrize(
+    "sf_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+)
+def test_parafac_goldens_recompute(spark, sf_dir):
+    """Recompute the q23/q24 golden tables from the operators at BOTH
+    correctness-gate scales and assert the pinned values (verdict r4 #4).
+
+    This makes two failure modes LOUD in pytest instead of surfacing as a
+    cryptic zero-row/hash oracle mismatch at driver time:
+    - the driver's parquet was regenerated with different row counts (the
+      scale-key assert below names the fix: scripts/regen_goldens.py);
+    - a numpy/BLAS lineage change moved the NN-ALS trajectory (the version
+      assert distinguishes 'refresh goldens' from 'engine regressed').
+    """
+    from candia_spark.plans.queries import (
+        GOLDEN_NUMPY_VERSION,
+        GOLDEN_SCALE_KEYS,
+        Q23_GOLDENS,
+        Q24_GOLDENS,
+        QUERY_REGISTRY,
+    )
+
+    assert np.__version__.startswith(GOLDEN_NUMPY_VERSION), (
+        f"goldens were pinned under numpy {GOLDEN_NUMPY_VERSION}.x but this "
+        f"env runs {np.__version__}: if q23/q24 values moved, refresh them "
+        "with scripts/regen_goldens.py (an algorithm regression would move "
+        "them under the SAME numpy too — check that first)"
+    )
+    n_lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    assert n_lineitem in GOLDEN_SCALE_KEYS, (
+        f"{sf_dir} lineitem has {n_lineitem} rows but goldens are keyed for "
+        f"{sorted(GOLDEN_SCALE_KEYS)} — the driver testdata was regenerated; "
+        "re-pin with scripts/regen_goldens.py"
+    )
+    tag = GOLDEN_SCALE_KEYS[n_lineitem]
+
+    got23 = {
+        (tag, r["slice_key"], r["ncomp"]): (r["iterations"], round(r["rsq"], 2))
+        for r in QUERY_REGISTRY["q23_parafac_decompose"]
+        .spark(spark, sf_dir)
+        .collect()
+    }
+    want23 = {k: v for k, v in Q23_GOLDENS.items() if k[0] == tag}
+    assert got23 == want23, "q23 goldens drifted — scripts/regen_goldens.py"
+
+    got24 = {
+        (tag, r["slice_key"], r["comp"]): r["npeaks"]
+        for r in QUERY_REGISTRY["q24_time_mode_peaks"]
+        .spark(spark, sf_dir)
+        .collect()
+    }
+    want24 = {k: v for k, v in Q24_GOLDENS.items() if k[0] == tag}
+    assert got24 == want24, "q24 goldens drifted — scripts/regen_goldens.py"
 
 
 def test_spectrum_index_golden_grid(spark):

@@ -72,6 +72,54 @@ def test_events_stream_on_empty_source_dir(spark, tmp_path):
     assert "event_time" in stream.columns
 
 
+def test_full_sf01_stream_matches_batch(spark, tmp_path_factory):
+    """Volume stream-batch equivalence (verdict r4 #6): the FULL sf0.1
+    events table (100k rows, 1500 users) chunked through the file source
+    with maxFilesPerTrigger — the windowed and session aggregations must
+    equal their batch twins (the streaming faces of q04/q37) exactly.
+
+    The watermark is set beyond the data span so no row is late-dropped:
+    this test certifies aggregation equivalence under micro-batched
+    evaluation; watermark drop semantics have their own test below."""
+    d = tmp_path_factory.mktemp("events_sf01")
+    src = str(d / "files")
+    ev = load_table(spark, "/root/testdata/sf0.1", "events")
+    # range-partition by ts so chunk files are time-ordered-ish; with the
+    # wide watermark correctness is order-independent anyway
+    ev.repartitionByRange(8, "ts").write.parquet(src)
+
+    stream_events = events_stream(spark, src, max_files_per_trigger=2)
+    batch_events = with_event_time(spark.read.parquet(src))
+
+    got_w = run_available_now(
+        windowed_counts(stream_events, window="10 minutes", watermark="3650 days"),
+        "wc_sf01",
+        output_mode="complete",
+        checkpoint_dir=str(d / "ckpt_w"),
+    ).collect()
+    want_w = windowed_counts(batch_events, window="10 minutes").collect()
+    key_w = lambda r: (r["win_start"], r["event_type"])
+    as_map_w = lambda rows: {
+        key_w(r): (r["n_events"], round(r["sum_value"], 6)) for r in rows
+    }
+    assert as_map_w(got_w) == as_map_w(want_w)
+    assert len(want_w) > 1000  # genuinely at volume, not a toy slice
+
+    got_s = run_available_now(
+        session_counts(stream_events, gap="30 minutes", watermark="3650 days"),
+        "sess_sf01",
+        output_mode="complete",
+        checkpoint_dir=str(d / "ckpt_s"),
+    ).collect()
+    want_s = session_counts(batch_events, gap="30 minutes").collect()
+    key_s = lambda r: (r["user_id"], r["session_start"], r["session_end"])
+    as_map_s = lambda rows: {
+        key_s(r): (r["n_events"], round(r["sum_value"], 6)) for r in rows
+    }
+    assert as_map_s(got_s) == as_map_s(want_s)
+    assert len(want_s) >= 1500  # at least one session per user
+
+
 def test_events_stream_bad_path_raises(spark, tmp_path):
     """A genuinely missing path must fail loudly at definition time, not
     silently become the empty-dir fallback schema (ADVICE r4: the broad

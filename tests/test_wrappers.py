@@ -102,6 +102,45 @@ def test_deepnovo_spec_command_and_report_format():
     assert spec.path_env == "DEEPNOVO_PATH"
 
 
+@pytest.fixture()
+def fake_deepnovo_install(tmp_path):
+    """A stand-in DeepNovo install dir: deepnovo_main.py reads the input
+    path from the DEEPNOVO_INPUT env var (the reference contract), resolves
+    --train_dir RELATIVE to its cwd (so the test fails if run() doesn't
+    chdir into the install dir), and writes decode_output.tab there."""
+    install = tmp_path / "DeepNovo"
+    (install / "train.example").mkdir(parents=True)
+    (install / "deepnovo_main.py").write_text(
+        "import os, sys\n"
+        "inp = os.environ['DEEPNOVO_INPUT']  # KeyError -> rc!=0 if env seam broken\n"
+        "assert inp.endswith('.mgf'), inp\n"
+        "args = sys.argv[1:]\n"
+        "train_dir = args[args.index('--train_dir') + 1]\n"
+        "assert not os.path.isabs(train_dir)\n"
+        "with open(os.path.join(train_dir, 'decode_output.tab'), 'w') as f:\n"
+        "    f.write('scan\\tpredicted_sequence\\tpredicted_score\\t"
+        "predicted_position_score\\tprecursor_mz\\tprecursor_charge\\n')\n"
+        "    f.write('F1:7\\tPEPTIDEK\\t-0.5\\t0.1,0.2\\t450.1\\t2.0\\n')\n"
+    )
+    return str(install)
+
+
+def test_deepnovo_runs_end_to_end(spark, fake_deepnovo_install, tmp_path):
+    """The full seam (ADVICE r4): input via DEEPNOVO_INPUT env, cwd pinned
+    to the install dir so the relative train_dir resolves, and the report
+    the tool drops at {train_dir}/decode_output.tab copied to the caller's
+    output path and parsed by the typed reader."""
+    out = str(tmp_path / "decode.tab")
+    w = ToolWrapper("deepnovo")  # executable 'python' resolves from PATH
+    df = w.run_and_read(
+        spark, out, input="scans.mgf", tool_dir=fake_deepnovo_install
+    )
+    rows = df.collect()
+    assert os.path.exists(out)
+    assert rows[0].scan == "F1:7" and rows[0].sequence == "PEPTIDEK"
+    assert rows[0].score == -0.5
+
+
 def test_all_specs_have_placeholder_closure():
     """Every template placeholder must come from defaults, run() params, or
     the reserved names — formatting with a probe dict must not KeyError on
