@@ -1,0 +1,185 @@
+"""Corpus-curation operators for training-data pipelines: sequence
+packing, IDF-census term profiling, and per-source capping.
+
+These are the assembly steps that sit between a cleaned/deduplicated
+corpus and the trainer: concatenate documents into fixed-token training
+sequences (packing), profile each document's most corpus-distinctive
+term (an IDF-census pass, the deterministic core of TF-IDF scoring), and
+bound any one source's share of the mix (per-source caps). Each is a
+pure DataFrame composition — windows partitioned by a bounded key, one
+small broadcastable census, no UDFs — so every plan scales with the
+corpus, not the driver.
+
+All outputs are integers, strings, or single-division doubles, so every
+operator is value-exactly recomputable by an ANSI engine (the DuckDB
+oracles in plans.queries certify q51-q53 end to end).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from candia_spark.functions.text import tokens
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int,
+    shard_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Concat-and-chunk sequence packing: within each shard, documents are
+    laid end-to-end in ``id_col`` order into one token stream, which is
+    cut into training sequences of ``budget`` tokens. A document's
+    ``seq_id`` is the sequence its FIRST token lands in (documents may
+    straddle a boundary and spill into the next sequence — the standard
+    packing semantics; ``end_seq_id`` says how far it spills).
+
+    Output: (id, shard, n_tokens, start_offset, seq_id, offset_in_seq,
+    end_seq_id) — all bigint, so the result is hash-exact cross-engine.
+
+    Scale: the only shuffle is the window partitioned by ``shard_col``.
+    Shards are the parallelism unit — a 100 TB corpus packs per
+    source/dump/crawl-shard concurrently, and no global total order (the
+    classic single-partition window trap) ever exists in the plan. A
+    shard's stream position is a running sum over that shard alone, so
+    skew is bounded by the largest single source.
+    """
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    n_tokens = F.size(tokens(text_col)).cast("bigint")
+    start = F.coalesce(F.sum("n_tokens").over(w), F.lit(0).cast("bigint"))
+    out = (
+        df.select(
+            F.col(id_col),
+            F.col(shard_col).alias("shard"),
+            n_tokens.alias("n_tokens"),
+        )
+        .withColumn("start_offset", start)
+        # floor(), not a double->bigint cast: Spark's cast truncates but
+        # ANSI engines round, and floor is what both agree on
+        .withColumn(
+            "seq_id", F.floor(F.col("start_offset") / budget).cast("bigint")
+        )
+        .withColumn("offset_in_seq", F.col("start_offset") % budget)
+        .withColumn(
+            "end_seq_id",
+            F.floor(
+                F.greatest(
+                    F.col("start_offset"),
+                    F.col("start_offset") + F.col("n_tokens") - 1,
+                )
+                / budget
+            ).cast("bigint"),
+        )
+    )
+    return out
+
+
+def idf_census(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Document-frequency census over whitespace tokens: (token, df) with
+    df = number of documents containing the token at least once. The
+    census is vocabulary-sized — orders of magnitude smaller than the
+    corpus — which is what makes it the broadcast side of every consumer.
+    """
+    return (
+        df.select(F.col(id_col), F.explode(F.array_distinct(tokens(text_col))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    )
+
+
+def top_tfidf_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    census: DataFrame | None = None,
+    broadcast_census: bool = True,
+) -> DataFrame:
+    """Each document's most corpus-distinctive term: argmax over its
+    tokens of score = tf / df (term frequency over document frequency —
+    the exact-rational core of TF-IDF: for a fixed document, tf/df and
+    tf*idf(df) induce very similar rankings, and tf/df is one integer
+    division, so the score is bit-exact on every IEEE engine, where a
+    transcendental idf = ln(N/df) is not). Ties break on the
+    lexicographically smallest token.
+
+    Output: (id, top_token, tf, df, score).
+
+    Scale: one explode + (doc, token) count, a join against the
+    vocabulary-sized census (broadcast — no corpus shuffle on the token
+    key), and a per-document window for the argmax. The census is
+    computed once and reusable across consumers (pass it in to share).
+    ``broadcast_census=False`` is the web-scale escape hatch: a unigram
+    vocabulary over noisy crawl text can outgrow the executor broadcast
+    budget, and then the right plan is an ordinary shuffle-hash join on
+    the token key (the tf side is already shuffled on (doc, token), so
+    the extra exchange is census-sized, not corpus-sized).
+    """
+    toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("token"))
+    tf = toks.groupBy(id_col, "token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf")
+    )
+    if census is None:
+        census = idf_census(df, text_col, id_col)
+    census_side = F.broadcast(census) if broadcast_census else census
+    scored = tf.join(census_side, "token").withColumn(
+        "score", F.col("tf").cast("double") / F.col("df")
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("token").asc()
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            F.col(id_col),
+            F.col("token").alias("top_token"),
+            "tf",
+            "df",
+            "score",
+        )
+    )
+
+
+def cap_per_source(
+    df: DataFrame,
+    cap: int,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Bound any one source's contribution to ``cap`` documents, chosen
+    deterministically: rank a source's documents by md5(id || salt) (a
+    content-keyed shuffle order — reproducible across runs, engines and
+    partitionings, unlike a sampled fraction whose RNG state moves) and
+    keep ranks 1..cap. Changing ``salt`` re-draws which documents survive
+    without touching the contract.
+
+    Output: the surviving rows plus their ``src_rank`` (1-based).
+
+    Scale: one window partitioned by source — the same shape as packing;
+    per-source skew is the only hotspot and the cap itself bounds the
+    output. For the common case cap << source size this beats a
+    sort-limit per source collected to the driver by never materializing
+    a global order.
+    """
+    if cap <= 0:
+        raise ValueError(f"cap must be positive, got {cap}")
+    pri = F.md5(
+        F.concat(F.col(id_col).cast("string"), F.lit(salt)).cast("binary")
+    )
+    w = Window.partitionBy(source_col).orderBy(pri.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("src_rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("src_rank") <= cap)
+    )

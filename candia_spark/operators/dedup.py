@@ -22,7 +22,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructField, StructType
 
@@ -661,6 +661,140 @@ def minhash_lsh_pairs(
         .cast("double")
         .alias("est_jaccard"),
     )
+
+
+def _band_table(
+    agg: DataFrame, num_hashes: int, bands: int, id_col: str
+) -> DataFrame:
+    """(id, band_idx, band_hash) from a :func:`_minhash_agg` table — the
+    same banding expression :func:`minhash_lsh_pairs` inlines (xxhash64
+    over each band's minhash columns), extracted so BIPARTITE consumers
+    band two independently-built signature tables compatibly: identical
+    shingle hashing + identical permutation seeds + identical band hash
+    means a new-batch band collides with a corpus band iff a self-join
+    band would."""
+    rows_per_band = num_hashes // bands
+    return agg.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        *[
+                            F.col(f"h{b * rows_per_band + r}")
+                            for r in range(rows_per_band)
+                        ]
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+
+
+def incremental_near_dups(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    threshold: float = 0.7,
+    num_hashes: int = 32,
+    bands: int = 16,
+    n: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_corpus_bucket: int | None = None,
+) -> DataFrame:
+    """Near-duplicates of an INCOMING batch against an EXISTING corpus:
+    (new_id, corpus_id, n_common, size_new, size_corpus, jaccard) for
+    every cross pair with exact n-gram Jaccard >= ``threshold``. The
+    incremental twin of :func:`minhash_lsh_pairs` + verify — the shape a
+    rolling ingestion pipeline actually runs: yesterday's corpus is
+    already indexed/deduplicated, today's batch must be checked against
+    it without re-pairing the corpus with itself.
+
+    Candidates come from a BIPARTITE banded-minhash join — new-side bands
+    against corpus-side bands only, never corpus x corpus — so the
+    per-batch cost scales with |batch| x collision mass, independent of
+    the corpus pair space. The two shingle indexes hash shingles and
+    permutations identically (:func:`_band_table`), so cross-side
+    collisions behave exactly like self-join collisions: a cross pair at
+    the tau=0.7 verify threshold is a candidate with probability
+    1-(1-tau^2)^16 ~ 1-2e-5 (the q27 banding argument), which the q54
+    oracle comparison checks end to end. Verification computes exact
+    Jaccard per candidate from each side's sorted shingle-set arrays
+    (the candidates-mode formulation of :func:`ngram_jaccard_pairs`,
+    oriented: sides stay labeled new/corpus instead of canonicalized).
+
+    At 100 TB the corpus side's signatures/sets are a materialized
+    artifact reused across batches (the same persist-and-reuse contract
+    as plans.ivf_pinned); both corpus reads here are one scan each.
+    ``max_corpus_bucket`` is the hot-bucket bound for that regime: a
+    corpus band bucket holding a giant near-dup cluster pairs EVERY
+    colliding batch doc with the whole cluster, so when set, each corpus
+    bucket keeps only its ``max_corpus_bucket`` min-id members as
+    representatives — join mass is bounded at |batch collisions| x cap,
+    and the batch-doc-has-a-dup verdict is preserved (any representative
+    of a mutually-similar cluster verifies the same); what is traded away
+    is pair-list completeness against the cluster's other members, which
+    a flag-and-drop ingestion consumer never reads. Default None: exact
+    pair list (the q54 oracle certifies that form).
+    """
+    new_idx = shingle_index(new_df, n, text_col, id_col)
+    corp_idx = shingle_index(corpus_df, n, text_col, id_col)
+    new_agg = _minhash_agg(new_idx, num_hashes, id_col)
+    corp_agg = _minhash_agg(corp_idx, num_hashes, id_col)
+    corp_banded = _band_table(corp_agg, num_hashes, bands, id_col).select(
+        F.col(id_col).alias("corpus_id"), "band_idx", "band_hash"
+    )
+    if max_corpus_bucket is not None:
+        wb = Window.partitionBy("band_idx", "band_hash").orderBy("corpus_id")
+        corp_banded = (
+            corp_banded.withColumn("__r", F.row_number().over(wb))
+            .filter(F.col("__r") <= max_corpus_bucket)
+            .drop("__r")
+        )
+    cands = (
+        _band_table(new_agg, num_hashes, bands, id_col)
+        .select(F.col(id_col).alias("new_id"), "band_idx", "band_hash")
+        .join(corp_banded, ["band_idx", "band_hash"])
+        .select("new_id", "corpus_id")
+        .distinct()
+    )
+    new_sets = new_idx.groupBy(id_col).agg(
+        F.sort_array(F.collect_list("shingle")).alias("__set_n")
+    )
+    corp_sets = corp_idx.groupBy(id_col).agg(
+        F.sort_array(F.collect_list("shingle")).alias("__set_c")
+    )
+    verified = (
+        cands.join(
+            new_sets.select(F.col(id_col).alias("new_id"), "__set_n"), "new_id"
+        )
+        .join(
+            corp_sets.select(F.col(id_col).alias("corpus_id"), "__set_c"),
+            "corpus_id",
+        )
+        .select(
+            "new_id",
+            "corpus_id",
+            F.size(F.array_intersect("__set_n", "__set_c"))
+            .cast("bigint")
+            .alias("n_common"),
+            F.size("__set_n").cast("bigint").alias("size_new"),
+            F.size("__set_c").cast("bigint").alias("size_corpus"),
+        )
+    )
+    jac = (
+        F.col("n_common").cast("double")
+        / (F.col("size_new") + F.col("size_corpus") - F.col("n_common"))
+    ).cast("double")
+    return verified.select(
+        "new_id",
+        "corpus_id",
+        "n_common",
+        "size_new",
+        "size_corpus",
+        jac.alias("jaccard"),
+    ).filter(F.col("jaccard") >= threshold)
 
 
 # Telemetry from the most recent connected_components call on this driver:

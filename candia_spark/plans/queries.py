@@ -2331,3 +2331,148 @@ def q46_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stratified_sample_counts(
         docs, ["lang", "source"], fraction=0.2, key_col="doc_id", salt="r4"
     )
+
+
+@register(
+    "q51_sequence_packing",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, source AS shard,
+               CAST(len({toks}) AS BIGINT) AS n_tokens
+        FROM documents),
+    s AS (
+        SELECT doc_id, shard, n_tokens,
+               CAST(COALESCE(SUM(n_tokens) OVER (
+                    PARTITION BY shard ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS BIGINT) AS start_offset
+        FROM t)
+    SELECT doc_id, shard, n_tokens, start_offset,
+           CAST(FLOOR(start_offset / 256.0) AS BIGINT) AS seq_id,
+           CAST(start_offset % 256 AS BIGINT) AS offset_in_seq,
+           CAST(FLOOR(GREATEST(start_offset,
+                               start_offset + n_tokens - 1) / 256.0)
+                AS BIGINT) AS end_seq_id
+    FROM s
+    """.replace("{toks}", _TOKS_SQL),
+    survey_ref="sequence-packing (north star: training-sequence assembly)",
+)
+def q51_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk packing of each source's documents into 256-token
+    training sequences (operators.curation.pack_sequences): the only
+    shuffle is the per-shard window — no global order exists in the
+    plan, so a 100 TB corpus packs shard-parallel."""
+    from candia_spark.operators.curation import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents")
+    return pack_sequences(docs, budget=256)
+
+
+@register(
+    "q52_top_tfidf_terms",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest({toks}) AS token FROM documents),
+    tf AS (
+        SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM toks GROUP BY doc_id, token),
+    census AS (
+        SELECT token, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+        FROM toks GROUP BY token),
+    scored AS (
+        SELECT tf.doc_id, tf.token, tf.tf, census.df,
+               CAST(tf.tf AS DOUBLE) / census.df AS score,
+               ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                                  ORDER BY CAST(tf.tf AS DOUBLE) / census.df DESC,
+                                           tf.token ASC) AS rn
+        FROM tf JOIN census USING (token))
+    SELECT doc_id, token AS top_token, tf, df, score
+    FROM scored WHERE rn = 1
+    """.replace("{toks}", _TOKS_SQL),
+    survey_ref="tfidf-profile (north star: quality/term scoring)",
+)
+def q52_top_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most corpus-distinctive term per document via an IDF census
+    (operators.curation.top_tfidf_terms). The census is vocabulary-sized
+    and broadcast; score = tf/df is one integer division, so the double
+    is bit-exact cross-engine (a transcendental ln-idf would not be)."""
+    from candia_spark.operators.curation import top_tfidf_terms
+
+    docs = _t(spark, sf_dir, "documents")
+    return top_tfidf_terms(docs)
+
+
+@register(
+    "q53_source_cap",
+    oracle="""
+    WITH ranked AS (
+        SELECT doc_id, source, lang,
+               CAST(ROW_NUMBER() OVER (
+                    PARTITION BY source
+                    ORDER BY md5(CAST(doc_id AS VARCHAR) || 'mix1') ASC,
+                             doc_id ASC) AS BIGINT) AS src_rank
+        FROM documents)
+    SELECT doc_id, source, lang, src_rank
+    FROM ranked WHERE src_rank <= 15
+    """,
+    survey_ref="source-cap (north star: mix balancing)",
+)
+def q53_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap with a deterministic content-keyed shuffle
+    order (operators.curation.cap_per_source): md5-ranked, so the
+    surviving set is reproducible across runs/engines/partitionings —
+    the same cross-engine-hash trick as q46's sampler."""
+    from candia_spark.operators.curation import cap_per_source
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "lang")
+    return cap_per_source(docs, cap=15, salt="mix1")
+
+
+@register(
+    "q54_incremental_dedup",
+    # cross-set exact Jaccard: odd doc_ids are the incoming batch, even
+    # doc_ids the existing corpus. The Spark side generates candidates by
+    # BIPARTITE banded minhash (batch bands x corpus bands, never corpus x
+    # corpus) and verifies exactly — so, as with q27, LSH recall at the
+    # 0.7 threshold is itself part of this gate.
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+        FROM documents),
+    sh AS (
+        SELECT DISTINCT doc_id, t[i] || chr(31) || t[i+1] AS shingle
+        FROM toks, UNNEST(generate_series(1, greatest(len(t) - 1, 0))) AS u(i)),
+    sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS set_size
+              FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS new_id, b.doc_id AS corpus_id,
+               CAST(COUNT(*) AS BIGINT) AS n_common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle
+        WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+        GROUP BY 1, 2)
+    SELECT new_id, corpus_id, n_common,
+           sn.set_size AS size_new, sc.set_size AS size_corpus,
+           CAST(CAST(n_common AS DOUBLE)
+                / (sn.set_size + sc.set_size - n_common) AS DOUBLE) AS jaccard
+    FROM inter
+    JOIN sizes sn ON sn.doc_id = new_id
+    JOIN sizes sc ON sc.doc_id = corpus_id
+    WHERE CAST(CAST(n_common AS DOUBLE)
+               / (sn.set_size + sc.set_size - n_common) AS DOUBLE) >= 0.7
+    """,
+    survey_ref="dedup-incremental (north star: rolling ingestion)",
+)
+def q54_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dedup of an incoming batch (odd doc_ids) against
+    the existing corpus (even doc_ids): bipartite banded-minhash
+    candidates + exact-Jaccard verify (operators.dedup
+    .incremental_near_dups) — per-batch cost scales with the batch, not
+    the corpus pair space."""
+    from candia_spark.operators.dedup import incremental_near_dups
+
+    docs = _t(spark, sf_dir, "documents")
+    return incremental_near_dups(
+        docs.filter(F.col("doc_id") % 2 == 1),
+        docs.filter(F.col("doc_id") % 2 == 0),
+        threshold=0.7,
+    )

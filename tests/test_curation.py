@@ -1,0 +1,120 @@
+"""Curation operators: sequence packing, IDF-census term profiling,
+per-source caps (operators.curation). Query-level oracle parity for
+q51-q53 is covered by test_queries_oracle; these pin the operator
+semantics and the scale-critical plan shapes."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from candia_spark.operators.curation import (
+    cap_per_source,
+    idf_census,
+    pack_sequences,
+    top_tfidf_terms,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, source string, text string")
+
+
+def _plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_pack_sequences_offsets(spark):
+    # shard A: 3 docs of 4/5/3 tokens, budget 6:
+    #   doc 1 starts at 0  -> seq 0, ends at 3  -> seq 0
+    #   doc 2 starts at 4  -> seq 0, ends at 8  -> seq 1 (straddles)
+    #   doc 3 starts at 9  -> seq 1, ends at 11 -> seq 1
+    rows = [
+        (1, "A", "a b c d"),
+        (2, "A", "e f g h i"),
+        (3, "A", "j k l"),
+        (9, "B", "x y"),
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in pack_sequences(_docs(spark, rows), budget=6).collect()
+    }
+    assert (out[1]["start_offset"], out[1]["seq_id"], out[1]["end_seq_id"]) == (0, 0, 0)
+    assert (out[2]["start_offset"], out[2]["seq_id"], out[2]["end_seq_id"]) == (4, 0, 1)
+    assert out[2]["offset_in_seq"] == 4
+    assert (out[3]["start_offset"], out[3]["seq_id"]) == (9, 1)
+    # shards are independent streams
+    assert (out[9]["shard"], out[9]["start_offset"], out[9]["seq_id"]) == ("B", 0, 0)
+
+
+def test_pack_sequences_empty_doc_and_budget_guard(spark):
+    rows = [(1, "A", ""), (2, "A", "a b")]
+    out = {
+        r["doc_id"]: r
+        for r in pack_sequences(_docs(spark, rows), budget=4).collect()
+    }
+    # empty doc consumes no budget and pins to its start sequence
+    assert (out[1]["n_tokens"], out[1]["seq_id"], out[1]["end_seq_id"]) == (0, 0, 0)
+    assert out[2]["start_offset"] == 0
+    with pytest.raises(ValueError, match="budget"):
+        pack_sequences(_docs(spark, rows), budget=0)
+
+
+def test_pack_sequences_no_global_order(spark, sf_smoke):
+    """The scale contract: packing must never plan a single-partition
+    window (a global ORDER BY would serialize the corpus through one
+    task at 100 TB)."""
+    from candia_spark.tables import load_table
+
+    docs = load_table(spark, sf_smoke, "documents")
+    plan = _plan_of(pack_sequences(docs, budget=256))
+    assert "SinglePartition" not in plan, plan
+
+
+def test_idf_census_and_top_terms(spark):
+    rows = [
+        (1, "A", "cat cat dog"),
+        (2, "A", "dog fish"),
+        (3, "B", "fish fish fish cat"),
+    ]
+    d = _docs(spark, rows)
+    census = {r["token"]: r["df"] for r in idf_census(d).collect()}
+    assert census == {"cat": 2, "dog": 2, "fish": 2}
+    top = {r["doc_id"]: r for r in top_tfidf_terms(d).collect()}
+    # doc 1: cat tf=2 df=2 -> 1.0 beats dog 0.5
+    assert (top[1]["top_token"], top[1]["tf"], top[1]["df"]) == ("cat", 2, 2)
+    assert top[1]["score"] == 1.0
+    # doc 2: dog and fish both tf=1 df=2 -> tie, lexicographically first
+    assert top[2]["top_token"] == "dog"
+    # doc 3: fish tf=3
+    assert (top[3]["top_token"], top[3]["tf"]) == ("fish", 3)
+
+
+def test_top_terms_census_broadcast(spark, sf_smoke):
+    """The census side of the tf join must broadcast — a corpus-wide
+    shuffle on the token key is the anti-pattern the operator exists to
+    avoid."""
+    from candia_spark.tables import load_table
+
+    docs = load_table(spark, sf_smoke, "documents")
+    plan = _plan_of(top_tfidf_terms(docs))
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_cap_per_source_bounds_and_determinism(spark):
+    rows = [(i, "A" if i % 3 else "B", f"t {i}") for i in range(1, 61)]
+    d = _docs(spark, rows)
+    kept = cap_per_source(d, cap=5).collect()
+    per_src: dict[str, int] = {}
+    for r in kept:
+        per_src[r["source"]] = per_src.get(r["source"], 0) + 1
+        assert 1 <= r["src_rank"] <= 5
+    assert all(v <= 5 for v in per_src.values())
+    # the kept set is a pure function of (id, salt): partitioning-invariant
+    again = cap_per_source(d.repartition(7), cap=5).collect()
+    assert {r["doc_id"] for r in kept} == {r["doc_id"] for r in again}
+    # a different salt draws a different (but equally bounded) set
+    other = cap_per_source(d, cap=5, salt="z").collect()
+    assert len(other) == len(kept)
+    with pytest.raises(ValueError, match="cap"):
+        cap_per_source(d, cap=0)

@@ -505,3 +505,60 @@ def test_dedup_corpus_end_to_end(spark):
     )
     # 2 drops as exact dup of 1; 3,4 join 1's near-dup component
     assert kept == [1, 5, 6], kept
+
+
+def test_incremental_near_dups_bipartite(spark):
+    """Batch-vs-corpus incremental dedup: cross near-dups are found with
+    sides labeled, and NO within-side pair is ever emitted (the bipartite
+    contract — a corpus self-pair appearing would mean the join shape
+    regressed to corpus x corpus)."""
+    from candia_spark.operators.dedup import incremental_near_dups
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows_corpus = [
+        (10, base),
+        (12, base + " lambda"),              # near-dup of 10 (in-corpus)
+        (14, "totally different corpus doc about spark and parquet"),
+    ]
+    rows_new = [
+        (21, base + " mu"),                  # near-dup of 10 and 12
+        (23, "fresh unique text with no overlap whatsoever here"),
+        (25, base + " mu"),                  # exact dup of 21 (in-batch)
+    ]
+    new_df = spark.createDataFrame(rows_new, "doc_id long, text string")
+    corp_df = spark.createDataFrame(rows_corpus, "doc_id long, text string")
+    out = incremental_near_dups(new_df, corp_df, threshold=0.7).collect()
+    pairs = {(r["new_id"], r["corpus_id"]) for r in out}
+    # cross near-dups found, correctly oriented
+    assert (21, 10) in pairs and (21, 12) in pairs
+    assert (25, 10) in pairs and (25, 12) in pairs
+    # no within-side pairs, no self pairs, no clean-doc pairs
+    for new_id, corpus_id in pairs:
+        assert new_id in {21, 23, 25} and corpus_id in {10, 12, 14}
+    assert all(r["new_id"] != 23 for r in out)
+    assert all(r["corpus_id"] != 14 for r in out)
+    # exact Jaccard values: 21 vs 10 -> |inter|=9 bigrams of 10/10
+    r = {(x["new_id"], x["corpus_id"]): x for x in out}[(21, 10)]
+    assert (r["n_common"], r["size_new"], r["size_corpus"]) == (9, 10, 9)
+    assert abs(r["jaccard"] - 0.9) < 1e-12
+
+
+def test_incremental_near_dups_corpus_bucket_cap(spark):
+    """max_corpus_bucket=1 keeps one min-id representative per corpus band
+    bucket: the batch doc is still flagged (pairs with the representative)
+    even though the full pair list against the cluster is traded away."""
+    from candia_spark.operators.dedup import incremental_near_dups
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    corp = spark.createDataFrame(
+        [(10, base), (12, base), (14, base)], "doc_id long, text string"
+    )  # an exact-dup cluster: every band bucket holds all three
+    new = spark.createDataFrame([(21, base + " mu")], "doc_id long, text string")
+    capped = incremental_near_dups(new, corp, threshold=0.7, max_corpus_bucket=1)
+    pairs = {(r["new_id"], r["corpus_id"]) for r in capped.collect()}
+    assert (21, 10) in pairs  # the min-id representative always survives
+    assert pairs <= {(21, 10)}  # cluster tail capped away
+    full = incremental_near_dups(new, corp, threshold=0.7)
+    assert {(r["new_id"], r["corpus_id"]) for r in full.collect()} == {
+        (21, 10), (21, 12), (21, 14),
+    }
