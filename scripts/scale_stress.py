@@ -198,15 +198,52 @@ def build_zipf_corpus(spark: SparkSession, n_docs: int, n_tokens: int, out: str)
 # measurement
 # ---------------------------------------------------------------------------
 
-def timed(thunk) -> float:
-    """Wall seconds for build-plan + full evaluation. The thunk returns the
-    DataFrame — construction must happen INSIDE the timer because the dedup
-    operators materialize eagerly (shingle-index checkpoint, cap censuses,
-    the whole connected-components collapse) during plan construction."""
-    t0 = time.perf_counter()
-    df = thunk()
-    df.write.format("noop").mode("overwrite").save()
-    return round(time.perf_counter() - t0, 3)
+_SPARK_FOR_RECLAIM = None
+
+
+def reclaim() -> None:
+    """Free the localCheckpoint blocks left behind by the previous timed
+    call. The dedup operators _materialize intermediates (shingle index,
+    signatures, censuses) as executor-local checkpoint blocks that the
+    ContextCleaner only frees after BOTH the Python wrapper and the JVM
+    RDD reference are garbage-collected — neither GC is prompt, so across
+    a long harness run dozens of corpus-sized block sets pile up until
+    storage eviction and old-gen GC dominate the later timings. Measured
+    on this box: the x25 auto-mode run (identical plan to the pinned
+    plain-mode run earlier in the same block) clocked 422 s vs 231 s —
+    pure accumulated-state drag, not engine cost. One explicit
+    collect-both-sides pass between timed calls keeps every measurement
+    against a clean session."""
+    import gc
+
+    gc.collect()
+    if _SPARK_FOR_RECLAIM is not None:
+        try:
+            _SPARK_FOR_RECLAIM.sparkContext._jvm.System.gc()
+            # the ContextCleaner frees blocks asynchronously off a
+            # reference queue — give it a beat to drain before timing
+            time.sleep(1.0)
+        except Exception:
+            pass
+
+
+def timed(thunk, runs: int = 1) -> float:
+    """Wall seconds for build-plan + full evaluation — minimum over ``runs``
+    repeats (the same minima-as-stable-statistic methodology bench.py uses:
+    one-off GC pauses and page-cache misses only ever ADD time, so the min
+    is the engine's cost). The thunk returns the DataFrame — construction
+    must happen INSIDE the timer because the dedup operators materialize
+    eagerly (shingle-index checkpoint, cap censuses, the whole
+    connected-components collapse) during plan construction."""
+    best = None
+    for _ in range(max(1, runs)):
+        reclaim()
+        t0 = time.perf_counter()
+        df = thunk()
+        df.write.format("noop").mode("overwrite").save()
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    return round(best, 3)
 
 
 def cap_stats(spark: SparkSession, sf_dir: str) -> dict:
@@ -265,7 +302,7 @@ def cap_stats(spark: SparkSession, sf_dir: str) -> dict:
     }
 
 
-def run_text_queries(spark: SparkSession, sf_dir: str) -> dict:
+def run_text_queries(spark: SparkSession, sf_dir: str, runs: int = 1) -> dict:
     from candia_spark.operators.dedup import LAST_CC_TELEMETRY
     from candia_spark.plans.queries import QUERY_REGISTRY
 
@@ -282,7 +319,8 @@ def run_text_queries(spark: SparkSession, sf_dir: str) -> dict:
     for name in names:
         calls0 = LAST_CC_TELEMETRY.get("calls", 0)
         out["queries"][name] = timed(
-            lambda name=name: QUERY_REGISTRY[name].spark(spark, sf_dir)
+            lambda name=name: QUERY_REGISTRY[name].spark(spark, sf_dir),
+            runs=runs,
         )
         if LAST_CC_TELEMETRY.get("calls", 0) != calls0:
             out["cc"][name] = {
@@ -292,7 +330,9 @@ def run_text_queries(spark: SparkSession, sf_dir: str) -> dict:
     return out
 
 
-def run_embedding_queries(spark: SparkSession, sf_dir: str, n_vecs: int) -> dict:
+def run_embedding_queries(
+    spark: SparkSession, sf_dir: str, n_vecs: int, runs: int = 1
+) -> dict:
     from candia_spark.operators.dedup import LAST_CC_TELEMETRY, connected_components
     from candia_spark.operators.similarity import cosine_dup_pairs
     from candia_spark.tables import load_table
@@ -304,9 +344,10 @@ def run_embedding_queries(spark: SparkSession, sf_dir: str, n_vecs: int) -> dict
     def dup_pairs():
         return cosine_dup_pairs(emb, threshold=0.4, n_bits=n_bits, dim=64, seed=42)
 
-    out["queries"]["q42_embedding_dups"] = timed(dup_pairs)
+    out["queries"]["q42_embedding_dups"] = timed(dup_pairs, runs=runs)
     out["queries"]["q43_dedup_components"] = timed(
-        lambda: connected_components(dup_pairs(), id_a="id_a", id_b="id_b")
+        lambda: connected_components(dup_pairs(), id_a="id_a", id_b="id_b"),
+        runs=runs,
     )
     out["cc"]["q43_dedup_components"] = {
         "rounds": LAST_CC_TELEMETRY.get("rounds"),
@@ -316,7 +357,8 @@ def run_embedding_queries(spark: SparkSession, sf_dir: str, n_vecs: int) -> dict
     out["queries"]["q50_components_distributed"] = timed(
         lambda: connected_components(
             dup_pairs(), id_a="id_a", id_b="id_b", small_graph_max_edges=None
-        )
+        ),
+        runs=runs,
     )
     out["cc"]["q50_components_distributed"] = {
         "rounds": LAST_CC_TELEMETRY.get("rounds"),
@@ -327,11 +369,17 @@ def run_embedding_queries(spark: SparkSession, sf_dir: str, n_vecs: int) -> dict
 
 def run_jaccard_modes(spark: SparkSession, sf_dir: str) -> dict:
     """Task: settle prefix-filter vs df-cap by measurement (q26 setting).
-    Three runs: both modes pinned, plus the data-adaptive auto default
-    (with its decision telemetry)."""
+    Both modes pinned and timed; the auto DECISION is recorded from one
+    cheap census over a shared index (what auto mode actually computes)
+    instead of a third full self-join run — auto's wall time IS the chosen
+    mode's time plus that census, so ``auto_sec`` is derived, not re-paid
+    (a third 100-400 s run per size bought no information and let
+    accumulated-state drag skew the later blocks)."""
     from candia_spark.operators.dedup import (
         LAST_JACCARD_TELEMETRY,
+        _jaccard_mass_is_skewed,
         ngram_jaccard_pairs,
+        shingle_index,
     )
     from candia_spark.tables import load_table
 
@@ -347,16 +395,36 @@ def run_jaccard_modes(spark: SparkSession, sf_dir: str) -> dict:
             docs, n=2, threshold=0.35, max_shingle_frac=0.5, prefix_filter=True
         )
     )
-    out["auto_sec"] = timed(
-        lambda: ngram_jaccard_pairs(docs, n=2, threshold=0.35, max_shingle_frac=0.5)
-    )
+    reclaim()
+    idx = shingle_index(docs, n=2, max_shingle_frac=0.5)
+    # census-only timing: the real auto call builds the index once and
+    # shares it with the chosen branch, so only the skew census is the
+    # auto overhead
+    t0 = time.perf_counter()
+    _jaccard_mass_is_skewed(idx)
+    census_sec = round(time.perf_counter() - t0, 3)
     out["auto_decision"] = dict(LAST_JACCARD_TELEMETRY)
+    chosen = (
+        "prefix_filter_sec"
+        if out["auto_decision"].get("mode") == "prefix"
+        else "cap_default_sec"
+    )
+    out["auto_census_sec"] = census_sec
+    out["auto_sec"] = round(out[chosen] + census_sec, 3)
     return out
 
 
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sizes", type=int, nargs="+", default=[10, 25, 50])
+    ap.add_argument(
+        "--runs",
+        type=int,
+        default=2,
+        help="repeats per timed query (minimum is recorded); the three "
+        "jaccard-mode timings stay single-run — at 50x they are 2/3 of "
+        "total wall and their >100s durations swamp run-to-run noise",
+    )
     ap.add_argument("--skip-skew", action="store_true")
     ap.add_argument("--keep-data", action="store_true")
     ap.add_argument(
@@ -368,6 +436,8 @@ def main() -> int:
 
     spark = get_spark(app_name="candia_scale_stress")
     spark.sparkContext.setLogLevel("ERROR")
+    global _SPARK_FOR_RECLAIM
+    _SPARK_FOR_RECLAIM = spark
 
     # warm codegen/HOF/arrow paths once so size-1 timings aren't startup
     from candia_spark.operators.dedup import word_ngram_hashes
@@ -385,6 +455,7 @@ def main() -> int:
             "hash-uniform vectors per tile + 5% cosine~0.999 partners; "
             "embedding LSH n_bits grows log2 with N (recorded per size)"
         ),
+        "runs_per_query": args.runs,
         "sizes": [],
     }
 
@@ -401,8 +472,9 @@ def main() -> int:
             "gen_sec": gen_sec,
         }
         entry["caps"] = cap_stats(spark, out_dir)
-        text = run_text_queries(spark, out_dir)
-        embq = run_embedding_queries(spark, out_dir, n_vecs)
+        reclaim()
+        text = run_text_queries(spark, out_dir, runs=args.runs)
+        embq = run_embedding_queries(spark, out_dir, n_vecs, runs=args.runs)
         entry["jaccard_modes"] = run_jaccard_modes(spark, out_dir)
         entry["queries"] = {
             **text["queries"],
