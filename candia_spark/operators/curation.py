@@ -130,7 +130,13 @@ def top_tfidf_terms(
         F.count(F.lit(1)).cast("bigint").alias("tf")
     )
     if census is None:
-        census = idf_census(df, text_col, id_col)
+        # df(token) = number of documents containing it = row count per
+        # token in tf (one row per distinct (doc, token)) — derived from
+        # the aggregate already in the plan, so the corpus is tokenized
+        # and exploded ONCE, not a second time through idf_census
+        census = tf.groupBy("token").agg(
+            F.count(F.lit(1)).cast("bigint").alias("df")
+        )
     census_side = F.broadcast(census) if broadcast_census else census
     scored = tf.join(census_side, "token").withColumn(
         "score", F.col("tf").cast("double") / F.col("df")

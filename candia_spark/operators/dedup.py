@@ -562,7 +562,12 @@ def minhash_lsh_pairs(
     Pass ``index`` (a shared :func:`shingle_index`) whenever exact
     verification follows — that keeps LSH-then-verify at ONE corpus scan.
     """
-    rows_per_band = num_hashes // bands
+    if bands <= 0 or num_hashes % bands:
+        # fail before the expensive index/signature materialization;
+        # _band_table re-checks for callers that band directly
+        raise ValueError(
+            f"bands ({bands}) must evenly divide num_hashes ({num_hashes})"
+        )
     if index is None:
         index = shingle_index(df, n, text_col, id_col)
     # Materialize the signature table: the expensive 32-hash + groupBy-min
@@ -577,22 +582,10 @@ def minhash_lsh_pairs(
     # and the groupBy never shuffle the k-long signature arrays (bands x
     # k longs per doc through the exchange otherwise; measured ~2x on a
     # 200k-candidate run, and the saving grows with corpus size).
-    banded = agg.select(
-        F.col(id_col),
-        F.posexplode(
-            F.array(
-                *[
-                    F.xxhash64(
-                        *[
-                            F.col(f"h{b * rows_per_band + r}")
-                            for r in range(rows_per_band)
-                        ]
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band_idx", "band_hash"),
-    )
+    # _band_table is the ONE definition of the band hash — bipartite
+    # consumers (incremental_near_dups) must collide compatibly with this
+    # self-join path, so there must be exactly one copy to drift.
+    banded = _band_table(agg, num_hashes, bands, id_col)
     a = banded.select(F.col(id_col).alias("id_a"), "band_idx", "band_hash")
     b = banded.select(F.col(id_col).alias("id_b"), "band_idx", "band_hash")
     hot = None
@@ -673,6 +666,14 @@ def _band_table(
     shingle hashing + identical permutation seeds + identical band hash
     means a new-batch band collides with a corpus band iff a self-join
     band would."""
+    if bands <= 0 or num_hashes % bands:
+        # bands > num_hashes would give zero rows per band — a CONSTANT
+        # band hash that collides everything with everything (a full cross
+        # join); a non-divisor silently discards trailing hashes and
+        # falsifies the 1-(1-J^r)^b recall math. Both are config bugs.
+        raise ValueError(
+            f"bands ({bands}) must evenly divide num_hashes ({num_hashes})"
+        )
     rows_per_band = num_hashes // bands
     return agg.select(
         F.col(id_col),
@@ -702,6 +703,8 @@ def incremental_near_dups(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_corpus_bucket: int | None = None,
+    new_index: DataFrame | None = None,
+    corpus_index: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicates of an INCOMING batch against an EXISTING corpus:
     (new_id, corpus_id, n_common, size_new, size_corpus, jaccard) for
@@ -724,22 +727,40 @@ def incremental_near_dups(
     (the candidates-mode formulation of :func:`ngram_jaccard_pairs`,
     oriented: sides stay labeled new/corpus instead of canonicalized).
 
-    At 100 TB the corpus side's signatures/sets are a materialized
-    artifact reused across batches (the same persist-and-reuse contract
-    as plans.ivf_pinned); both corpus reads here are one scan each.
-    ``max_corpus_bucket`` is the hot-bucket bound for that regime: a
-    corpus band bucket holding a giant near-dup cluster pairs EVERY
-    colliding batch doc with the whole cluster, so when set, each corpus
-    bucket keeps only its ``max_corpus_bucket`` min-id members as
-    representatives — join mass is bounded at |batch collisions| x cap,
-    and the batch-doc-has-a-dup verdict is preserved (any representative
-    of a mutually-similar cluster verifies the same); what is traded away
-    is pair-list completeness against the cluster's other members, which
-    a flag-and-drop ingestion consumer never reads. Default None: exact
-    pair list (the q54 oracle certifies that form).
+    At 100 TB the corpus side is a materialized artifact reused across
+    batches: pass ``corpus_index`` (a persisted :func:`shingle_index` of
+    the corpus — the same persist-and-reuse contract as
+    plans.ivf_pinned's centroids) so each batch pays O(batch) new work
+    plus joins against the stored index instead of re-tokenizing and
+    re-hashing the whole corpus per call. ``new_index`` exists for the
+    parallel reason (a caller that already indexed the batch for exact
+    dedup shares the scan).
+
+    ``max_corpus_bucket`` bounds hot buckets in that regime: a corpus
+    band bucket holding a giant near-dup cluster pairs EVERY colliding
+    batch doc with the whole cluster, so when set, each corpus bucket
+    keeps only its ``max_corpus_bucket`` min-id members as candidates —
+    join mass is bounded at |batch collisions| x cap. The trade is
+    real and should be understood precisely: for a TIGHT cluster (members
+    mutually >= the verify threshold) the batch doc still verifies
+    against a surviving representative, but a batch doc whose ONLY
+    above-threshold partner is a non-representative member of a looser
+    cluster (mutual similarity above the banding's collision range yet
+    below the verify threshold) can be missed — the cap trades recall at
+    cluster margins for bounded cost, the same shape of loss as
+    :func:`minhash_lsh_pairs`' star cap. Default None: exact candidate
+    list (the q54 oracle certifies that form).
     """
-    new_idx = shingle_index(new_df, n, text_col, id_col)
-    corp_idx = shingle_index(corpus_df, n, text_col, id_col)
+    new_idx = (
+        new_index
+        if new_index is not None
+        else shingle_index(new_df, n, text_col, id_col)
+    )
+    corp_idx = (
+        corpus_index
+        if corpus_index is not None
+        else shingle_index(corpus_df, n, text_col, id_col)
+    )
     new_agg = _minhash_agg(new_idx, num_hashes, id_col)
     corp_agg = _minhash_agg(corp_idx, num_hashes, id_col)
     corp_banded = _band_table(corp_agg, num_hashes, bands, id_col).select(

@@ -421,9 +421,11 @@ def main() -> int:
         "--runs",
         type=int,
         default=2,
-        help="repeats per timed query (minimum is recorded); the three "
-        "jaccard-mode timings stay single-run — at 50x they are 2/3 of "
-        "total wall and their >100s durations swamp run-to-run noise",
+        help="repeats per timed query (minimum is recorded); the two "
+        "pinned jaccard-mode timings stay single-run (at 50x they are "
+        "most of total wall and their >100s durations swamp run noise) "
+        "and auto_sec is DERIVED: chosen mode's time + a census-only "
+        "measurement, not a third full self-join run",
     )
     ap.add_argument("--skip-skew", action="store_true")
     ap.add_argument("--keep-data", action="store_true")

@@ -562,3 +562,42 @@ def test_incremental_near_dups_corpus_bucket_cap(spark):
     assert {(r["new_id"], r["corpus_id"]) for r in full.collect()} == {
         (21, 10), (21, 12), (21, 14),
     }
+
+
+def test_band_config_validated(spark):
+    """bands must evenly divide num_hashes — a non-divisor silently drops
+    hashes and bands > num_hashes degenerates to a constant band hash
+    (full cross join)."""
+    from candia_spark.operators.dedup import (
+        incremental_near_dups,
+        minhash_lsh_pairs,
+    )
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="evenly divide"):
+        minhash_lsh_pairs(df, num_hashes=32, bands=12)
+    with pytest.raises(ValueError, match="evenly divide"):
+        incremental_near_dups(df, df, num_hashes=8, bands=16)
+
+
+def test_incremental_near_dups_index_reuse(spark):
+    """Passing precomputed indexes (the rolling-ingestion contract) gives
+    the same answer as the self-built path."""
+    from candia_spark.operators.dedup import incremental_near_dups, shingle_index
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    corp = spark.createDataFrame(
+        [(10, base), (14, "unrelated corpus text here")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame([(21, base + " mu")], "doc_id long, text string")
+    direct = incremental_near_dups(new, corp, threshold=0.7).collect()
+    reused = incremental_near_dups(
+        new,
+        corp,
+        threshold=0.7,
+        new_index=shingle_index(new, 2),
+        corpus_index=shingle_index(corp, 2),
+    ).collect()
+    key = lambda r: (r["new_id"], r["corpus_id"])  # noqa: E731
+    assert sorted(map(key, direct)) == sorted(map(key, reused)) == [(21, 10)]
