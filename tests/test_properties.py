@@ -231,3 +231,48 @@ def test_decoy_rotate_is_length_preserving_permutation(spark, seq):
     )
     assert got == seq[:-5] + seq[-3:] + seq[-5:-3]
     assert sorted(got) == sorted(seq)  # permutation of the same residues
+
+
+# --- sequence packing vs pure-python reference --------------------------
+
+pack_docs_strategy = st.lists(
+    st.tuples(
+        st.sampled_from(["A", "B", "C"]),              # shard
+        st.integers(min_value=0, max_value=12),        # token count
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(pack_docs_strategy, st.integers(min_value=1, max_value=16))
+@settings(
+    max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow]
+)
+def test_pack_sequences_matches_reference(spark, doc_specs, budget):
+    """pack_sequences equals the obvious sequential reference: per shard
+    in id order, start = running token total, seq ids by integer
+    division. The Spark form must agree doc-for-doc on every field."""
+    from candia_spark.operators.curation import pack_sequences
+
+    rows = [
+        (i, shard, " ".join(f"t{j}" for j in range(n)))
+        for i, (shard, n) in enumerate(doc_specs)
+    ]
+    got = {
+        r["doc_id"]: r
+        for r in pack_sequences(
+            spark.createDataFrame(rows, "doc_id long, source string, text string"),
+            budget=budget,
+        ).collect()
+    }
+    offset: dict[str, int] = {}
+    for i, (shard, n) in enumerate(doc_specs):
+        start = offset.get(shard, 0)
+        offset[shard] = start + n
+        r = got[i]
+        assert r["shard"] == shard and r["n_tokens"] == n
+        assert r["start_offset"] == start
+        assert r["seq_id"] == start // budget
+        assert r["offset_in_seq"] == start % budget
+        assert r["end_seq_id"] == max(start, start + n - 1) // budget
