@@ -171,6 +171,22 @@ def top_bigram_fraction(text_col: str = "text") -> Column:
     ).otherwise(F.lit(0.0))
 
 
+def normalize_text(text_col: str = "text") -> Column:
+    """Canonical text normalization for dedup-modulo-formatting: lowercase,
+    map every non-[a-z0-9 ] character to a space, collapse space runs,
+    trim. The regex chain is pure ``regexp_replace`` — whole-stage codegen,
+    no UDF, a map over the scan at any corpus size — and uses only syntax
+    with identical semantics in Java regex (Spark) and RE2 (DuckDB), so
+    the normalized string is byte-identical cross-engine (the property the
+    q56 oracle hashes). Distinct from :func:`fingerprint`, which collapses
+    whitespace only: normalization also erases punctuation/casing variants,
+    the usual near-exact-dup channel in crawled corpora."""
+    x = F.lower(F.col(text_col))
+    x = F.regexp_replace(x, "[^a-z0-9 ]", " ")
+    x = F.regexp_replace(x, " +", " ")
+    return F.trim(x)
+
+
 def fingerprint(text_col: str = "text") -> Column:
     """Canonical document fingerprint: md5 of the text with whitespace
     collapsed and sorted-token normalization removed (pure md5 of the

@@ -157,6 +157,38 @@ def top_tfidf_terms(
     )
 
 
+def normalized_exact_dups(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exact dedup modulo formatting: group documents by the md5 of their
+    normalized text (functions.text.normalize_text — casing, punctuation
+    and whitespace variants collapse into one digest) and elect the
+    smallest id per group as keeper. Catches the near-exact-dup channel
+    that raw exact dedup (operators.dedup.exact_dups) misses — the same
+    page re-crawled with different markup — without any pair generation.
+
+    Output: (id, norm_digest, group_size, keeper_id, keep) — ``keep`` is
+    the survivor bit a downstream filter consumes.
+
+    Scale: ONE shuffle, keyed by the 32-hex digest (never the text): the
+    group statistics are window aggregates over the digest partition, so
+    no census join and no second pass over the corpus. Skew is bounded by
+    the largest duplicate cluster, the same contract as exact_dups.
+    """
+    from candia_spark.functions.text import normalize_text
+
+    w = Window.partitionBy("norm_digest")
+    return (
+        df.select(
+            F.col(id_col),
+            F.md5(normalize_text(text_col).cast("binary")).alias("norm_digest"),
+        )
+        .withColumn("group_size", F.count(F.lit(1)).over(w).cast("bigint"))
+        .withColumn("keeper_id", F.min(id_col).over(w).cast("bigint"))
+        .withColumn("keep", F.col(id_col) == F.col("keeper_id"))
+    )
+
+
 def cap_per_source(
     df: DataFrame,
     cap: int,

@@ -1215,3 +1215,76 @@ def simhash_bits_md5(
             "",
         ).alias("sigbits"),
     )
+
+
+def substring_duplication(
+    df: DataFrame,
+    gram_chars: int = 40,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Substring-level duplication profile — the distributed approximation
+    of exact-substring dedup (Lee et al., "Deduplicating Training Data
+    Makes Language Models Better": long verbatim substrings shared across
+    documents are the highest-value dedup target, and a suffix array is
+    the exact single-machine tool). Fixed-length character grams are
+    sampled at CONTENT-DEFINED anchors — every word start (position after
+    a space) plus the document start. Anchoring on content rather than on
+    fixed offsets makes the sample alignment-free: the word boundaries
+    inside a shared verbatim run are identical in both documents, so any
+    cross-document run of >= gram_chars + max_word_len + 1 chars is
+    GUARANTEED to contribute the same gram to both documents (a
+    fixed-stride sample would hit the run at different phases and miss).
+
+    Per document: ``n_grams`` (distinct anchored grams), ``n_shared``
+    (grams that also occur in ANOTHER document), and ``dup_frac =
+    n_shared/n_grams`` (one integer division — bit-exact cross-engine).
+    A curation pass drops or trims documents above a dup_frac threshold.
+
+    Scale: grams are md5-digested BEFORE the explode, so every exchange
+    carries (id, 32-hex digest), never text; digest work is ~gram_chars /
+    avg_word_len x corpus bytes, a pure map. One shuffle keys the gram
+    census, one keys the per-doc re-aggregation; the census join is an
+    ordinary shuffle-hash join on the digest (the census is corpus-sized
+    in the worst case, so it is deliberately NOT broadcast). Documents
+    shorter than gram_chars contribute their whole text as one gram.
+    """
+    if gram_chars <= 0:
+        raise ValueError(f"gram_chars must be positive, got {gram_chars}")
+    t = F.col(text_col)
+    starts = F.filter(
+        F.sequence(F.lit(1), F.greatest(F.length(t) - (gram_chars - 1), F.lit(1))),
+        # s == 1 ORs true before the substr branch matters, so the
+        # engine-specific value of substr(text, 0, 1) is never load-bearing
+        lambda s: (s == 1) | (F.substr(t, s - 1, F.lit(1)) == " "),
+    )
+    gram_arr = F.array_distinct(
+        F.transform(
+            starts,
+            lambda s: F.md5(F.substr(t, s, F.lit(gram_chars)).cast("binary")),
+        )
+    )
+    per_doc = df.select(
+        F.col(id_col), gram_arr.alias("grams")
+    ).withColumn("n_grams", F.size("grams").cast("bigint"))
+    exploded = per_doc.select(F.col(id_col), F.explode("grams").alias("g"))
+    census = exploded.groupBy("g").agg(F.count(F.lit(1)).alias("cnt"))
+    shared = (
+        exploded.join(census, "g")
+        .filter(F.col("cnt") >= 2)
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+    )
+    return (
+        per_doc.select(id_col, "n_grams")
+        .join(shared, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("n_grams"),
+            F.coalesce(F.col("n_shared"), F.lit(0).cast("bigint")).alias("n_shared"),
+            (
+                F.coalesce(F.col("n_shared"), F.lit(0)).cast("double")
+                / F.col("n_grams")
+            ).alias("dup_frac"),
+        )
+    )

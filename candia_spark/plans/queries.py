@@ -2476,3 +2476,147 @@ def q54_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(F.col("doc_id") % 2 == 0),
         threshold=0.7,
     )
+
+
+@register(
+    "q55_substring_dups",
+    oracle="""
+    WITH per AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   list_filter(
+                       generate_series(1, greatest(length(text) - 39, 1)),
+                       s -> s = 1 OR substr(text, s - 1, 1) = ' '),
+                   s -> md5(substr(text, s, 40)))) AS grams
+        FROM documents),
+    ex AS (SELECT doc_id, unnest(grams) AS g FROM per),
+    census AS (SELECT g, COUNT(*) AS cnt FROM ex GROUP BY g),
+    shared AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+        FROM ex JOIN census USING (g) WHERE cnt >= 2
+        GROUP BY doc_id)
+    SELECT p.doc_id,
+           CAST(len(p.grams) AS BIGINT) AS n_grams,
+           COALESCE(s.n_shared, 0) AS n_shared,
+           CAST(COALESCE(s.n_shared, 0) AS DOUBLE) / len(p.grams) AS dup_frac
+    FROM per p LEFT JOIN shared s USING (doc_id)
+    """,
+    survey_ref="substring-dedup (north star: Lee et al. exact-substring dedup)",
+)
+def q55_substring_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level duplication profile via 40-char grams anchored at
+    word starts (operators.dedup.substring_duplication) — the distributed
+    stand-in for suffix-array exact-substring dedup: content-defined
+    anchors are alignment-free, so any long cross-document verbatim run is
+    guaranteed to surface regardless of where it sits in each document.
+    Grams travel as md5 digests, never text, so exchange width is
+    constant."""
+    from candia_spark.operators.dedup import substring_duplication
+
+    docs = _t(spark, sf_dir, "documents")
+    return substring_duplication(docs, gram_chars=40)
+
+
+@register(
+    "q56_normalized_dedup",
+    oracle="""
+    WITH n AS (
+        SELECT doc_id,
+               md5(trim(regexp_replace(
+                   regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                   ' +', ' ', 'g'))) AS norm_digest
+        FROM documents)
+    SELECT doc_id, norm_digest,
+           CAST(COUNT(*) OVER w AS BIGINT) AS group_size,
+           CAST(MIN(doc_id) OVER w AS BIGINT) AS keeper_id,
+           doc_id = MIN(doc_id) OVER w AS keep
+    FROM n WINDOW w AS (PARTITION BY norm_digest)
+    """,
+    survey_ref="normalize-dedup (north star: dedup modulo formatting)",
+)
+def q56_normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup modulo text normalization (lowercase, punctuation ->
+    space, whitespace collapse): one digest-keyed shuffle elects the
+    smallest-id keeper per normalized group
+    (operators.curation.normalized_exact_dups). The regex chain is
+    Java/RE2-identical, so the digests — and hence the groups — are
+    byte-equal cross-engine."""
+    from candia_spark.operators.curation import normalized_exact_dups
+
+    docs = _t(spark, sf_dir, "documents")
+    return normalized_exact_dups(docs)
+
+
+def _q57_oracle(k: int = 8, iters: int = 3, scale: int = 1000) -> str:
+    """Unrolled-CTE Lloyd's k-means: DuckDB recomputes the full fixed-
+    iteration trajectory value-exactly (see operators.clustering for why
+    the integer-exact distance form makes that possible)."""
+    parts = [
+        f"""
+    q AS (
+        SELECT vec_id, i AS pos,
+               CAST(round(CAST(embedding[i] AS DOUBLE) * {scale}, 0) AS BIGINT) AS v
+        FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS u(i)),
+    ids AS (
+        SELECT vec_id,
+               CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cluster
+        FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {k}) t),
+    cent0 AS (
+        SELECT ids.cluster, q.pos, q.v AS s, CAST(1 AS BIGINT) AS n
+        FROM q JOIN ids USING (vec_id))"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""
+    dist{i} AS (
+        SELECT q.vec_id, c.cluster,
+               CAST(SUM((c.n * q.v - c.s) * (c.n * q.v - c.s)) AS BIGINT) AS d,
+               MAX(c.n) AS n
+        FROM q JOIN cent{i - 1} c USING (pos)
+        GROUP BY q.vec_id, c.cluster),
+    assign{i} AS (
+        SELECT vec_id, cluster FROM (
+            SELECT vec_id, cluster,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                       ORDER BY CAST(d AS DOUBLE) / CAST(n * n AS DOUBLE) ASC,
+                                cluster ASC) AS rn
+            FROM dist{i}) t
+        WHERE rn = 1)"""
+        )
+        if i < iters:
+            parts.append(
+                f"""
+    cent{i} AS (
+        SELECT a.cluster, q.pos, CAST(SUM(q.v) AS BIGINT) AS s,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM assign{i} a JOIN q USING (vec_id)
+        GROUP BY a.cluster, q.pos)"""
+            )
+    return (
+        "WITH "
+        + ",".join(parts)
+        + f"""
+    SELECT a.vec_id, a.cluster, s.cluster_size
+    FROM assign{iters} a
+    JOIN (SELECT cluster, CAST(COUNT(*) AS BIGINT) AS cluster_size
+          FROM assign{iters} GROUP BY cluster) s USING (cluster)"""
+    )
+
+
+@register(
+    "q57_kmeans_clusters",
+    oracle=_q57_oracle(),
+    survey_ref="kmeans-clustering (north star: corpus domain clustering)",
+)
+def q57_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration (3) deterministic Lloyd's k-means, k=8, over the
+    embedding table (operators.clustering.kmeans_assign). Assignment is a
+    broadcast-centroid map; re-centering is one partial-aggregated
+    (cluster, pos) shuffle whose volume is O(partitions x k x dim),
+    independent of corpus size. Integer-exact distance math makes the
+    whole trajectory — not just the final counts — hash-gated against the
+    unrolled-CTE DuckDB oracle."""
+    from candia_spark.operators.clustering import kmeans_assign
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return kmeans_assign(emb, k=8, iters=3, scale=1000)

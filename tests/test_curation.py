@@ -118,3 +118,58 @@ def test_cap_per_source_bounds_and_determinism(spark):
     assert len(other) == len(kept)
     with pytest.raises(ValueError, match="cap"):
         cap_per_source(d, cap=0)
+
+
+def test_normalized_exact_dups_groups_formatting_variants(spark):
+    from candia_spark.operators.curation import normalized_exact_dups
+
+    rows = [
+        (1, "A", "Hello, World!"),
+        (2, "A", "hello   world"),   # same after normalization
+        (3, "A", "HELLO WORLD."),    # same after normalization
+        (4, "A", "goodbye world"),
+    ]
+    out = {r["doc_id"]: r for r in normalized_exact_dups(_docs(spark, rows)).collect()}
+    assert out[1]["group_size"] == 3 and out[1]["keep"]
+    assert out[2]["keeper_id"] == 1 and not out[2]["keep"]
+    assert out[3]["norm_digest"] == out[1]["norm_digest"]
+    assert out[4]["group_size"] == 1 and out[4]["keep"]
+    # exactly one keeper per group
+    assert sum(1 for r in out.values() if r["keep"]) == 2
+
+
+def test_normalized_dups_single_shuffle_no_python(spark):
+    """Scale contract: one digest-keyed exchange, whole plan JVM-side."""
+    from candia_spark.operators.curation import normalized_exact_dups
+
+    rows = [(1, "A", "x y"), (2, "A", "x  y")]
+    plan = _plan_of(normalized_exact_dups(_docs(spark, rows)))
+    assert "Python" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_substring_duplication_plants_and_guards(spark):
+    from candia_spark.operators.dedup import substring_duplication
+
+    shared = "the quick brown fox jumps over the lazy dog again and again " * 3
+    rows = [
+        (1, "A", "unique prefix one " + shared),
+        (2, "A", "different lead-in text " + shared),
+        (3, "A", "entirely unrelated content with no overlap at all whatsoever"),
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in substring_duplication(_docs(spark, rows), 40).collect()
+    }
+    # docs 1/2 share a long verbatim run at DIFFERENT offsets; word-start
+    # anchoring is alignment-free, so the shared grams still collide
+    assert out[1]["n_shared"] > 0 and out[2]["n_shared"] > 0
+    assert out[3]["n_shared"] == 0 and out[3]["dup_frac"] == 0.0
+    assert 0.0 < out[1]["dup_frac"] <= 1.0
+    # short doc: whole text is its single gram
+    short = substring_duplication(
+        _docs(spark, [(7, "A", "tiny")]), 40
+    ).collect()[0]
+    assert (short["n_grams"], short["n_shared"]) == (1, 0)
+    with pytest.raises(ValueError, match="positive"):
+        substring_duplication(_docs(spark, rows), 0)
