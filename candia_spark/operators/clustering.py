@@ -45,6 +45,7 @@ def kmeans_assign(
     scale: int = 1000,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    materialize: bool = True,
 ) -> DataFrame:
     """Fixed-iteration Lloyd's k-means; returns (id, cluster, cluster_size).
 
@@ -52,6 +53,13 @@ def kmeans_assign(
     order (SQL-expressible, unlike k-means++ RNG draws). ``iters``
     assignment passes run with ``iters - 1`` re-centering steps between
     them, i.e. the output is the assignment AFTER the last re-centering.
+
+    ``materialize`` (default True) checkpoints each iteration's k-row
+    centroid table and the final assignment, making the loop ONE corpus
+    pass per iteration — without the cuts, iteration i's centroid
+    broadcast re-derives every earlier iteration from lineage (O(iters^2)
+    corpus scans). ``materialize=False`` keeps the whole plan lazy (used
+    by plan-shape tests to inspect the assignment map's physical shape).
     """
     if k <= 0 or iters <= 0:
         raise ValueError(f"k and iters must be positive, got k={k} iters={iters}")
@@ -75,6 +83,8 @@ def kmeans_assign(
             F.lit(1).cast("bigint").alias("n"),
         )
     )
+    from candia_spark.operators.dedup import _materialize
+
     cent = seeds  # (cluster, sv: array<long> integer sums, n: member count)
     assign = None
     for it in range(iters):
@@ -113,9 +123,151 @@ def kmeans_assign(
                 ).alias("sv"),
                 F.max("n").alias("n"),
             )
+            if materialize:
+                # checkpointing k x dim integers is free and caps the
+                # loop at one corpus pass per iteration
+                cent = _materialize(cent)
+    if materialize:
+        # the final assignment feeds the size aggregate, the output join,
+        # and callers' self-joins (cluster_closest_pairs) — cut once
+        assign = _materialize(assign)
     sizes = assign.groupBy("cluster").agg(
         F.count(F.lit(1)).cast("bigint").alias("cluster_size")
     )
     return assign.join(F.broadcast(sizes), "cluster").select(
         F.col("__vid").alias(id_col), F.col("cluster"), F.col("cluster_size")
+    )
+
+
+def _quantized(df: DataFrame, scale: int, vec_col: str, id_col: str) -> DataFrame:
+    """(id, qv: array<long>, n2: bigint squared norm) — the integer-exact
+    vector form shared by the semantic-dedup family (same quantization as
+    kmeans_assign, so cluster assignments and pair math line up)."""
+    return df.select(
+        F.col(id_col).alias("__vid"),
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.round(x.cast("double") * scale, 0).cast("long"),
+        ).alias("qv"),
+    ).withColumn(
+        "n2",
+        F.aggregate(
+            F.transform(F.col("qv"), lambda v: v * v),
+            F.lit(0).cast("long"),
+            lambda a, v: a + v,
+        ),
+    )
+
+
+def _in_cluster_pairs(
+    df: DataFrame, k: int, iters: int, scale: int, vec_col: str, id_col: str
+) -> DataFrame:
+    """All within-cluster vector pairs with exact integer dot products and
+    the deterministic double cosine (see module docstring for why double
+    division/sqrt of exactly-representable integers is engine-invariant).
+
+    This is the SemDeDup scale trick (Abbas et al.): k-means pre-bucketing
+    shrinks the pair space from O(N^2) to sum |cluster|^2 — at corpus
+    scale k grows with N (k ~ N / target_cluster_size) so the per-cluster
+    quadratic term stays bounded. The self-join shuffles on the cluster
+    key only; skew is bounded by the largest cluster.
+    """
+    # kmeans_assign returns a materialized assignment (see its final cut),
+    # so the x/y aliases of the pair self-join reuse the stored rows
+    # instead of re-deriving the k-means DAG twice
+    assign = kmeans_assign(
+        df, k=k, iters=iters, scale=scale, vec_col=vec_col, id_col=id_col
+    )
+    q = _quantized(df, scale, vec_col, id_col)
+    a = assign.withColumnRenamed(id_col, "__vid").join(q, "__vid")
+    x, y = a.alias("x"), a.alias("y")
+    dot = F.aggregate(
+        F.zip_with(F.col("x.qv"), F.col("y.qv"), lambda u, v: u * v),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    return (
+        x.join(
+            y,
+            (F.col("x.cluster") == F.col("y.cluster"))
+            & (F.col("x.__vid") < F.col("y.__vid")),
+        )
+        .select(
+            F.col("x.cluster").alias("cluster"),
+            F.col("x.__vid").alias("id_a"),
+            F.col("y.__vid").alias("id_b"),
+            dot.alias("dot"),
+            F.col("x.n2").alias("n2_a"),
+            F.col("y.n2").alias("n2_b"),
+        )
+        .withColumn(
+            "cos",
+            F.col("dot").cast("double")
+            / F.sqrt(F.col("n2_a").cast("double") * F.col("n2_b").cast("double")),
+        )
+    )
+
+
+def cluster_closest_pairs(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    scale: int = 1000,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Per cluster: the most-similar vector pair (argmax cosine, ties to
+    the smallest ids) and the number of pairs scanned. A thin output that
+    certifies the WHOLE in-cluster pair computation — the argmax depends
+    on every pair, so a single wrong dot product anywhere moves it —
+    which is what makes it the oracle gate for the semantic-dedup family
+    (q58). Clusters with fewer than two members drop out.
+    """
+    prs = _in_cluster_pairs(df, k, iters, scale, vec_col, id_col)
+    w = Window.partitionBy("cluster").orderBy(
+        F.col("cos").desc(), F.col("id_a").asc(), F.col("id_b").asc()
+    )
+    wc = Window.partitionBy("cluster")
+    return (
+        prs.withColumn("n_pairs", F.count(F.lit(1)).over(wc).cast("bigint"))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("cluster", "id_a", "id_b", "dot", "cos", "n_pairs")
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    threshold: float = 0.9,
+    k: int = 8,
+    iters: int = 3,
+    scale: int = 1000,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup (Abbas et al.): embedding near-duplicates found INSIDE
+    k-means clusters only, with the larger-id member of each pair marked
+    for removal. Returns (cluster, id_a, id_b, cos, drop_id) for pairs
+    with cosine >= threshold.
+
+    The threshold test is integer-exact: cos >= t is evaluated as
+    dot > 0 AND den * dot^2 >= num * n2_a * n2_b with t^2 = num/den taken
+    from the decimal literal — no floating-point boundary anywhere, so
+    the kept set is reproducible across engines, partitionings and runs.
+    """
+    from fractions import Fraction
+
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    t2 = Fraction(str(threshold)) ** 2
+    num, den = t2.numerator, t2.denominator
+    prs = _in_cluster_pairs(df, k, iters, scale, vec_col, id_col)
+    return prs.filter(
+        (F.col("dot") > 0)
+        & (
+            F.lit(den) * F.col("dot") * F.col("dot")
+            >= F.lit(num) * F.col("n2_a") * F.col("n2_b")
+        )
+    ).select(
+        "cluster", "id_a", "id_b", "cos", F.col("id_b").alias("drop_id")
     )

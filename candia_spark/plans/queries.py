@@ -2547,10 +2547,12 @@ def q56_normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return normalized_exact_dups(docs)
 
 
-def _q57_oracle(k: int = 8, iters: int = 3, scale: int = 1000) -> str:
-    """Unrolled-CTE Lloyd's k-means: DuckDB recomputes the full fixed-
-    iteration trajectory value-exactly (see operators.clustering for why
-    the integer-exact distance form makes that possible)."""
+def _kmeans_ctes(k: int = 8, iters: int = 3, scale: int = 1000) -> str:
+    """Shared unrolled-CTE chain for Lloyd's k-means (q57/q58 oracles):
+    DuckDB recomputes the full fixed-iteration trajectory value-exactly
+    (see operators.clustering for why the integer-exact distance form
+    makes that possible). Ends with ``assign{iters}`` = (vec_id, cluster)
+    and keeps ``q`` = (vec_id, pos, v) in scope for consumers."""
     parts = [
         f"""
     q AS (
@@ -2592,9 +2594,12 @@ def _q57_oracle(k: int = 8, iters: int = 3, scale: int = 1000) -> str:
         FROM assign{i} a JOIN q USING (vec_id)
         GROUP BY a.cluster, q.pos)"""
             )
+    return "WITH " + ",".join(parts)
+
+
+def _q57_oracle(k: int = 8, iters: int = 3, scale: int = 1000) -> str:
     return (
-        "WITH "
-        + ",".join(parts)
+        _kmeans_ctes(k, iters, scale)
         + f"""
     SELECT a.vec_id, a.cluster, s.cluster_size
     FROM assign{iters} a
@@ -2620,3 +2625,58 @@ def q57_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     return kmeans_assign(emb, k=8, iters=3, scale=1000)
+
+
+def _q58_oracle(k: int = 8, iters: int = 3, scale: int = 1000) -> str:
+    """k-means CTE chain + exact in-cluster pair scan + per-cluster argmax
+    (the SemDeDup bucketing certified end to end: a wrong dot product in
+    ANY pair moves the argmax)."""
+    return (
+        _kmeans_ctes(k, iters, scale)
+        + f""",
+    norms AS (
+        SELECT vec_id, CAST(SUM(v * v) AS BIGINT) AS n2
+        FROM q GROUP BY vec_id),
+    prs AS (
+        SELECT a1.cluster, a1.vec_id AS id_a, a2.vec_id AS id_b,
+               CAST(SUM(x.v * y.v) AS BIGINT) AS dot
+        FROM assign{iters} a1
+        JOIN assign{iters} a2
+          ON a1.cluster = a2.cluster AND a1.vec_id < a2.vec_id
+        JOIN q x ON x.vec_id = a1.vec_id
+        JOIN q y ON y.vec_id = a2.vec_id AND y.pos = x.pos
+        GROUP BY 1, 2, 3),
+    scored AS (
+        SELECT cluster, id_a, id_b, dot,
+               CAST(dot AS DOUBLE)
+                   / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)) AS cos,
+               CAST(COUNT(*) OVER (PARTITION BY cluster) AS BIGINT) AS n_pairs,
+               ROW_NUMBER() OVER (PARTITION BY cluster
+                   ORDER BY CAST(dot AS DOUBLE)
+                       / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)) DESC,
+                       id_a ASC, id_b ASC) AS rn
+        FROM prs
+        JOIN norms na ON na.vec_id = id_a
+        JOIN norms nb ON nb.vec_id = id_b)
+    SELECT cluster, id_a, id_b, dot, cos, n_pairs
+    FROM scored WHERE rn = 1"""
+    )
+
+
+@register(
+    "q58_semantic_closest_pairs",
+    oracle=_q58_oracle(),
+    survey_ref="semantic-dedup (north star: SemDeDup in-cluster near-dups)",
+)
+def q58_semantic_closest_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup bucketing certified end to end: k-means pre-clustering
+    (same trajectory as q57) followed by the exact in-cluster cosine pair
+    scan, reduced to the most-similar pair per cluster plus the pair
+    count (operators.clustering.cluster_closest_pairs). The per-cluster
+    argmax depends on EVERY in-cluster pair, so the 8-row output
+    hash-gates the whole sum-of-|cluster|^2 computation — the device that
+    replaces the O(N^2) corpus pair space at scale."""
+    from candia_spark.operators.clustering import cluster_closest_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return cluster_closest_pairs(emb, k=8, iters=3, scale=1000)

@@ -52,9 +52,53 @@ def test_kmeans_plan_shape(spark):
     math stays JVM-side (no Python), and re-centering aggregates partially
     before its exchange (map-side combine on (cluster, pos))."""
     rows = [(i, [float(i % 5), float(i % 3)]) for i in range(30)]
-    plan = _plan_of(kmeans_assign(_vecs(spark, rows), k=2, iters=2))
+    # materialize=False: inspect the real assignment plan, not the
+    # post-checkpoint scan the default mode (rightly) reduces it to
+    plan = _plan_of(kmeans_assign(_vecs(spark, rows), k=2, iters=2, materialize=False))
     assert "Python" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" in plan
     # partial min-struct aggregation before the per-vector argmin exchange
     assert "partial_min" in plan or "partial min" in plan.lower()
+
+
+def test_semantic_dedup_finds_planted_neardups(spark):
+    from candia_spark.operators.clustering import semantic_dedup
+
+    base = [0.6, 0.8, 0.0, 0.0]
+    near = [0.61, 0.79, 0.01, 0.0]        # cosine ~0.9999 with base
+    far = [-0.8, 0.6, 0.0, 0.0]           # orthogonal-ish
+    rows = [(0, base), (1, far), (10, near), (11, [0.0, 0.0, 1.0, 0.0])]
+    out = semantic_dedup(_vecs(spark, rows), threshold=0.95, k=2, iters=2).collect()
+    assert len(out) == 1
+    pair = out[0]
+    assert (pair["id_a"], pair["id_b"], pair["drop_id"]) == (0, 10, 10)
+    assert pair["cos"] > 0.99
+    with pytest.raises(ValueError, match="threshold"):
+        semantic_dedup(_vecs(spark, rows), threshold=0.0)
+
+
+def test_semantic_dedup_threshold_is_integer_exact(spark):
+    """The >= threshold test must use the cross-multiplied integer form,
+    not a float boundary: a pair at exactly cos == t is kept."""
+    from candia_spark.operators.clustering import semantic_dedup
+
+    # colinear integer-friendly vectors: cos(a, b) == 1.0 exactly after
+    # quantization; threshold 1.0 keeps them only under exact arithmetic
+    rows = [(0, [0.5, 0.5]), (1, [0.25, 0.25]), (2, [-0.5, 0.5])]
+    out = semantic_dedup(_vecs(spark, rows), threshold=1.0, k=1, iters=1).collect()
+    assert [(r["id_a"], r["id_b"]) for r in out] == [(0, 1)]
+
+
+def test_in_cluster_pairs_shuffle_on_cluster_key_only(spark):
+    """Scale contract: the pair join is an equi-join on the cluster key —
+    never a corpus-level cartesian — and the whole pair scan is JVM-side."""
+    from candia_spark.operators.clustering import cluster_closest_pairs
+
+    rows = [(i, [float(i % 7) / 7, float(i % 5) / 5]) for i in range(40)]
+    plan = _plan_of(cluster_closest_pairs(_vecs(spark, rows), k=3, iters=2))
+    assert "Python" not in plan
+    assert "CartesianProduct" not in plan
+    # the only nested-loop joins are the deliberate k-row centroid
+    # broadcasts from kmeans_assign; the pair join itself must be hash/SMJ
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan or "ShuffledHashJoin" in plan
