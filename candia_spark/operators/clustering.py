@@ -4,38 +4,159 @@ sampling, semantic dedup pre-bucketing).
 
 Design for scale — the textbook Spark k-means shape:
 
-- Assignment is a MAP: the k x dim centroid table joins in as a broadcast
-  (k rows), each vector computes k distances with array higher-order
-  functions (JVM codegen, no UDF) and keeps the argmin. No shuffle of the
-  corpus, ever.
+- Assignment is a PURE MAP: the k centroids are collapsed into a single
+  array-of-structs row and broadcast; each vector computes its k distances
+  and takes the argmin with array higher-order functions (JVM codegen, no
+  UDF, no exchange of any kind — the argmin happens inside the row).
 - Re-centering is one partial-aggregated shuffle keyed by (cluster, pos):
   map-side combine reduces each partition to <= k x dim rows before the
-  exchange, so the shuffle volume is O(partitions x k x dim), independent
-  of corpus size.
+  exchange, so the exchanged volume is O(partitions x k x dim),
+  independent of corpus size. Those two steps are the whole iteration.
 - The driver never holds data; centroids live in the plan as a (tiny)
-  aggregate subtree that Spark materializes into each broadcast.
+  aggregate subtree that Spark materializes into each broadcast, and each
+  iteration's k-row centroid table is checkpointed so iteration i never
+  replays iteration i-1 from lineage.
 
 Determinism for the oracle gate (the reason this is not MLlib's KMeans):
 vectors are quantized to integers (round(x * scale)), centroids are kept
 as EXACT integer sums plus counts (never divided), and the distance to
-centroid c is compared via the integer-exact cross-multiplied form
+centroid c is the integer-exact cross-multiplied form
 
-    d_c = sum_i (n_c * x_i - S_ci)^2   (bigint, exact)
+    d_c = sum_i (n_c * x_i - S_ci)^2   (exact: per-term bigint, summed
+                                        into decimal(38,0) so no wrap at
+                                        any realistic cluster size)
     key_c = double(d_c) / double(n_c^2)
 
-Both factors of key_c are exactly representable doubles (d_c < 2^53 for
-|x| <= 1, scale <= 1e3, n <= ~5e4) and IEEE division is correctly rounded,
-so every engine computes the identical key and the identical argmin — the
-whole fixed-iteration trajectory is hash-exact cross-engine, which is what
-lets DuckDB recompute it (q57's unrolled-CTE oracle). Ties break on the
-smallest cluster id. Empty clusters simply drop out of the centroid table
-(same rule on both engines).
+double(exact integer) and IEEE division are correctly rounded in every
+engine, so the identical key — and the identical argmin — comes out of
+Spark and DuckDB even when d_c exceeds 2^53: both engines round the same
+exact integer the same way. Ties break on the smallest cluster id. Empty
+clusters simply drop out of the centroid table (same rule on both
+engines). Overflow margins: a per-term bigint (n*x - s)^2 wraps only at
+cluster sizes > ~2.6e6 / scale * 1000 members (documented, not checked
+per-row); the decimal(38,0) sum is exact to 1e38.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def _quantized(df: DataFrame, scale: int, vec_col: str, id_col: str) -> DataFrame:
+    """(id, qv: array<long>, n2: bigint squared norm) — the integer-exact
+    vector form shared by the whole family (one quantization convention,
+    so cluster assignments and pair math always line up). n2 is computed
+    lazily; Catalyst prunes it for consumers that don't select it."""
+    return df.select(
+        F.col(id_col).alias("__vid"),
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.round(x.cast("double") * scale, 0).cast("long"),
+        ).alias("qv"),
+    ).withColumn(
+        "n2",
+        F.aggregate(
+            F.transform(F.col("qv"), lambda v: v * v),
+            F.lit(0).cast("long"),
+            lambda a, v: a + v,
+        ),
+    )
+
+
+def _assignments(
+    df: DataFrame,
+    k: int,
+    iters: int,
+    scale: int,
+    vec_col: str,
+    id_col: str,
+    materialize: bool = True,
+    keep_vectors: bool = False,
+) -> DataFrame:
+    """Core Lloyd's loop; returns (``__vid``, cluster) — plus (qv, n2) when
+    ``keep_vectors`` (the pair-scan consumers read the quantized vectors
+    straight from the materialized assignment instead of re-joining the
+    corpus)."""
+    if k <= 0 or iters <= 0:
+        raise ValueError(f"k and iters must be positive, got k={k} iters={iters}")
+    if scale <= 0:
+        raise ValueError(f"scale must be positive, got {scale}")
+    from candia_spark.operators.dedup import _materialize
+
+    q = _quantized(df, scale, vec_col, id_col)
+    # seed: k smallest ids, cluster = rank - 1. The window runs on a k-row
+    # frame (post-limit), not the corpus.
+    seeds = (
+        q.orderBy("__vid")
+        .limit(k)
+        .select(
+            F.col("qv").alias("sv"),
+            (F.row_number().over(Window.orderBy("__vid")) - 1)
+            .cast("bigint")
+            .alias("cluster"),
+            F.lit(1).cast("bigint").alias("n"),
+        )
+    )
+    cent = seeds  # (cluster, sv: array<long> integer sums, n: member count)
+    assign = None
+    for it in range(iters):
+        # all centroids in ONE broadcast row -> assignment is a map: the
+        # k distances and their argmin evaluate inside each corpus row
+        carr = cent.agg(
+            F.collect_list(F.struct("cluster", "sv", "n")).alias("cs")
+        )
+        joined = q.crossJoin(F.broadcast(carr))
+
+        def _key_cluster(c):
+            # per-term bigint is exact (see module docstring margins); the
+            # SUM runs in decimal(38,0) so large clusters cannot wrap
+            d = F.aggregate(
+                F.zip_with(
+                    F.col("qv"),
+                    c["sv"],
+                    lambda x, s: (c["n"] * x - s).cast("decimal(18,0)")
+                    * (c["n"] * x - s).cast("decimal(18,0)"),
+                ),
+                F.lit(0).cast("decimal(38,0)"),
+                lambda acc, v: acc + v,
+            )
+            key = d.cast("double") / (c["n"] * c["n"]).cast("double")
+            return F.struct(key.alias("k"), c["cluster"].alias("cluster"))
+
+        # array_min over (key, cluster) structs = lexicographic argmin
+        # with the smallest-cluster tie-break
+        best = F.array_min(F.transform(F.col("cs"), _key_cluster))
+        assign = joined.select(
+            "__vid", "qv", "n2", best["cluster"].alias("cluster")
+        )
+        if it < iters - 1:
+            long_form = assign.select(
+                "cluster", F.posexplode("qv").alias("pos", "v")
+            )
+            sums = long_form.groupBy("cluster", "pos").agg(
+                F.sum("v").alias("s"), F.count(F.lit(1)).cast("bigint").alias("n")
+            )
+            cent = sums.groupBy("cluster").agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "s"))),
+                    lambda t: t["s"],
+                ).alias("sv"),
+                F.max("n").alias("n"),
+            )
+            if materialize:
+                # checkpointing k x dim integers is free and caps the
+                # loop at one corpus pass per iteration (without the cut,
+                # iteration i's broadcast re-derives every earlier
+                # iteration from lineage: O(iters^2) corpus scans)
+                cent = _materialize(cent)
+    if not keep_vectors:
+        assign = assign.select("__vid", "cluster")
+    if materialize:
+        # the final assignment feeds the size aggregate, the output join,
+        # and the pair-scan self-joins — cut once, reuse the stored rows
+        assign = _materialize(assign)
+    return assign
 
 
 def kmeans_assign(
@@ -55,107 +176,18 @@ def kmeans_assign(
     them, i.e. the output is the assignment AFTER the last re-centering.
 
     ``materialize`` (default True) checkpoints each iteration's k-row
-    centroid table and the final assignment, making the loop ONE corpus
-    pass per iteration — without the cuts, iteration i's centroid
-    broadcast re-derives every earlier iteration from lineage (O(iters^2)
-    corpus scans). ``materialize=False`` keeps the whole plan lazy (used
-    by plan-shape tests to inspect the assignment map's physical shape).
+    centroid table and the final assignment — one corpus pass per
+    iteration. ``materialize=False`` keeps the whole plan lazy (used by
+    plan-shape tests to inspect the assignment map's physical shape).
     """
-    if k <= 0 or iters <= 0:
-        raise ValueError(f"k and iters must be positive, got k={k} iters={iters}")
-    q = df.select(
-        F.col(id_col).alias("__vid"),
-        F.transform(
-            F.col(vec_col),
-            lambda x: F.round(x.cast("double") * scale, 0).cast("long"),
-        ).alias("qv"),
+    assign = _assignments(
+        df, k, iters, scale, vec_col, id_col, materialize=materialize
     )
-    # seed: k smallest ids, cluster = rank - 1. The window runs on a k-row
-    # frame (post-limit), not the corpus.
-    seeds = (
-        q.orderBy("__vid")
-        .limit(k)
-        .select(
-            F.col("qv").alias("sv"),
-            (F.row_number().over(Window.orderBy("__vid")) - 1)
-            .cast("bigint")
-            .alias("cluster"),
-            F.lit(1).cast("bigint").alias("n"),
-        )
-    )
-    from candia_spark.operators.dedup import _materialize
-
-    cent = seeds  # (cluster, sv: array<long> integer sums, n: member count)
-    assign = None
-    for it in range(iters):
-        joined = q.crossJoin(F.broadcast(cent))  # deliberate N x k product
-        d = F.aggregate(
-            F.zip_with(
-                F.col("qv"),
-                F.col("sv"),
-                lambda x, s: (F.col("n") * x - s) * (F.col("n") * x - s),
-            ),
-            F.lit(0).cast("long"),
-            lambda acc, v: acc + v,
-        )
-        key = d.cast("double") / (F.col("n") * F.col("n")).cast("double")
-        # min over a (key, cluster) struct = lexicographic argmin with the
-        # smallest-cluster tie-break; commutative, so partial aggs are safe
-        assign = (
-            joined.select(
-                "__vid", F.struct(key.alias("k"), F.col("cluster")).alias("kc")
-            )
-            .groupBy("__vid")
-            .agg(F.min("kc").alias("kc"))
-            .select("__vid", F.col("kc.cluster").alias("cluster"))
-        )
-        if it < iters - 1:
-            long_form = assign.join(q, "__vid").select(
-                "cluster", F.posexplode("qv").alias("pos", "v")
-            )
-            sums = long_form.groupBy("cluster", "pos").agg(
-                F.sum("v").alias("s"), F.count(F.lit(1)).cast("bigint").alias("n")
-            )
-            cent = sums.groupBy("cluster").agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "s"))),
-                    lambda t: t["s"],
-                ).alias("sv"),
-                F.max("n").alias("n"),
-            )
-            if materialize:
-                # checkpointing k x dim integers is free and caps the
-                # loop at one corpus pass per iteration
-                cent = _materialize(cent)
-    if materialize:
-        # the final assignment feeds the size aggregate, the output join,
-        # and callers' self-joins (cluster_closest_pairs) — cut once
-        assign = _materialize(assign)
     sizes = assign.groupBy("cluster").agg(
         F.count(F.lit(1)).cast("bigint").alias("cluster_size")
     )
     return assign.join(F.broadcast(sizes), "cluster").select(
         F.col("__vid").alias(id_col), F.col("cluster"), F.col("cluster_size")
-    )
-
-
-def _quantized(df: DataFrame, scale: int, vec_col: str, id_col: str) -> DataFrame:
-    """(id, qv: array<long>, n2: bigint squared norm) — the integer-exact
-    vector form shared by the semantic-dedup family (same quantization as
-    kmeans_assign, so cluster assignments and pair math line up)."""
-    return df.select(
-        F.col(id_col).alias("__vid"),
-        F.transform(
-            F.col(vec_col),
-            lambda x: F.round(x.cast("double") * scale, 0).cast("long"),
-        ).alias("qv"),
-    ).withColumn(
-        "n2",
-        F.aggregate(
-            F.transform(F.col("qv"), lambda v: v * v),
-            F.lit(0).cast("long"),
-            lambda a, v: a + v,
-        ),
     )
 
 
@@ -169,17 +201,15 @@ def _in_cluster_pairs(
     This is the SemDeDup scale trick (Abbas et al.): k-means pre-bucketing
     shrinks the pair space from O(N^2) to sum |cluster|^2 — at corpus
     scale k grows with N (k ~ N / target_cluster_size) so the per-cluster
-    quadratic term stays bounded. The self-join shuffles on the cluster
-    key only; skew is bounded by the largest cluster.
+    quadratic term stays bounded. The assignment table is materialized
+    WITH the quantized vectors, so the x/y sides of the self-join read
+    the stored rows (no corpus re-join, no k-means DAG replay) and the
+    only exchange is the shuffle on the cluster key; skew is bounded by
+    the largest cluster.
     """
-    # kmeans_assign returns a materialized assignment (see its final cut),
-    # so the x/y aliases of the pair self-join reuse the stored rows
-    # instead of re-deriving the k-means DAG twice
-    assign = kmeans_assign(
-        df, k=k, iters=iters, scale=scale, vec_col=vec_col, id_col=id_col
+    a = _assignments(
+        df, k, iters, scale, vec_col, id_col, materialize=True, keep_vectors=True
     )
-    q = _quantized(df, scale, vec_col, id_col)
-    a = assign.withColumnRenamed(id_col, "__vid").join(q, "__vid")
     x, y = a.alias("x"), a.alias("y")
     dot = F.aggregate(
         F.zip_with(F.col("x.qv"), F.col("y.qv"), lambda u, v: u * v),
@@ -250,10 +280,16 @@ def semantic_dedup(
     for removal. Returns (cluster, id_a, id_b, cos, drop_id) for pairs
     with cosine >= threshold.
 
-    The threshold test is integer-exact: cos >= t is evaluated as
-    dot > 0 AND den * dot^2 >= num * n2_a * n2_b with t^2 = num/den taken
-    from the decimal literal — no floating-point boundary anywhere, so
-    the kept set is reproducible across engines, partitionings and runs.
+    The threshold test is exact: cos >= t is evaluated as dot > 0 AND
+    den * dot^2 >= num * n2_a * n2_b with t^2 = num/den taken from the
+    decimal literal, computed in decimal(38,0) — no floating-point
+    boundary AND no bigint wrap (den * dot^2 exceeds 2^63 already at
+    dim-64/scale-1000 with 4-digit thresholds; a silent wrap under
+    Spark's non-ANSI arithmetic would mark arbitrary non-duplicates for
+    deletion). Decimal(18,0) operands keep every product distinct from
+    the 38-digit cap, so the comparison is exact for any |dot|, n2 below
+    1e18 — far past any realistic dimension/scale. The kept set is
+    therefore reproducible across engines, partitionings and runs.
     """
     from fractions import Fraction
 
@@ -261,13 +297,19 @@ def semantic_dedup(
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
     t2 = Fraction(str(threshold)) ** 2
     num, den = t2.numerator, t2.denominator
-    prs = _in_cluster_pairs(df, k, iters, scale, vec_col, id_col)
-    return prs.filter(
-        (F.col("dot") > 0)
-        & (
-            F.lit(den) * F.col("dot") * F.col("dot")
-            >= F.lit(num) * F.col("n2_a") * F.col("n2_b")
+    if den > 10**9:
+        raise ValueError(
+            f"threshold {threshold} needs a {den}-denominator rational; "
+            "use a short decimal literal (<= 4 places) so the exact "
+            "comparison stays within decimal(38,0)"
         )
-    ).select(
+
+    def _d18(c):
+        return c.cast("decimal(18,0)")
+
+    prs = _in_cluster_pairs(df, k, iters, scale, vec_col, id_col)
+    lhs = _d18(F.col("dot")) * _d18(F.col("dot")) * _d18(F.lit(den))
+    rhs = _d18(F.col("n2_a")) * _d18(F.col("n2_b")) * _d18(F.lit(num))
+    return prs.filter((F.col("dot") > 0) & (lhs >= rhs)).select(
         "cluster", "id_a", "id_b", "cos", F.col("id_b").alias("drop_id")
     )

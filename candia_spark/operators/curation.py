@@ -164,7 +164,7 @@ def normalized_exact_dups(
     normalized text (functions.text.normalize_text — casing, punctuation
     and whitespace variants collapse into one digest) and elect the
     smallest id per group as keeper. Catches the near-exact-dup channel
-    that raw exact dedup (operators.dedup.exact_dups) misses — the same
+    that raw exact dedup (operators.dedup.exact_dedup) misses — the same
     page re-crawled with different markup — without any pair generation.
 
     Output: (id, norm_digest, group_size, keeper_id, keep) — ``keep`` is

@@ -1264,9 +1264,15 @@ def substring_duplication(
             lambda s: F.md5(F.substr(t, s, F.lit(gram_chars)).cast("binary")),
         )
     )
-    per_doc = df.select(
-        F.col(id_col), gram_arr.alias("grams")
-    ).withColumn("n_grams", F.size("grams").cast("bigint"))
+    # the gram+md5 map is the operator's dominant cost and feeds three
+    # branches (census build, census-join probe, final n_grams join) —
+    # cut it so the corpus is digested ONCE, not once per branch (same
+    # doctrine as the shared shingle_index above)
+    per_doc = _materialize(
+        df.select(F.col(id_col), gram_arr.alias("grams")).withColumn(
+            "n_grams", F.size("grams").cast("bigint")
+        )
+    )
     exploded = per_doc.select(F.col(id_col), F.explode("grams").alias("g"))
     census = exploded.groupBy("g").agg(F.count(F.lit(1)).alias("cnt"))
     shared = (

@@ -2571,8 +2571,12 @@ def _kmeans_ctes(k: int = 8, iters: int = 3, scale: int = 1000) -> str:
         parts.append(
             f"""
     dist{i} AS (
+        -- d stays HUGEINT (DuckDB's exact SUM), mirroring the Spark
+        -- side's decimal(38,0) accumulator: both engines then round the
+        -- SAME exact integer to double, so no-wrap exactness holds far
+        -- past 2^63 cluster mass
         SELECT q.vec_id, c.cluster,
-               CAST(SUM((c.n * q.v - c.s) * (c.n * q.v - c.s)) AS BIGINT) AS d,
+               SUM((c.n * q.v - c.s) * (c.n * q.v - c.s)) AS d,
                MAX(c.n) AS n
         FROM q JOIN cent{i - 1} c USING (pos)
         GROUP BY q.vec_id, c.cluster),
@@ -2680,3 +2684,46 @@ def q58_semantic_closest_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     return cluster_closest_pairs(emb, k=8, iters=3, scale=1000)
+
+
+def _q59_oracle(k: int = 8, iters: int = 3, scale: int = 1000, cap: int = 30) -> str:
+    """k-means CTE chain + the md5-ranked per-cluster cap (same
+    content-keyed survivor convention as q53/q46)."""
+    return (
+        _kmeans_ctes(k, iters, scale)
+        + f""",
+    sizes AS (
+        SELECT cluster, CAST(COUNT(*) AS BIGINT) AS cluster_size
+        FROM assign{iters} GROUP BY cluster),
+    ranked AS (
+        SELECT a.vec_id, a.cluster, s.cluster_size,
+               CAST(ROW_NUMBER() OVER (PARTITION BY a.cluster
+                   ORDER BY md5(CAST(a.vec_id AS VARCHAR) || 'bal1') ASC,
+                            a.vec_id ASC) AS BIGINT) AS src_rank
+        FROM assign{iters} a JOIN sizes s USING (cluster))
+    SELECT vec_id, cluster, cluster_size, src_rank
+    FROM ranked WHERE src_rank <= {cap}"""
+    )
+
+
+@register(
+    "q59_cluster_balanced_sample",
+    oracle=_q59_oracle(),
+    survey_ref="cluster-balanced-sampling (north star: diversity subset selection)",
+)
+def q59_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity sampling: cap each k-means cluster's contribution to 30
+    vectors, chosen by the deterministic md5 shuffle order — the
+    cluster-stratified subset-selection step between dedup and packing in
+    a curation pipeline. Pure composition: operators.clustering
+    .kmeans_assign (q57's trajectory) piped into operators.curation
+    .cap_per_source with the cluster as the source key, so the only new
+    work is one window over the assignment table."""
+    from candia_spark.operators.clustering import kmeans_assign
+    from candia_spark.operators.curation import cap_per_source
+
+    emb = _t(spark, sf_dir, "embeddings")
+    assign = kmeans_assign(emb, k=8, iters=3, scale=1000)
+    return cap_per_source(
+        assign, cap=30, source_col="cluster", id_col="vec_id", salt="bal1"
+    )

@@ -47,19 +47,39 @@ def test_kmeans_deterministic_and_total(spark):
 
 
 def test_kmeans_plan_shape(spark):
-    """Scale contract: assignment is a broadcast nested-loop over the k-row
-    centroid table (never a CartesianProduct of two big sides), distance
-    math stays JVM-side (no Python), and re-centering aggregates partially
-    before its exchange (map-side combine on (cluster, pos))."""
+    """Scale contract: assignment is a PURE MAP — the centroid set rides in
+    as one broadcast array row (a nested-loop join against ONE row, never a
+    CartesianProduct of two big sides), the argmin evaluates inside each
+    corpus row (no per-vector exchange), and re-centering is the only hash
+    shuffle, keyed (cluster, pos) with map-side partial aggregation."""
+    from candia_spark.operators.clustering import _assignments
+
     rows = [(i, [float(i % 5), float(i % 3)]) for i in range(30)]
-    # materialize=False: inspect the real assignment plan, not the
+    # materialize=False: inspect the real lazy plan, not the
     # post-checkpoint scan the default mode (rightly) reduces it to
-    plan = _plan_of(kmeans_assign(_vecs(spark, rows), k=2, iters=2, materialize=False))
-    assert "Python" not in plan
-    assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" in plan
-    # partial min-struct aggregation before the per-vector argmin exchange
-    assert "partial_min" in plan or "partial min" in plan.lower()
+    one_pass = _plan_of(
+        _assignments(
+            _vecs(spark, rows), 2, 1, 1000, "embedding", "vec_id",
+            materialize=False,
+        )
+    )
+    assert "Python" not in one_pass
+    assert "CartesianProduct" not in one_pass
+    assert "BroadcastNestedLoopJoin" in one_pass
+    # the assignment map shuffles NOTHING: zero hash exchanges in a
+    # re-centering-free pass (the seed limit is a single-partition
+    # collapse of k rows, not a hashpartitioning)
+    assert one_pass.count("Exchange hashpartitioning") == 0
+    # one re-centering adds exactly its two k-bounded aggregation
+    # exchanges: (cluster, pos) partial sums, then cluster re-assembly
+    two_pass = _plan_of(
+        _assignments(
+            _vecs(spark, rows), 2, 2, 1000, "embedding", "vec_id",
+            materialize=False,
+        )
+    )
+    assert "Python" not in two_pass
+    assert two_pass.count("Exchange hashpartitioning") == 2
 
 
 def test_semantic_dedup_finds_planted_neardups(spark):
