@@ -313,3 +313,119 @@ def semantic_dedup(
     return prs.filter((F.col("dot") > 0) & (lhs >= rhs)).select(
         "cluster", "id_a", "id_b", "cos", F.col("id_b").alias("drop_id")
     )
+
+
+def kmeans_hierarchical(
+    df: DataFrame,
+    k1: int = 4,
+    k2: int = 4,
+    iters1: int = 2,
+    iters2: int = 2,
+    scale: int = 1000,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Two-level hierarchical Lloyd's k-means — the 100 TB form of
+    :func:`kmeans_assign`: assign each vector to one of ``k1``
+    super-clusters, then sub-cluster WITHIN each super-cluster into
+    ``k2`` children. Returns (id, super_cluster, cluster, cluster_size)
+    with ``cluster = super_cluster * k2 + sub`` (globally unique, stable).
+
+    Why it scales where flat k-means cannot: flat assignment is
+    N x K x dim work per iteration, so growing K with the corpus
+    (K ~ N / target_cluster_size, the SemDeDup operating contract) makes
+    the bill quadratic in N. Hierarchical assignment is
+    N x (k1 + k2) x dim — each vector sees only its own super-cluster's
+    k2 sub-centroids (k1 x k2 = K total leaves) — the classic IVF/curse
+    workaround, here as a pure DataFrame composition:
+
+    - phase 1 is :func:`_assignments` (pure-map argmin, one
+      (cluster, pos) shuffle per re-centering);
+    - phase 2 broadcasts ONE row per super-cluster holding its k2
+      sub-centroid array and hash-joins it on the super key — the argmin
+      again evaluates inside each corpus row, and re-centering shuffles
+      (super, sub, pos) partials, O(partitions x k1 x k2 x dim).
+
+    Determinism matches kmeans_assign: sub-seeds are the k2 smallest ids
+    per super-cluster, distances use the same decimal-exact integer form,
+    ties break on the smallest sub id. Empty sub-clusters drop out.
+    """
+    if k2 <= 0 or iters2 <= 0:
+        raise ValueError(f"k2 and iters2 must be positive, got {k2}/{iters2}")
+    from candia_spark.operators.dedup import _materialize
+
+    sup = _assignments(
+        df, k1, iters1, scale, vec_col, id_col,
+        materialize=True, keep_vectors=True,
+    ).withColumnRenamed("cluster", "super")
+
+    # sub-seeds: the k2 smallest ids inside each super-cluster
+    wseed = Window.partitionBy("super").orderBy("__vid")
+    cent = (
+        sup.withColumn("__rn", F.row_number().over(wseed))
+        .filter(F.col("__rn") <= k2)
+        .select(
+            "super",
+            (F.col("__rn") - 1).cast("bigint").alias("sub"),
+            F.col("qv").alias("sv"),
+            F.lit(1).cast("bigint").alias("n"),
+        )
+    )
+    assign = None
+    for it in range(iters2):
+        cmap = cent.groupBy("super").agg(
+            F.collect_list(F.struct("sub", "sv", "n")).alias("cs")
+        )
+        joined = sup.join(F.broadcast(cmap), "super")
+
+        def _key_sub(c):
+            d = F.aggregate(
+                F.zip_with(
+                    F.col("qv"),
+                    c["sv"],
+                    lambda x, s: (c["n"] * x - s).cast("decimal(18,0)")
+                    * (c["n"] * x - s).cast("decimal(18,0)"),
+                ),
+                F.lit(0).cast("decimal(38,0)"),
+                lambda acc, v: acc + v,
+            )
+            key = d.cast("double") / (c["n"] * c["n"]).cast("double")
+            return F.struct(key.alias("k"), c["sub"].alias("sub"))
+
+        best = F.array_min(F.transform(F.col("cs"), _key_sub))
+        assign = joined.select(
+            "__vid", "super", "qv", best["sub"].alias("sub")
+        )
+        if it < iters2 - 1:
+            long_form = assign.select(
+                "super", "sub", F.posexplode("qv").alias("pos", "v")
+            )
+            sums = long_form.groupBy("super", "sub", "pos").agg(
+                F.sum("v").alias("s"),
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+            )
+            cent = _materialize(
+                sums.groupBy("super", "sub").agg(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("pos", "s"))),
+                        lambda t: t["s"],
+                    ).alias("sv"),
+                    F.max("n").alias("n"),
+                )
+            )
+    out = _materialize(
+        assign.select(
+            "__vid",
+            "super",
+            (F.col("super") * k2 + F.col("sub")).alias("cluster"),
+        )
+    )
+    sizes = out.groupBy("cluster").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cluster_size")
+    )
+    return out.join(F.broadcast(sizes), "cluster").select(
+        F.col("__vid").alias(id_col),
+        F.col("super").alias("super_cluster"),
+        F.col("cluster"),
+        F.col("cluster_size"),
+    )

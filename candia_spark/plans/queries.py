@@ -2727,3 +2727,86 @@ def q59_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cap_per_source(
         assign, cap=30, source_col="cluster", id_col="vec_id", salt="bal1"
     )
+
+
+def _q60_oracle(
+    k1: int = 3, k2: int = 3, iters1: int = 2, iters2: int = 2, scale: int = 1000
+) -> str:
+    """Phase-1 k-means CTE chain (super-clusters) + the unrolled phase-2
+    sub-clustering: every vector's sub-argmin runs only against its own
+    super-cluster's centroids — the oracle recomputes the full two-level
+    trajectory value-exactly (same integer-exact device as q57)."""
+    parts = [_kmeans_ctes(k1, iters1, scale)]
+    parts.append(
+        f""",
+    sseed AS (
+        SELECT vec_id, super, sub FROM (
+            SELECT vec_id, cluster AS super,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY cluster
+                        ORDER BY vec_id) - 1 AS BIGINT) AS sub
+            FROM assign{iters1}) t
+        WHERE sub < {k2}),
+    scent0 AS (
+        SELECT sd.super, sd.sub, q.pos, q.v AS s, CAST(1 AS BIGINT) AS n
+        FROM q JOIN sseed sd USING (vec_id))"""
+    )
+    for i in range(1, iters2 + 1):
+        parts.append(
+            f""",
+    sdist{i} AS (
+        SELECT a.vec_id, a.cluster AS super, c.sub,
+               SUM((c.n * q.v - c.s) * (c.n * q.v - c.s)) AS d,
+               MAX(c.n) AS n
+        FROM assign{iters1} a
+        JOIN q ON q.vec_id = a.vec_id
+        JOIN scent{i - 1} c ON c.super = a.cluster AND c.pos = q.pos
+        GROUP BY 1, 2, 3),
+    sassign{i} AS (
+        SELECT vec_id, super, sub FROM (
+            SELECT vec_id, super, sub,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                       ORDER BY CAST(d AS DOUBLE) / CAST(n * n AS DOUBLE) ASC,
+                                sub ASC) AS rn
+            FROM sdist{i}) t
+        WHERE rn = 1)"""
+        )
+        if i < iters2:
+            parts.append(
+                f""",
+    scent{i} AS (
+        SELECT a.super, a.sub, q.pos, SUM(q.v) AS s,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM sassign{i} a JOIN q USING (vec_id)
+        GROUP BY 1, 2, 3)"""
+            )
+    parts.append(
+        f"""
+    SELECT a.vec_id, a.super AS super_cluster,
+           a.super * {k2} + a.sub AS cluster, sz.cluster_size
+    FROM sassign{iters2} a
+    JOIN (SELECT super * {k2} + sub AS cluster,
+                 CAST(COUNT(*) AS BIGINT) AS cluster_size
+          FROM sassign{iters2} GROUP BY 1) sz
+      ON sz.cluster = a.super * {k2} + a.sub"""
+    )
+    return "".join(parts)
+
+
+@register(
+    "q60_kmeans_hierarchical",
+    oracle=_q60_oracle(),
+    survey_ref="hierarchical-kmeans (north star: corpus-scale clustering)",
+)
+def q60_kmeans_hierarchical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level hierarchical k-means (operators.clustering
+    .kmeans_hierarchical): 3 super-clusters x 3 children, 2+2 iterations.
+    Assignment cost is N x (k1 + k2) x dim instead of flat k-means'
+    N x k1*k2 x dim — the device that keeps Lloyd's bill linear when the
+    leaf count grows with the corpus (see SCALING.md). Phase 2's argmin
+    sees only the row's own super-cluster centroids via a broadcast
+    hash-join on the super key; both phases' full trajectories are
+    recomputed value-exactly by the unrolled oracle."""
+    from candia_spark.operators.clustering import kmeans_hierarchical
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return kmeans_hierarchical(emb, k1=3, k2=3, iters1=2, iters2=2, scale=1000)

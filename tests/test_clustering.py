@@ -122,3 +122,52 @@ def test_in_cluster_pairs_shuffle_on_cluster_key_only(spark):
     # the only nested-loop joins are the deliberate k-row centroid
     # broadcasts from kmeans_assign; the pair join itself must be hash/SMJ
     assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan or "ShuffledHashJoin" in plan
+
+
+def test_kmeans_hierarchical_recovers_nested_structure(spark):
+    from candia_spark.operators.clustering import kmeans_hierarchical
+
+    # two far-apart super-blobs, each with two tight sub-blobs; ids 0/1
+    # land in different super-blobs (phase-1 seeding), and within each
+    # super-blob the two smallest ids land in different sub-blobs
+    g = lambda cx, cy, eps: [cx + eps, cy - eps]
+    rows = [
+        # super A around (10, 0): sub A1 at (10, 1), sub A2 at (10, -1)
+        (0, g(10.0, 1.0, 0.01)), (2, g(10.0, -1.0, 0.02)),
+        (4, g(10.0, 1.0, 0.03)), (6, g(10.0, -1.0, 0.01)),
+        (8, g(10.0, 1.0, 0.02)),
+        # super B around (-10, 0): sub B1 at (-10, 1), sub B2 at (-10, -1)
+        (1, g(-10.0, 1.0, 0.01)), (3, g(-10.0, -1.0, 0.02)),
+        (5, g(-10.0, 1.0, 0.03)), (7, g(-10.0, -1.0, 0.01)),
+    ]
+    out = {
+        r["vec_id"]: r
+        for r in kmeans_hierarchical(
+            _vecs(spark, rows), k1=2, k2=2, iters1=3, iters2=3, scale=100
+        ).collect()
+    }
+    assert {out[i]["super_cluster"] for i in (0, 2, 4, 6, 8)} == {0}
+    assert {out[i]["super_cluster"] for i in (1, 3, 5, 7)} == {1}
+    # within super A, the (10, 1) members share a leaf distinct from (10, -1)
+    assert out[0]["cluster"] == out[4]["cluster"] == out[8]["cluster"]
+    assert out[2]["cluster"] == out[6]["cluster"] != out[0]["cluster"]
+    # global leaf ids are super * k2 + sub
+    assert all(out[i]["cluster"] // 2 == out[i]["super_cluster"] for i in out)
+    assert out[0]["cluster_size"] == 3 and out[2]["cluster_size"] == 2
+    with pytest.raises(ValueError, match="positive"):
+        kmeans_hierarchical(_vecs(spark, rows), k2=0)
+
+
+def test_kmeans_hierarchical_matches_flat_per_super(spark):
+    """Phase 2 restricted to one super-cluster must equal flat k-means on
+    that super-cluster's members (same seeds, same trajectory) — the
+    decomposition property that makes the hierarchy a faithful refinement."""
+    from candia_spark.operators.clustering import kmeans_assign, kmeans_hierarchical
+
+    rows = [(i, [float((i * 13 + j * 5) % 17) / 17 for j in range(4)]) for i in range(24)]
+    df = _vecs(spark, rows)
+    hier = kmeans_hierarchical(df, k1=1, k2=3, iters1=1, iters2=2, scale=1000).collect()
+    # k1=1, iters1=1 puts every vector in super 0, so phase 2 IS flat
+    # k-means(k=3, iters=2) over the whole set
+    flat = {r["vec_id"]: r["cluster"] for r in kmeans_assign(df, k=3, iters=2).collect()}
+    assert {r["vec_id"]: r["cluster"] for r in hier} == flat
