@@ -276,3 +276,106 @@ def test_pack_sequences_matches_reference(spark, doc_specs, budget):
         assert r["seq_id"] == start // budget
         assert r["offset_in_seq"] == start % budget
         assert r["end_seq_id"] == max(start, start + n - 1) // budget
+
+
+# --- k-means trajectory vs an exact pure-python reference ----------------
+
+def _ref_kmeans(rows, k, iters, scale):
+    """Exact reference Lloyd's with the engine's conventions: float32->
+    double quantization with half-away rounding, k-smallest-id seeding,
+    key = double(d)/double(n^2) with (key, cluster) lexicographic argmin,
+    integer centroid sums, empty clusters dropping out. Python ints/floats
+    are exact here (d < 2^53 at test sizes), so this is an independent
+    bit-exact recomputation of the whole trajectory."""
+    import math
+
+    def quant(x):
+        v = float(np.float32(x)) * scale
+        return int(math.floor(v + 0.5)) if v >= 0 else int(math.ceil(v - 0.5))
+
+    q = {vid: [quant(x) for x in vec] for vid, vec in rows}
+    seeds = sorted(q)[:k]
+    cent = {c: (list(q[vid]), 1) for c, vid in enumerate(seeds)}
+    assign = {}
+    for it in range(iters):
+        for vid, qv in q.items():
+            best = None
+            for c, (sv, n) in sorted(cent.items()):
+                d = sum((n * x - s) ** 2 for x, s in zip(qv, sv))
+                key = (float(d) / float(n * n), c)
+                if best is None or key < best:
+                    best = key
+            assign[vid] = best[1]
+        if it < iters - 1:
+            cent = {}
+            for vid, c in assign.items():
+                sv, n = cent.get(c, ([0] * len(q[vid]), 0))
+                cent[c] = ([a + b for a, b in zip(sv, q[vid])], n + 1)
+    return assign
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.floats(min_value=-1.0, max_value=1.0, allow_nan=False, width=32),
+            min_size=3,
+            max_size=3,
+        ),
+        min_size=1,
+        max_size=10,
+    ),
+    st.integers(min_value=1, max_value=4),
+    st.integers(min_value=1, max_value=3),
+)
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_kmeans_matches_exact_reference(spark, vecs, k, iters):
+    from candia_spark.operators.clustering import kmeans_assign
+
+    rows = [(i, v) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    got = {
+        r["vec_id"]: r["cluster"]
+        for r in kmeans_assign(df, k=k, iters=iters, scale=1000).collect()
+    }
+    assert got == _ref_kmeans(rows, k, iters, 1000)
+
+
+# --- substring duplication vs a set-based python reference ---------------
+
+def _ref_substring(docs, gram):
+    per = {}
+    for did, text in docs:
+        starts = [
+            s
+            for s in range(1, max(len(text) - gram + 1, 1) + 1)
+            if s == 1 or text[s - 2] == " "
+        ]
+        per[did] = {text[s - 1 : s - 1 + gram] for s in starts}
+    out = {}
+    for did, gs in per.items():
+        shared = {
+            g for g in gs if any(g in per[o] for o in per if o != did)
+        }
+        out[did] = (len(gs), len(shared))
+    return out
+
+
+@given(
+    st.lists(
+        st.text(alphabet="ab ", min_size=0, max_size=30),
+        min_size=1,
+        max_size=6,
+    ),
+    st.integers(min_value=1, max_value=8),
+)
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_substring_duplication_matches_reference(spark, texts, gram):
+    from candia_spark.operators.dedup import substring_duplication
+
+    docs = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    got = {
+        r["doc_id"]: (r["n_grams"], r["n_shared"])
+        for r in substring_duplication(df, gram_chars=gram, text_col="text").collect()
+    }
+    assert got == _ref_substring(docs, gram)
