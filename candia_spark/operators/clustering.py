@@ -192,7 +192,13 @@ def kmeans_assign(
 
 
 def _in_cluster_pairs(
-    df: DataFrame, k: int, iters: int, scale: int, vec_col: str, id_col: str
+    df: DataFrame,
+    k: int,
+    iters: int,
+    scale: int,
+    vec_col: str,
+    id_col: str,
+    clusters: DataFrame | None = None,
 ) -> DataFrame:
     """All within-cluster vector pairs with exact integer dot products and
     the deterministic double cosine (see module docstring for why double
@@ -206,10 +212,28 @@ def _in_cluster_pairs(
     the stored rows (no corpus re-join, no k-means DAG replay) and the
     only exchange is the shuffle on the cluster key; skew is bounded by
     the largest cluster.
+
+    ``clusters`` overrides the built-in flat k-means with any externally
+    computed bucketing — (id, cluster) rows, e.g.
+    :func:`kmeans_hierarchical` leaves at corpus scale, or an IVF/LSH
+    bucket id. The vectors are quantized once and joined to it.
     """
-    a = _assignments(
-        df, k, iters, scale, vec_col, id_col, materialize=True, keep_vectors=True
-    )
+    from candia_spark.operators.dedup import _materialize
+
+    if clusters is None:
+        a = _assignments(
+            df, k, iters, scale, vec_col, id_col,
+            materialize=True, keep_vectors=True,
+        )
+    else:
+        a = _materialize(
+            _quantized(df, scale, vec_col, id_col).join(
+                clusters.select(
+                    F.col(id_col).alias("__vid"), F.col("cluster")
+                ),
+                "__vid",
+            )
+        )
     x, y = a.alias("x"), a.alias("y")
     dot = F.aggregate(
         F.zip_with(F.col("x.qv"), F.col("y.qv"), lambda u, v: u * v),
@@ -245,6 +269,7 @@ def cluster_closest_pairs(
     scale: int = 1000,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    clusters: DataFrame | None = None,
 ) -> DataFrame:
     """Per cluster: the most-similar vector pair (argmax cosine, ties to
     the smallest ids) and the number of pairs scanned. A thin output that
@@ -253,7 +278,7 @@ def cluster_closest_pairs(
     which is what makes it the oracle gate for the semantic-dedup family
     (q58). Clusters with fewer than two members drop out.
     """
-    prs = _in_cluster_pairs(df, k, iters, scale, vec_col, id_col)
+    prs = _in_cluster_pairs(df, k, iters, scale, vec_col, id_col, clusters)
     w = Window.partitionBy("cluster").orderBy(
         F.col("cos").desc(), F.col("id_a").asc(), F.col("id_b").asc()
     )
@@ -274,6 +299,7 @@ def semantic_dedup(
     scale: int = 1000,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    clusters: DataFrame | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al.): embedding near-duplicates found INSIDE
     k-means clusters only, with the larger-id member of each pair marked
@@ -307,7 +333,7 @@ def semantic_dedup(
     def _d18(c):
         return c.cast("decimal(18,0)")
 
-    prs = _in_cluster_pairs(df, k, iters, scale, vec_col, id_col)
+    prs = _in_cluster_pairs(df, k, iters, scale, vec_col, id_col, clusters)
     lhs = _d18(F.col("dot")) * _d18(F.col("dot")) * _d18(F.lit(den))
     rhs = _d18(F.col("n2_a")) * _d18(F.col("n2_b")) * _d18(F.lit(num))
     return prs.filter((F.col("dot") > 0) & (lhs >= rhs)).select(

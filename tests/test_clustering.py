@@ -171,3 +171,29 @@ def test_kmeans_hierarchical_matches_flat_per_super(spark):
     # k-means(k=3, iters=2) over the whole set
     flat = {r["vec_id"]: r["cluster"] for r in kmeans_assign(df, k=3, iters=2).collect()}
     assert {r["vec_id"]: r["cluster"] for r in hier} == flat
+
+
+def test_semantic_dedup_with_hierarchical_clusters(spark):
+    """The pair scan composes with any external bucketing: hierarchical
+    leaves passed via ``clusters`` find the same planted near-dup the flat
+    path finds (the pair shares a leaf in both decompositions)."""
+    from candia_spark.operators.clustering import (
+        kmeans_hierarchical,
+        semantic_dedup,
+    )
+
+    base = [0.6, 0.8, 0.0, 0.0]
+    near = [0.61, 0.79, 0.01, 0.0]
+    rows = [
+        (0, base), (1, [-0.8, 0.6, 0.0, 0.0]),
+        (10, near), (11, [0.0, 0.0, 1.0, 0.0]),
+        (12, [0.0, 0.0, 0.99, 0.01]),
+    ]
+    df = _vecs(spark, rows)
+    hier = kmeans_hierarchical(df, k1=2, k2=2, iters1=2, iters2=2)
+    out = semantic_dedup(df, threshold=0.95, clusters=hier).collect()
+    # both planted pairs: (0,10) cos~0.9999 and (11,12) cos~0.99995
+    assert sorted((r["id_a"], r["id_b"], r["drop_id"]) for r in out) == [
+        (0, 10, 10),
+        (11, 12, 12),
+    ]
