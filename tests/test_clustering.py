@@ -197,3 +197,13 @@ def test_semantic_dedup_with_hierarchical_clusters(spark):
         (0, 10, 10),
         (11, 12, 12),
     ]
+
+
+def test_kmeans_k_exceeding_corpus_degrades_gracefully(spark):
+    """k > N: only N seeds exist, so at most N clusters — no error, every
+    vector still assigned exactly once."""
+    rows = [(0, [1.0, 0.0]), (1, [-1.0, 0.0]), (2, [0.9, 0.1])]
+    out = kmeans_assign(_vecs(spark, rows), k=10, iters=2).collect()
+    assert len(out) == 3
+    assert len({r["vec_id"] for r in out}) == 3
+    assert sum(r["cluster_size"] for r in {o["cluster"]: o for o in out}.values()) == 3

@@ -173,3 +173,17 @@ def test_substring_duplication_plants_and_guards(spark):
     assert (short["n_grams"], short["n_shared"]) == (1, 0)
     with pytest.raises(ValueError, match="positive"):
         substring_duplication(_docs(spark, rows), 0)
+
+
+def test_substring_duplication_plan_shape(spark):
+    """Scale contract: the gram digest map is computed once behind a
+    checkpoint cut (not re-derived per consumer branch), grams travel as
+    md5 digests, and the whole scan is JVM-side."""
+    from candia_spark.operators.dedup import substring_duplication
+
+    rows = [(1, "A", "x y z w v u t s"), (2, "A", "x y z w v u t s")]
+    plan = _plan_of(substring_duplication(_docs(spark, rows), 8))
+    assert "Python" not in plan
+    assert "CartesianProduct" not in plan
+    # the materialized gram table is what every branch scans
+    assert "ExistingRDD" in plan
