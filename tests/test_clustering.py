@@ -207,3 +207,17 @@ def test_kmeans_k_exceeding_corpus_degrades_gracefully(spark):
     assert len(out) == 3
     assert len({r["vec_id"] for r in out}) == 3
     assert sum(r["cluster_size"] for r in {o["cluster"]: o for o in out}.values()) == 3
+
+
+def test_kmeans_hierarchical_plan_shape(spark):
+    """Scale contract: phase 2's sub-centroid map joins on the SUPER key
+    as a broadcast hash join (k1 rows, each carrying its k2 sub-centroid
+    array) — never a corpus-level cartesian — and the whole two-phase
+    plan stays JVM-side."""
+    from candia_spark.operators.clustering import kmeans_hierarchical
+
+    rows = [(i, [float(i % 5), float(i % 3)]) for i in range(30)]
+    plan = _plan_of(kmeans_hierarchical(_vecs(spark, rows), k1=2, k2=2))
+    assert "Python" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
