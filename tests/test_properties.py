@@ -379,3 +379,45 @@ def test_substring_duplication_matches_reference(spark, texts, gram):
         for r in substring_duplication(df, gram_chars=gram, text_col="text").collect()
     }
     assert got == _ref_substring(docs, gram)
+
+
+def test_quantization_rounding_agrees_with_duckdb_on_real_data(spark, sf_smoke):
+    """round-half-away vs HALF_UP could in principle diverge on exact .5
+    products; certify on every real embedding component that Spark's
+    F.round(x*scale) and DuckDB's round(x*scale) produce the same integer
+    (the premise of the q57-q60 trajectory gates)."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    path = f"{sf_smoke}/embeddings.parquet"
+    sdf = (
+        spark.read.parquet(path)
+        .select(
+            "vec_id",
+            F.posexplode(
+                F.transform(
+                    "embedding",
+                    lambda x: F.round(x.cast("double") * 1000, 0).cast("long"),
+                )
+            ).alias("pos", "v"),
+        )
+        .toPandas()
+        .sort_values(["vec_id", "pos"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    odf = (
+        con.sql(
+            f"""
+        SELECT vec_id, i - 1 AS pos,
+               CAST(round(CAST(embedding[i] AS DOUBLE) * 1000, 0) AS BIGINT) AS v
+        FROM read_parquet('{path}'),
+             UNNEST(generate_series(1, len(embedding))) AS u(i)"""
+        )
+        .df()
+        .sort_values(["vec_id", "pos"])
+        .reset_index(drop=True)
+    )
+    con.close()
+    assert len(sdf) == len(odf) and len(sdf) > 0
+    assert (sdf["v"].values == odf["v"].values).all()
