@@ -74,6 +74,14 @@ def main() -> None:
         extract_features(
             docs200.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
         ).count()
+        # the clustering family JITs its own shapes (nested decimal HOF
+        # lambdas, collect_list-of-struct broadcasts, localCheckpoint) —
+        # a 64-row one-iteration pass compiles them all
+        from candia_spark.operators.clustering import kmeans_assign
+
+        kmeans_assign(
+            load_table(spark, sf_dir, "embeddings").limit(64), k=2, iters=1
+        ).count()
     except Exception:
         pass
 
