@@ -906,11 +906,11 @@ _TENSOR_DIMS_SQL = """
 # regeneration or a numpy/BLAS change breaks the pytest LOUDLY (with a
 # pointer to scripts/regen_goldens.py) instead of surfacing as a cryptic
 # driver oracle mismatch. sf_tag: 0 = sf0.001 (6000 lineitem rows),
-# 1 = sf0.01 (60000 rows); any other scale maps to -1 and fails the gate
-# as an obvious zero-row mismatch.
+# 1 = sf0.01 (60000 rows), 2 = sf0.1 (600000 rows); any other scale maps
+# to -1 and fails the gate as an obvious zero-row mismatch.
 # ---------------------------------------------------------------------------
 
-GOLDEN_SCALE_KEYS = {6000: 0, 60000: 1}
+GOLDEN_SCALE_KEYS = {6000: 0, 60000: 1, 600000: 2}
 # numpy lineage the goldens were computed under (ADVICE r4): a failing
 # recompute test under a DIFFERENT numpy means "refresh the goldens", not
 # "the engine regressed" — the pytest says which.
@@ -930,6 +930,12 @@ Q23_GOLDENS: dict[tuple[int, str, int], tuple[int, float]] = {
     (1, "N", 3): (300, 0.85),
     (1, "R", 2): (300, 0.84),
     (1, "R", 3): (300, 0.84),
+    (2, "A", 2): (300, 0.98),
+    (2, "A", 3): (300, 0.98),
+    (2, "N", 2): (300, 0.98),
+    (2, "N", 3): (300, 0.98),
+    (2, "R", 2): (300, 0.98),
+    (2, "R", 3): (300, 0.98),
 }
 
 # (sf_tag, slice_key, comp) -> npeaks (ncomp fixed at 2)
@@ -940,6 +946,9 @@ Q24_GOLDENS: dict[tuple[int, str, int], int] = {
     (1, "A", 0): 5, (1, "A", 1): 7,
     (1, "N", 0): 4, (1, "N", 1): 5,
     (1, "R", 0): 4, (1, "R", 1): 7,
+    (2, "A", 0): 2, (2, "A", 1): 2,
+    (2, "N", 0): 5, (2, "N", 1): 2,
+    (2, "R", 0): 3, (2, "R", 1): 2,
 }
 
 _SCALE_CASE_SQL = " ".join(

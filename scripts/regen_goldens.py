@@ -18,7 +18,11 @@ sys.path.insert(0, REPO)
 
 import numpy as np  # noqa: E402
 
-SCALES = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+SCALES = [
+    "/root/testdata/sf0.001",
+    "/root/testdata/sf0.01",
+    "/root/testdata/sf0.1",
+]
 
 
 def main() -> int:

@@ -13,11 +13,13 @@ from candia_spark.operators.relational import cross_index, explode_index
 
 
 @pytest.mark.parametrize(
-    "sf_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+    "sf_dir",
+    ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"],
 )
 def test_parafac_goldens_recompute(spark, sf_dir):
-    """Recompute the q23/q24 golden tables from the operators at BOTH
-    correctness-gate scales and assert the pinned values (verdict r4 #4).
+    """Recompute the q23/q24 golden tables from the operators at every
+    keyed scale (both correctness-gate scales plus the bench-scale sf0.1)
+    and assert the pinned values (verdict r4 #4).
 
     This makes two failure modes LOUD in pytest instead of surfacing as a
     cryptic zero-row/hash oracle mismatch at driver time:
