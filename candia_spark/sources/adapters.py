@@ -140,3 +140,37 @@ def strip_modifications(df: DataFrame, seq_col: str = "sequence") -> DataFrame:
         seq_col,
         F.regexp_replace(F.regexp_replace(F.col(seq_col), r"\(.+?\)", ""), "mod", ""),
     )
+
+
+DOCUMENTS_JSONL_SCHEMA = (
+    "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+)
+
+
+def read_documents_jsonl(
+    spark: SparkSession, path: str, schema: str = DOCUMENTS_JSONL_SCHEMA
+) -> DataFrame:
+    """Read a JSON-Lines document corpus (the interchange format of crawled
+    text datasets: one JSON object per line, gzip-splittable per file).
+
+    The schema is EXPLICIT, never inferred: on a 100 TB corpus, schema
+    inference is a full extra pass over every byte before the first real
+    job, and a single malformed line silently widens a column to string.
+    PERMISSIVE mode routes malformed lines to ``_corrupt_record`` instead
+    of failing the batch — the same malformed-input stance as the mzML
+    reader's diagnostics (F4) — and the reader parallelizes per file
+    split like any text source.
+    """
+    return (
+        spark.read.schema(schema + ", _corrupt_record STRING")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    )
+
+
+def write_documents_jsonl(df: DataFrame, path: str) -> None:
+    """Write a document corpus as JSON-Lines (one object per line, one
+    file per partition — the layout downstream tokenizer/training jobs
+    stream). Distributed writer: no driver collection."""
+    df.write.mode("overwrite").json(path)
