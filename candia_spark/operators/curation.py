@@ -173,7 +173,7 @@ def normalized_exact_dups(
     Scale: ONE shuffle, keyed by the 32-hex digest (never the text): the
     group statistics are window aggregates over the digest partition, so
     no census join and no second pass over the corpus. Skew is bounded by
-    the largest duplicate cluster, the same contract as exact_dups.
+    the largest duplicate cluster, the same contract as exact_dedup.
     """
     from candia_spark.functions.text import normalize_text
 
@@ -220,4 +220,58 @@ def cap_per_source(
     return (
         df.withColumn("src_rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("src_rank") <= cap)
+    )
+
+
+def score_percentiles(
+    df: DataFrame,
+    score,
+    id_col: str = "doc_id",
+    buckets: int = 1000,
+) -> DataFrame:
+    """Exact percentile of a [0,1] score for every document — the quality
+    gate that keeps "top X% of the corpus" reproducible. ``score`` is a
+    Column expression; each document gets ``bucket = floor(score *
+    buckets)``, ``n_below`` = documents in strictly lower buckets, and
+    ``pct = n_below / total`` (exact integer division — bit-identical
+    cross-engine).
+
+    Scale design — the single-partition window trap, dodged: a corpus-wide
+    ``percent_rank()`` pulls 100 TB through ONE task. Here the cumulative
+    sum runs over the BUCKET CENSUS (<= buckets+1 rows — the one place a
+    single-partition window is harmless), and the corpus only does a map
+    (bucketing) plus a broadcast join against the tiny cumulative table.
+    Discretization uses floor of the exact score double, not decimal
+    rounding: floor of identical IEEE doubles is engine-exact, where
+    round-to-decimal of short-repr doubles is the known divergence
+    (functions.numeric).
+    """
+    if buckets <= 0:
+        raise ValueError(f"buckets must be positive, got {buckets}")
+    scored = df.select(
+        F.col(id_col),
+        F.floor(score * buckets).cast("bigint").alias("bucket"),
+    )
+    census = scored.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_in_bucket")
+    )
+    w_below = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_all = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = census.select(
+        "bucket",
+        "n_in_bucket",
+        F.coalesce(F.sum("n_in_bucket").over(w_below), F.lit(0))
+        .cast("bigint")
+        .alias("n_below"),
+        F.sum("n_in_bucket").over(w_all).cast("bigint").alias("total"),
+    )
+    return scored.join(F.broadcast(cum), "bucket").select(
+        F.col(id_col),
+        "bucket",
+        "n_below",
+        (F.col("n_below").cast("double") / F.col("total")).alias("pct"),
     )

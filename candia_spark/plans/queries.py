@@ -2819,3 +2819,55 @@ def q60_kmeans_hierarchical(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     return kmeans_hierarchical(emb, k1=3, k2=3, iters1=2, iters2=2, scale=1000)
+
+
+@register(
+    "q61_quality_percentiles",
+    oracle="""
+    WITH feats AS (
+        SELECT doc_id,
+               CAST(len({toks}) AS DOUBLE) AS n,
+               CAST(len(list_distinct({toks})) AS DOUBLE) AS nd,
+               CAST(len(list_filter({toks},
+                    x -> list_contains(['the','and','of','to','is'], x))) AS DOUBLE) AS stop_hits
+        FROM documents),
+    qs AS (
+        SELECT doc_id,
+               CASE WHEN n > 0 THEN
+                 CAST(0.4 * LEAST(1.0, n / 50.0)
+                      + 0.3 * (nd / n)
+                      + 0.3 * LEAST(1.0, 5.0 * stop_hits / n) AS DOUBLE)
+               ELSE 0.0 END AS q
+        FROM feats),
+    scored AS (
+        SELECT doc_id, CAST(floor(q * 1000) AS BIGINT) AS bucket FROM qs),
+    census AS (
+        SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_in_bucket
+        FROM scored GROUP BY bucket),
+    cum AS (
+        SELECT bucket,
+               COALESCE(CAST(SUM(n_in_bucket) OVER (ORDER BY bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+                   0) AS n_below,
+               CAST(SUM(n_in_bucket) OVER (ORDER BY bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+                   AS BIGINT) AS total
+        FROM census)
+    SELECT s.doc_id, s.bucket, c.n_below,
+           CAST(c.n_below AS DOUBLE) / c.total AS pct
+    FROM scored s JOIN cum c USING (bucket)
+    """.replace("{toks}", _TOKS_SQL),
+    survey_ref="quality-percentiles (north star: reproducible top-X% gating)",
+)
+def q61_quality_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact quality-score percentile per document
+    (operators.curation.score_percentiles over functions.text
+    .quality_score): bucket by floor(score*1000) — floor of identical IEEE
+    doubles is engine-exact — cumulate over the <=1001-row bucket census
+    (the one harmless single-partition window), broadcast-join back. The
+    scalable exact replacement for a corpus-wide percent_rank."""
+    from candia_spark.functions.text import quality_score
+    from candia_spark.operators.curation import score_percentiles
+
+    docs = _t(spark, sf_dir, "documents")
+    return score_percentiles(docs, quality_score("text"))

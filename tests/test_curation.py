@@ -187,3 +187,27 @@ def test_substring_duplication_plan_shape(spark):
     assert "CartesianProduct" not in plan
     # the materialized gram table is what every branch scans
     assert "ExistingRDD" in plan
+
+
+def test_score_percentiles_exact_and_census_bounded(spark):
+    from candia_spark.operators.curation import score_percentiles
+
+    # scores 0.1/0.1/0.5/0.9 -> below-counts 0/0/2/3 of 4
+    rows = [(1, "A", "a"), (2, "A", "b"), (3, "A", "c"), (4, "A", "d")]
+    d = _docs(spark, rows)
+    score = (
+        F.when(F.col("doc_id") <= 2, 0.1)
+        .when(F.col("doc_id") == 3, 0.5)
+        .otherwise(0.9)
+    )
+    out = {r["doc_id"]: r for r in score_percentiles(d, score).collect()}
+    assert (out[1]["n_below"], out[1]["pct"]) == (0, 0.0)
+    assert out[2]["bucket"] == out[1]["bucket"] == 100
+    assert (out[3]["n_below"], out[3]["pct"]) == (2, 0.5)
+    assert (out[4]["n_below"], out[4]["pct"]) == (3, 0.75)
+    # the cumulative table joins back as a broadcast: the corpus side
+    # never shuffles for the window (it runs on the census only)
+    plan = _plan_of(score_percentiles(d, score))
+    assert "BroadcastHashJoin" in plan
+    with pytest.raises(ValueError, match="buckets"):
+        score_percentiles(d, score, buckets=0)
