@@ -221,3 +221,16 @@ def test_kmeans_hierarchical_plan_shape(spark):
     assert "Python" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_kmeans_partitioning_invariant(spark):
+    """The whole trajectory must be a pure function of the data: integer
+    centroid sums are order-independent and the argmin is per-row, so
+    repartitioning cannot move a single assignment."""
+    rows = [(i, [float((i * 11 + j * 7) % 13) / 13 for j in range(3)]) for i in range(30)]
+    df = _vecs(spark, rows)
+    base = sorted(map(tuple, kmeans_assign(df, k=4, iters=3).collect()))
+    reparted = sorted(
+        map(tuple, kmeans_assign(df.repartition(7), k=4, iters=3).collect())
+    )
+    assert base == reparted
