@@ -275,3 +275,46 @@ def score_percentiles(
         "n_below",
         (F.col("n_below").cast("double") / F.col("total")).alias("pct"),
     )
+
+
+def curate_corpus(
+    df: DataFrame,
+    min_quality: float = 0.5,
+    source_cap: int = 40,
+    budget: int = 256,
+    salt: str = "cur",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """End-to-end corpus curation — the text-side twin of
+    operators.dedup.dedup_corpus: normalized exact dedup (keep smallest id
+    per formatting-variant group) -> quality-score floor -> deterministic
+    per-source cap -> sequence packing. Returns the packing table
+    (id, shard, n_tokens, start_offset, seq_id, offset_in_seq,
+    end_seq_id) for the surviving documents — what a trainer's data
+    loader actually consumes.
+
+    Every stage keeps its own scale contract (digest-keyed dedup shuffle,
+    pure-map scoring, source-partitioned windows); the composition adds
+    only one semi join on the bare id to apply the dedup verdict. The
+    quality floor compares the exact score double against the literal —
+    both engines compute the identical IEEE value, so the kept set is
+    engine-exact (q62's oracle recomputes the whole chain).
+    """
+    from candia_spark.functions.text import quality_score
+
+    keepers = (
+        normalized_exact_dups(df, id_col=id_col, text_col=text_col)
+        .filter(F.col("keep"))
+        .select(id_col)
+    )
+    survivors = df.join(keepers, id_col, "left_semi")
+    q_ok = survivors.filter(quality_score(text_col) >= F.lit(min_quality))
+    capped = cap_per_source(
+        q_ok, cap=source_cap, source_col=source_col, id_col=id_col, salt=salt
+    )
+    return pack_sequences(
+        capped, budget=budget, shard_col=source_col, id_col=id_col,
+        text_col=text_col,
+    )

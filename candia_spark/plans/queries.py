@@ -2871,3 +2871,74 @@ def q61_quality_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return score_percentiles(docs, quality_score("text"))
+
+
+@register(
+    "q62_curate_corpus",
+    oracle="""
+    WITH norm AS (
+        SELECT doc_id, source, text,
+               md5(trim(regexp_replace(
+                   regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                   ' +', ' ', 'g'))) AS nd
+        FROM documents),
+    keepers AS (
+        SELECT doc_id, source, text FROM (
+            SELECT doc_id, source, text,
+                   MIN(doc_id) OVER (PARTITION BY nd) AS keeper
+            FROM norm) t
+        WHERE doc_id = keeper),
+    feats AS (
+        SELECT doc_id, source, text,
+               CAST(len({toks}) AS DOUBLE) AS n,
+               CAST(len(list_distinct({toks})) AS DOUBLE) AS ndis,
+               CAST(len(list_filter({toks},
+                    x -> list_contains(['the','and','of','to','is'], x))) AS DOUBLE) AS stop_hits
+        FROM keepers),
+    qok AS (
+        SELECT doc_id, source, text FROM feats
+        WHERE (CASE WHEN n > 0 THEN
+                 CAST(0.4 * LEAST(1.0, n / 50.0)
+                      + 0.3 * (ndis / n)
+                      + 0.3 * LEAST(1.0, 5.0 * stop_hits / n) AS DOUBLE)
+               ELSE 0.0 END) >= 0.5),
+    capped AS (
+        SELECT doc_id, source, text FROM (
+            SELECT doc_id, source, text,
+                   ROW_NUMBER() OVER (PARTITION BY source
+                       ORDER BY md5(CAST(doc_id AS VARCHAR) || 'cur') ASC,
+                                doc_id ASC) AS rnk
+            FROM qok) t
+        WHERE rnk <= 40),
+    t AS (
+        SELECT doc_id, source AS shard,
+               CAST(len({toks}) AS BIGINT) AS n_tokens
+        FROM capped),
+    s AS (
+        SELECT doc_id, shard, n_tokens,
+               CAST(COALESCE(SUM(n_tokens) OVER (
+                    PARTITION BY shard ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS BIGINT) AS start_offset
+        FROM t)
+    SELECT doc_id, shard, n_tokens, start_offset,
+           CAST(FLOOR(start_offset / 256.0) AS BIGINT) AS seq_id,
+           CAST(start_offset % 256 AS BIGINT) AS offset_in_seq,
+           CAST(FLOOR(GREATEST(start_offset,
+                               start_offset + n_tokens - 1) / 256.0)
+                AS BIGINT) AS end_seq_id
+    FROM s
+    """.replace("{toks}", _TOKS_SQL),
+    survey_ref="curate-corpus (north star: end-to-end text curation)",
+)
+def q62_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end text curation (operators.curation.curate_corpus — the
+    text-side twin of q49's dedup_corpus): normalized exact dedup ->
+    quality floor 0.5 -> per-source cap 40 -> 256-token sequence packing.
+    The oracle recomputes the entire four-stage chain, so stage
+    INTERACTIONS (which ids survive into the cumulative pack offsets) are
+    certified, not just each stage alone."""
+    from candia_spark.operators.curation import curate_corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    return curate_corpus(docs, min_quality=0.5, source_cap=40, budget=256)

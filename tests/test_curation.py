@@ -211,3 +211,24 @@ def test_score_percentiles_exact_and_census_bounded(spark):
     assert "BroadcastHashJoin" in plan
     with pytest.raises(ValueError, match="buckets"):
         score_percentiles(d, score, buckets=0)
+
+
+def test_curate_corpus_stage_interactions(spark):
+    """The composition must apply stages in order: a formatting dup is
+    dropped BEFORE packing (so offsets skip it), low-quality docs are
+    gone, and the cap binds per source."""
+    from candia_spark.operators.curation import curate_corpus
+
+    good = "the cat and the dog sat of to is the end " * 3  # quality > 0.5
+    rows = [
+        (1, "A", good),
+        (2, "A", good.upper() + "!!!"),   # normalized dup of 1 -> dropped
+        (3, "A", "zz"),                   # low quality -> dropped
+        (4, "A", good + " extra tail of the story"),
+        (9, "B", "a " + good),  # distinct text: dedup is cross-source
+    ]
+    out = {r["doc_id"]: r for r in curate_corpus(_docs(spark, rows), source_cap=5).collect()}
+    assert set(out) == {1, 4, 9}
+    # doc 4's offset starts right after doc 1 (doc 2 and 3 never packed)
+    assert out[4]["start_offset"] == out[1]["n_tokens"]
+    assert out[9]["start_offset"] == 0 and out[9]["shard"] == "B"
