@@ -64,6 +64,46 @@ def _quantized(df: DataFrame, scale: int, vec_col: str, id_col: str) -> DataFram
     )
 
 
+def _argmin_struct(c, label_field: str):
+    """(key, label) struct for the lexicographic argmin over one element
+    ``c = struct(<label>, sv, n)`` of a broadcast centroid array. The
+    decimal-exact distance convention lives HERE, once, for both the flat
+    and hierarchical loops: per-term bigint is exact (see module docstring
+    margins) and the SUM runs in decimal(38,0) so large clusters cannot
+    wrap."""
+    d = F.aggregate(
+        F.zip_with(
+            F.col("qv"),
+            c["sv"],
+            lambda x, s: (c["n"] * x - s).cast("decimal(18,0)")
+            * (c["n"] * x - s).cast("decimal(18,0)"),
+        ),
+        F.lit(0).cast("decimal(38,0)"),
+        lambda acc, v: acc + v,
+    )
+    key = d.cast("double") / (c["n"] * c["n"]).cast("double")
+    return F.struct(key.alias("k"), c[label_field].alias(label_field))
+
+
+def _recenter(assign: DataFrame, keys: list[str]) -> DataFrame:
+    """Integer centroid table (keys..., sv, n) from an assignment that
+    carries qv — the (keys, pos) partial-aggregated shuffle shared by the
+    flat (keys=[cluster]) and hierarchical (keys=[super, sub])
+    re-centering steps. Exchanged volume is O(partitions x |centroids| x
+    dim), independent of corpus size."""
+    long_form = assign.select(*keys, F.posexplode("qv").alias("pos", "v"))
+    sums = long_form.groupBy(*keys, "pos").agg(
+        F.sum("v").alias("s"), F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    return sums.groupBy(*keys).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "s"))),
+            lambda t: t["s"],
+        ).alias("sv"),
+        F.max("n").alias("n"),
+    )
+
+
 def _assignments(
     df: DataFrame,
     k: int,
@@ -107,43 +147,16 @@ def _assignments(
             F.collect_list(F.struct("cluster", "sv", "n")).alias("cs")
         )
         joined = q.crossJoin(F.broadcast(carr))
-
-        def _key_cluster(c):
-            # per-term bigint is exact (see module docstring margins); the
-            # SUM runs in decimal(38,0) so large clusters cannot wrap
-            d = F.aggregate(
-                F.zip_with(
-                    F.col("qv"),
-                    c["sv"],
-                    lambda x, s: (c["n"] * x - s).cast("decimal(18,0)")
-                    * (c["n"] * x - s).cast("decimal(18,0)"),
-                ),
-                F.lit(0).cast("decimal(38,0)"),
-                lambda acc, v: acc + v,
-            )
-            key = d.cast("double") / (c["n"] * c["n"]).cast("double")
-            return F.struct(key.alias("k"), c["cluster"].alias("cluster"))
-
         # array_min over (key, cluster) structs = lexicographic argmin
         # with the smallest-cluster tie-break
-        best = F.array_min(F.transform(F.col("cs"), _key_cluster))
+        best = F.array_min(
+            F.transform(F.col("cs"), lambda c: _argmin_struct(c, "cluster"))
+        )
         assign = joined.select(
             "__vid", "qv", "n2", best["cluster"].alias("cluster")
         )
         if it < iters - 1:
-            long_form = assign.select(
-                "cluster", F.posexplode("qv").alias("pos", "v")
-            )
-            sums = long_form.groupBy("cluster", "pos").agg(
-                F.sum("v").alias("s"), F.count(F.lit(1)).cast("bigint").alias("n")
-            )
-            cent = sums.groupBy("cluster").agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "s"))),
-                    lambda t: t["s"],
-                ).alias("sv"),
-                F.max("n").alias("n"),
-            )
+            cent = _recenter(assign, ["cluster"])
             if materialize:
                 # checkpointing k x dim integers is free and caps the
                 # loop at one corpus pass per iteration (without the cut,
@@ -226,6 +239,10 @@ def _in_cluster_pairs(
             materialize=True, keep_vectors=True,
         )
     else:
+        # same guard as the flat path: the clusters branch quantizes
+        # directly, and scale=0 would silently zero every vector
+        if scale <= 0:
+            raise ValueError(f"scale must be positive, got {scale}")
         a = _materialize(
             _quantized(df, scale, vec_col, id_col).join(
                 clusters.select(
@@ -403,42 +420,16 @@ def kmeans_hierarchical(
             F.collect_list(F.struct("sub", "sv", "n")).alias("cs")
         )
         joined = sup.join(F.broadcast(cmap), "super")
-
-        def _key_sub(c):
-            d = F.aggregate(
-                F.zip_with(
-                    F.col("qv"),
-                    c["sv"],
-                    lambda x, s: (c["n"] * x - s).cast("decimal(18,0)")
-                    * (c["n"] * x - s).cast("decimal(18,0)"),
-                ),
-                F.lit(0).cast("decimal(38,0)"),
-                lambda acc, v: acc + v,
-            )
-            key = d.cast("double") / (c["n"] * c["n"]).cast("double")
-            return F.struct(key.alias("k"), c["sub"].alias("sub"))
-
-        best = F.array_min(F.transform(F.col("cs"), _key_sub))
+        # same argmin/distance convention as the flat loop (one shared
+        # implementation: _argmin_struct), labeled by the sub id
+        best = F.array_min(
+            F.transform(F.col("cs"), lambda c: _argmin_struct(c, "sub"))
+        )
         assign = joined.select(
             "__vid", "super", "qv", best["sub"].alias("sub")
         )
         if it < iters2 - 1:
-            long_form = assign.select(
-                "super", "sub", F.posexplode("qv").alias("pos", "v")
-            )
-            sums = long_form.groupBy("super", "sub", "pos").agg(
-                F.sum("v").alias("s"),
-                F.count(F.lit(1)).cast("bigint").alias("n"),
-            )
-            cent = _materialize(
-                sums.groupBy("super", "sub").agg(
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("pos", "s"))),
-                        lambda t: t["s"],
-                    ).alias("sv"),
-                    F.max("n").alias("n"),
-                )
-            )
+            cent = _materialize(_recenter(assign, ["super", "sub"]))
     out = _materialize(
         assign.select(
             "__vid",

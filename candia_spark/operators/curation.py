@@ -248,9 +248,16 @@ def score_percentiles(
     """
     if buckets <= 0:
         raise ValueError(f"buckets must be positive, got {buckets}")
-    scored = df.select(
-        F.col(id_col),
-        F.floor(score * buckets).cast("bigint").alias("bucket"),
+    from candia_spark.operators.dedup import _materialize
+
+    # the (id, bucket) table feeds BOTH the census and the final join —
+    # cut it so the (possibly expensive) score expression evaluates over
+    # the corpus once, not once per branch
+    scored = _materialize(
+        df.select(
+            F.col(id_col),
+            F.floor(score * buckets).cast("bigint").alias("bucket"),
+        )
     )
     census = scored.groupBy("bucket").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_in_bucket")

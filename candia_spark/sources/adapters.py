@@ -161,8 +161,15 @@ def read_documents_jsonl(
     reader's diagnostics (F4) — and the reader parallelizes per file
     split like any text source.
     """
+    if not isinstance(schema, str):
+        raise TypeError(
+            "schema must be a DDL string (e.g. 'doc_id BIGINT, text "
+            "STRING'); the corrupt-record column is appended automatically"
+        )
+    if "_corrupt_record" not in schema:
+        schema = schema + ", _corrupt_record STRING"
     return (
-        spark.read.schema(schema + ", _corrupt_record STRING")
+        spark.read.schema(schema)
         .option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", "_corrupt_record")
         .json(path)

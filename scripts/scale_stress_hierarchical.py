@@ -6,9 +6,10 @@ The claim under test (operators/clustering.kmeans_hierarchical, SCALING.md):
 with leaves ~ N/250 (the SemDeDup contract), flat assignment is
 N x leaves x dim per iteration — quadratic in N — while hierarchical is
 N x (k1 + k2) x dim with k1 = k2 = sqrt(leaves), i.e. N^1.5-ish total.
-Both are measured with identical iteration budgets (2 super + 2 sub vs 4
-flat passes... flat uses 3 passes, its q57 default) so the comparison is
-work-shape, not tuning.
+Iteration budgets: flat runs its q57 default of 3 assignment passes;
+hierarchical runs 2 super + 2 sub = 4 passes. The hierarchy does MORE
+passes and still wins, so the budget asymmetry is conservative for the
+speedup claim — the comparison measures work-shape, not tuning.
 
 Usage: python scripts/scale_stress_hierarchical.py [--sizes 10 25 50]
 """
