@@ -86,10 +86,15 @@ def main() -> None:
         pass
 
     try:
-        from candia_spark.operators.dedup import LAST_CC_TELEMETRY
+        from candia_spark.operators.dedup import (
+            LAST_CC_TELEMETRY,
+            LAST_JACCARD_TELEMETRY,
+        )
     except Exception:
         LAST_CC_TELEMETRY = {}
+        LAST_JACCARD_TELEMETRY = {}
     cc_rounds_by_query: dict[str, int] = {}
+    jaccard_mode_by_query: dict[str, str] = {}
 
     # Per-query fault isolation: one broken query must never cost the
     # round its timings (round 3 lost ALL perf evidence to a single
@@ -97,6 +102,7 @@ def main() -> None:
     for name in names + extra:
         for _run in range(max(1, cli.runs)):
             cc_calls_before = LAST_CC_TELEMETRY.get("calls", 0)
+            jac_calls_before = LAST_JACCARD_TELEMETRY.get("calls", 0)
             t0 = time.perf_counter()
             try:
                 df = QUERY_REGISTRY[name].spark(spark, sf_dir)
@@ -113,6 +119,13 @@ def main() -> None:
             # misassign them all to whichever ran last).
             if LAST_CC_TELEMETRY.get("calls", 0) != cc_calls_before:
                 cc_rounds_by_query[name] = LAST_CC_TELEMETRY.get("rounds", -1)
+            # Same attribution for the standalone exact-Jaccard routing
+            # decision (verdict r5 #7): a future mode regression shows up
+            # as a string diff in the official bench artifact.
+            if LAST_JACCARD_TELEMETRY.get("calls", 0) != jac_calls_before:
+                jaccard_mode_by_query[name] = LAST_JACCARD_TELEMETRY.get(
+                    "mode", "?"
+                )
 
     total = round(sum(timings.values()), 3)
     try:
@@ -134,8 +147,15 @@ def main() -> None:
     # regression shows up as a number rather than as silent wall-time.
     if cc_rounds_by_query:
         out["cc_rounds"] = cc_rounds_by_query
-    print(json.dumps(out))
+    if jaccard_mode_by_query:
+        out["jaccard_mode"] = jaccard_mode_by_query
+    # Stop Spark BEFORE emitting the JSON so the one JSON line is the
+    # very last stdout the harness produces — nothing (shutdown chatter
+    # included) can trail it and trip the driver's tail parse (the r5
+    # `parsed: null` hygiene item).
     spark.stop()
+    sys.stdout.flush()
+    print(json.dumps(out), flush=True)
     # Exit 0 as long as at least one query produced a timing; rc=1 only
     # when the harness measured nothing at all.
     return 0 if timings else 1

@@ -183,28 +183,39 @@ def shingle_index(
 
 # Telemetry from the most recent standalone ngram_jaccard_pairs mode
 # decision on this driver: {"mode": "prefix"|"plain", "auto": bool,
-# "top_mass_frac": float|None} — how the bench/scale harnesses see which
-# path a corpus routed to without re-deriving the census.
+# "top_mass_frac": float|None, "calls": monotone standalone-call counter}
+# — how the bench/scale harnesses see which path a corpus routed to
+# without re-deriving the census (bench.py attributes mode per query via
+# the counter, the cc_rounds pattern). The skew probe additionally writes
+# {"top_mass_frac", "skewed"} without touching the routing keys.
 LAST_JACCARD_TELEMETRY: dict = {}
 
 # Fraction of the would-be inverted-index join mass (sum over shingles of
-# df^2) that must sit in the top df percentile for the auto default to
-# pick the AllPairs prefix path. Calibration (SCALING_r05.json): the
-# flat-df tiled bench corpus and the Zipf-skewed corpus land on opposite
-# sides with a wide margin at every measured size.
+# df^2) that must sit in the top df percentile for the telemetry probe to
+# REPORT a corpus as skewed-head. Since round 6 this classifies only, it
+# does not route: SCALING_r05.json `jaccard_modes` measured the prefix
+# path >= plain at EVERY size on BOTH corpus shapes (508 vs 727 s at x50
+# tiled — the prefix pass's smaller join mass keeps the hash-agg working
+# set under RAM near the memory wall; 14x on Zipf), so standalone auto
+# mode always takes the prefix path and the census survives as the skew
+# report in scale harnesses.
 _PREFIX_AUTO_TOP_MASS_FRAC = 0.5
 
 
 def _jaccard_mass_is_skewed(index: DataFrame) -> bool:
-    """One aggregation over the materialized (capped) index: does the top
-    df-percentile of shingles carry most of the sum(df^2) join mass?
+    """Telemetry-only probe (NOT in the routing hot path since round 6):
+    does the top df-percentile of shingles carry most of the sum(df^2)
+    join mass?
 
-    This is the statistic the prefix filter's win condition actually
-    depends on — rare-first ordering excludes exactly the high-df head
-    from every document's prefix, so the prefix join mass collapses iff
-    that head dominates. Cost: one groupBy over index rows (bytes-per-row
-    bigint pairs) + one two-row agg — marginal next to the self-join
-    either branch runs afterwards, and only paid in auto mode.
+    This is the statistic that predicts the SIZE of the prefix filter's
+    win — rare-first ordering excludes exactly the high-df head from
+    every document's prefix, so the prefix join mass collapses iff that
+    head dominates (14x on Zipf vs 1.1-1.4x on flat-df corpora,
+    SCALING_r05). Routing no longer consults it because the prefix path
+    was measured >= plain even when this returns False; scale harnesses
+    call it to record ``top_mass_frac`` next to the mode timings. Updates
+    ``LAST_JACCARD_TELEMETRY["top_mass_frac"]`` / ``["skewed"]`` only —
+    never ``mode``/``auto``, so a real routing record is not overwritten.
     """
     census = index.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
     stats = census.agg(
@@ -213,9 +224,7 @@ def _jaccard_mass_is_skewed(index: DataFrame) -> bool:
         F.sum(F.col("__df") * F.col("__df")).alias("total"),
     ).collect()[0]
     if stats["total"] is None or stats["total"] == 0:
-        LAST_JACCARD_TELEMETRY.update(
-            {"mode": "plain", "auto": True, "top_mass_frac": None}
-        )
+        LAST_JACCARD_TELEMETRY.update({"top_mass_frac": None, "skewed": False})
         return False
     # a head must exist at all: with near-uniform dfs (mostly-unique text,
     # df ~1 everywhere) `df >= p99` degenerately matches the whole census
@@ -232,13 +241,7 @@ def _jaccard_mass_is_skewed(index: DataFrame) -> bool:
         )
         frac = round(float(top or 0) / float(stats["total"]), 4)
         skewed = frac > _PREFIX_AUTO_TOP_MASS_FRAC
-    LAST_JACCARD_TELEMETRY.update(
-        {
-            "mode": "prefix" if skewed else "plain",
-            "auto": True,
-            "top_mass_frac": frac,
-        }
-    )
+    LAST_JACCARD_TELEMETRY.update({"top_mass_frac": frac, "skewed": skewed})
     return skewed
 
 
@@ -291,22 +294,23 @@ def ngram_jaccard_pairs(
       what changes is the joined mass: sum of prefix-df^2 instead of
       df^2. Rare-first ordering concentrates prefixes on low-df shingles,
       so the pruning power tracks the skew of the shingle-df
-      distribution — 12x faster on a Zipf-skewed 20k-doc corpus, a wash
-      (within run noise) on the flat-df synthetic bench corpus, where the
-      census/sort/distinct overhead buys nothing (SCALING_r05.json,
-      jaccard_modes at every size).
+      distribution — 14x faster on a Zipf-skewed 20k-doc corpus, and
+      still >= the plain join on the flat-df synthetic bench corpus at
+      every measured size (110.9 vs 119.5 s at x10 up to 508 vs 727 s at
+      x50: even where pruning is weak, the smaller prefix join mass keeps
+      the hash-agg working set in RAM near the one-box memory wall;
+      SCALING_r05.json, jaccard_modes).
 
-      The DEFAULT (``prefix_filter=None``) is therefore DATA-ADAPTIVE:
-      one tiny census aggregation over the (already materialized, already
-      capped) index measures how concentrated the would-be join mass is —
-      the fraction of sum(df^2) carried by shingles in the top df
-      percentile. Skewed-head corpora (real text) route to the prefix
-      path, flat-df corpora to the plain inverted-index join; measured
-      calibration: the driver corpora at every gate scale and the tiled
-      bench corpus sit at top-1%-df mass 1.5-3.6% of sum(df^2), the Zipf
-      corpus at 98.6% — the 0.5 threshold is far from both sides. Pass
-      True/False to pin a mode; the decision is recorded in
-      ``LAST_JACCARD_TELEMETRY``.
+      The DEFAULT (``prefix_filter=None``) is therefore the prefix path,
+      unconditionally, in standalone mode (round-6 change: the round-5
+      head-mass gate measurably misrouted flat-df corpora to the 1.43x
+      slower plain join at x50 — its statistic captures the Zipf win but
+      not the working-set win). The path is answer-preserving by
+      construction and equivalence-pinned in pytest, so the default is a
+      pure performance choice. Pass ``prefix_filter=False`` to pin the
+      plain inverted-index join (a measurement baseline); the decision is
+      recorded in ``LAST_JACCARD_TELEMETRY``, and the head-mass census
+      survives as the telemetry-only probe :func:`_jaccard_mass_is_skewed`.
     """
     if candidates is not None and prefix_filter:
         # standalone-mode-only contract: the candidates branch would win
@@ -321,7 +325,19 @@ def ngram_jaccard_pairs(
         )
     sh = index
     if candidates is None and prefix_filter is None:
-        prefix_filter = _jaccard_mass_is_skewed(sh)
+        # round-6 default: ALWAYS the prefix path in standalone mode. The
+        # round-5 data-adaptive head-mass gate routed flat-df corpora to
+        # the plain join, but the measurement (SCALING_r05.json
+        # jaccard_modes) shows prefix >= plain at every size on both
+        # corpus shapes — near the memory wall the prefix pass's smaller
+        # join mass is what keeps the hash-agg working set in RAM, a win
+        # condition the head-mass statistic cannot see. The census probe
+        # (_jaccard_mass_is_skewed) survives as telemetry only.
+        prefix_filter = True
+        LAST_JACCARD_TELEMETRY.update(
+            {"mode": "prefix", "auto": True, "top_mass_frac": None}
+        )
+        LAST_JACCARD_TELEMETRY["calls"] = LAST_JACCARD_TELEMETRY.get("calls", 0) + 1
     elif candidates is None:
         LAST_JACCARD_TELEMETRY.update(
             {
@@ -330,6 +346,7 @@ def ngram_jaccard_pairs(
                 "top_mass_frac": None,
             }
         )
+        LAST_JACCARD_TELEMETRY["calls"] = LAST_JACCARD_TELEMETRY.get("calls", 0) + 1
     if candidates is not None:
         # verify mode: one sorted set-array per document, one
         # array_intersect per candidate pair. The set tables are doc-count

@@ -2942,3 +2942,31 @@ def q62_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return curate_corpus(docs, min_quality=0.5, source_cap=40, budget=256)
+
+
+# --- Driver certification window (verdict r5 #2) -------------------------
+# The per-round driver correctness artifact certifies the FIRST 50
+# registry entries, and queries()/oracle_sql() preserve this dict's
+# insertion order. Rotate 12 long-stable trivial queries (driver-green
+# since rounds 1-2, structurally simple, re-certified locally every round
+# by plans/compare.py compare_all) to the tail so the 12 newest operators
+# (q51-q62: packing, TF-IDF, source cap, incremental dedup, substring
+# dups, normalized dedup, k-means flat/hierarchical, SemDeDup, balanced
+# sampling, percentiles, curate_corpus) sit INSIDE the driver-checked
+# window. Registry contents are unchanged — order only.
+_DRIVER_WINDOW_TAIL = [
+    "q03_window_adjust",
+    "q04_time_buckets",
+    "q05_groupwise_argmax",
+    "q10_anti_join",
+    "q11_semi_join",
+    "q13_conditional_fraction",
+    "q14_cv_per_group",
+    "q16_median",
+    "q17_union_align",
+    "q19_scalar_functions",
+    "q29_fingerprint",
+    "q39_nearest_value",
+]
+for _name in _DRIVER_WINDOW_TAIL:
+    QUERY_REGISTRY[_name] = QUERY_REGISTRY.pop(_name)

