@@ -32,9 +32,13 @@ engine, so the identical key — and the identical argmin — comes out of
 Spark and DuckDB even when d_c exceeds 2^53: both engines round the same
 exact integer the same way. Ties break on the smallest cluster id. Empty
 clusters simply drop out of the centroid table (same rule on both
-engines). Overflow margins: a per-term bigint (n*x - s)^2 wraps only at
-cluster sizes > ~2.6e6 / scale * 1000 members (documented, not checked
-per-row); the decimal(38,0) sum is exact to 1e38.
+engines). Overflow margins are CHECKED at runtime, not just documented
+(ADVICE r5): after every re-centering, a k-row aggregate over the
+materialized centroid table bounds the worst per-term |n*x - s| against
+the decimal(18,0) cast limit and the dim-term decimal(38,0) accumulator,
+and caps cluster size where n*n must stay in bigint — a violation raises
+loudly instead of wrapping silently (see _check_overflow_margins; ~1e13
+members of headroom at scale=1000 with unit-norm embeddings).
 """
 
 from __future__ import annotations
@@ -93,7 +97,12 @@ def _recenter(assign: DataFrame, keys: list[str]) -> DataFrame:
     dim), independent of corpus size."""
     long_form = assign.select(*keys, F.posexplode("qv").alias("pos", "v"))
     sums = long_form.groupBy(*keys, "pos").agg(
-        F.sum("v").alias("s"), F.count(F.lit(1)).cast("bigint").alias("n")
+        F.sum("v").alias("s"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        # overflow-guard statistics (ADVICE r5): largest |component| seen
+        # in this centroid's members — a free extra column on an agg that
+        # shuffles anyway, consumed by _check_overflow_margins
+        F.max(F.abs("v")).alias("m"),
     )
     return sums.groupBy(*keys).agg(
         F.transform(
@@ -101,7 +110,54 @@ def _recenter(assign: DataFrame, keys: list[str]) -> DataFrame:
             lambda t: t["s"],
         ).alias("sv"),
         F.max("n").alias("n"),
+        F.max(F.abs("s")).alias("__smax"),
+        F.max("m").alias("__qmax"),
     )
+
+
+# Overflow margins for the decimal-exact distance form (module docstring):
+# the per-term (n*x - s) is computed in bigint and cast to decimal(18,0),
+# the squared terms accumulate in decimal(38,0), and the argmin key
+# divides by n*n computed in bigint. Under Spark's non-ANSI arithmetic an
+# excess wraps/nulls SILENTLY and misassigns vectors, so each re-centered
+# table is checked loudly instead (ADVICE r5) — one k-row aggregate over
+# the already-materialized centroid table, essentially free.
+_N_SQUARED_LIMIT = 3_037_000_499  # floor(sqrt(2^63 - 1)): n*n in bigint
+
+
+def _check_overflow_margins(cent: DataFrame) -> None:
+    """Raise before a silent wrap can happen: bound the worst per-term
+    |n*x - s| by nmax * global max|qv| + max|s| (all exact python ints
+    from one k-row collect) and require it under BOTH the decimal(18,0)
+    term cast (1e18, which also covers the bigint intermediate) and the
+    decimal(38,0) accumulator with dim terms; separately cap n where n*n
+    must stay in bigint. Margins are astronomically wide at defaults
+    (~1e13 members at scale=1000 for unit-norm embeddings), so this fires
+    only on genuinely unsafe scale/k choices."""
+    import math
+
+    row = cent.agg(
+        F.max("n").alias("n"),
+        F.max("__qmax").alias("q"),
+        F.max("__smax").alias("s"),
+        F.max(F.size("sv")).alias("dim"),
+    ).collect()[0]
+    if row["n"] is None:
+        return
+    nmax = int(row["n"])
+    worst = nmax * int(row["q"] or 0) + int(row["s"] or 0)
+    dim = max(int(row["dim"] or 1), 1)
+    limit = min(10**18, math.isqrt(10**38 // dim))
+    if worst >= limit or nmax > _N_SQUARED_LIMIT:
+        raise ValueError(
+            "k-means overflow margin exceeded: a cluster of "
+            f"{nmax} members with max|quantized component| {row['q']} "
+            f"(dim {dim}) puts the worst distance term at {worst} "
+            f"(safe bound {limit}; cluster-size cap {_N_SQUARED_LIMIT}); "
+            "the decimal-exact distance would wrap silently under "
+            "non-ANSI arithmetic. Reduce `scale` or increase `k` "
+            "(smaller clusters) — see the module docstring margins."
+        )
 
 
 def _assignments(
@@ -163,6 +219,7 @@ def _assignments(
                 # iteration i's broadcast re-derives every earlier
                 # iteration from lineage: O(iters^2) corpus scans)
                 cent = _materialize(cent)
+                _check_overflow_margins(cent)
     if not keep_vectors:
         assign = assign.select("__vid", "cluster")
     if materialize:
@@ -430,6 +487,7 @@ def kmeans_hierarchical(
         )
         if it < iters2 - 1:
             cent = _materialize(_recenter(assign, ["super", "sub"]))
+            _check_overflow_margins(cent)
     out = _materialize(
         assign.select(
             "__vid",

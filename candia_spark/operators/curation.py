@@ -231,10 +231,11 @@ def score_percentiles(
 ) -> DataFrame:
     """Exact percentile of a [0,1] score for every document — the quality
     gate that keeps "top X% of the corpus" reproducible. ``score`` is a
-    Column expression; each document gets ``bucket = floor(score *
-    buckets)``, ``n_below`` = documents in strictly lower buckets, and
-    ``pct = n_below / total`` (exact integer division — bit-identical
-    cross-engine).
+    Column expression that MUST be non-null for every row (enforced — a
+    null score raises instead of silently dropping the row); each
+    document gets ``bucket = floor(score * buckets)``, ``n_below`` =
+    documents in strictly lower buckets, and ``pct = n_below / total``
+    (exact integer division — bit-identical cross-engine).
 
     Scale design — the single-partition window trap, dodged: a corpus-wide
     ``percent_rank()`` pulls 100 TB through ONE task. Here the cumulative
@@ -252,13 +253,23 @@ def score_percentiles(
 
     # the (id, bucket) table feeds BOTH the census and the final join —
     # cut it so the (possibly expensive) score expression evaluates over
-    # the corpus once, not once per branch
-    scored = _materialize(
-        df.select(
-            F.col(id_col),
-            F.floor(score * buckets).cast("bigint").alias("bucket"),
+    # the corpus once, not once per branch. The non-null score contract
+    # is ENFORCED here (ADVICE r5): a NULL bucket would silently drop the
+    # row at the inner join below, and a null census row sorts
+    # nulls-first in Spark's window but nulls-last in DuckDB — so an
+    # arbitrary score expression that can return NULL fails loudly
+    # instead of diverging quietly.
+    raw_bucket = F.floor(score * buckets).cast("bigint")
+    bucket = F.when(raw_bucket.isNotNull(), raw_bucket).otherwise(
+        F.raise_error(
+            F.lit(
+                "score_percentiles: score expression evaluated to NULL "
+                "for some document — the score must be non-null over the "
+                "whole corpus (filter or coalesce it first)"
+            )
         )
     )
+    scored = _materialize(df.select(F.col(id_col), bucket.alias("bucket")))
     census = scored.groupBy("bucket").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_in_bucket")
     )

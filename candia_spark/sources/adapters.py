@@ -179,5 +179,12 @@ def read_documents_jsonl(
 def write_documents_jsonl(df: DataFrame, path: str) -> None:
     """Write a document corpus as JSON-Lines (one object per line, one
     file per partition — the layout downstream tokenizer/training jobs
-    stream). Distributed writer: no driver collection."""
+    stream). Distributed writer: no driver collection.
+
+    A frame that came from :func:`read_documents_jsonl` carries the
+    reader-internal ``_corrupt_record`` diagnostic column; it is dropped
+    here (ADVICE r5) so read->write round-trips emit clean records, not
+    the parse plumbing."""
+    if "_corrupt_record" in df.columns:
+        df = df.drop("_corrupt_record")
     df.write.mode("overwrite").json(path)

@@ -213,6 +213,23 @@ def test_score_percentiles_exact_and_census_bounded(spark):
         score_percentiles(d, score, buckets=0)
 
 
+def test_score_percentiles_null_score_fails_loudly(spark):
+    """The non-null score contract is enforced, not assumed (ADVICE r5):
+    a score expression that evaluates to NULL must raise — a null bucket
+    would silently drop the row at the census join and sorts differently
+    in Spark (nulls-first) vs DuckDB (nulls-last)."""
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import SparkRuntimeException
+
+    from candia_spark.operators.curation import score_percentiles
+
+    d = _docs(spark, [(1, "A", "a"), (2, "A", "b")])
+    null_score = F.when(F.col("doc_id") == 1, 0.5)  # doc 2 -> NULL
+    with pytest.raises((SparkRuntimeException, Py4JJavaError)) as exc:
+        score_percentiles(d, null_score).collect()
+    assert "score expression evaluated to NULL" in str(exc.value)
+
+
 def test_curate_corpus_stage_interactions(spark):
     """The composition must apply stages in order: a formatting dup is
     dropped BEFORE packing (so offsets skip it), low-quality docs are

@@ -358,3 +358,14 @@ def test_documents_jsonl_round_trip(spark, tmp_path):
     mixed = read_documents_jsonl(spark, str(bad)).collect()
     assert sum(1 for r in mixed if r["_corrupt_record"] is not None) == 1
     assert sum(1 for r in mixed if r["_corrupt_record"] is None) == 1
+    # read -> write round-trip drops the reader-internal diagnostic
+    # column (ADVICE r5): the emitted JSONL contains clean records only
+    out2 = str(tmp_path / "docs_jsonl_rt")
+    write_documents_jsonl(read_documents_jsonl(spark, out), out2)
+    rt = spark.read.text(out2).collect()
+    assert rt and all("_corrupt_record" not in r["value"] for r in rt)
+    back2 = read_documents_jsonl(spark, out2)
+    assert sorted(
+        (r["doc_id"], r["text"], r["lang"], r["source"], r["n_chars"])
+        for r in back2.collect()
+    ) == a
