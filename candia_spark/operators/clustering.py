@@ -160,6 +160,69 @@ def _check_overflow_margins(cent: DataFrame) -> None:
         )
 
 
+def _farthest_point_seeds(q: DataFrame, k: int) -> DataFrame:
+    """Deterministic k-center greedy seeding (Gonzalez' farthest-point
+    traversal) in the SAME integer-exact algebra as the Lloyd's loop:
+    seed 0 is the smallest id; each next seed is the vector maximizing
+    the minimum exact squared distance to the chosen set (decimal(38,0)
+    sums of bigint (x-s)^2 terms — engine-exact, so the whole selection
+    is SQL-expressible/unrollable the way the q57 oracle unrolls the
+    iteration trajectory), ties to the smallest id.
+
+    Why it exists (verdict r5 #6): min-id seeding is oracle-friendly but
+    collapses when the k smallest ids are near-identical vectors — every
+    row ties to seed 0, the other clusters empty out, and structure is
+    never recovered. Farthest-point spreads seeds across the data
+    diameter deterministically.
+
+    Scale shape: k corpus passes, each a pure-map distance evaluation +
+    a global top-1 (TakeOrderedAndProject — per-partition top-1 then a
+    k-partition merge, no sort shuffle). The driver holds exactly the k
+    chosen vectors (k x dim ints — the bounded-collect doctrine), which
+    then ride to every executor as argmin literals exactly like the
+    broadcast centroid row. Per-row cost grows to O(k * dim) on the last
+    pass, so this is the seeding-quality option for moderate k; at
+    corpus scale (k ~ N / target_cluster_size) seed hierarchically
+    instead (:func:`kmeans_hierarchical`).
+    """
+
+    def dist_to(vec: list[int]):
+        lit_arr = F.array(*[F.lit(int(v)) for v in vec])
+        return F.aggregate(
+            F.zip_with(
+                F.col("qv"),
+                lit_arr,
+                lambda x, s: (x - s).cast("decimal(18,0)")
+                * (x - s).cast("decimal(18,0)"),
+            ),
+            F.lit(0).cast("decimal(38,0)"),
+            lambda acc, v: acc + v,
+        )
+
+    first = q.orderBy("__vid").limit(1).select("qv").collect()
+    if not first:
+        raise ValueError("cannot seed k-means on an empty corpus")
+    chosen: list[list[int]] = [list(first[0]["qv"])]
+    base = q.select("__vid", "qv")
+    for _ in range(1, k):
+        mind = dist_to(chosen[0])
+        for vec in chosen[1:]:
+            mind = F.least(mind, dist_to(vec))
+        nxt = (
+            base.withColumn("__mind", mind)
+            .orderBy(F.col("__mind").desc(), F.col("__vid").asc())
+            .limit(1)
+            .select("qv")
+            .collect()
+        )
+        chosen.append(list(nxt[0]["qv"]))
+    spark = q.sparkSession
+    return spark.createDataFrame(
+        [(vec, i, 1) for i, vec in enumerate(chosen)],
+        "sv array<bigint>, cluster bigint, n bigint",
+    )
+
+
 def _assignments(
     df: DataFrame,
     k: int,
@@ -169,6 +232,7 @@ def _assignments(
     id_col: str,
     materialize: bool = True,
     keep_vectors: bool = False,
+    seeding: str = "min_id",
 ) -> DataFrame:
     """Core Lloyd's loop; returns (``__vid``, cluster) — plus (qv, n2) when
     ``keep_vectors`` (the pair-scan consumers read the quantized vectors
@@ -178,22 +242,29 @@ def _assignments(
         raise ValueError(f"k and iters must be positive, got k={k} iters={iters}")
     if scale <= 0:
         raise ValueError(f"scale must be positive, got {scale}")
+    if seeding not in ("min_id", "farthest"):
+        raise ValueError(
+            f"seeding must be 'min_id' or 'farthest', got {seeding!r}"
+        )
     from candia_spark.operators.dedup import _materialize
 
     q = _quantized(df, scale, vec_col, id_col)
-    # seed: k smallest ids, cluster = rank - 1. The window runs on a k-row
-    # frame (post-limit), not the corpus.
-    seeds = (
-        q.orderBy("__vid")
-        .limit(k)
-        .select(
-            F.col("qv").alias("sv"),
-            (F.row_number().over(Window.orderBy("__vid")) - 1)
-            .cast("bigint")
-            .alias("cluster"),
-            F.lit(1).cast("bigint").alias("n"),
+    if seeding == "farthest":
+        seeds = _farthest_point_seeds(q, k)
+    else:
+        # seed: k smallest ids, cluster = rank - 1. The window runs on a
+        # k-row frame (post-limit), not the corpus.
+        seeds = (
+            q.orderBy("__vid")
+            .limit(k)
+            .select(
+                F.col("qv").alias("sv"),
+                (F.row_number().over(Window.orderBy("__vid")) - 1)
+                .cast("bigint")
+                .alias("cluster"),
+                F.lit(1).cast("bigint").alias("n"),
+            )
         )
-    )
     cent = seeds  # (cluster, sv: array<long> integer sums, n: member count)
     assign = None
     for it in range(iters):
@@ -237,11 +308,17 @@ def kmeans_assign(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     materialize: bool = True,
+    seeding: str = "min_id",
 ) -> DataFrame:
     """Fixed-iteration Lloyd's k-means; returns (id, cluster, cluster_size).
 
-    Init is deterministic: the k smallest ids seed clusters 0..k-1 in id
-    order (SQL-expressible, unlike k-means++ RNG draws). ``iters``
+    Init is deterministic either way (SQL-expressible, unlike k-means++
+    RNG draws): ``seeding="min_id"`` (default — the q57 oracle
+    convention) seeds clusters 0..k-1 with the k smallest ids in id
+    order; ``seeding="farthest"`` runs the deterministic farthest-point
+    traversal (:func:`_farthest_point_seeds`) — the quality option when
+    the k smallest ids may be near-identical vectors, which collapses
+    min-id seeding to a single effective cluster. ``iters``
     assignment passes run with ``iters - 1`` re-centering steps between
     them, i.e. the output is the assignment AFTER the last re-centering.
 
@@ -251,7 +328,8 @@ def kmeans_assign(
     plan-shape tests to inspect the assignment map's physical shape).
     """
     assign = _assignments(
-        df, k, iters, scale, vec_col, id_col, materialize=materialize
+        df, k, iters, scale, vec_col, id_col,
+        materialize=materialize, seeding=seeding,
     )
     sizes = assign.groupBy("cluster").agg(
         F.count(F.lit(1)).cast("bigint").alias("cluster_size")

@@ -2556,18 +2556,70 @@ def q56_normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return normalized_exact_dups(docs)
 
 
-def _kmeans_ctes(k: int = 8, iters: int = 3, scale: int = 1000) -> str:
-    """Shared unrolled-CTE chain for Lloyd's k-means (q57/q58 oracles):
-    DuckDB recomputes the full fixed-iteration trajectory value-exactly
-    (see operators.clustering for why the integer-exact distance form
-    makes that possible). Ends with ``assign{iters}`` = (vec_id, cluster)
-    and keeps ``q`` = (vec_id, pos, v) in scope for consumers."""
-    parts = [
-        f"""
+def _kmeans_ctes(
+    k: int = 8, iters: int = 3, scale: int = 1000, seeding: str = "min_id"
+) -> str:
+    """Shared unrolled-CTE chain for Lloyd's k-means (q57/q58/q63
+    oracles): DuckDB recomputes the full fixed-iteration trajectory
+    value-exactly (see operators.clustering for why the integer-exact
+    distance form makes that possible). Ends with ``assign{iters}`` =
+    (vec_id, cluster) and keeps ``q`` = (vec_id, pos, v) in scope for
+    consumers. ``seeding`` mirrors kmeans_assign: "min_id" takes the k
+    smallest ids; "farthest" unrolls the deterministic farthest-point
+    traversal (k-1 selection CTEs, each an exact-hugeint argmax of the
+    running min squared distance, ties to the smallest id — the same
+    total order the Spark side's decimal(38,0) top-1 uses)."""
+    q_cte = f"""
     q AS (
         SELECT vec_id, i AS pos,
                CAST(round(CAST(embedding[i] AS DOUBLE) * {scale}, 0) AS BIGINT) AS v
-        FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS u(i)),
+        FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS u(i))"""
+    if seeding == "farthest":
+        seed_parts = [
+            """
+    seed0 AS (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 1),
+    sv0 AS (SELECT q.pos, q.v FROM q JOIN seed0 USING (vec_id))"""
+        ]
+        for j in range(1, k):
+            prev_mind = (
+                f"d{j}.dist"
+                if j == 1
+                else f"LEAST(m{j - 1}.mind, d{j}.dist)"
+            )
+            prev_join = (
+                ""
+                if j == 1
+                else f"\n        JOIN m{j - 1} USING (vec_id)"
+            )
+            seed_parts.append(
+                f"""
+    d{j} AS (
+        SELECT q.vec_id, SUM((q.v - s.v) * (q.v - s.v)) AS dist
+        FROM q JOIN sv{j - 1} s USING (pos) GROUP BY q.vec_id),
+    m{j} AS (
+        SELECT d{j}.vec_id, {prev_mind} AS mind
+        FROM d{j}{prev_join}),
+    seed{j} AS (
+        SELECT vec_id FROM m{j} ORDER BY mind DESC, vec_id ASC LIMIT 1),
+    sv{j} AS (SELECT q.pos, q.v FROM q JOIN seed{j} USING (vec_id))"""
+            )
+        ids_sql = " UNION ALL ".join(
+            f"SELECT vec_id, CAST({j} AS BIGINT) AS cluster FROM seed{j}"
+            for j in range(k)
+        )
+        parts = [
+            q_cte,
+            *seed_parts,
+            f"""
+    ids AS ({ids_sql}),
+    cent0 AS (
+        SELECT ids.cluster, q.pos, q.v AS s, CAST(1 AS BIGINT) AS n
+        FROM q JOIN ids USING (vec_id))""",
+        ]
+    else:
+        parts = [
+            q_cte
+            + f""",
     ids AS (
         SELECT vec_id,
                CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cluster
@@ -2575,7 +2627,7 @@ def _kmeans_ctes(k: int = 8, iters: int = 3, scale: int = 1000) -> str:
     cent0 AS (
         SELECT ids.cluster, q.pos, q.v AS s, CAST(1 AS BIGINT) AS n
         FROM q JOIN ids USING (vec_id))"""
-    ]
+        ]
     for i in range(1, iters + 1):
         parts.append(
             f"""
@@ -2610,9 +2662,11 @@ def _kmeans_ctes(k: int = 8, iters: int = 3, scale: int = 1000) -> str:
     return "WITH " + ",".join(parts)
 
 
-def _q57_oracle(k: int = 8, iters: int = 3, scale: int = 1000) -> str:
+def _q57_oracle(
+    k: int = 8, iters: int = 3, scale: int = 1000, seeding: str = "min_id"
+) -> str:
     return (
-        _kmeans_ctes(k, iters, scale)
+        _kmeans_ctes(k, iters, scale, seeding)
         + f"""
     SELECT a.vec_id, a.cluster, s.cluster_size
     FROM assign{iters} a
@@ -2944,6 +2998,26 @@ def q62_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curate_corpus(docs, min_quality=0.5, source_cap=40, budget=256)
 
 
+@register(
+    "q63_kmeans_farthest_seeded",
+    oracle=_q57_oracle(seeding="farthest"),
+    survey_ref="kmeans-clustering (seeding-quality option, verdict r5 #6)",
+)
+def q63_kmeans_farthest_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means with deterministic farthest-point seeding
+    (operators.clustering._farthest_point_seeds): seed 0 is the smallest
+    id, each next seed the exact-integer argmax of the running min
+    squared distance, ties to the smallest id — the quality option for
+    corpora where the k smallest ids are near-identical vectors. The
+    oracle unrolls the ENTIRE traversal (k-1 selection CTEs in exact
+    hugeint) plus the 3-iteration Lloyd's trajectory, so the seeding's
+    determinism is hash-gated cross-engine, not just pytest-pinned."""
+    from candia_spark.operators.clustering import kmeans_assign
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return kmeans_assign(emb, k=8, iters=3, scale=1000, seeding="farthest")
+
+
 # --- Driver certification window (verdict r5 #2) -------------------------
 # The per-round driver correctness artifact certifies the FIRST 50
 # registry entries, and queries()/oracle_sql() preserve this dict's
@@ -2956,6 +3030,7 @@ def q62_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 # window. Registry contents are unchanged — order only.
 _DRIVER_WINDOW_TAIL = [
     "q03_window_adjust",
+    "q18_interval_anti_join",
     "q04_time_buckets",
     "q05_groupwise_argmax",
     "q10_anti_join",

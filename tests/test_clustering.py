@@ -256,3 +256,39 @@ def test_kmeans_overflow_guard_fires_before_silent_wrap(spark):
     # the same corpus at a sane scale is fine — the guard is dormant in
     # the realistic regime (headroom ~1e13 members at scale=1000)
     assert kmeans_assign(df, k=2, iters=2, scale=1000).count() == 6
+
+
+def test_farthest_point_seeding_recovers_what_min_id_misses(spark):
+    """Seeding-quality option (verdict r5 #6): when the k smallest ids
+    are near-identical vectors, min-id seeding collapses — every row ties
+    toward seed 0, the other cluster empties out and drops from the
+    centroid table, and the planted structure is never recovered.
+    Deterministic farthest-point traversal seeds across the data diameter
+    and recovers both blobs, in the same integer-exact algebra (and q57's
+    min-id default is untouched)."""
+    from candia_spark.operators.clustering import kmeans_assign
+
+    blob_a = [(i, [1.0, 0.0]) for i in range(4)]  # exactly identical
+    blob_b = [(10 + i, [-1.0 - 0.001 * i, 0.05]) for i in range(4)]
+    df = _vecs(spark, blob_a + blob_b)
+
+    collapsed = kmeans_assign(df, k=2, iters=3).collect()
+    assert len({r["cluster"] for r in collapsed}) == 1  # min-id collapse
+
+    out = {
+        r["vec_id"]: r
+        for r in kmeans_assign(df, k=2, iters=3, seeding="farthest").collect()
+    }
+    a_clusters = {out[i]["cluster"] for i, _ in blob_a}
+    b_clusters = {out[i]["cluster"] for i, _ in blob_b}
+    assert len(a_clusters) == 1 and len(b_clusters) == 1
+    assert a_clusters != b_clusters
+    assert out[0]["cluster_size"] == 4 and out[10]["cluster_size"] == 4
+
+    # deterministic: an identical second run returns identical rows
+    r1 = sorted(map(tuple, kmeans_assign(df, k=2, iters=3, seeding="farthest").collect()))
+    r2 = sorted(map(tuple, kmeans_assign(df, k=2, iters=3, seeding="farthest").collect()))
+    assert r1 == r2
+
+    with pytest.raises(ValueError, match="seeding"):
+        kmeans_assign(df, k=2, seeding="kmeans++")
