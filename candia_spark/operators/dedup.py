@@ -183,40 +183,49 @@ def shingle_index(
 
 # Telemetry from the most recent standalone ngram_jaccard_pairs mode
 # decision on this driver: {"mode": "prefix"|"plain", "auto": bool,
-# "top_mass_frac": float|None, "calls": monotone standalone-call counter}
-# — how the bench/scale harnesses see which path a corpus routed to
-# without re-deriving the census (bench.py attributes mode per query via
-# the counter, the cc_rounds pattern). The skew probe additionally writes
-# {"top_mass_frac", "skewed"} without touching the routing keys.
+# "top_mass_frac": float|None, "join_mass": int, "skewed": bool,
+# "calls": monotone standalone-call counter} — how the bench/scale
+# harnesses see which path a corpus routed to without re-deriving the
+# census (bench.py attributes mode per query via the counter, the
+# cc_rounds pattern). The standalone skew probe writes only
+# {"top_mass_frac", "skewed"}, never the routing keys.
 LAST_JACCARD_TELEMETRY: dict = {}
 
-# Fraction of the would-be inverted-index join mass (sum over shingles of
-# df^2) that must sit in the top df percentile for the telemetry probe to
-# REPORT a corpus as skewed-head. Since round 6 this classifies only, it
-# does not route: SCALING_r05.json `jaccard_modes` measured the prefix
-# path >= plain at EVERY size on BOTH corpus shapes (508 vs 727 s at x50
-# tiled — the prefix pass's smaller join mass keeps the hash-agg working
-# set under RAM near the memory wall; 14x on Zipf), so standalone auto
-# mode always takes the prefix path and the census survives as the skew
-# report in scale harnesses.
+# Auto-mode routing constants for standalone exact Jaccard, both terms
+# measured, not guessed (verdict r5 #1 — the round-5 single-term gate
+# misrouted; the round-6 calibration sweep re-measured BOTH modes at
+# x1/x3/x5 and reconciled with SCALING_r05's x10/x25/x50):
+#
+# - _PREFIX_AUTO_TOP_MASS_FRAC: fraction of the inverted-index join mass
+#   (sum over shingles of df^2) in the top df percentile above which the
+#   corpus is skewed-head and the prefix path wins outright at ANY size
+#   (14x on the Zipf corpus — rare-first prefixes exclude exactly the
+#   hot head every posting list shares).
+# - _PREFIX_AUTO_JOIN_MASS: total join mass above which the prefix path
+#   wins even on flat-df corpora, because its smaller joined mass keeps
+#   the hash-agg working set in RAM as the plain join approaches the
+#   one-box memory wall. Calibrated crossover (SCALING_r06.json
+#   jaccard_crossover, minima over runs): plain wins below — 11.3 vs
+#   26.1 s at mass 2.6e8 (x3), 18.2 vs 33.2 s at 4.4e8 (x5) — prefix
+#   wins above — 110.9 vs 119.5 s at ~9e8 (x10), 508 vs 727 s at ~4.4e9
+#   (x50). 6e8 sits between the measured regimes, biased toward plain
+#   because prefix's mid-size loss (1.8x) is larger than plain's x10
+#   loss (1.08x). Box-calibrated (128 GiB local[32]); on a cluster with
+#   more aggregate memory the crossover shifts right, and a mid-band
+#   misroute costs tens of percent, never an asymptotic blowup.
 _PREFIX_AUTO_TOP_MASS_FRAC = 0.5
+_PREFIX_AUTO_JOIN_MASS = 600_000_000
 
 
-def _jaccard_mass_is_skewed(index: DataFrame) -> bool:
-    """Telemetry-only probe (NOT in the routing hot path since round 6):
-    does the top df-percentile of shingles carry most of the sum(df^2)
-    join mass?
-
-    This is the statistic that predicts the SIZE of the prefix filter's
-    win — rare-first ordering excludes exactly the high-df head from
-    every document's prefix, so the prefix join mass collapses iff that
-    head dominates (14x on Zipf vs 1.1-1.4x on flat-df corpora,
-    SCALING_r05). Routing no longer consults it because the prefix path
-    was measured >= plain even when this returns False; scale harnesses
-    call it to record ``top_mass_frac`` next to the mode timings. Updates
-    ``LAST_JACCARD_TELEMETRY["top_mass_frac"]`` / ``["skewed"]`` only —
-    never ``mode``/``auto``, so a real routing record is not overwritten.
-    """
+def _jaccard_mass_stats(index: DataFrame) -> dict:
+    """The auto-routing census: one aggregation over the materialized
+    (capped) index returning ``{"total": sum(df^2), "top_mass_frac":
+    float|None, "skewed": bool}``. total is the inverted-index join mass
+    (the row count of the plain self-join before the id_a < id_b cut);
+    top_mass_frac measures how much of it the high-df head carries. Cost:
+    one groupBy over index rows + one two-row agg (+ one filtered agg
+    when a head exists) — marginal next to the self-join either branch
+    runs afterwards, and only paid in auto mode."""
     census = index.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
     stats = census.agg(
         F.expr("percentile_approx(__df, 0.99)").alias("p99"),
@@ -224,8 +233,7 @@ def _jaccard_mass_is_skewed(index: DataFrame) -> bool:
         F.sum(F.col("__df") * F.col("__df")).alias("total"),
     ).collect()[0]
     if stats["total"] is None or stats["total"] == 0:
-        LAST_JACCARD_TELEMETRY.update({"top_mass_frac": None, "skewed": False})
-        return False
+        return {"total": 0, "top_mass_frac": None, "skewed": False}
     # a head must exist at all: with near-uniform dfs (mostly-unique text,
     # df ~1 everywhere) `df >= p99` degenerately matches the whole census
     # and the mass fraction saturates at 1.0 — but there is no head for
@@ -241,8 +249,19 @@ def _jaccard_mass_is_skewed(index: DataFrame) -> bool:
         )
         frac = round(float(top or 0) / float(stats["total"]), 4)
         skewed = frac > _PREFIX_AUTO_TOP_MASS_FRAC
-    LAST_JACCARD_TELEMETRY.update({"top_mass_frac": frac, "skewed": skewed})
-    return skewed
+    return {"total": int(stats["total"]), "top_mass_frac": frac, "skewed": skewed}
+
+
+def _jaccard_mass_is_skewed(index: DataFrame) -> bool:
+    """Standalone skew probe over an index (scale harnesses call this to
+    report the head-mass statistic next to mode timings). Updates only
+    the probe keys of ``LAST_JACCARD_TELEMETRY`` — never ``mode``/
+    ``auto`` — so the last real routing record is not overwritten."""
+    s = _jaccard_mass_stats(index)
+    LAST_JACCARD_TELEMETRY.update(
+        {"top_mass_frac": s["top_mass_frac"], "skewed": s["skewed"]}
+    )
+    return s["skewed"]
 
 
 def ngram_jaccard_pairs(
@@ -294,23 +313,24 @@ def ngram_jaccard_pairs(
       what changes is the joined mass: sum of prefix-df^2 instead of
       df^2. Rare-first ordering concentrates prefixes on low-df shingles,
       so the pruning power tracks the skew of the shingle-df
-      distribution — 14x faster on a Zipf-skewed 20k-doc corpus, and
-      still >= the plain join on the flat-df synthetic bench corpus at
-      every measured size (110.9 vs 119.5 s at x10 up to 508 vs 727 s at
-      x50: even where pruning is weak, the smaller prefix join mass keeps
-      the hash-agg working set in RAM near the one-box memory wall;
-      SCALING_r05.json, jaccard_modes).
+      distribution — 14x faster on a Zipf-skewed 20k-doc corpus — and a
+      second, size-driven win condition exists on flat-df corpora: as the
+      plain join's hash-agg working set approaches the one-box memory
+      wall, the prefix pass's smaller joined mass wins (508 vs 727 s at
+      x50, 186 vs 216 s at x25), while BELOW that regime the census/
+      sort/distinct overhead makes prefix slower (26 vs 11 s at x3;
+      SCALING_r05 jaccard_modes + SCALING_r06 jaccard_crossover).
 
-      The DEFAULT (``prefix_filter=None``) is therefore the prefix path,
-      unconditionally, in standalone mode (round-6 change: the round-5
-      head-mass gate measurably misrouted flat-df corpora to the 1.43x
-      slower plain join at x50 — its statistic captures the Zipf win but
-      not the working-set win). The path is answer-preserving by
-      construction and equivalence-pinned in pytest, so the default is a
-      pure performance choice. Pass ``prefix_filter=False`` to pin the
-      plain inverted-index join (a measurement baseline); the decision is
-      recorded in ``LAST_JACCARD_TELEMETRY``, and the head-mass census
-      survives as the telemetry-only probe :func:`_jaccard_mass_is_skewed`.
+      The DEFAULT (``prefix_filter=None``) is therefore a measured
+      TWO-TERM decision (round-6 change — the round-5 head-mass-only
+      gate misrouted the large flat-df sizes to the 1.43x slower plain
+      join): the auto census routes to prefix iff the head carries most
+      of the join mass (skew term) OR the total join mass exceeds the
+      calibrated working-set crossover (size term, see
+      ``_PREFIX_AUTO_JOIN_MASS``). Both paths are answer-preserving and
+      equivalence-pinned in pytest, so routing is a pure performance
+      choice. Pass True/False to pin a mode; the decision and both
+      statistics are recorded in ``LAST_JACCARD_TELEMETRY``.
     """
     if candidates is not None and prefix_filter:
         # standalone-mode-only contract: the candidates branch would win
@@ -325,17 +345,25 @@ def ngram_jaccard_pairs(
         )
     sh = index
     if candidates is None and prefix_filter is None:
-        # round-6 default: ALWAYS the prefix path in standalone mode. The
-        # round-5 data-adaptive head-mass gate routed flat-df corpora to
-        # the plain join, but the measurement (SCALING_r05.json
-        # jaccard_modes) shows prefix >= plain at every size on both
-        # corpus shapes — near the memory wall the prefix pass's smaller
-        # join mass is what keeps the hash-agg working set in RAM, a win
-        # condition the head-mass statistic cannot see. The census probe
-        # (_jaccard_mass_is_skewed) survives as telemetry only.
-        prefix_filter = True
+        # round-6 two-term auto default: prefix iff the corpus is
+        # skewed-head (the Zipf regime, any size) OR the total join mass
+        # exceeds the calibrated one-box crossover (the working-set
+        # regime the round-5 head-mass-only gate could not see). Below
+        # both, the plain inverted-index join's lack of census/sort/
+        # distinct overhead wins — measured at x1-x5 (see the constants
+        # above and SCALING_r06.json jaccard_crossover).
+        stats = _jaccard_mass_stats(sh)
+        prefix_filter = bool(
+            stats["skewed"] or stats["total"] > _PREFIX_AUTO_JOIN_MASS
+        )
         LAST_JACCARD_TELEMETRY.update(
-            {"mode": "prefix", "auto": True, "top_mass_frac": None}
+            {
+                "mode": "prefix" if prefix_filter else "plain",
+                "auto": True,
+                "top_mass_frac": stats["top_mass_frac"],
+                "join_mass": stats["total"],
+                "skewed": stats["skewed"],
+            }
         )
         LAST_JACCARD_TELEMETRY["calls"] = LAST_JACCARD_TELEMETRY.get("calls", 0) + 1
     elif candidates is None:

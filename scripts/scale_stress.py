@@ -369,13 +369,14 @@ def run_embedding_queries(
 
 def run_jaccard_modes(spark: SparkSession, sf_dir: str) -> dict:
     """Task: settle prefix-filter vs plain inverted-index by measurement
-    (q26 setting). Both modes pinned and timed; since round 6 auto mode
-    is unconditionally the prefix path, so ``auto_sec`` is derived (==
-    prefix_filter_sec), not re-paid, and the head-mass census runs as a
-    separately-timed telemetry probe (``skew_probe``)."""
+    (q26 setting). Both modes pinned and timed; the auto DECISION is
+    recorded from one census over a shared index (exactly what auto mode
+    computes: the round-6 two-term skew-or-join-mass rule) instead of a
+    third full self-join run — auto's wall time IS the chosen mode's time
+    plus that census, so ``auto_sec`` is derived, not re-paid."""
     from candia_spark.operators.dedup import (
-        LAST_JACCARD_TELEMETRY,
-        _jaccard_mass_is_skewed,
+        _PREFIX_AUTO_JOIN_MASS,
+        _jaccard_mass_stats,
         ngram_jaccard_pairs,
         shingle_index,
     )
@@ -395,20 +396,21 @@ def run_jaccard_modes(spark: SparkSession, sf_dir: str) -> dict:
     )
     reclaim()
     idx = shingle_index(docs, n=2, max_shingle_frac=0.5)
-    # Since round 6 auto mode routes to the prefix path unconditionally
-    # (SCALING_r05 measured prefix >= plain at every size on both corpus
-    # shapes), so auto_sec IS prefix_filter_sec and no census is paid in
-    # the hot path. The head-mass probe is kept as telemetry so the skew
-    # statistic stays visible next to the mode timings.
+    # census-only timing: the real auto call builds the index once and
+    # shares it with the chosen branch, so only the routing census is the
+    # auto overhead
     t0 = time.perf_counter()
-    skewed = _jaccard_mass_is_skewed(idx)
-    out["skew_probe"] = {
-        "skewed": skewed,
-        "top_mass_frac": LAST_JACCARD_TELEMETRY.get("top_mass_frac"),
-        "census_sec": round(time.perf_counter() - t0, 3),
+    stats = _jaccard_mass_stats(idx)
+    census_sec = round(time.perf_counter() - t0, 3)
+    prefix = stats["skewed"] or stats["total"] > _PREFIX_AUTO_JOIN_MASS
+    out["auto_decision"] = {
+        "mode": "prefix" if prefix else "plain",
+        "auto": True,
+        **stats,
     }
-    out["auto_decision"] = {"mode": "prefix", "auto": True}
-    out["auto_sec"] = out["prefix_filter_sec"]
+    chosen = "prefix_filter_sec" if prefix else "cap_default_sec"
+    out["auto_census_sec"] = census_sec
+    out["auto_sec"] = round(out[chosen] + census_sec, 3)
     return out
 
 

@@ -367,15 +367,17 @@ def test_prefix_filter_jaccard_matches_plain(spark):
         assert pref == plain, f"threshold {t}"
 
 
-def test_auto_default_is_prefix_and_probe_reports_skew(spark):
-    """Round-6 routing contract (verdict r5 #1): standalone auto mode
-    takes the AllPairs prefix path unconditionally — SCALING_r05 measured
-    prefix >= plain at every size on BOTH corpus shapes, so the round-5
-    head-mass gate (which misrouted flat-df corpora to the 1.43x-slower
-    plain join at x50) is telemetry-only now. Pinned here: auto routes to
-    prefix on a flat corpus AND a hot-head corpus, answers match the
-    pinned plain path, and the skew probe still classifies the shapes
-    correctly without overwriting the routing record."""
+def test_auto_routing_two_term_decision(spark, monkeypatch):
+    """Round-6 routing contract (verdict r5 #1): standalone auto mode is
+    a measured two-term decision — prefix iff the corpus is skewed-head
+    (Zipf regime, any size) OR the total join mass exceeds the calibrated
+    working-set crossover (the condition the round-5 head-mass-only gate
+    missed). Pinned here: a small flat-df corpus routes to plain (both
+    terms false), a hot-head corpus routes to prefix (skew term), the
+    mass term alone routes a flat corpus to prefix once the threshold is
+    crossed (exercised by shrinking the module constant), answers match
+    between modes, and the probe never overwrites the routing record."""
+    import candia_spark.operators.dedup as dd
     from candia_spark.operators.dedup import (
         LAST_JACCARD_TELEMETRY,
         _jaccard_mass_is_skewed,
@@ -383,15 +385,31 @@ def test_auto_default_is_prefix_and_probe_reports_skew(spark):
         shingle_index,
     )
 
-    # flat: every doc a distinct word pair -> df 1 everywhere
+    # flat: every doc a distinct word pair -> df 1 everywhere, mass tiny
     flat = spark.createDataFrame(
         [(i, f"w{i}a w{i}b w{i}c") for i in range(60)], ["doc_id", "text"]
     )
-    ngram_jaccard_pairs(flat, n=2, threshold=0.5).collect()
+    flat_res = {
+        (r["id_a"], r["id_b"], r["n_common"])
+        for r in ngram_jaccard_pairs(flat, n=2, threshold=0.5).collect()
+    }
     assert LAST_JACCARD_TELEMETRY["auto"] is True
-    assert LAST_JACCARD_TELEMETRY["mode"] == "prefix"
+    assert LAST_JACCARD_TELEMETRY["mode"] == "plain"
+    assert LAST_JACCARD_TELEMETRY["join_mass"] == 60 * 2  # df=1, 2 shingles/doc
 
-    # skewed: one shared hot phrase in every doc + a unique tail token
+    # the mass term alone (no head) flips the same corpus to prefix once
+    # the join mass crosses the crossover — and the answer is identical
+    monkeypatch.setattr(dd, "_PREFIX_AUTO_JOIN_MASS", 10)
+    assert {
+        (r["id_a"], r["id_b"], r["n_common"])
+        for r in ngram_jaccard_pairs(flat, n=2, threshold=0.5).collect()
+    } == flat_res
+    assert LAST_JACCARD_TELEMETRY["mode"] == "prefix"
+    assert LAST_JACCARD_TELEMETRY["skewed"] is False
+    monkeypatch.undo()
+
+    # skewed: one shared hot phrase in every doc + a unique tail token —
+    # the skew term routes to prefix far below the mass crossover
     hot = spark.createDataFrame(
         [(i, f"the same hot phrase every time u{i}") for i in range(60)],
         ["doc_id", "text"],
@@ -402,6 +420,7 @@ def test_auto_default_is_prefix_and_probe_reports_skew(spark):
     }
     assert LAST_JACCARD_TELEMETRY["mode"] == "prefix"
     assert LAST_JACCARD_TELEMETRY["auto"] is True
+    assert LAST_JACCARD_TELEMETRY["top_mass_frac"] > 0.5
     pinned = {
         (r["id_a"], r["id_b"])
         for r in ngram_jaccard_pairs(
@@ -412,10 +431,7 @@ def test_auto_default_is_prefix_and_probe_reports_skew(spark):
     assert LAST_JACCARD_TELEMETRY["mode"] == "plain"  # pinned run recorded
     assert LAST_JACCARD_TELEMETRY["auto"] is False
 
-    # the telemetry probe still separates the shapes — and touches only
-    # its own keys, leaving the last routing record intact
-    assert _jaccard_mass_is_skewed(shingle_index(hot, n=2)) is True
-    assert LAST_JACCARD_TELEMETRY["top_mass_frac"] > 0.5
+    # the standalone probe classifies without touching the routing keys
     assert _jaccard_mass_is_skewed(shingle_index(flat, n=2)) is False
     assert LAST_JACCARD_TELEMETRY["mode"] == "plain"
     assert LAST_JACCARD_TELEMETRY["skewed"] is False
