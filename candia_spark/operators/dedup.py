@@ -738,6 +738,46 @@ def _band_table(
     )
 
 
+def incremental_corpus_state(
+    corpus_df: DataFrame | None = None,
+    num_hashes: int = 32,
+    bands: int = 16,
+    n: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    corpus_index: DataFrame | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """The persistable per-corpus artifacts for ROLLING incremental
+    dedup: ``(bands_df, sets_df)`` where bands_df is (corpus_id,
+    band_idx, band_hash) — the banded-minhash table new batches collide
+    against — and sets_df is (corpus_id, shingles: sorted array<bigint>)
+    — the exact-verify side. Write both to parquet once per corpus life
+    (partition/bucket bands_df by band_hash at real scale), then pass
+    them to :func:`incremental_near_dups` as ``corpus_bands`` /
+    ``corpus_sets``: each batch then pays O(batch) tokenize/hash work
+    plus joins against the STORED tables — the corpus text is never
+    re-tokenized, re-hashed or re-minhashed per batch, which is the
+    difference between per-batch cost tracking the batch and tracking
+    the corpus (measured in SCALING_r06.json incremental_dedup).
+
+    Pass ``corpus_index`` (a :func:`shingle_index`) instead of
+    ``corpus_df`` when the index already exists — the state derives from
+    it without another corpus scan."""
+    idx = (
+        corpus_index
+        if corpus_index is not None
+        else shingle_index(corpus_df, n, text_col, id_col)
+    )
+    agg = _minhash_agg(idx, num_hashes, id_col)
+    bands_df = _band_table(agg, num_hashes, bands, id_col).select(
+        F.col(id_col).alias("corpus_id"), "band_idx", "band_hash"
+    )
+    sets_df = idx.groupBy(id_col).agg(
+        F.sort_array(F.collect_list("shingle")).alias("shingles")
+    ).select(F.col(id_col).alias("corpus_id"), "shingles")
+    return bands_df, sets_df
+
+
 def incremental_near_dups(
     new_df: DataFrame,
     corpus_df: DataFrame,
@@ -750,6 +790,8 @@ def incremental_near_dups(
     max_corpus_bucket: int | None = None,
     new_index: DataFrame | None = None,
     corpus_index: DataFrame | None = None,
+    corpus_bands: DataFrame | None = None,
+    corpus_sets: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicates of an INCOMING batch against an EXISTING corpus:
     (new_id, corpus_id, n_common, size_new, size_corpus, jaccard) for
@@ -773,13 +815,26 @@ def incremental_near_dups(
     oriented: sides stay labeled new/corpus instead of canonicalized).
 
     At 100 TB the corpus side is a materialized artifact reused across
-    batches: pass ``corpus_index`` (a persisted :func:`shingle_index` of
-    the corpus — the same persist-and-reuse contract as
-    plans.ivf_pinned's centroids) so each batch pays O(batch) new work
-    plus joins against the stored index instead of re-tokenizing and
-    re-hashing the whole corpus per call. ``new_index`` exists for the
-    parallel reason (a caller that already indexed the batch for exact
-    dedup shares the scan).
+    batches, at one of two levels:
+
+    - ``corpus_index`` (a persisted :func:`shingle_index`): skips
+      re-tokenizing the corpus text, but still re-minhashes/re-bands the
+      index and rebuilds the set arrays per call — per-batch cost is
+      corpus-LINEAR (one index scan + aggs).
+    - ``corpus_bands`` + ``corpus_sets`` (from
+      :func:`incremental_corpus_state`, persisted): the FULL rolling
+      contract — per batch, the corpus contributes only a columnar scan
+      of the two stored tables into the candidate/verify joins (no
+      groupBy, no minhash, no per-batch corpus aggregation at all; with
+      bands_df bucket-stored by band_hash even the join shuffle of the
+      corpus side disappears, and a small batch broadcasts into it).
+      Measured (SCALING_r06.json incremental_dedup): per-batch wall
+      stays near-flat as the corpus grows 10x->50x, while the fresh path
+      grows with the corpus. Must be passed together; ``corpus_df`` may
+      then be None.
+
+    ``new_index`` exists for the parallel reason (a caller that already
+    indexed the batch for exact dedup shares the scan).
 
     ``max_corpus_bucket`` bounds hot buckets in that regime: a corpus
     band bucket holding a giant near-dup cluster pairs EVERY colliding
@@ -796,21 +851,36 @@ def incremental_near_dups(
     :func:`minhash_lsh_pairs`' star cap. Default None: exact candidate
     list (the q54 oracle certifies that form).
     """
+    if (corpus_bands is None) != (corpus_sets is None):
+        raise ValueError(
+            "corpus_bands and corpus_sets must be passed together (both "
+            "halves of incremental_corpus_state) — one without the other "
+            "would silently mix corpus generations"
+        )
     new_idx = (
         new_index
         if new_index is not None
         else shingle_index(new_df, n, text_col, id_col)
     )
-    corp_idx = (
-        corpus_index
-        if corpus_index is not None
-        else shingle_index(corpus_df, n, text_col, id_col)
-    )
     new_agg = _minhash_agg(new_idx, num_hashes, id_col)
-    corp_agg = _minhash_agg(corp_idx, num_hashes, id_col)
-    corp_banded = _band_table(corp_agg, num_hashes, bands, id_col).select(
-        F.col(id_col).alias("corpus_id"), "band_idx", "band_hash"
-    )
+    if corpus_bands is not None:
+        corp_banded = corpus_bands.select("corpus_id", "band_idx", "band_hash")
+        corp_sets = corpus_sets.select(
+            "corpus_id", F.col("shingles").alias("__set_c")
+        )
+    else:
+        corp_idx = (
+            corpus_index
+            if corpus_index is not None
+            else shingle_index(corpus_df, n, text_col, id_col)
+        )
+        corp_agg = _minhash_agg(corp_idx, num_hashes, id_col)
+        corp_banded = _band_table(corp_agg, num_hashes, bands, id_col).select(
+            F.col(id_col).alias("corpus_id"), "band_idx", "band_hash"
+        )
+        corp_sets = corp_idx.groupBy(id_col).agg(
+            F.sort_array(F.collect_list("shingle")).alias("__set_c")
+        ).select(F.col(id_col).alias("corpus_id"), "__set_c")
     if max_corpus_bucket is not None:
         wb = Window.partitionBy("band_idx", "band_hash").orderBy("corpus_id")
         corp_banded = (
@@ -828,17 +898,11 @@ def incremental_near_dups(
     new_sets = new_idx.groupBy(id_col).agg(
         F.sort_array(F.collect_list("shingle")).alias("__set_n")
     )
-    corp_sets = corp_idx.groupBy(id_col).agg(
-        F.sort_array(F.collect_list("shingle")).alias("__set_c")
-    )
     verified = (
         cands.join(
             new_sets.select(F.col(id_col).alias("new_id"), "__set_n"), "new_id"
         )
-        .join(
-            corp_sets.select(F.col(id_col).alias("corpus_id"), "__set_c"),
-            "corpus_id",
-        )
+        .join(corp_sets, "corpus_id")
         .select(
             "new_id",
             "corpus_id",

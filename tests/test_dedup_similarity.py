@@ -679,3 +679,35 @@ def test_incremental_near_dups_persisted_index_round_trip(spark, tmp_path):
             )
         )
         assert from_disk == fresh and len(fresh) >= 2
+
+    # the FULL rolling contract: persist the banded-minhash table and the
+    # verify set arrays (incremental_corpus_state), reload both, and get
+    # identical output with corpus_df=None — per batch the corpus
+    # contributes only columnar scans of the two stored tables, no
+    # re-aggregation of any kind
+    from candia_spark.operators.dedup import incremental_corpus_state
+
+    bands_df, sets_df = incremental_corpus_state(corpus)
+    bands_path = str(tmp_path / "corpus_bands")
+    sets_path = str(tmp_path / "corpus_sets")
+    bands_df.write.mode("overwrite").parquet(bands_path)
+    sets_df.write.mode("overwrite").parquet(sets_path)
+    rb = spark.read.parquet(bands_path)
+    rs = spark.read.parquet(sets_path)
+    for rows in batches:
+        batch = spark.createDataFrame(rows, "doc_id long, text string")
+        fresh = sorted(
+            map(tuple, incremental_near_dups(batch, corpus, threshold=0.6).collect())
+        )
+        from_state = sorted(
+            map(
+                tuple,
+                incremental_near_dups(
+                    batch, None, threshold=0.6, corpus_bands=rb, corpus_sets=rs
+                ).collect(),
+            )
+        )
+        assert from_state == fresh and len(fresh) >= 2
+    # state halves must travel together
+    with pytest.raises(ValueError, match="together"):
+        incremental_near_dups(batch, None, corpus_bands=rb)
