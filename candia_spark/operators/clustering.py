@@ -443,6 +443,57 @@ def cluster_closest_pairs(
     )
 
 
+def cluster_nearest_neighbors(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    scale: int = 1000,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    clusters: DataFrame | None = None,
+) -> DataFrame:
+    """Per-vector nearest neighbor WITHIN its k-means cluster — the
+    bucketed kNN-graph building block (SemDeDup-family pipelines rank
+    duplicates and diversity-filter corpora off exactly this edge set):
+    for every vector, the in-cluster argmax-cosine partner. Returns
+    (id, neighbor_id, cluster, dot, cos); vectors in singleton clusters
+    drop out (they have no in-cluster neighbor, same rule both engines).
+
+    Scale shape: the pair scan is :func:`_in_cluster_pairs` (in-cluster
+    only — sum |c|^2 mass, never N^2), symmetrized with a union-all
+    (each undirected pair feeds both endpoints' argmax), and reduced by
+    one per-id window over in-cluster edges. Ties break on the smallest
+    neighbor id; the cosine is the deterministic double of exact integer
+    dot/norms (module docstring), so the argmax is engine-invariant.
+    ``clusters`` injects an external bucketing (hierarchical leaves at
+    corpus scale) exactly as in :func:`cluster_closest_pairs`.
+    """
+    prs = _in_cluster_pairs(df, k, iters, scale, vec_col, id_col, clusters)
+    fwd = prs.select(
+        "cluster",
+        F.col("id_a").alias(id_col),
+        F.col("id_b").alias("neighbor_id"),
+        "dot",
+        "cos",
+    )
+    rev = prs.select(
+        "cluster",
+        F.col("id_b").alias(id_col),
+        F.col("id_a").alias("neighbor_id"),
+        "dot",
+        "cos",
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        fwd.unionAll(rev)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(id_col, "neighbor_id", "cluster", "dot", "cos")
+    )
+
+
 def semantic_dedup(
     df: DataFrame,
     threshold: float = 0.9,

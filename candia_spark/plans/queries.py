@@ -3018,6 +3018,66 @@ def q63_kmeans_farthest_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_assign(emb, k=8, iters=3, scale=1000, seeding="farthest")
 
 
+def _q64_oracle(k: int = 8, iters: int = 3, scale: int = 1000) -> str:
+    """k-means CTE chain + in-cluster pair scan, symmetrized, reduced to
+    each vector's argmax-cosine partner (the kNN-graph edge set — every
+    vector's row depends on all its in-cluster pairs, so the N-row output
+    hash-gates the full sum |c|^2 pair computation from the per-vector
+    side, complementing q58's per-cluster argmax)."""
+    return (
+        _kmeans_ctes(k, iters, scale)
+        + f""",
+    norms AS (
+        SELECT vec_id, CAST(SUM(v * v) AS BIGINT) AS n2
+        FROM q GROUP BY vec_id),
+    prs AS (
+        SELECT a1.cluster, a1.vec_id AS id_a, a2.vec_id AS id_b,
+               CAST(SUM(x.v * y.v) AS BIGINT) AS dot
+        FROM assign{iters} a1
+        JOIN assign{iters} a2
+          ON a1.cluster = a2.cluster AND a1.vec_id < a2.vec_id
+        JOIN q x ON x.vec_id = a1.vec_id
+        JOIN q y ON y.vec_id = a2.vec_id AND y.pos = x.pos
+        GROUP BY 1, 2, 3),
+    withcos AS (
+        SELECT cluster, id_a, id_b, dot,
+               CAST(dot AS DOUBLE)
+                   / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)) AS cos
+        FROM prs
+        JOIN norms na ON na.vec_id = id_a
+        JOIN norms nb ON nb.vec_id = id_b),
+    sym AS (
+        SELECT cluster, id_a AS vec_id, id_b AS neighbor_id, dot, cos
+        FROM withcos
+        UNION ALL
+        SELECT cluster, id_b AS vec_id, id_a AS neighbor_id, dot, cos
+        FROM withcos)
+    SELECT vec_id, neighbor_id, cluster, dot, cos FROM (
+        SELECT sym.*, ROW_NUMBER() OVER (PARTITION BY vec_id
+            ORDER BY cos DESC, neighbor_id ASC) AS rn
+        FROM sym) t
+    WHERE rn = 1"""
+    )
+
+
+@register(
+    "q64_cluster_knn_graph",
+    oracle=_q64_oracle(),
+    survey_ref="semantic-dedup / knn-graph (in-cluster nearest neighbor)",
+)
+def q64_cluster_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bucketed kNN-graph edge set: each embedding's nearest in-cluster
+    neighbor by exact-integer cosine
+    (operators.clustering.cluster_nearest_neighbors). The N-row output
+    depends on every in-cluster pair from the per-vector side — a second,
+    denser certification of the SemDeDup pair scan than q58's 8-row
+    per-cluster argmax."""
+    from candia_spark.operators.clustering import cluster_nearest_neighbors
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return cluster_nearest_neighbors(emb, k=8, iters=3, scale=1000)
+
+
 # --- Driver certification window (verdict r5 #2) -------------------------
 # The per-round driver correctness artifact certifies the FIRST 50
 # registry entries, and queries()/oracle_sql() preserve this dict's
@@ -3031,6 +3091,7 @@ def q63_kmeans_farthest_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DRIVER_WINDOW_TAIL = [
     "q03_window_adjust",
     "q18_interval_anti_join",
+    "q21_scan_cycles",
     "q04_time_buckets",
     "q05_groupwise_argmax",
     "q10_anti_join",

@@ -292,3 +292,40 @@ def test_farthest_point_seeding_recovers_what_min_id_misses(spark):
 
     with pytest.raises(ValueError, match="seeding"):
         kmeans_assign(df, k=2, seeding="kmeans++")
+
+
+def test_cluster_nearest_neighbors_planted_and_injected(spark):
+    """kNN-graph semantics: each vector's in-cluster argmax-cosine
+    partner. Planted: two tight pairs inside one blob — each vector picks
+    its planted twin, not just any blob-mate; singleton clusters drop
+    out. And the clusters= injection (the hierarchical-leaves composition)
+    returns identical edges when handed the same bucketing."""
+    from candia_spark.operators.clustering import (
+        cluster_nearest_neighbors,
+        kmeans_assign,
+    )
+
+    rows = [
+        # blob A: twins (0,2) and (4,6) — within-twin cosine ~1, cross ~0.98
+        (0, [1.0, 0.00]), (2, [1.0, 0.001]),
+        (4, [0.9, 0.20]), (6, [0.9, 0.201]),
+        # blob B: a pair plus one singleton-ish member
+        (1, [-1.0, 0.0]), (3, [-1.0, 0.002]), (5, [-0.8, -0.3]),
+    ]
+    df = _vecs(spark, rows)
+    out = {
+        r["vec_id"]: r
+        for r in cluster_nearest_neighbors(df, k=2, iters=3).collect()
+    }
+    assert out[0]["neighbor_id"] == 2 and out[2]["neighbor_id"] == 0
+    assert out[4]["neighbor_id"] == 6 and out[6]["neighbor_id"] == 4
+    assert out[1]["neighbor_id"] == 3 and out[3]["neighbor_id"] == 1
+    assert out[5]["neighbor_id"] in (1, 3)  # best of its blob
+    assert len(out) == 7  # no singleton clusters here; every vector has an edge
+
+    ext = kmeans_assign(df, k=2, iters=3).select("vec_id", "cluster")
+    injected = sorted(
+        map(tuple, cluster_nearest_neighbors(df, clusters=ext).collect())
+    )
+    builtin = sorted(map(tuple, cluster_nearest_neighbors(df, k=2, iters=3).collect()))
+    assert injected == builtin

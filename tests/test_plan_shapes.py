@@ -220,3 +220,46 @@ def test_q46_sampling_is_single_agg_pass(spark):
     plan = plan_of(q46_stratified_sample(spark, SF))
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Join" not in plan
+
+
+def test_incremental_state_path_has_no_corpus_aggregation(spark, tmp_path):
+    """The rolling-ingestion contract, pinned in the PLAN (round 6): with
+    PERSISTED corpus_bands/corpus_sets (parquet, as the artifact contract
+    prescribes), a batch's incremental_near_dups plan aggregates ONLY the
+    batch side — the stored corpus tables enter as plain parquet scans
+    into the candidate/verify joins. The fresh path re-aggregates the
+    corpus (minhash + set-collect on both sides); a regression that
+    sneaks a per-batch corpus re-aggregation back in raises the state
+    path's aggregate count back toward the fresh path's."""
+    import re
+
+    from candia_spark.operators.dedup import (
+        incremental_corpus_state,
+        incremental_near_dups,
+    )
+
+    corpus = load_table(spark, SF, "documents").select("doc_id", "text")
+    batch = spark.createDataFrame(
+        [(900001, "alpha beta gamma delta"), (900002, "zeta eta theta iota")],
+        "doc_id long, text string",
+    )
+    b, s = incremental_corpus_state(corpus)
+    b.write.mode("overwrite").parquet(str(tmp_path / "bands"))
+    s.write.mode("overwrite").parquet(str(tmp_path / "sets"))
+    bands = spark.read.parquet(str(tmp_path / "bands"))
+    sets_ = spark.read.parquet(str(tmp_path / "sets"))
+
+    def agg_count(df):
+        # count distinct aggregate operators (HashAggregate/ObjectHashAggregate/
+        # SortAggregate), each appearing as partial+final pairs
+        return len(re.findall(r"(?:ObjectHash|Sort|Hash)Aggregate", plan_of(df)))
+
+    fresh = incremental_near_dups(batch, corpus, threshold=0.5)
+    state = incremental_near_dups(
+        batch, None, threshold=0.5, corpus_bands=bands, corpus_sets=sets_
+    )
+    assert agg_count(state) < agg_count(fresh)
+    # batch side only: minhash agg + set-collect agg + candidate-pair
+    # distinct, each partial+final => 6 aggregate nodes ceiling; anything
+    # above means per-batch corpus re-aggregation crept back in
+    assert agg_count(state) <= 6
