@@ -250,6 +250,15 @@ def _assignments(
 
     q = _quantized(df, scale, vec_col, id_col)
     if seeding == "farthest":
+        if materialize:
+            # the traversal makes k top-1 passes over q and the Lloyd
+            # loop another `iters` — cut the quantization once so all
+            # ~k+iters passes read stored rows instead of re-deriving
+            # the transform from the source scan each time. Measured a
+            # wash at sf0.1 (job overhead dominates 50k vectors); kept
+            # because the k+iters re-scans are what grow with the corpus
+            # while the one-time cut does not.
+            q = _materialize(q)
         seeds = _farthest_point_seeds(q, k)
     else:
         # seed: k smallest ids, cluster = rank - 1. The window runs on a

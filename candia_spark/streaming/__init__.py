@@ -266,6 +266,62 @@ def running_totals_stateful(
     )
 
 
+def incremental_dedup_stream(
+    docs_stream: DataFrame,
+    corpus_bands: DataFrame,
+    corpus_sets: DataFrame,
+    out_path: str,
+    checkpoint_dir: str,
+    threshold: float = 0.7,
+    num_hashes: int = 32,
+    bands: int = 16,
+    n: int = 2,
+) -> None:
+    """Streaming ingestion dedup: every arriving micro-batch of documents
+    is checked against the PERSISTED corpus state
+    (:func:`candia_spark.operators.dedup.incremental_corpus_state` bands +
+    sets, reloaded from parquet) and the verified near-dup pairs are
+    appended to ``out_path``.
+
+    This is the live-tail face of the rolling-ingestion contract: the
+    batch operator composes unchanged under ``foreachBatch`` because its
+    per-batch cost already excludes all corpus re-aggregation — exactly
+    the property that makes it streamable (a per-batch corpus groupBy
+    would re-shuffle the corpus every trigger). Each document's pairs
+    depend only on its own batch row and the fixed state, so the union of
+    per-trigger outputs equals one batch run over the concatenated
+    batches (pinned in tests/test_streaming.py). Checkpointing makes the
+    ingestion exactly-once across restarts; refreshing the corpus state
+    (folding deduplicated batches back in) is the periodic compaction
+    job's business, same stance as :func:`dedup_stream`'s tail.
+
+    ``availableNow`` drains all pending input then stops — the
+    production backfill trigger; swap for a processing-time trigger on a
+    live source.
+    """
+    from candia_spark.operators.dedup import incremental_near_dups
+
+    def _process(batch_df: DataFrame, _batch_id: int) -> None:
+        incremental_near_dups(
+            batch_df,
+            None,
+            threshold=threshold,
+            num_hashes=num_hashes,
+            bands=bands,
+            n=n,
+            corpus_bands=corpus_bands,
+            corpus_sets=corpus_sets,
+        ).write.mode("append").parquet(out_path)
+
+    q = (
+        docs_stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def run_available_now(
     stream_df: DataFrame,
     query_name: str,

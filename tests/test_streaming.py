@@ -285,3 +285,72 @@ def test_running_totals_stateful(spark, events_dir, tmp_path):
     for u in batch:
         assert final[u][0] == batch[u][0]
         assert abs(final[u][1] - batch[u][1]) < 1e-6
+
+
+def test_incremental_dedup_stream_matches_batch(spark, tmp_path):
+    """Streaming ingestion dedup (round 6): documents arriving as a file
+    stream are checked per micro-batch against the persisted corpus state,
+    and the union of per-trigger outputs equals one batch run over all
+    arrivals — the composition law that makes the rolling batch operator
+    streamable (its per-batch plan has no corpus aggregation to re-run
+    per trigger)."""
+    import json
+
+    from candia_spark.operators.dedup import (
+        incremental_corpus_state,
+        incremental_near_dups,
+    )
+    from candia_spark.streaming import incremental_dedup_stream
+    from candia_spark.tables import load_table
+
+    corpus = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    b, s = incremental_corpus_state(corpus)
+    b.write.mode("overwrite").parquet(str(tmp_path / "bands"))
+    s.write.mode("overwrite").parquet(str(tmp_path / "sets"))
+    bands = spark.read.parquet(str(tmp_path / "bands"))
+    sets_ = spark.read.parquet(str(tmp_path / "sets"))
+
+    # two arrival files = two micro-batches: near-dups of real corpus
+    # docs (text + one token) plus a novel doc per file
+    seed = {
+        r["doc_id"]: r["text"] for r in corpus.orderBy("doc_id").limit(4).collect()
+    }
+    items = list(seed.items())
+    in_dir = tmp_path / "arrivals"
+    in_dir.mkdir()
+    files = [
+        [(9_000_000 + d, t + " extraz") for d, t in items[:2]]
+        + [(9_000_900, "totally novel content one qq ww")],
+        [(9_100_000 + d, t + " tailtok") for d, t in items[2:]]
+        + [(9_100_900, "totally novel content two ee rr")],
+    ]
+    for i, rows in enumerate(files):
+        with open(in_dir / f"batch{i}.jsonl", "w") as f:
+            for doc_id, text in rows:
+                f.write(json.dumps({"doc_id": doc_id, "text": text}) + "\n")
+
+    stream = (
+        spark.readStream.schema("doc_id LONG, text STRING")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(in_dir))
+    )
+    out_path = str(tmp_path / "pairs_out")
+    incremental_dedup_stream(
+        stream, bands, sets_, out_path, str(tmp_path / "ckpt"), threshold=0.6
+    )
+
+    streamed = sorted(map(tuple, spark.read.parquet(out_path).collect()))
+    all_docs = spark.createDataFrame(
+        [r for rows in files for r in rows], "doc_id long, text string"
+    )
+    batch = sorted(
+        map(
+            tuple,
+            incremental_near_dups(
+                all_docs, None, threshold=0.6, corpus_bands=bands, corpus_sets=sets_
+            ).collect(),
+        )
+    )
+    assert streamed == batch and len(batch) >= 4
