@@ -218,38 +218,62 @@ _PREFIX_AUTO_JOIN_MASS = 600_000_000
 
 
 def _jaccard_mass_stats(index: DataFrame) -> dict:
-    """The auto-routing census: one aggregation over the materialized
-    (capped) index returning ``{"total": sum(df^2), "top_mass_frac":
-    float|None, "skewed": bool}``. total is the inverted-index join mass
-    (the row count of the plain self-join before the id_a < id_b cut);
-    top_mass_frac measures how much of it the high-df head carries. Cost:
-    one groupBy over index rows + one two-row agg (+ one filtered agg
-    when a head exists) — marginal next to the self-join either branch
-    runs afterwards, and only paid in auto mode."""
-    census = index.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
-    stats = census.agg(
-        F.expr("percentile_approx(__df, 0.99)").alias("p99"),
-        F.expr("percentile_approx(__df, 0.5)").alias("p50"),
-        F.sum(F.col("__df") * F.col("__df")).alias("total"),
-    ).collect()[0]
-    if stats["total"] is None or stats["total"] == 0:
+    """The auto-routing census: ONE job over the materialized (capped)
+    index returning ``{"total": sum(df^2), "top_mass_frac": float|None,
+    "skewed": bool}``. total is the inverted-index join mass (the row
+    count of the plain self-join before the id_a < id_b cut);
+    top_mass_frac measures how much of it the high-df head carries. The
+    df histogram (distinct df -> shingle count, a few hundred rows) is
+    collected and the percentiles/head mass derived exactly driver-side —
+    marginal next to the self-join either branch runs afterwards, and
+    only paid in auto mode."""
+    # One job, exact: collect the df HISTOGRAM (distinct df value ->
+    # number of shingles at that df — at most as many rows as distinct
+    # document frequencies, in practice a few hundred; bounded above by
+    # the post-cap df range) and derive p50/p99/total/head-mass in exact
+    # integer arithmetic driver-side. Replaces the round-5 two-job
+    # percentile_approx + filtered-agg sequence: one pass instead of two
+    # over the census, and the percentiles are exact.
+    hist = (
+        index.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .groupBy("__df")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .collect()
+    )
+    if not hist:
         return {"total": 0, "top_mass_frac": None, "skewed": False}
+    buckets = sorted((int(r["__df"]), int(r["__n"])) for r in hist)
+    n_shingles = sum(n for _, n in buckets)
+    total = sum(df * df * n for df, n in buckets)
+    if total == 0:
+        return {"total": 0, "top_mass_frac": None, "skewed": False}
+
+    def pct(q: float) -> int:
+        # smallest df with cumulative shingle count >= q * n_shingles
+        # (the inverted-CDF percentile definition percentile_approx
+        # approximated before)
+        target = q * n_shingles
+        acc = 0
+        for df, n in buckets:
+            acc += n
+            if acc >= target:
+                return df
+        return buckets[-1][0]
+
+    p50, p99 = pct(0.5), pct(0.99)
     # a head must exist at all: with near-uniform dfs (mostly-unique text,
     # df ~1 everywhere) `df >= p99` degenerately matches the whole census
     # and the mass fraction saturates at 1.0 — but there is no head for
     # rare-first prefixes to exclude, so the prefix pass buys nothing.
-    has_head = stats["p99"] >= 2 * max(stats["p50"], 1)
+    has_head = p99 >= 2 * max(p50, 1)
     frac = None
     skewed = False
     if has_head:
-        top = (
-            census.filter(F.col("__df") >= stats["p99"])
-            .agg(F.sum(F.col("__df") * F.col("__df")).alias("t"))
-            .collect()[0]["t"]
-        )
-        frac = round(float(top or 0) / float(stats["total"]), 4)
+        top = sum(df * df * n for df, n in buckets if df >= p99)
+        frac = round(top / total, 4)
         skewed = frac > _PREFIX_AUTO_TOP_MASS_FRAC
-    return {"total": int(stats["total"]), "top_mass_frac": frac, "skewed": skewed}
+    return {"total": total, "top_mass_frac": frac, "skewed": skewed}
 
 
 def _jaccard_mass_is_skewed(index: DataFrame) -> bool:
