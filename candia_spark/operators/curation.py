@@ -223,6 +223,106 @@ def cap_per_source(
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 128,
+    overlap: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split each document into overlapping fixed-token windows — the
+    context-window preprocessing step for embedding/retrieval pipelines
+    (pack_sequences concatenates ACROSS documents for training;
+    chunk_documents splits WITHIN a document for indexing): windows start
+    every ``stride = chunk_tokens - overlap`` tokens and carry up to
+    ``chunk_tokens`` tokens (the final window may be shorter — truncated,
+    never padded). Empty documents emit no chunks.
+
+    Output: (id, chunk_id, start_token, n_chunk_tokens, chunk_text),
+    chunk_id 0-based per document.
+
+    Scale: a pure map — tokens, a per-row ``sequence`` of window starts,
+    one explode, one ``slice`` per chunk. No shuffle, no window function,
+    no UDF; output size is input tokens x (1 + overlap/stride).
+    """
+    if chunk_tokens <= 0:
+        raise ValueError(f"chunk_tokens must be positive, got {chunk_tokens}")
+    if not (0 <= overlap < chunk_tokens):
+        raise ValueError(
+            f"overlap must be in [0, chunk_tokens), got {overlap}"
+        )
+    stride = chunk_tokens - overlap
+    toks = tokens(text_col)
+    n = F.size(toks)
+    # guard the sequence: F.sequence(0, -1) would count DOWN ([0, -1]);
+    # empty docs must emit an empty array (explode then drops the row)
+    n_chunks = F.floor((n - 1) / stride).cast("bigint") + 1
+    starts = F.when(n > 0, F.sequence(F.lit(0).cast("bigint"), n_chunks - 1)).otherwise(
+        F.array().cast("array<bigint>")
+    )
+    chunk = F.slice(F.col("__toks"), F.col("chunk_id") * stride + 1, chunk_tokens)
+    return (
+        df.select(
+            F.col(id_col),
+            toks.alias("__toks"),
+            F.explode(starts).alias("chunk_id"),
+        )
+        .select(
+            F.col(id_col),
+            "chunk_id",
+            (F.col("chunk_id") * stride).alias("start_token"),
+            F.size(chunk).cast("bigint").alias("n_chunk_tokens"),
+            F.array_join(chunk, " ").alias("chunk_text"),
+        )
+    )
+
+
+def sample_to_mixture(
+    df: DataFrame,
+    weights: dict[str, float],
+    total: int,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic mixture sampling: draw a corpus of ~``total``
+    documents matching target source proportions — the data-mixing step
+    that turns per-source corpora into a training mix (e.g. 60% web, 30%
+    code, 10% books). Each source contributes its ``floor(weight *
+    total)`` lowest-ranked documents under the md5 content-keyed order
+    (the :func:`cap_per_source` device), so the drawn set is reproducible
+    across runs, engines and partitionings; sources missing from
+    ``weights`` are excluded, and a source smaller than its target
+    contributes everything it has (the shortfall is visible as
+    ``src_rank < target`` exhausting early, not silently rebalanced —
+    rebalancing policy belongs to the caller).
+
+    Output: surviving rows + (src_rank, target) per row.
+
+    Scale: one tiny broadcast of the weights table and one window
+    partitioned by source — identical shape to :func:`cap_per_source`.
+    """
+    if total <= 0:
+        raise ValueError(f"total must be positive, got {total}")
+    if not weights:
+        raise ValueError("weights must be a non-empty {source: weight} dict")
+    if any(w < 0 for w in weights.values()):
+        raise ValueError(f"weights must be non-negative, got {weights}")
+    targets = df.sparkSession.createDataFrame(
+        [(s, int(w * total)) for s, w in weights.items()],
+        f"{source_col} string, target bigint",
+    )
+    pri = F.md5(
+        F.concat(F.col(id_col).cast("string"), F.lit(salt)).cast("binary")
+    )
+    w = Window.partitionBy(source_col).orderBy(pri.asc(), F.col(id_col).asc())
+    return (
+        df.join(F.broadcast(targets), source_col)
+        .withColumn("src_rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("src_rank") <= F.col("target"))
+    )
+
+
 def score_percentiles(
     df: DataFrame,
     score,

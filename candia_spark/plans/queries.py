@@ -3078,6 +3078,84 @@ def q64_cluster_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cluster_nearest_neighbors(emb, k=8, iters=3, scale=1000)
 
 
+@register(
+    "q65_chunk_documents",
+    # stride = 32 - 8 = 24; DuckDB list slicing is 1-based inclusive and
+    # clamps at the list end, exactly like Spark's slice(col, start, len)
+    oracle="""
+    WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
+    nz AS (
+        SELECT doc_id, toks,
+               CAST(FLOOR((len(toks) - 1) / 24.0) AS BIGINT) AS maxc
+        FROM t WHERE len(toks) > 0),
+    c AS (
+        SELECT doc_id, toks, CAST(i AS BIGINT) AS chunk_id
+        FROM nz, UNNEST(generate_series(0, maxc)) u(i))
+    SELECT doc_id, chunk_id, chunk_id * 24 AS start_token,
+           CAST(len(toks[chunk_id * 24 + 1 : chunk_id * 24 + 32]) AS BIGINT)
+               AS n_chunk_tokens,
+           array_to_string(toks[chunk_id * 24 + 1 : chunk_id * 24 + 32], ' ')
+               AS chunk_text
+    FROM c
+    """.replace("{toks}", _TOKS_SQL),
+    survey_ref="chunking (north star: context-window preprocessing)",
+)
+def q65_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-token windows per document
+    (operators.curation.chunk_documents, 32-token chunks, 8-token
+    overlap): the retrieval/embedding-side preprocessing twin of q51's
+    packing. Pure map — sequence + explode + slice, no shuffle — and the
+    chunk text itself is in the hash gate, so tokenization, window
+    arithmetic and tail truncation are all certified."""
+    from candia_spark.operators.curation import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    return chunk_documents(docs, chunk_tokens=32, overlap=8)
+
+
+_Q66_WEIGHTS = {"src0": 0.4, "src1": 0.3, "src2": 0.2, "src4": 0.5}
+_Q66_TOTAL = 60
+
+
+def _q66_oracle() -> str:
+    # targets computed in PYTHON (int(w * total)) and inlined, so the
+    # oracle cannot diverge from the operator on float rounding
+    values = ", ".join(
+        f"('{s}', {int(w * _Q66_TOTAL)})" for s, w in _Q66_WEIGHTS.items()
+    )
+    return f"""
+    WITH targets(source, target) AS (VALUES {values}),
+    ranked AS (
+        SELECT d.doc_id, d.source, d.lang, t.target,
+               CAST(ROW_NUMBER() OVER (
+                    PARTITION BY d.source
+                    ORDER BY md5(CAST(d.doc_id AS VARCHAR) || 'mix6') ASC,
+                             d.doc_id ASC) AS BIGINT) AS src_rank
+        FROM documents d JOIN targets t USING (source))
+    SELECT source, doc_id, lang, CAST(target AS BIGINT) AS target, src_rank
+    FROM ranked WHERE src_rank <= target
+    """
+
+
+@register(
+    "q66_mixture_sample",
+    oracle=_q66_oracle(),
+    survey_ref="data mixing (north star: source-weighted training mix)",
+)
+def q66_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mixture sampling
+    (operators.curation.sample_to_mixture): each source contributes its
+    floor(weight * total) md5-lowest-ranked documents — the data-mixing
+    step that assembles a training corpus to target proportions. The
+    weight set includes a source whose target exceeds its size at small
+    scales (src4), certifying the documented exhaust-early shortfall
+    behavior; unlisted sources are excluded."""
+    from candia_spark.operators.curation import sample_to_mixture
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "lang")
+    return sample_to_mixture(docs, _Q66_WEIGHTS, _Q66_TOTAL, salt="mix6")
+
+
 # --- Driver certification window (verdict r5 #2) -------------------------
 # The per-round driver correctness artifact certifies the FIRST 50
 # registry entries, and queries()/oracle_sql() preserve this dict's
@@ -3089,8 +3167,10 @@ def q64_cluster_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 # sampling, percentiles, curate_corpus) sit INSIDE the driver-checked
 # window. Registry contents are unchanged — order only.
 _DRIVER_WINDOW_TAIL = [
+    "q02_interval_join",
     "q03_window_adjust",
     "q18_interval_anti_join",
+    "q20_greedy_ppm_partition",
     "q21_scan_cycles",
     "q04_time_buckets",
     "q05_groupwise_argmax",

@@ -249,3 +249,70 @@ def test_curate_corpus_stage_interactions(spark):
     # doc 4's offset starts right after doc 1 (doc 2 and 3 never packed)
     assert out[4]["start_offset"] == out[1]["n_tokens"]
     assert out[9]["start_offset"] == 0 and out[9]["shard"] == "B"
+
+
+def test_chunk_documents_windows_and_edges(spark):
+    """Sliding-window semantics: starts every stride tokens, final chunk
+    truncated, exact-multiple docs emit no empty tail, empty docs emit
+    nothing, and the reassembled non-overlapping prefix round-trips."""
+    from candia_spark.operators.curation import chunk_documents
+
+    rows = [
+        (1, "a b c d e f g h i j"),   # 10 tokens
+        (2, "x y z w"),               # exactly one stride (4)
+        (3, ""),                      # empty -> no chunks
+        (4, "only three toks"),       # shorter than one chunk
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    out = chunk_documents(d, chunk_tokens=6, overlap=2)  # stride 4
+    by_doc = {}
+    for r in out.collect():
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for chunks in by_doc.values():
+        chunks.sort(key=lambda r: r["chunk_id"])
+    # doc 1: starts 0,4,8 -> lengths 6,6,2
+    assert [(r["start_token"], r["n_chunk_tokens"]) for r in by_doc[1]] == [
+        (0, 6), (4, 6), (8, 2)
+    ]
+    assert by_doc[1][0]["chunk_text"] == "a b c d e f"
+    assert by_doc[1][2]["chunk_text"] == "i j"
+    # doc 2: 4 tokens -> one chunk of 4 (no empty second window)
+    assert [(r["start_token"], r["n_chunk_tokens"]) for r in by_doc[2]] == [(0, 4)]
+    assert 3 not in by_doc
+    assert by_doc[4][0]["chunk_text"] == "only three toks"
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_documents(d, chunk_tokens=4, overlap=4)
+    with pytest.raises(ValueError, match="chunk_tokens"):
+        chunk_documents(d, chunk_tokens=0)
+    # pure map: no exchange in the plan
+    plan = _plan_of(chunk_documents(d, chunk_tokens=6, overlap=2))
+    assert "Exchange" not in plan and "Python" not in plan
+
+
+def test_sample_to_mixture_targets_and_shortfall(spark):
+    """Mixture sampling: per-source counts hit floor(weight*total),
+    an undersized source contributes everything (visible shortfall, not
+    silent rebalancing), unlisted sources are excluded, and the draw is
+    deterministic under the same salt and moves under a new one."""
+    from candia_spark.operators.curation import sample_to_mixture
+
+    rows = [(i, f"s{i % 4}", "d") for i in range(40)]  # 10 docs per source
+    d = spark.createDataFrame(rows, "doc_id long, source string, lang string")
+    weights = {"s0": 0.5, "s1": 0.2, "s2": 0.9}  # s2 target 18 > 10 available
+    out = sample_to_mixture(d, weights, total=20)
+    counts = {
+        r["source"]: r["n"]
+        for r in out.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert counts == {"s0": 10, "s1": 4, "s2": 10}  # s0 target==size, s2 shortfall
+    assert "s3" not in counts
+    r1 = sorted(r["doc_id"] for r in sample_to_mixture(d, weights, 20).collect())
+    r2 = sorted(r["doc_id"] for r in sample_to_mixture(d, weights, 20).collect())
+    r3 = sorted(
+        r["doc_id"] for r in sample_to_mixture(d, weights, 20, salt="v2").collect()
+    )
+    assert r1 == r2 and r1 != r3 and len(r3) == len(r1)
+    with pytest.raises(ValueError, match="total"):
+        sample_to_mixture(d, weights, 0)
+    with pytest.raises(ValueError, match="non-empty"):
+        sample_to_mixture(d, {}, 10)
