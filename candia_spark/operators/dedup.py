@@ -787,6 +787,10 @@ def incremental_corpus_state(
     Pass ``corpus_index`` (a :func:`shingle_index`) instead of
     ``corpus_df`` when the index already exists — the state derives from
     it without another corpus scan."""
+    if corpus_df is None and corpus_index is None:
+        raise ValueError(
+            "incremental_corpus_state needs corpus_df or corpus_index"
+        )
     idx = (
         corpus_index
         if corpus_index is not None

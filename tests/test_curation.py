@@ -316,3 +316,56 @@ def test_sample_to_mixture_targets_and_shortfall(spark):
         sample_to_mixture(d, weights, 0)
     with pytest.raises(ValueError, match="non-empty"):
         sample_to_mixture(d, {}, 10)
+
+
+def test_chunk_documents_reassembly_property(spark):
+    """Property (hypothesis): for any token stream, dropping each chunk's
+    overlap prefix (except chunk 0) and concatenating reconstructs the
+    exact token stream — no token lost, duplicated, or reordered by the
+    window arithmetic."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from candia_spark.operators.curation import chunk_documents
+
+    @settings(max_examples=12, deadline=None)
+    @given(
+        n_toks=st.integers(min_value=0, max_value=57),
+        chunk=st.integers(min_value=2, max_value=12),
+        overlap=st.integers(min_value=0, max_value=6),
+    )
+    def check(n_toks, chunk, overlap):
+        if overlap >= chunk:
+            return
+        toks = [f"t{i}" for i in range(n_toks)]
+        d = spark.createDataFrame(
+            [(1, " ".join(toks))], "doc_id long, text string"
+        )
+        rows = sorted(
+            chunk_documents(d, chunk_tokens=chunk, overlap=overlap).collect(),
+            key=lambda r: r["chunk_id"],
+        )
+        rebuilt = []
+        for r in rows:
+            parts = r["chunk_text"].split(" ") if r["chunk_text"] else []
+            rebuilt.extend(parts if r["chunk_id"] == 0 else parts[overlap:])
+        assert rebuilt == toks
+        # window arithmetic invariants
+        stride = chunk - overlap
+        for r in rows:
+            assert r["start_token"] == r["chunk_id"] * stride
+            assert 1 <= r["n_chunk_tokens"] <= chunk
+
+    check()
+
+
+def test_mixture_targets_table_broadcasts(spark):
+    """Scale contract: the weights table joins as a broadcast — a shuffle
+    of the corpus on the source key for a dict-sized lookup would be the
+    anti-pattern."""
+    from candia_spark.operators.curation import sample_to_mixture
+
+    rows = [(i, f"s{i % 4}", "d") for i in range(40)]
+    d = spark.createDataFrame(rows, "doc_id long, source string, lang string")
+    plan = _plan_of(sample_to_mixture(d, {"s0": 0.5, "s1": 0.5}, 20))
+    assert "BroadcastHashJoin" in plan and "Python" not in plan
