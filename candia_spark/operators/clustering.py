@@ -233,15 +233,23 @@ def _assignments(
     materialize: bool = True,
     keep_vectors: bool = False,
     seeding: str = "min_id",
+    probes: int = 1,
 ) -> DataFrame:
     """Core Lloyd's loop; returns (``__vid``, cluster) — plus (qv, n2) when
     ``keep_vectors`` (the pair-scan consumers read the quantized vectors
     straight from the materialized assignment instead of re-joining the
-    corpus)."""
+    corpus). ``probes > 1`` multi-assigns each vector to its ``probes``
+    nearest centroids ON THE FINAL PASS ONLY (re-centering always uses
+    the true argmin) — the IVF-multiprobe device for consumers that scan
+    within clusters and would otherwise miss cross-border neighbors; the
+    top-p is the same lexicographic order as the argmin (array_sort of
+    the same key structs), so it is engine-exact like everything else."""
     if k <= 0 or iters <= 0:
         raise ValueError(f"k and iters must be positive, got k={k} iters={iters}")
     if scale <= 0:
         raise ValueError(f"scale must be positive, got {scale}")
+    if probes < 1:
+        raise ValueError(f"probes must be >= 1, got {probes}")
     if seeding not in ("min_id", "farthest"):
         raise ValueError(
             f"seeding must be 'min_id' or 'farthest', got {seeding!r}"
@@ -285,12 +293,22 @@ def _assignments(
         joined = q.crossJoin(F.broadcast(carr))
         # array_min over (key, cluster) structs = lexicographic argmin
         # with the smallest-cluster tie-break
-        best = F.array_min(
-            F.transform(F.col("cs"), lambda c: _argmin_struct(c, "cluster"))
-        )
-        assign = joined.select(
-            "__vid", "qv", "n2", best["cluster"].alias("cluster")
-        )
+        keyed = F.transform(F.col("cs"), lambda c: _argmin_struct(c, "cluster"))
+        if probes > 1 and it == iters - 1:
+            # final pass only: top-p of the SAME total order (array_sort
+            # of the same structs array_min reduces), exploded to one
+            # row per probed cluster
+            ranked = F.slice(F.array_sort(keyed), 1, probes)
+            assign = joined.select(
+                "__vid", "qv", "n2", F.explode(ranked).alias("__pk")
+            ).select(
+                "__vid", "qv", "n2", F.col("__pk")["cluster"].alias("cluster")
+            )
+        else:
+            best = F.array_min(keyed)
+            assign = joined.select(
+                "__vid", "qv", "n2", best["cluster"].alias("cluster")
+            )
         if it < iters - 1:
             cent = _recenter(assign, ["cluster"])
             if materialize:
@@ -356,6 +374,7 @@ def _in_cluster_pairs(
     vec_col: str,
     id_col: str,
     clusters: DataFrame | None = None,
+    probes: int = 1,
 ) -> DataFrame:
     """All within-cluster vector pairs with exact integer dot products and
     the deterministic double cosine (see module docstring for why double
@@ -380,7 +399,14 @@ def _in_cluster_pairs(
     if clusters is None:
         a = _assignments(
             df, k, iters, scale, vec_col, id_col,
-            materialize=True, keep_vectors=True,
+            materialize=True, keep_vectors=True, probes=probes,
+        )
+    elif probes > 1:
+        raise ValueError(
+            "probes > 1 needs the built-in k-means (an external clusters= "
+            "bucketing carries no distance ranking to probe); multi-probe "
+            "an external bucketing by passing multi-assigned (id, cluster) "
+            "rows directly"
         )
     else:
         # same guard as the flat path: the clusters branch quantizes
@@ -460,6 +486,7 @@ def cluster_nearest_neighbors(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     clusters: DataFrame | None = None,
+    probes: int = 1,
 ) -> DataFrame:
     """Per-vector nearest neighbor WITHIN its k-means cluster — the
     bucketed kNN-graph building block (SemDeDup-family pipelines rank
@@ -472,12 +499,24 @@ def cluster_nearest_neighbors(
     only — sum |c|^2 mass, never N^2), symmetrized with a union-all
     (each undirected pair feeds both endpoints' argmax), and reduced by
     one per-id window over in-cluster edges. Ties break on the smallest
-    neighbor id; the cosine is the deterministic double of exact integer
-    dot/norms (module docstring), so the argmax is engine-invariant.
-    ``clusters`` injects an external bucketing (hierarchical leaves at
-    corpus scale) exactly as in :func:`cluster_closest_pairs`.
+    neighbor id, then the smallest cluster (which only matters under
+    multi-probe, where a pair can collide in several shared clusters);
+    the cosine is the deterministic double of exact integer dot/norms
+    (module docstring), so the argmax is engine-invariant. ``clusters``
+    injects an external bucketing (hierarchical leaves at corpus scale)
+    exactly as in :func:`cluster_closest_pairs`.
+
+    ``probes`` > 1 is the border-recall fix (the classic in-cluster-only
+    weakness: a vector's true neighbor can sit just across a centroid
+    boundary): each vector joins the pair scan in its ``probes`` nearest
+    clusters — the IVF-multiprobe device :mod:`operators.similarity`
+    uses, in the same integer-exact ranking as the assignment itself.
+    Pair mass multiplies by ~probes^2; the edge set then covers any pair
+    whose members share AT LEAST one probed cluster.
     """
-    prs = _in_cluster_pairs(df, k, iters, scale, vec_col, id_col, clusters)
+    prs = _in_cluster_pairs(
+        df, k, iters, scale, vec_col, id_col, clusters, probes=probes
+    )
     fwd = prs.select(
         "cluster",
         F.col("id_a").alias(id_col),
@@ -493,7 +532,7 @@ def cluster_nearest_neighbors(
         "cos",
     )
     w = Window.partitionBy(id_col).orderBy(
-        F.col("cos").desc(), F.col("neighbor_id").asc()
+        F.col("cos").desc(), F.col("neighbor_id").asc(), F.col("cluster").asc()
     )
     return (
         fwd.unionAll(rev)

@@ -3156,6 +3156,76 @@ def q66_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_to_mixture(docs, _Q66_WEIGHTS, _Q66_TOTAL, salt="mix6")
 
 
+def _q67_oracle(
+    k: int = 8, iters: int = 3, scale: int = 1000, probes: int = 2
+) -> str:
+    """q64's kNN-graph oracle with the final assignment widened to each
+    vector's ``probes`` nearest centroids (rn <= probes over the SAME
+    exact distance ranking the argmin uses) — the multi-probe border-
+    recall variant. dist{iters} is already in scope from the shared
+    k-means CTE chain."""
+    return (
+        _kmeans_ctes(k, iters, scale)
+        + f""",
+    probed AS (
+        SELECT vec_id, cluster FROM (
+            SELECT vec_id, cluster,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                       ORDER BY CAST(d AS DOUBLE) / CAST(n * n AS DOUBLE) ASC,
+                                cluster ASC) AS rn
+            FROM dist{iters}) t
+        WHERE rn <= {probes}),
+    norms AS (
+        SELECT vec_id, CAST(SUM(v * v) AS BIGINT) AS n2
+        FROM q GROUP BY vec_id),
+    prs AS (
+        SELECT a1.cluster, a1.vec_id AS id_a, a2.vec_id AS id_b,
+               CAST(SUM(x.v * y.v) AS BIGINT) AS dot
+        FROM probed a1
+        JOIN probed a2
+          ON a1.cluster = a2.cluster AND a1.vec_id < a2.vec_id
+        JOIN q x ON x.vec_id = a1.vec_id
+        JOIN q y ON y.vec_id = a2.vec_id AND y.pos = x.pos
+        GROUP BY 1, 2, 3),
+    withcos AS (
+        SELECT cluster, id_a, id_b, dot,
+               CAST(dot AS DOUBLE)
+                   / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)) AS cos
+        FROM prs
+        JOIN norms na ON na.vec_id = id_a
+        JOIN norms nb ON nb.vec_id = id_b),
+    sym AS (
+        SELECT cluster, id_a AS vec_id, id_b AS neighbor_id, dot, cos
+        FROM withcos
+        UNION ALL
+        SELECT cluster, id_b AS vec_id, id_a AS neighbor_id, dot, cos
+        FROM withcos)
+    SELECT vec_id, neighbor_id, cluster, dot, cos FROM (
+        SELECT sym.*, ROW_NUMBER() OVER (PARTITION BY vec_id
+            ORDER BY cos DESC, neighbor_id ASC, cluster ASC) AS rn
+        FROM sym) t
+    WHERE rn = 1"""
+    )
+
+
+@register(
+    "q67_knn_multiprobe",
+    oracle=_q67_oracle(),
+    survey_ref="semantic-dedup / knn-graph (multi-probe border recall)",
+)
+def q67_knn_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q64's kNN graph with 2-probe assignment: each embedding joins the
+    pair scan in its TWO nearest clusters, so a neighbor just across a
+    centroid boundary is no longer invisible — the IVF-multiprobe recall
+    device applied to the graph (pair mass ~probes^2, still never N^2).
+    The oracle widens the final assignment with the identical exact
+    distance ranking, so the probing itself is hash-gated."""
+    from candia_spark.operators.clustering import cluster_nearest_neighbors
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return cluster_nearest_neighbors(emb, k=8, iters=3, scale=1000, probes=2)
+
+
 # --- Driver certification window (verdict r5 #2) -------------------------
 # The per-round driver correctness artifact certifies the FIRST 50
 # registry entries, and queries()/oracle_sql() preserve this dict's
@@ -3168,6 +3238,7 @@ def q66_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # window. Registry contents are unchanged — order only.
 _DRIVER_WINDOW_TAIL = [
     "q02_interval_join",
+    "q22_asof_join",
     "q03_window_adjust",
     "q18_interval_anti_join",
     "q20_greedy_ppm_partition",

@@ -329,3 +329,42 @@ def test_cluster_nearest_neighbors_planted_and_injected(spark):
     )
     builtin = sorted(map(tuple, cluster_nearest_neighbors(df, k=2, iters=3).collect()))
     assert injected == builtin
+
+
+def test_knn_multiprobe_recovers_border_neighbors(spark):
+    """The in-cluster-only weakness, demonstrated then fixed: two border
+    vectors (6, 7) are each other's true nearest neighbor but k-means
+    splits them across the centroid boundary, so probes=1 pairs each with
+    a same-cluster blob-mate; probes=2 lets both probe the neighboring
+    cluster and the true edge appears. Non-border vectors keep their
+    probes=1 edges (multi-probe only ADDS candidate pairs)."""
+    from candia_spark.operators.clustering import cluster_nearest_neighbors
+
+    # blobs at angles ~0 and ~90 degrees; 6/7 straddle the ~45-degree
+    # boundary 2 degrees apart (cosine 0.9994 — each other's true NN)
+    rows = [
+        (0, [1.0, 0.0]), (2, [0.99, 0.05]), (4, [0.98, -0.05]),  # blob A
+        (1, [0.0, 1.0]), (3, [0.05, 0.99]), (5, [-0.05, 0.98]),  # blob B
+        (6, [0.719, 0.695]), (7, [0.695, 0.719]),  # angular border pair
+    ]
+    df = _vecs(spark, rows)
+    one = {
+        r["vec_id"]: r["neighbor_id"]
+        for r in cluster_nearest_neighbors(df, k=2, iters=3).collect()
+    }
+    # probes=1: the border pair is invisible (6 and 7 sit in different
+    # clusters), so each settles for a same-side blob-mate
+    assert one[6] != 7 and one[7] != 6
+    two = {
+        r["vec_id"]: r["neighbor_id"]
+        for r in cluster_nearest_neighbors(df, k=2, iters=3, probes=2).collect()
+    }
+    assert two[6] == 7 and two[7] == 6  # the true edge appears
+    # multi-probe only widens the candidate set: every probes=1 vector
+    # still has an edge, and its cosine can only improve
+    assert set(one) <= set(two)
+    with pytest.raises(ValueError, match="probes"):
+        cluster_nearest_neighbors(df, k=2, probes=0)
+    ext = df.selectExpr("vec_id", "vec_id % 2 AS cluster")
+    with pytest.raises(ValueError, match="external"):
+        cluster_nearest_neighbors(df, clusters=ext, probes=2)
