@@ -266,6 +266,50 @@ def running_totals_stateful(
     )
 
 
+def write_dedup_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    out_path: str,
+    *,
+    corpus_bands: DataFrame,
+    corpus_sets: DataFrame,
+    threshold: float = 0.7,
+    num_hashes: int = 32,
+    bands: int = 16,
+    n: int = 2,
+) -> None:
+    """Idempotent per-micro-batch sink for :func:`incremental_dedup_stream`
+    (module-level so the replay behavior is directly testable).
+
+    The verified near-dup pairs of ``batch_df`` land under the
+    ``_batch_id=<batch_id>`` partition of ``out_path`` via dynamic
+    partition overwrite: re-running the same (deterministic) batch
+    replaces its own partition byte-for-byte and touches no other
+    partition, which is what turns foreachBatch's at-least-once delivery
+    into an exactly-once sink. Readers either prune or drop the
+    ``_batch_id`` column.
+    """
+    from candia_spark.operators.dedup import incremental_near_dups
+
+    pairs = incremental_near_dups(
+        batch_df,
+        None,
+        threshold=threshold,
+        num_hashes=num_hashes,
+        bands=bands,
+        n=n,
+        corpus_bands=corpus_bands,
+        corpus_sets=corpus_sets,
+    )
+    (
+        pairs.withColumn("_batch_id", F.lit(int(batch_id)))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("_batch_id")
+        .parquet(out_path)
+    )
+
+
 def incremental_dedup_stream(
     docs_stream: DataFrame,
     corpus_bands: DataFrame,
@@ -290,28 +334,37 @@ def incremental_dedup_stream(
     would re-shuffle the corpus every trigger). Each document's pairs
     depend only on its own batch row and the fixed state, so the union of
     per-trigger outputs equals one batch run over the concatenated
-    batches (pinned in tests/test_streaming.py). Checkpointing makes the
-    ingestion exactly-once across restarts; refreshing the corpus state
-    (folding deduplicated batches back in) is the periodic compaction
-    job's business, same stance as :func:`dedup_stream`'s tail.
+    batches (pinned in tests/test_streaming.py).
+
+    End-to-end the sink is effectively exactly-once: ``foreachBatch``
+    replays a micro-batch whose checkpoint commit did not land (Spark's
+    contract is at-least-once delivery to the function), and the writer
+    absorbs the replay by keying every batch's rows under a
+    ``_batch_id=<id>`` partition and writing with DYNAMIC partition
+    overwrite — the replayed batch (same id, deterministic content)
+    overwrites its own partition instead of appending a second copy.
+    A blind ``mode("append")`` here would duplicate pairs on restart.
+    Refreshing the corpus state (folding deduplicated batches back in)
+    is the periodic compaction job's business, same stance as
+    :func:`dedup_stream`'s tail.
 
     ``availableNow`` drains all pending input then stops — the
     production backfill trigger; swap for a processing-time trigger on a
     live source.
     """
-    from candia_spark.operators.dedup import incremental_near_dups
 
-    def _process(batch_df: DataFrame, _batch_id: int) -> None:
-        incremental_near_dups(
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        write_dedup_batch(
             batch_df,
-            None,
+            batch_id,
+            out_path,
+            corpus_bands=corpus_bands,
+            corpus_sets=corpus_sets,
             threshold=threshold,
             num_hashes=num_hashes,
             bands=bands,
             n=n,
-            corpus_bands=corpus_bands,
-            corpus_sets=corpus_sets,
-        ).write.mode("append").parquet(out_path)
+        )
 
     q = (
         docs_stream.writeStream.foreachBatch(_process)

@@ -341,7 +341,8 @@ def test_incremental_dedup_stream_matches_batch(spark, tmp_path):
         stream, bands, sets_, out_path, str(tmp_path / "ckpt"), threshold=0.6
     )
 
-    streamed = sorted(map(tuple, spark.read.parquet(out_path).collect()))
+    out = spark.read.parquet(out_path)
+    streamed = sorted(map(tuple, out.drop("_batch_id").collect()))
     all_docs = spark.createDataFrame(
         [r for rows in files for r in rows], "doc_id long, text string"
     )
@@ -354,3 +355,34 @@ def test_incremental_dedup_stream_matches_batch(spark, tmp_path):
         )
     )
     assert streamed == batch and len(batch) >= 4
+    # the sink keys every batch under its own partition (the idempotency
+    # device) — with maxFilesPerTrigger=1 and two files, two batch ids
+    assert sorted(r["_batch_id"] for r in out.select("_batch_id").distinct().collect()) == [0, 1]
+
+    # Replay absorption (advice r6 #1): foreachBatch delivers at-least-once —
+    # a restart after the write but before the checkpoint commit re-runs the
+    # same micro-batch. The dynamic-partition-overwrite sink must absorb the
+    # replay (same batch id overwrites its own partition), not append a
+    # second copy of the pairs. The engine's arrival-file→batch-id order is
+    # a same-mtime tie (not guaranteed to follow filename order), so recover
+    # the actual id↔content mapping from the stream's own output before
+    # replaying: files[1]'s near-dups carry 9_100_000+ doc ids.
+    from candia_spark.streaming import write_dedup_batch
+
+    file1_batch_id = out.where(out["new_id"] >= 9_100_000).select(
+        "_batch_id"
+    ).distinct().collect()
+    assert len(file1_batch_id) == 1  # one micro-batch produced files[1]'s pairs
+    replay = spark.createDataFrame(files[1], "doc_id long, text string")
+    write_dedup_batch(
+        replay,
+        file1_batch_id[0]["_batch_id"],
+        out_path,
+        corpus_bands=bands,
+        corpus_sets=sets_,
+        threshold=0.6,
+    )
+    after_replay = sorted(
+        map(tuple, spark.read.parquet(out_path).drop("_batch_id").collect())
+    )
+    assert after_replay == batch
