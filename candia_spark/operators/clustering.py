@@ -125,6 +125,66 @@ def _recenter(assign: DataFrame, keys: list[str]) -> DataFrame:
 _N_SQUARED_LIMIT = 3_037_000_499  # floor(sqrt(2^63 - 1)): n*n in bigint
 
 
+def _term_limit(dim: int) -> int:
+    """Safe bound for one distance term (n*x - s): it must fit the
+    decimal(18,0) cast (which also covers the bigint intermediate) and
+    ``dim`` of its squares must fit the decimal(38,0) accumulator."""
+    import math
+
+    return min(10**18, math.isqrt(10**38 // max(dim, 1)))
+
+
+def _validate_quantization_margins(
+    q: DataFrame, materialize: bool, iters: int
+) -> None:
+    """Up-front overflow validation (advice r6 #3): the per-iteration
+    :func:`_check_overflow_margins` runs only AFTER a re-centering on a
+    materialized centroid table, so an ``iters=1`` run (no re-centering),
+    the first assignment against the n=1 seed table, and every iteration
+    of a ``materialize=False`` run used to execute unchecked. One corpus
+    aggregate (count, global max|component|, dim) closes all three holes:
+
+    - seed pass: every seed has n=1, so the worst first-pass term is
+      |x - s| <= 2*qmax — a hard requirement for ANY run;
+    - whole trajectory: |n*x - s| <= n*qmax + |s| <= 2*N*qmax for every
+      possible cluster, so ``2*N*qmax < limit`` (with N <= the n*n bigint
+      cap) makes every iteration statically safe regardless of how the
+      clusters shake out. When that static bound cannot be shown and the
+      dynamic per-iteration checks will not run (materialize=False with
+      iters >= 2), raise loudly rather than risk a silent non-ANSI wrap.
+    """
+    stats = q.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.max(F.array_max(F.transform("qv", lambda v: F.abs(v)))).alias("qmax"),
+        F.max(F.size("qv")).alias("dim"),
+    ).collect()[0]
+    n_rows = int(stats["n_rows"] or 0)
+    if n_rows == 0:
+        return
+    qmax = int(stats["qmax"] or 0)
+    dim = max(int(stats["dim"] or 1), 1)
+    limit = _term_limit(dim)
+    if 2 * qmax >= limit:
+        raise ValueError(
+            "k-means overflow margin exceeded before the first assignment: "
+            f"max|quantized component| {qmax} (dim {dim}) puts the worst "
+            f"seed-pass distance term |x - s| at {2 * qmax} (safe bound "
+            f"{limit}); the decimal-exact distance would wrap silently "
+            "under non-ANSI arithmetic. Reduce `scale`."
+        )
+    statically_safe = (
+        2 * n_rows * qmax < limit and n_rows <= _N_SQUARED_LIMIT
+    )
+    if not statically_safe and not materialize and iters > 1:
+        raise ValueError(
+            "k-means margins cannot be guaranteed statically "
+            f"(2 * {n_rows} rows * max|component| {qmax} exceeds the safe "
+            f"term bound {limit}) and materialize=False disables the "
+            "exact per-iteration overflow checks. Use materialize=True "
+            "(checked re-centering) or reduce `scale`."
+        )
+
+
 def _check_overflow_margins(cent: DataFrame) -> None:
     """Raise before a silent wrap can happen: bound the worst per-term
     |n*x - s| by nmax * global max|qv| + max|s| (all exact python ints
@@ -134,8 +194,6 @@ def _check_overflow_margins(cent: DataFrame) -> None:
     must stay in bigint. Margins are astronomically wide at defaults
     (~1e13 members at scale=1000 for unit-norm embeddings), so this fires
     only on genuinely unsafe scale/k choices."""
-    import math
-
     row = cent.agg(
         F.max("n").alias("n"),
         F.max("__qmax").alias("q"),
@@ -147,7 +205,7 @@ def _check_overflow_margins(cent: DataFrame) -> None:
     nmax = int(row["n"])
     worst = nmax * int(row["q"] or 0) + int(row["s"] or 0)
     dim = max(int(row["dim"] or 1), 1)
-    limit = min(10**18, math.isqrt(10**38 // dim))
+    limit = _term_limit(dim)
     if worst >= limit or nmax > _N_SQUARED_LIMIT:
         raise ValueError(
             "k-means overflow margin exceeded: a cluster of "
@@ -257,6 +315,7 @@ def _assignments(
     from candia_spark.operators.dedup import _materialize
 
     q = _quantized(df, scale, vec_col, id_col)
+    _validate_quantization_margins(q, materialize, iters)
     if seeding == "farthest":
         if materialize:
             # the traversal makes k top-1 passes over q and the Lloyd

@@ -277,6 +277,21 @@ def chunk_documents(
     )
 
 
+def mixture_targets(weights: dict[str, float], total: int) -> dict[str, int]:
+    """Exact per-source targets for :func:`sample_to_mixture`:
+    ``floor(weight * total)`` computed in rational arithmetic
+    (``Fraction(str(w))`` — the DECIMAL the caller wrote, not the binary
+    double it parsed to). ``int(w * total)`` in binary floating point can
+    undercount the documented floor (``int(0.29 * 100) == 28``, exact
+    floor is 29); both the operator and the q66 oracle draw their targets
+    from this one helper so the two can never disagree (advice r6 #4)."""
+    from fractions import Fraction
+
+    return {
+        s: int(Fraction(str(w)) * total) for s, w in weights.items()
+    }
+
+
 def sample_to_mixture(
     df: DataFrame,
     weights: dict[str, float],
@@ -309,7 +324,7 @@ def sample_to_mixture(
     if any(w < 0 for w in weights.values()):
         raise ValueError(f"weights must be non-negative, got {weights}")
     targets = df.sparkSession.createDataFrame(
-        [(s, int(w * total)) for s, w in weights.items()],
+        list(mixture_targets(weights, total).items()),
         f"{source_col} string, target bigint",
     )
     pri = F.md5(

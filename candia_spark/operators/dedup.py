@@ -796,14 +796,58 @@ def incremental_corpus_state(
         if corpus_index is not None
         else shingle_index(corpus_df, n, text_col, id_col)
     )
+    # Stamp the shingle/minhash geometry into the state's schema metadata
+    # (Spark field metadata survives the parquet round-trip): a later
+    # batch run with different n/num_hashes/bands would silently compare
+    # different shingle and band universes — wrong jaccard values and
+    # missed duplicates instead of an error — so incremental_near_dups
+    # asserts these match its call parameters before joining.
+    geom = {"n": n, "num_hashes": num_hashes, "bands": bands}
     agg = _minhash_agg(idx, num_hashes, id_col)
     bands_df = _band_table(agg, num_hashes, bands, id_col).select(
-        F.col(id_col).alias("corpus_id"), "band_idx", "band_hash"
+        F.col(id_col).alias("corpus_id"),
+        "band_idx",
+        F.col("band_hash").alias("band_hash", metadata=geom),
     )
     sets_df = idx.groupBy(id_col).agg(
         F.sort_array(F.collect_list("shingle")).alias("shingles")
-    ).select(F.col(id_col).alias("corpus_id"), "shingles")
+    ).select(
+        F.col(id_col).alias("corpus_id"),
+        F.col("shingles").alias("shingles", metadata={"n": n}),
+    )
     return bands_df, sets_df
+
+
+def _assert_state_geometry(
+    corpus_bands: DataFrame,
+    corpus_sets: DataFrame,
+    n: int,
+    num_hashes: int,
+    bands: int,
+) -> None:
+    """Fail fast when a persisted corpus state was built with a different
+    shingle/minhash geometry than the current call (advice r6 #2): the
+    stamped field metadata travels through parquet, so a reloaded state
+    still carries the n/num_hashes/bands it was built with. States from
+    other producers (no stamp) pass unchecked — the contract is
+    best-effort on provenance, strict on detected mismatch."""
+    expect = {"n": n, "num_hashes": num_hashes, "bands": bands}
+    for df, field_name, keys in (
+        (corpus_bands, "band_hash", ("n", "num_hashes", "bands")),
+        (corpus_sets, "shingles", ("n",)),
+    ):
+        for field in df.schema.fields:
+            if field.name != field_name or not field.metadata:
+                continue
+            for key in keys:
+                if key in field.metadata and int(field.metadata[key]) != expect[key]:
+                    raise ValueError(
+                        f"corpus state was built with {key}="
+                        f"{int(field.metadata[key])} but this call uses "
+                        f"{key}={expect[key]} — the two would compare "
+                        "different shingle/band universes; rebuild the "
+                        "state or match the parameters"
+                    )
 
 
 def incremental_near_dups(
@@ -892,6 +936,7 @@ def incremental_near_dups(
     )
     new_agg = _minhash_agg(new_idx, num_hashes, id_col)
     if corpus_bands is not None:
+        _assert_state_geometry(corpus_bands, corpus_sets, n, num_hashes, bands)
         corp_banded = corpus_bands.select("corpus_id", "band_idx", "band_hash")
         corp_sets = corpus_sets.select(
             "corpus_id", F.col("shingles").alias("__set_c")

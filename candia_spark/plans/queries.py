@@ -3118,10 +3118,15 @@ _Q66_TOTAL = 60
 
 
 def _q66_oracle() -> str:
-    # targets computed in PYTHON (int(w * total)) and inlined, so the
-    # oracle cannot diverge from the operator on float rounding
+    # targets come from the SAME helper the operator uses
+    # (curation.mixture_targets — exact rational floor(weight*total), not
+    # binary-float int(w*total)), so the oracle cannot diverge from the
+    # operator on float rounding (advice r6 #4)
+    from candia_spark.operators.curation import mixture_targets
+
     values = ", ".join(
-        f"('{s}', {int(w * _Q66_TOTAL)})" for s, w in _Q66_WEIGHTS.items()
+        f"('{s}', {t})"
+        for s, t in mixture_targets(_Q66_WEIGHTS, _Q66_TOTAL).items()
     )
     return f"""
     WITH targets(source, target) AS (VALUES {values}),

@@ -368,3 +368,44 @@ def test_knn_multiprobe_recovers_border_neighbors(spark):
     ext = df.selectExpr("vec_id", "vec_id % 2 AS cluster")
     with pytest.raises(ValueError, match="external"):
         cluster_nearest_neighbors(df, clusters=ext, probes=2)
+
+
+def test_kmeans_overflow_guard_fires_up_front(spark):
+    """Advice r6 #3: the overflow guard must protect the FIRST assignment
+    and iters=1 / materialize=False runs, not only checked re-centerings.
+    A scale that puts |x - s| past the decimal(18,0) term cast raises
+    before any assignment; a scale whose whole-trajectory bound cannot be
+    shown statically raises when materialize=False disables the exact
+    per-iteration checks; default runs are untouched."""
+    rows = [(i, [0.9, -0.8]) for i in range(6)] + [(9, [0.5, 0.4])]
+    df = _vecs(spark, rows)
+
+    # seed-pass hard limit: qmax ~ 0.9e18 -> 2*qmax over the 1e18 bound,
+    # fires even with iters=1 (no re-centering ever runs)
+    with pytest.raises(ValueError, match="first assignment"):
+        kmeans_assign(df, k=2, iters=1, scale=10**18)
+
+    # statically unprovable + materialize=False + iters>=2: the dynamic
+    # checks will not run, so the loop refuses to start
+    from candia_spark.operators.clustering import _assignments
+
+    with pytest.raises(ValueError, match="materialize"):
+        _assignments(
+            df, 2, 2, 10**17, "embedding", "vec_id", materialize=False
+        ).collect()
+
+    # same scale WITH materialization: allowed to start, and the exact
+    # per-re-centering check catches the real margin breach (a 7-member
+    # cluster at qmax ~ 9e16 puts the worst term at ~1.2e18)
+    with pytest.raises(ValueError, match="margin exceeded"):
+        kmeans_assign(df, k=2, iters=2, scale=10**17).count()
+
+    # a statically safe scale completes in every mode, and defaults are
+    # untouched
+    assert (
+        _assignments(
+            df, 2, 2, 10**16, "embedding", "vec_id", materialize=False
+        ).count()
+        == 7
+    )
+    assert kmeans_assign(df, k=2, iters=1).count() == 7

@@ -369,3 +369,18 @@ def test_mixture_targets_table_broadcasts(spark):
     d = spark.createDataFrame(rows, "doc_id long, source string, lang string")
     plan = _plan_of(sample_to_mixture(d, {"s0": 0.5, "s1": 0.5}, 20))
     assert "BroadcastHashJoin" in plan and "Python" not in plan
+
+
+def test_mixture_targets_exact_rational_floor():
+    """Advice r6 #4: int(w * total) in binary floating point undercounts
+    the documented floor(weight * total) for weights like 0.29 whose
+    double is just below the decimal value. mixture_targets computes the
+    floor in rational arithmetic over the decimal the caller wrote."""
+    from candia_spark.operators.curation import mixture_targets
+
+    assert int(0.29 * 100) == 28  # the binary-float trap this guards
+    assert mixture_targets({"a": 0.29}, 100) == {"a": 29}
+    assert mixture_targets({"a": 0.1, "b": 0.7}, 300) == {"a": 30, "b": 210}
+    # non-terminating decimals still floor exactly
+    assert mixture_targets({"a": 1 / 3}, 3) == {"a": 0}
+    assert mixture_targets({"a": 0.35}, 10) == {"a": 3}

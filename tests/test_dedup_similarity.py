@@ -711,3 +711,35 @@ def test_incremental_near_dups_persisted_index_round_trip(spark, tmp_path):
     # state halves must travel together
     with pytest.raises(ValueError, match="together"):
         incremental_near_dups(batch, None, corpus_bands=rb)
+
+    # geometry stamp (advice r6 #2): the state carries the n/num_hashes/
+    # bands it was built with THROUGH the parquet round-trip, and a call
+    # with a different geometry fails fast instead of silently comparing
+    # different shingle/band universes
+    for bad_kwargs, key in [
+        (dict(n=3), "n"),
+        (dict(num_hashes=64), "num_hashes"),
+        (dict(bands=8), "bands"),
+    ]:
+        with pytest.raises(ValueError, match=key):
+            incremental_near_dups(
+                batch, None, corpus_bands=rb, corpus_sets=rs, **bad_kwargs
+            )
+    # an UNSTAMPED state (other producer / pre-stamp artifact) still works:
+    # strip the metadata by rebuilding the columns, expect no raise
+    rb_plain = rb.select(
+        "corpus_id", "band_idx", (F.col("band_hash") + 0).alias("band_hash")
+    )
+    rs_plain = rs.select(
+        "corpus_id", F.concat(F.col("shingles")).alias("shingles")
+    )
+    unstamped = sorted(
+        map(
+            tuple,
+            incremental_near_dups(
+                batch, None, threshold=0.6,
+                corpus_bands=rb_plain, corpus_sets=rs_plain,
+            ).collect(),
+        )
+    )
+    assert unstamped == fresh
