@@ -1476,3 +1476,120 @@ def substring_duplication(
             ).alias("dup_frac"),
         )
     )
+
+
+def remove_duplicate_blocks(
+    df: DataFrame,
+    block_words: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-level duplicate-BLOCK removal — the C4-style rewrite step
+    that deletes repeated boilerplate spans from every document, keeping
+    exactly one global first occurrence of each span. Documents are cut
+    into consecutive non-overlapping ``block_words``-token blocks (the
+    trailing partial block is always kept — it identifies no reusable
+    span); a block is kept iff its (doc, position) is the GLOBAL first
+    occurrence of that block text, ordered by (``id_col``, position).
+    Unlike :func:`substring_duplication` (a per-doc duplication PROFILE),
+    this returns the rewritten corpus: (id, n_blocks, n_kept,
+    clean_text) with clean_text = kept blocks + trailing remainder
+    re-joined in original order.
+
+    Scale design: first-occurrence resolution is a ``groupBy(block)``
+    with ``min(struct(doc, pos))`` — an aggregate, NOT a window, so hot
+    blocks (the boilerplate this operator exists for) collapse map-side
+    via partial aggregation instead of funnelling every occurrence
+    through one window task. The join back is keyed by block text with
+    exactly one row per block on the build side, so residual skew sits
+    on the probe side where AQE skew-join splits it. Reassembly is one
+    (doc) aggregation over kept blocks. Three shuffles total, all keyed,
+    none corpus-wide-windowed; at petabyte scale key the exchanges by a
+    block digest instead of the text to narrow the shuffle rows (the
+    digest is an internal key here, so engine-native hashing would do —
+    kept as text in this reference implementation for cross-engine
+    verifiability).
+    """
+    if block_words <= 0:
+        raise ValueError(f"block_words must be positive, got {block_words}")
+    toks = F.split(F.col(text_col), " ")
+    n_tok = F.size(toks)
+    n_blocks = F.floor(n_tok / block_words).cast("int")
+    block_at = lambda i: F.array_join(  # noqa: E731
+        F.slice(toks, i * block_words + 1, block_words), " "
+    )
+    base = df.select(
+        F.col(id_col),
+        toks.alias("__toks"),
+        n_tok.alias("__n_tok"),
+        n_blocks.alias("__nb"),
+    )
+    # one row per full block; docs shorter than one block contribute none
+    # (sequence(0, -1) would DESCEND, hence the explicit empty guard)
+    occurrences = base.select(
+        F.col(id_col),
+        F.posexplode(
+            F.when(
+                F.col("__nb") > 0,
+                F.transform(
+                    F.sequence(F.lit(0), F.col("__nb") - 1),
+                    lambda i: F.array_join(
+                        F.slice(F.col("__toks"), i * block_words + 1, block_words),
+                        " ",
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("pos", "block"),
+    )
+    firsts = occurrences.groupBy("block").agg(
+        F.min(F.struct(F.col(id_col).alias("d"), F.col("pos").alias("p"))).alias(
+            "__first"
+        )
+    )
+    kept = (
+        occurrences.join(firsts, "block")
+        .filter(
+            (F.col("__first")["d"] == F.col(id_col))
+            & (F.col("__first")["p"] == F.col("pos"))
+        )
+        .select(id_col, "pos", "block")
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("pos"), F.col("block")))
+                ),
+                lambda t: t["block"],
+            ),
+            " ",
+        ).alias("__kept_text"),
+    )
+    remainder = F.array_join(
+        F.slice(
+            F.col("__toks"),
+            F.col("__nb") * block_words + 1,
+            F.col("__n_tok") - F.col("__nb") * block_words,
+        ),
+        " ",
+    )
+    return (
+        base.join(rebuilt, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("__nb").cast("bigint").alias("n_blocks"),
+            F.coalesce(F.col("n_kept"), F.lit(0).cast("bigint")).alias("n_kept"),
+            F.concat_ws(
+                " ",
+                F.coalesce(F.col("__kept_text"), F.lit("")),
+                remainder,
+            ).alias("__joined"),
+        )
+        .select(
+            id_col,
+            "n_blocks",
+            "n_kept",
+            F.trim(F.col("__joined")).alias("clean_text"),
+        )
+    )

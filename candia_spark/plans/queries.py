@@ -3231,6 +3231,148 @@ def q67_knn_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cluster_nearest_neighbors(emb, k=8, iters=3, scale=1000, probes=2)
 
 
+_Q68_BW = 8
+
+
+@register(
+    "q68_remove_dup_blocks",
+    oracle=f"""
+    WITH aug AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id, text FROM documents
+        WHERE doc_id % 3 = 0),
+    meta AS (
+        SELECT doc_id, string_split(text, ' ') AS t,
+               len(string_split(text, ' ')) AS n_tok,
+               CAST(floor(len(string_split(text, ' ')) / {_Q68_BW}) AS INT) AS nb
+        FROM aug),
+    occ AS (
+        SELECT doc_id, i AS pos,
+               array_to_string(
+                   list_slice(t, i*{_Q68_BW} + 1, i*{_Q68_BW} + {_Q68_BW}),
+                   ' ') AS block
+        FROM meta,
+             unnest(CASE WHEN nb > 0 THEN generate_series(0, nb - 1)
+                         ELSE [] END) AS u(i)),
+    firsts AS (
+        SELECT block, min(doc_id * 1000000 + pos) AS first_key
+        FROM occ GROUP BY block),
+    kept AS (
+        SELECT o.doc_id, o.pos, o.block
+        FROM occ o JOIN firsts f USING (block)
+        WHERE o.doc_id * 1000000 + o.pos = f.first_key),
+    rebuilt AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+               string_agg(block, ' ' ORDER BY pos) AS kept_text
+        FROM kept GROUP BY doc_id)
+    SELECT m.doc_id, CAST(m.nb AS BIGINT) AS n_blocks,
+           COALESCE(r.n_kept, 0) AS n_kept,
+           md5(trim(concat_ws(' ', COALESCE(r.kept_text, ''),
+                array_to_string(list_slice(m.t, m.nb*{_Q68_BW} + 1, m.n_tok),
+                                ' ')))) AS clean_md5
+    FROM meta m LEFT JOIN rebuilt r USING (doc_id)
+    """,
+    survey_ref="duplicate-span removal (north star: C4-style corpus rewrite)",
+)
+def q68_remove_dup_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level duplicate-block removal
+    (operators.dedup.remove_duplicate_blocks): the corpus plus an
+    exact-duplicate slice (every doc_id % 3 == 0, re-identified) is cut
+    into 8-word blocks and every repeated block keeps only its global
+    (doc_id, pos)-first occurrence — the C4-style boilerplate REWRITE
+    step, distinct from q55's duplication profile. The injected
+    duplicates certify the removal path (their n_kept collapses to 0);
+    clean_md5 hash-gates the full rewritten text of every document.
+    The hot-block first-occurrence resolution is an aggregate (map-side
+    combinable), not a corpus window."""
+    from candia_spark.operators.dedup import remove_duplicate_blocks
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    aug = docs.unionByName(
+        docs.filter(F.col("doc_id") % 3 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        )
+    )
+    return remove_duplicate_blocks(aug, block_words=_Q68_BW).select(
+        "doc_id",
+        "n_blocks",
+        "n_kept",
+        F.md5(F.col("clean_text").cast("binary")).alias("clean_md5"),
+    )
+
+
+_Q69_TERMS = ["spark", "window", "vector"]
+
+
+def _q69_oracle() -> str:
+    from candia_spark.operators.retrieval import bm25_oracle_sql
+
+    return bm25_oracle_sql("documents", _Q69_TERMS, k=15)
+
+
+@register(
+    "q69_bm25_topk",
+    oracle=_q69_oracle(),
+    survey_ref="keyword retrieval (north star: corpus search / example mining)",
+)
+def q69_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-free BM25 top-k retrieval (operators.retrieval.bm25_topk):
+    rank documents for a 3-term probe query. Zero corpus shuffles —
+    per-term tf is a pure array map, the corpus statistics ride in one
+    broadcast row, and the top-k is TakeOrderedAndProject. The oracle is
+    GENERATED from the same parameters by bm25_oracle_sql, so the two
+    double expression trees are structurally identical (the engine-exact
+    +,-,*,/ subset; the idf keeps its odds form unlogged)."""
+    from candia_spark.operators.retrieval import bm25_topk
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return bm25_topk(docs, _Q69_TERMS, k=15)
+
+
+@register(
+    "q70_ngram_novelty",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, source,
+               list_filter(string_split(text, ' '), x -> x <> '') AS t
+        FROM documents),
+    grams AS (
+        SELECT doc_id, source,
+               CASE WHEN len(t) >= 2
+                    THEN list_transform(generate_series(1, len(t) - 1),
+                                        i -> t[i] || ' ' || t[i+1])
+                    ELSE [] END AS gs
+        FROM toks),
+    occ AS (SELECT doc_id, unnest(gs) AS g FROM grams),
+    vocab AS (SELECT DISTINCT unnest(gs) AS g FROM grams WHERE source = 'src0'),
+    unseen AS (
+        SELECT o.doc_id, CAST(COUNT(*) AS BIGINT) AS n_unseen
+        FROM occ o LEFT JOIN vocab v USING (g)
+        WHERE v.g IS NULL GROUP BY o.doc_id)
+    SELECT g.doc_id, CAST(len(g.gs) AS BIGINT) AS n_grams,
+           COALESCE(u.n_unseen, 0) AS n_unseen,
+           CASE WHEN len(g.gs) > 0
+                THEN CAST(COALESCE(u.n_unseen, 0) AS DOUBLE)
+                     / CAST(len(g.gs) AS DOUBLE) END AS novelty
+    FROM grams g LEFT JOIN unseen u USING (doc_id)
+    """,
+    survey_ref="reference-corpus novelty scoring (north star: LM-free quality gate)",
+)
+def q70_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram novelty against the src0 reference slice
+    (operators.retrieval.ngram_novelty): per document, the fraction of
+    bigram occurrences never seen in any src0 document — the KenLM-ish
+    "unlike the trusted corpus" gate with exact integer counts and one
+    exact division (no order-dependent float sums, no logs). The
+    reference vocabulary broadcasts (census-budget contract shared with
+    q52's TF-IDF); src0 documents certify the zero boundary."""
+    from candia_spark.operators.retrieval import ngram_novelty
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    return ngram_novelty(docs, F.col("source") == "src0")
+
+
 # --- Driver certification window (verdict r5 #2) -------------------------
 # The per-round driver correctness artifact certifies the FIRST 50
 # registry entries, and queries()/oracle_sql() preserve this dict's
@@ -3242,6 +3384,9 @@ def q67_knn_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
 # sampling, percentiles, curate_corpus) sit INSIDE the driver-checked
 # window. Registry contents are unchanged — order only.
 _DRIVER_WINDOW_TAIL = [
+    "q08_histogram_cutoff",
+    "q09_band_join",
+    "q15_count_distinct_argmax",
     "q02_interval_join",
     "q22_asof_join",
     "q03_window_adjust",

@@ -1,0 +1,165 @@
+"""Retrieval & reference-scoring operators (operators.retrieval) plus the
+duplicate-block corpus rewrite (operators.dedup.remove_duplicate_blocks).
+Query-level cross-engine parity is q68/q69/q70's oracle gate; these pin
+the semantics on constructed corpora and the scale-critical plan shapes."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from candia_spark.operators.dedup import remove_duplicate_blocks
+from candia_spark.operators.retrieval import bm25_topk, ngram_novelty
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def _plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+# --------------------------------------------------------------- BM25
+
+
+def test_bm25_ranks_relevant_first_and_breaks_ties_by_id(spark):
+    rows = [
+        (1, "cat dog bird"),
+        (2, "cat cat cat dog"),  # most term mass, same length ballpark
+        (3, "fish fish fish"),  # no query terms -> excluded
+        (4, "cat dog bird"),  # identical to doc 1 -> tie, id order
+    ]
+    out = bm25_topk(_docs(spark, rows), ["cat", "dog"], k=10).collect()
+    ids = [r["doc_id"] for r in out]
+    assert 3 not in ids  # zero-match docs never appear
+    assert ids[0] == 2  # highest tf wins on this corpus
+    # docs 1 and 4 have identical tf/dl -> identical score -> id ascending
+    assert ids.index(1) < ids.index(4)
+    assert out[0]["tf_cat"] == 3 and out[0]["tf_dog"] == 1 and out[0]["dl"] == 4
+
+
+def test_bm25_k_truncates_deterministically(spark):
+    rows = [(i, "cat x y z") for i in range(20)]
+    out = bm25_topk(_docs(spark, rows), ["cat"], k=5).collect()
+    # all 20 tie exactly -> the k smallest ids are the reproducible set
+    assert sorted(r["doc_id"] for r in out) == [0, 1, 2, 3, 4]
+
+
+def test_bm25_validation(spark):
+    d = _docs(spark, [(1, "a b")])
+    with pytest.raises(ValueError, match="non-empty"):
+        bm25_topk(d, [])
+    with pytest.raises(ValueError, match="distinct"):
+        bm25_topk(d, ["a", "a"])
+    with pytest.raises(ValueError, match="positive"):
+        bm25_topk(d, ["a"], k=0)
+
+
+def test_bm25_plan_shape(spark):
+    """Scale contract: no corpus hash-exchange anywhere — per-term tf is
+    an array map, the stats row broadcasts, and the top-k is
+    TakeOrderedAndProject (partition heads, not a global sort)."""
+    rows = [(i, "cat dog x") for i in range(50)]
+    plan = _plan_of(bm25_topk(_docs(spark, rows), ["cat", "dog"], k=3))
+    assert "TakeOrderedAndProject" in plan
+    assert "hashpartitioning" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+# ------------------------------------------------------- n-gram novelty
+
+
+def test_ngram_novelty_counts_occurrences_not_types(spark):
+    rows = [
+        (1, "a b c"),  # reference: vocab {a b, b c}
+        (2, "a b z q a b z q"),  # grams: ab bz zq qa ab bz zq -> unseen all but 2x'a b'
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in ngram_novelty(
+            _docs(spark, rows), F.col("doc_id") == 1
+        ).collect()
+    }
+    assert out[1]["n_grams"] == 2 and out[1]["n_unseen"] == 0
+    assert out[1]["novelty"] == 0.0
+    # doc 2: 7 bigram positions, the two 'a b' occurrences are seen,
+    # every other POSITION (including the repeated 'b z'/'z q') is unseen
+    assert out[2]["n_grams"] == 7 and out[2]["n_unseen"] == 5
+    assert out[2]["novelty"] == 5.0 / 7.0
+
+
+def test_ngram_novelty_short_docs_and_modes(spark):
+    rows = [(1, "hello"), (2, "hello world"), (3, "x y")]
+    ref = F.col("doc_id") == 3
+    out = {
+        r["doc_id"]: r for r in ngram_novelty(_docs(spark, rows), ref).collect()
+    }
+    assert out[1]["n_grams"] == 0 and out[1]["novelty"] is None
+    assert out[2]["n_grams"] == 1 and out[2]["n_unseen"] == 1
+    # shuffle-join mode returns the identical result
+    a = sorted(
+        map(tuple, ngram_novelty(_docs(spark, rows), ref).collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            ngram_novelty(
+                _docs(spark, rows), ref, broadcast_vocab=False
+            ).collect(),
+        )
+    )
+    assert a == b
+    with pytest.raises(ValueError, match="positive"):
+        ngram_novelty(_docs(spark, rows), ref, n=0)
+
+
+# ------------------------------------------------- duplicate-block removal
+
+
+def test_remove_duplicate_blocks_semantics(spark):
+    w8 = "w1 w2 w3 w4"  # one 4-word block with block_words=4
+    rows = [
+        (1, f"{w8} tail1 tail2"),  # first occurrence + remainder
+        (2, f"{w8} other text here x"),  # duplicate block, own 2nd block... no: 8 tokens = 2 blocks
+        (3, f"pre1 pre2 pre3 pre4 {w8}"),  # duplicate at pos 1
+        (4, "short text"),  # < block_words: everything is remainder
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in remove_duplicate_blocks(
+            _docs(spark, rows), block_words=4
+        ).collect()
+    }
+    # doc 1 keeps its block and its remainder untouched
+    assert out[1]["n_blocks"] == 1 and out[1]["n_kept"] == 1
+    assert out[1]["clean_text"] == f"{w8} tail1 tail2"
+    # doc 2: block 0 is a duplicate (doc 1 owns it), block 1 survives
+    assert out[2]["n_blocks"] == 2 and out[2]["n_kept"] == 1
+    assert out[2]["clean_text"] == "other text here x"
+    # doc 3: its first block is novel, second is the duplicate
+    assert out[3]["n_blocks"] == 2 and out[3]["n_kept"] == 1
+    assert out[3]["clean_text"] == "pre1 pre2 pre3 pre4"
+    # doc 4: too short for any block — rewritten text is the original
+    assert out[4]["n_blocks"] == 0 and out[4]["n_kept"] == 0
+    assert out[4]["clean_text"] == "short text"
+
+
+def test_remove_duplicate_blocks_within_doc_and_validation(spark):
+    # the same block twice INSIDE one document: position order decides
+    rows = [(7, "a b a b c d")]
+    out = remove_duplicate_blocks(_docs(spark, rows), block_words=2).collect()[0]
+    assert out["n_blocks"] == 3 and out["n_kept"] == 2
+    assert out["clean_text"] == "a b c d"
+    with pytest.raises(ValueError, match="positive"):
+        remove_duplicate_blocks(_docs(spark, rows), block_words=0)
+
+
+def test_remove_duplicate_blocks_first_occurrence_is_aggregate(spark):
+    """Scale contract: first-occurrence resolution must be a partial-agg
+    groupBy (hot boilerplate blocks collapse map-side), never a window
+    over the block partition (one task per hot block)."""
+    rows = [(i, "dup dup dup dup extra%d" % i) for i in range(30)]
+    plan = _plan_of(remove_duplicate_blocks(_docs(spark, rows), block_words=4))
+    assert "Window" not in plan
+    assert "partial_min" in plan or "partial" in plan.lower()
