@@ -1518,11 +1518,16 @@ def remove_duplicate_blocks(
     block_at = lambda i: F.array_join(  # noqa: E731
         F.slice(toks, i * block_words + 1, block_words), " "
     )
-    base = df.select(
-        F.col(id_col),
-        toks.alias("__toks"),
-        n_tok.alias("__n_tok"),
-        n_blocks.alias("__nb"),
+    # the tokenized base feeds TWO branches (the occurrence explode and
+    # the final reassembly join) — cut it once so the corpus splits one
+    # time, not once per branch (the q55 per_doc doctrine)
+    base = _materialize(
+        df.select(
+            F.col(id_col),
+            toks.alias("__toks"),
+            n_tok.alias("__n_tok"),
+            n_blocks.alias("__nb"),
+        )
     )
     # one row per full block; docs shorter than one block contribute none
     # (sequence(0, -1) would DESCEND, hence the explicit empty guard)
