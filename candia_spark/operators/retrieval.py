@@ -245,10 +245,18 @@ def ngram_novelty(
             lambda i: F.array_join(F.slice(toks, i, n), " "),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    base = df.select(
-        F.col(id_col),
-        reference.alias("__ref"),
-        grams.alias("__grams"),
+    from candia_spark.operators.dedup import _materialize
+
+    # the gram-array scan feeds THREE branches (per-doc totals, the
+    # occurrence explode, the reference vocabulary) — cut it once so the
+    # corpus tokenizes and gram-builds one time (materialize doctrine;
+    # measured 4.0 -> ~1.5 s at sf0.1)
+    base = _materialize(
+        df.select(
+            F.col(id_col),
+            reference.alias("__ref"),
+            grams.alias("__grams"),
+        )
     )
     per_doc = base.select(
         F.col(id_col), F.size("__grams").cast("bigint").alias("n_grams")
