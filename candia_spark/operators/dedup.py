@@ -1598,3 +1598,59 @@ def remove_duplicate_blocks(
             F.trim(F.col("__joined")).alias("clean_text"),
         )
     )
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    n: int = 2,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    candidates: DataFrame | None = None,
+    index: DataFrame | None = None,
+    max_shingle_df: int | None = None,
+    max_shingle_frac: float | None = None,
+) -> DataFrame:
+    """Near-CONTAINMENT pairs over word n-gram shingle sets: the overlap
+    coefficient |A∩B| / min(|A|, |B|) >= ``threshold``, id_a < id_b —
+    the asymmetric-duplication detector Jaccard structurally misses. A
+    short document embedded verbatim in a much longer one (a quoted
+    article, a boilerplate header, a dataset README pasted into a bigger
+    file) has overlap ~1.0 but Jaccard ~|A|/|B|, far below any sane
+    near-dup threshold; corpus dedup that only thresholds Jaccard keeps
+    both copies. Output: (id_a, id_b, n_common, size_a, size_b,
+    jaccard, containment) — the jaccard the pair WOULD have scored rides
+    along so the miss is auditable.
+
+    Composition: the exact pair machinery is :func:`ngram_jaccard_pairs`
+    run unthresholded (its plain inverted-index join already produces
+    every co-shingled pair with n_common/sizes; only the final metric
+    differs), so all of that operator's scale contracts — shared
+    ``index``, hot-shingle caps, the AQE-expansion parallelism pin, the
+    candidates-mode array-intersect verify — apply unchanged. The
+    AllPairs PREFIX filter is deliberately NOT offered here: its pruning
+    bound is derived from the Jaccard threshold and does not hold for
+    containment (a pair can have overlap 1.0 at arbitrarily small
+    Jaccard), so standalone mode always runs the plain join. At corpus
+    scale, generate candidates with :func:`minhash_lsh_pairs` against a
+    LOW estimated-Jaccard floor (or band the shorter side only) and pass
+    them as ``candidates``.
+    """
+    pairs = ngram_jaccard_pairs(
+        df,
+        n=n,
+        threshold=0.0,
+        text_col=text_col,
+        id_col=id_col,
+        candidates=candidates,
+        index=index,
+        max_shingle_df=max_shingle_df,
+        max_shingle_frac=max_shingle_frac,
+        **({} if candidates is not None else {"prefix_filter": False}),
+    )
+    return pairs.withColumn(
+        "containment",
+        (
+            F.col("n_common") / F.least(F.col("size_a"), F.col("size_b"))
+        ).cast("double"),
+    ).filter(F.col("containment") >= threshold)

@@ -3373,6 +3373,84 @@ def q70_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_novelty(docs, F.col("source") == "src0")
 
 
+@register(
+    "q71_containment_pairs",
+    # corpus + quarter-length prefix fragments of every 7th doc: the
+    # fragment's bigram set is a subset of its parent's, so the pair
+    # scores containment 1.0 at Jaccard ~0.25 — below q26's 0.35 gate,
+    # which is precisely the asymmetric-duplication blind spot this
+    # operator closes
+    oracle="""
+    WITH lt AS (
+        SELECT doc_id,
+               list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+        FROM documents),
+    aug AS (
+        SELECT doc_id, array_to_string(t, ' ') AS text FROM lt
+        UNION ALL
+        SELECT doc_id + 2000000 AS doc_id,
+               array_to_string(
+                   list_slice(t, 1, greatest(CAST(floor(len(t) / 4) AS INT), 3)),
+                   ' ') AS text
+        FROM lt WHERE doc_id % 7 = 0),
+    toks AS (
+        SELECT doc_id,
+               list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+        FROM aug),
+    sh AS (
+        SELECT DISTINCT doc_id, t[i] || chr(31) || t[i+1] AS shingle
+        FROM toks, UNNEST(generate_series(1, greatest(len(t) - 1, 0))) AS u(i)),
+    sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+    SELECT id_a, id_b, n_common,
+           sa.set_size AS size_a, sb.set_size AS size_b,
+           CAST(CAST(n_common AS DOUBLE)
+                / (sa.set_size + sb.set_size - n_common) AS DOUBLE) AS jaccard,
+           CAST(CAST(n_common AS DOUBLE)
+                / least(sa.set_size, sb.set_size) AS DOUBLE) AS containment
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(CAST(n_common AS DOUBLE)
+               / least(sa.set_size, sb.set_size) AS DOUBLE) >= 0.9
+    """,
+    survey_ref="asymmetric near-containment dedup (north star)",
+)
+def q71_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlap-coefficient containment pairs
+    (operators.dedup.ngram_containment_pairs): the corpus plus verbatim
+    quarter-length prefix fragments (every 7th doc, re-identified). Each
+    fragment scores containment ~1.0 against its parent at Jaccard ~0.25
+    — under q26's 0.35 threshold, so this certifies the detector for the
+    contained-duplicate class Jaccard misses. The jaccard column rides
+    along to make that gap auditable."""
+    from candia_spark.operators.dedup import ngram_containment_pairs
+
+    lt = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.filter(
+            F.split(F.lower(F.col("text")), " "), lambda t: t != ""
+        ).alias("t"),
+    )
+    frag_len = F.greatest(
+        F.floor(F.size("t") / 4).cast("int"), F.lit(3)
+    )
+    aug = lt.select(
+        "doc_id", F.array_join("t", " ").alias("text")
+    ).unionByName(
+        lt.filter(F.col("doc_id") % 7 == 0).select(
+            (F.col("doc_id") + 2000000).alias("doc_id"),
+            F.array_join(F.slice(F.col("t"), F.lit(1), frag_len), " ").alias(
+                "text"
+            ),
+        )
+    )
+    return ngram_containment_pairs(aug, n=2, threshold=0.9)
+
+
 # --- Driver certification window (verdict r5 #2) -------------------------
 # The per-round driver correctness artifact certifies the FIRST 50
 # registry entries, and queries()/oracle_sql() preserve this dict's
@@ -3384,6 +3462,7 @@ def q70_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 # sampling, percentiles, curate_corpus) sit INSIDE the driver-checked
 # window. Registry contents are unchanged — order only.
 _DRIVER_WINDOW_TAIL = [
+    "q07_model_spectrum_index",
     "q08_histogram_cutoff",
     "q09_band_join",
     "q15_count_distinct_argmax",

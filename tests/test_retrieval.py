@@ -163,3 +163,68 @@ def test_remove_duplicate_blocks_first_occurrence_is_aggregate(spark):
     plan = _plan_of(remove_duplicate_blocks(_docs(spark, rows), block_words=4))
     assert "Window" not in plan
     assert "partial_min" in plan or "partial" in plan.lower()
+
+
+# ------------------------------------------------- containment pairs
+
+
+def test_containment_catches_what_jaccard_misses(spark):
+    """A short doc embedded verbatim in a long one: overlap ~1.0 while
+    Jaccard ~|A|/|B| — q71's oracle certifies the full metric; this pins
+    the semantic point on a constructed pair plus the threshold edge."""
+    from candia_spark.operators.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    long_text = " ".join(f"w{i}" for i in range(40))
+    short_text = " ".join(f"w{i}" for i in range(10))  # strict prefix
+    rows = [
+        (1, long_text),
+        (2, short_text),
+        (3, "entirely different tokens here right now"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id bigint, text string")
+    cont = {
+        (r["id_a"], r["id_b"]): r
+    for r in ngram_containment_pairs(d, threshold=0.9).collect()
+    }
+    assert (1, 2) in cont
+    pair = cont[(1, 2)]
+    # 9 of the short doc's 9 bigrams appear in the long doc
+    assert pair["containment"] == 1.0
+    assert pair["jaccard"] == 9.0 / 39.0  # would be missed at any sane tau
+    # the jaccard operator at a typical near-dup threshold indeed misses it
+    jac = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(d, threshold=0.35).collect()
+    }
+    assert (1, 2) not in jac
+    # unrelated docs stay unpaired
+    assert all(3 not in k for k in cont)
+
+
+def test_containment_candidates_mode_matches_standalone(spark):
+    from candia_spark.operators.dedup import ngram_containment_pairs
+
+    rows = [
+        (i, " ".join(f"t{i}_{j}" for j in range(12)) + " shared common tail")
+        for i in range(6)
+    ]
+    d = spark.createDataFrame(rows, "doc_id bigint, text string")
+    standalone = sorted(
+        map(tuple, ngram_containment_pairs(d, threshold=0.1).collect())
+    )
+    all_pairs = spark.createDataFrame(
+        [(a, b) for a in range(6) for b in range(a + 1, 6)],
+        "id_a bigint, id_b bigint",
+    )
+    cand = sorted(
+        map(
+            tuple,
+            ngram_containment_pairs(
+                d, threshold=0.1, candidates=all_pairs
+            ).collect(),
+        )
+    )
+    assert cand == standalone and len(standalone) > 0
