@@ -1654,3 +1654,112 @@ def ngram_containment_pairs(
             F.col("n_common") / F.least(F.col("size_a"), F.col("size_b"))
         ).cast("double"),
     ).filter(F.col("containment") >= threshold)
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    n: int = 2,
+    window: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD'03 — the MOSS algorithm): per document, the DISTINCT set of
+    per-window minimum n-gram digests, one row (id, fp) each. Every
+    ``window`` consecutive n-gram hashes contribute their minimum, which
+    guarantees any shared run of ``window + n - 1`` tokens between two
+    documents shares at least one fingerprint — position-local matching
+    that survives surrounding edits, where MinHash (a global set sketch)
+    dilutes local overlap into the whole-document similarity.
+
+    The digest is md5 (cross-engine exact, lexicographic min — gated
+    outputs never ride on engine-private hash functions); a production
+    deployment on one engine would swap in xxhash64 for narrower rows.
+
+    Scale: a pure map (tokens → gram digests → sliding window minima →
+    array_distinct) followed by one explode — no shuffle at all. The
+    emitted index is a ~2/(window+1)-density subsample of the full
+    shingle index, which is the whole point: downstream pair generation
+    runs on an index ``(window+1)/2``× smaller than
+    :func:`shingle_index` at equal corpus size.
+
+    Documents with fewer than ``n`` tokens emit nothing; documents with
+    fewer grams than ``window`` emit the minimum of what exists (one
+    degenerate window)."""
+    if n <= 0 or window <= 0:
+        raise ValueError(f"n and window must be positive, got n={n} window={window}")
+    toks = tokens_col(text_col)
+    hashes = F.transform(
+        _shingle_array(toks, n), lambda s: F.md5(s.cast("binary"))
+    )
+    n_h = F.size(hashes)
+    mins = F.transform(
+        F.sequence(F.lit(1), F.greatest(n_h - (window - 1), F.lit(1))),
+        lambda j: F.array_min(F.slice(hashes, j, window)),
+    )
+    fps = F.when(n_h > 0, F.array_distinct(mins)).otherwise(
+        F.array().cast("array<string>")
+    )
+    return df.select(F.col(id_col), F.explode(fps).alias("fp"))
+
+
+def winnow_fingerprint_pairs(
+    df: DataFrame,
+    n: int = 2,
+    window: int = 4,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    fingerprints: DataFrame | None = None,
+) -> DataFrame:
+    """Document pairs sharing winnowed fingerprints: (id_a, id_b,
+    n_shared, fp_a, fp_b, overlap) with overlap = n_shared /
+    min(fp_a, fp_b) >= ``threshold``, id_a < id_b — MOSS-style local
+    plagiarism/splice detection. A document spliced together from parts
+    of others scores high overlap against EACH parent (every shared
+    ``window + n - 1``-token run guarantees a shared fingerprint), while
+    whole-set sketches see only diluted similarity.
+
+    Same inverted-index pair shape as :func:`ngram_jaccard_pairs`' plain
+    mode — groupBy partial-agg pair counts, sizes broadcast-joined after
+    the aggregation, AQE-expansion parallelism pin — but running on the
+    winnowed index, a ~(window+1)/2× subsample of the full shingle
+    index, so the join mass shrinks quadratically in the density while
+    the local-match guarantee holds. Pass ``fingerprints`` (a persisted
+    :func:`winnow_fingerprints`) to reuse an existing index."""
+    fp = (
+        fingerprints
+        if fingerprints is not None
+        else winnow_fingerprints(df, n, window, text_col, id_col)
+    )
+    sizes = fp.groupBy(id_col).agg(F.count(F.lit(1)).alias("fp_n"))
+    par = 2 * fp.sparkSession.sparkContext.defaultParallelism
+    a = fp.repartition(par, "fp").select(F.col(id_col).alias("id_a"), "fp")
+    b = fp.select(F.col(id_col).alias("id_b"), "fp")
+    pair_counts = (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+    )
+    out = (
+        pair_counts.join(
+            sizes.select(F.col(id_col).alias("id_a"), F.col("fp_n").alias("fp_a")),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col(id_col).alias("id_b"), F.col("fp_n").alias("fp_b")),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "n_shared",
+            F.col("fp_a").cast("bigint").alias("fp_a"),
+            F.col("fp_b").cast("bigint").alias("fp_b"),
+            (F.col("n_shared") / F.least("fp_a", "fp_b"))
+            .cast("double")
+            .alias("overlap"),
+        )
+    )
+    return out.filter(F.col("overlap") >= threshold)

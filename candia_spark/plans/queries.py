@@ -3451,6 +3451,111 @@ def q71_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_containment_pairs(aug, n=2, threshold=0.9)
 
 
+@register(
+    "q72_winnow_splice_pairs",
+    # corpus + spliced mashups (first half of every 9th doc + second half
+    # of its successor, re-identified): winnowing's guarantee — any shared
+    # run of window+n-1 tokens shares a fingerprint — makes the splice
+    # score high overlap against EACH parent, the local-match class that
+    # whole-set sketches dilute
+    oracle="""
+    WITH lt AS (
+        SELECT doc_id,
+               list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+        FROM documents),
+    spl AS (
+        SELECT a.doc_id + 3000000 AS doc_id,
+               array_to_string(list_slice(a.t, 1,
+                   CAST(floor(len(a.t) / 2) AS INT)), ' ')
+               || ' ' ||
+               array_to_string(list_slice(b.t,
+                   CAST(floor(len(b.t) / 2) AS INT) + 1, len(b.t)), ' ')
+               AS text
+        FROM lt a JOIN lt b ON b.doc_id = a.doc_id + 1
+        WHERE a.doc_id % 9 = 0),
+    aug AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL SELECT doc_id, text FROM spl),
+    toks AS (
+        SELECT doc_id,
+               list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+        FROM aug),
+    hashes AS (
+        SELECT doc_id,
+               list_transform(generate_series(1, greatest(len(t) - 2, 0)),
+                   i -> md5(t[i] || chr(31) || t[i+1] || chr(31) || t[i+2]))
+               AS h
+        FROM toks),
+    fps AS (
+        SELECT DISTINCT doc_id, unnest(
+            CASE WHEN len(h) > 0 THEN list_distinct(
+                list_transform(generate_series(1, greatest(len(h) - 3, 1)),
+                    j -> list_min(list_slice(h, j, j + 3))))
+            ELSE [] END) AS fp
+        FROM hashes),
+    sizes AS (SELECT doc_id, COUNT(*) AS fp_n FROM fps GROUP BY doc_id),
+    pair_counts AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(COUNT(*) AS BIGINT) AS n_shared
+        FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+    SELECT id_a, id_b, n_shared,
+           CAST(sa.fp_n AS BIGINT) AS fp_a, CAST(sb.fp_n AS BIGINT) AS fp_b,
+           CAST(CAST(n_shared AS DOUBLE) / least(sa.fp_n, sb.fp_n) AS DOUBLE)
+               AS overlap
+    FROM pair_counts
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(CAST(n_shared AS DOUBLE) / least(sa.fp_n, sb.fp_n) AS DOUBLE)
+          >= 0.3
+    """,
+    survey_ref="winnowing fingerprints (north star: MOSS-style splice detection)",
+)
+def q72_winnow_splice_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowed-fingerprint pair detection
+    (operators.dedup.winnow_fingerprint_pairs, Schleimer et al.
+    SIGMOD'03): the corpus plus spliced mashup documents (first half of
+    every 9th doc + second half of its successor). Each splice shares
+    long token runs with BOTH parents, and winnowing's window-minimum
+    guarantee turns every shared (window+n-1)-token run into a shared
+    fingerprint — the position-local match class that global set
+    sketches (MinHash/SimHash) dilute. Fingerprints are md5 digests
+    (cross-engine lexicographic min); the pair scan runs on the winnowed
+    index, a ~(window+1)/2x subsample of the full shingle index."""
+    from candia_spark.operators.dedup import winnow_fingerprint_pairs
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    lt = docs.select(
+        "doc_id",
+        F.filter(F.split(F.lower("text"), " "), lambda t: t != "").alias("t"),
+    )
+    l2 = lt.select(
+        (F.col("doc_id") - 1).alias("join_id"), F.col("t").alias("t2")
+    )
+    half1 = F.array_join(
+        F.slice("t", F.lit(1), F.floor(F.size("t") / 2).cast("int")), " "
+    )
+    half2 = F.array_join(
+        F.slice(
+            F.col("t2"),
+            F.floor(F.size("t2") / 2).cast("int") + 1,
+            F.size("t2") - F.floor(F.size("t2") / 2).cast("int"),
+        ),
+        " ",
+    )
+    spl = (
+        lt.filter(F.col("doc_id") % 9 == 0)
+        .join(l2, F.col("doc_id") == F.col("join_id"))
+        .select(
+            (F.col("doc_id") + 3000000).alias("doc_id"),
+            F.concat(half1, F.lit(" "), half2).alias("text"),
+        )
+    )
+    return winnow_fingerprint_pairs(
+        docs.unionByName(spl), n=3, window=4, threshold=0.3
+    )
+
+
 # --- Driver certification window (verdict r5 #2) -------------------------
 # The per-round driver correctness artifact certifies the FIRST 50
 # registry entries, and queries()/oracle_sql() preserve this dict's
@@ -3462,6 +3567,7 @@ def q71_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # sampling, percentiles, curate_corpus) sit INSIDE the driver-checked
 # window. Registry contents are unchanged — order only.
 _DRIVER_WINDOW_TAIL = [
+    "q12_star_join_revenue",
     "q07_model_spectrum_index",
     "q08_histogram_cutoff",
     "q09_band_join",

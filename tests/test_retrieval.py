@@ -228,3 +228,62 @@ def test_containment_candidates_mode_matches_standalone(spark):
         )
     )
     assert cand == standalone and len(standalone) > 0
+
+
+# ------------------------------------------------- winnowing fingerprints
+
+
+def test_winnowing_shared_run_guarantee(spark):
+    """The MOSS guarantee: any shared run of window+n-1 tokens yields at
+    least one shared fingerprint — even when everything AROUND the run
+    differs, the class of local match global sketches dilute."""
+    from candia_spark.operators.dedup import (
+        winnow_fingerprint_pairs,
+        winnow_fingerprints,
+    )
+
+    run = "alpha beta gamma delta epsilon zeta"  # 6 tokens = window+n-1 (4+3-1)
+    rows = [
+        (1, f"xx1 yy1 zz1 {run} aa1 bb1 cc1"),
+        (2, f"pp2 qq2 {run} rr2 ss2 tt2 uu2"),
+        (3, "totally unrelated words only here now friends"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id bigint, text string")
+    fps = {
+        i: {
+            r["fp"]
+            for r in winnow_fingerprints(d, n=3, window=4).collect()
+            if r["doc_id"] == i
+        }
+        for i in (1, 2, 3)
+    }
+    assert fps[1] & fps[2], "shared 6-token run must share a fingerprint"
+    assert not (fps[1] & fps[3]) and not (fps[2] & fps[3])
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in winnow_fingerprint_pairs(d, n=3, window=4, threshold=0.1).collect()
+    }
+    assert pairs == {(1, 2)}
+
+
+def test_winnowing_index_is_subsampled_and_validated(spark):
+    from candia_spark.operators.dedup import winnow_fingerprints, word_ngrams
+
+    rows = [(1, " ".join(f"tok{i}" for i in range(60)))]
+    d = spark.createDataFrame(rows, "doc_id bigint, text string")
+    n_fp = winnow_fingerprints(d, n=3, window=4).count()
+    n_grams = word_ngrams(d, n=3).count()
+    # density ~2/(window+1): the fingerprint index is a strict subsample
+    assert 0 < n_fp < n_grams / 2
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="positive"):
+        winnow_fingerprints(d, n=0)
+    # short docs: fewer grams than the window still emit one minimum;
+    # fewer tokens than n emit nothing
+    short = spark.createDataFrame(
+        [(2, "a b c d"), (3, "a b")], "doc_id bigint, text string"
+    )
+    out = winnow_fingerprints(short, n=3, window=4).groupBy("doc_id").count()
+    got = {r["doc_id"]: r["count"] for r in out.collect()}
+    assert got.get(2) == 1 and 3 not in got
