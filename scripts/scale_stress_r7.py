@@ -113,12 +113,45 @@ def run_novelty(spark, out_dir: str, runs: int, time_shuffle_mode: bool) -> dict
     return out
 
 
+def run_winnow(spark, out_dir: str, runs: int) -> dict:
+    """Winnowed-fingerprint pair scan (q72 family): the claim under test
+    is that the window-min subsample (~2/(window+1) density) keeps the
+    inverted-index pair join tractable where the FULL shingle-index join
+    at the same n is the q26-family heavyweight. Records the index sizes
+    so the subsample ratio is visible next to the wall time."""
+    from candia_spark.operators.dedup import (
+        winnow_fingerprint_pairs,
+        winnow_fingerprints,
+        word_ngrams,
+    )
+
+    docs = _docs(spark, out_dir).select("doc_id", "text")
+    sec = ss.timed(
+        lambda: winnow_fingerprint_pairs(docs, n=3, window=4, threshold=0.3),
+        runs=runs,
+    )
+    n_fp = winnow_fingerprints(docs, n=3, window=4).count()
+    n_grams = word_ngrams(docs, n=3).count()
+    return {
+        "winnow_pairs_sec": sec,
+        "fp_index_rows": n_fp,
+        "full_index_rows": n_grams,
+        "subsample_ratio": round(n_fp / n_grams, 4) if n_grams else None,
+    }
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sizes", type=int, nargs="+", default=[10, 25, 50])
     ap.add_argument("--runs", type=int, default=2)
     ap.add_argument("--keep-data", action="store_true")
     ap.add_argument("--out", default=os.path.join(REPO, "SCALING_r07.json"))
+    ap.add_argument(
+        "--only",
+        nargs="+",
+        default=["block", "bm25", "novelty", "winnow"],
+        choices=["block", "bm25", "novelty", "winnow"],
+    )
     args = ap.parse_args()
 
     from candia_spark.session import get_spark
@@ -144,12 +177,18 @@ def main() -> int:
         n_docs = ss.build_documents(spark, k, out_dir)
         gen_sec = round(time.perf_counter() - t0, 3)
         entry = {"mult": k, "n_docs": n_docs, "gen_sec": gen_sec}
-        ss.reclaim()
-        entry.update(run_block_dedup(spark, out_dir, args.runs))
-        ss.reclaim()
-        entry.update(run_bm25(spark, out_dir, args.runs))
-        ss.reclaim()
-        entry.update(run_novelty(spark, out_dir, args.runs, k == max_size))
+        if "block" in args.only:
+            ss.reclaim()
+            entry.update(run_block_dedup(spark, out_dir, args.runs))
+        if "bm25" in args.only:
+            ss.reclaim()
+            entry.update(run_bm25(spark, out_dir, args.runs))
+        if "novelty" in args.only:
+            ss.reclaim()
+            entry.update(run_novelty(spark, out_dir, args.runs, k == max_size))
+        if "winnow" in args.only:
+            ss.reclaim()
+            entry.update(run_winnow(spark, out_dir, args.runs))
         report["sizes"].append(entry)
         print(json.dumps({"progress": f"x{k} done", **entry}), flush=True)
         if not args.keep_data:
@@ -157,17 +196,28 @@ def main() -> int:
 
     if len(report["sizes"]) >= 2:
         norm = {}
-        for q in ("block_dedup_sec", "bm25_sec", "novelty_sec"):
-            norm[q.replace("_sec", "_us_per_doc")] = [
-                round(s[q] / s["n_docs"] * 1e6, 3) for s in report["sizes"]
-            ]
+        for q in (
+            "block_dedup_sec",
+            "bm25_sec",
+            "novelty_sec",
+            "winnow_pairs_sec",
+        ):
+            if q in report["sizes"][0]:
+                norm[q.replace("_sec", "_us_per_doc")] = [
+                    round(s[q] / s["n_docs"] * 1e6, 3) for s in report["sizes"]
+                ]
         report["per_doc_normalized_us"] = norm
 
     existing = {}
     if os.path.exists(args.out):
         with open(args.out) as f:
             existing = json.load(f)
-    existing["r7_new_operators"] = report
+    section = (
+        "r7_new_operators"
+        if set(args.only) >= {"block", "bm25", "novelty"}
+        else "r7_" + "_".join(sorted(args.only))
+    )
+    existing[section] = report
     with open(args.out, "w") as f:
         json.dump(existing, f, indent=1)
     print(json.dumps({"wrote": args.out}), flush=True)
