@@ -421,3 +421,72 @@ def test_quantization_rounding_agrees_with_duckdb_on_real_data(spark, sf_smoke):
     con.close()
     assert len(sdf) == len(odf) and len(sdf) > 0
     assert (sdf["v"].values == odf["v"].values).all()
+
+
+@given(docs_strategy)
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_containment_matches_sets_and_dominates_jaccard(spark, docs):
+    """ngram_containment_pairs against python set arithmetic: n_common /
+    min(|A|,|B|) exactly, and containment >= jaccard on every pair (the
+    overlap coefficient dominates by definition since min <= union)."""
+    from candia_spark.operators.dedup import ngram_containment_pairs
+
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(docs)], ["doc_id", "text"]
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r
+        for r in ngram_containment_pairs(df, n=2, threshold=0.0).collect()
+    }
+    shingles = [
+        {tuple(toks[j : j + 2]) for j in range(len(toks) - 1)} for toks in docs
+    ]
+    for a in range(len(docs)):
+        for b in range(a + 1, len(docs)):
+            inter = len(shingles[a] & shingles[b])
+            if inter == 0:
+                assert (a, b) not in got
+                continue
+            r = got[(a, b)]
+            assert r["n_common"] == inter
+            assert r["containment"] == inter / min(len(shingles[a]), len(shingles[b]))
+            assert r["containment"] >= r["jaccard"]
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c", "d", "e", "f", "g", "h"]),
+            min_size=0,
+            max_size=20,
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_winnowing_matches_reference_implementation(spark, docs):
+    """winnow_fingerprints against a direct python re-implementation of
+    the window-minimum rule (md5 over \\x1f-joined n-grams, window w,
+    distinct) — the fingerprint SET is exactly reproducible."""
+    import hashlib
+
+    from candia_spark.operators.dedup import winnow_fingerprints
+
+    n, w = 2, 3
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(docs)], ["doc_id", "text"]
+    )
+    got: dict[int, set] = {}
+    for r in winnow_fingerprints(df, n=n, window=w).collect():
+        got.setdefault(r["doc_id"], set()).add(r["fp"])
+    for i, toks in enumerate(docs):
+        grams = ["\x1f".join(toks[j : j + n]) for j in range(len(toks) - n + 1)]
+        hs = [hashlib.md5(g.encode()).hexdigest() for g in grams]
+        if not hs:
+            assert i not in got
+            continue
+        expect = {
+            min(hs[j : j + w]) for j in range(max(len(hs) - w + 1, 1))
+        }
+        assert got.get(i, set()) == expect
