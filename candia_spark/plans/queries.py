@@ -3556,6 +3556,85 @@ def q72_winnow_splice_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q73_oracle(iters: int = 3) -> str:
+    # edges = q26's exact-jaccard pairs (same threshold + hot-shingle
+    # cap), symmetrized; then `iters` UNROLLED integer-exact authority
+    # iterations — the k-means unrolled-trajectory device applied to
+    # graph iteration. All arithmetic is bigint with floor division
+    # (damping 17/20), so the whole trajectory hash-compares.
+    pairs_sql = _JACCARD_ORACLE_TEMPLATE.format(
+        threshold="0.35",
+        shingle_universe="""
+        SELECT sh0.* FROM sh0
+        JOIN (SELECT shingle FROM sh0 GROUP BY shingle
+              HAVING COUNT(*) <= 0.5 * (SELECT COUNT(DISTINCT doc_id)
+                                        FROM sh0))
+        USING (shingle)""",
+    )
+    base = ((20 - 17) * 10**12) // 20
+    its = ["s0 AS (SELECT doc_id, CAST(1000000000000 AS BIGINT) AS s FROM nodes)"]
+    prev = "s0"
+    for k in range(1, iters + 1):
+        its.append(
+            f"""s{k} AS (
+        SELECT n.doc_id,
+               CAST({base} + COALESCE(SUM((17 * s.s) // (20 * d.deg)), 0)
+                    AS BIGINT) AS s
+        FROM nodes n
+        LEFT JOIN edges e ON e.dst = n.doc_id
+        LEFT JOIN {prev} s ON s.doc_id = e.src
+        LEFT JOIN deg d ON d.src = e.src
+        GROUP BY n.doc_id)"""
+        )
+        prev = f"s{k}"
+    return f"""
+    WITH pairs AS (SELECT id_a, id_b FROM ({pairs_sql}) jp),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION ALL
+        SELECT id_b AS src, id_a AS dst FROM pairs),
+    nodes AS (SELECT doc_id FROM documents),
+    deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY src),
+    {", ".join(its)}
+    SELECT n.doc_id, CAST(COALESCE(d.deg, 0) AS BIGINT) AS degree,
+           f.s AS score
+    FROM nodes n
+    LEFT JOIN deg d ON d.src = n.doc_id
+    JOIN {prev} f ON f.doc_id = n.doc_id
+    """
+
+
+@register(
+    "q73_dedup_graph_authority",
+    oracle=_q73_oracle(),
+    survey_ref="iterative graph scoring (north star: duplication-cluster centrality)",
+)
+def q73_dedup_graph_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Damped integer-exact authority over the near-dup graph
+    (operators.graph.authority_scores): q26's exact-Jaccard pairs become
+    a symmetric edge list and three unrolled PageRank-style iterations
+    (damping 17/20, bigint micro-mass, floor division) score every
+    document — duplication-cluster CENTRALITY, the keep-the-canonical-
+    copy signal connected components alone cannot provide. Every
+    quantity is bigint, so the full trajectory is hash-gated with zero
+    tolerance; per iteration the plan is one keyed join plus one keyed
+    aggregation (the textbook distributed PageRank shape), materialized
+    per round per the iteration doctrine."""
+    from candia_spark.operators.dedup import ngram_jaccard_pairs
+    from candia_spark.operators.graph import authority_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        docs, n=2, threshold=0.35, max_shingle_frac=0.5
+    ).select("id_a", "id_b")
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    )
+    return authority_scores(edges, docs.select("doc_id"), iters=3)
+
+
 # --- Driver certification window (verdict r5 #2) -------------------------
 # The per-round driver correctness artifact certifies the FIRST 50
 # registry entries, and queries()/oracle_sql() preserve this dict's
@@ -3567,6 +3646,7 @@ def q72_winnow_splice_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # sampling, percentiles, curate_corpus) sit INSIDE the driver-checked
 # window. Registry contents are unchanged — order only.
 _DRIVER_WINDOW_TAIL = [
+    "q41_fragment_ions",
     "q12_star_join_revenue",
     "q07_model_spectrum_index",
     "q08_histogram_cutoff",

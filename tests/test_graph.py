@@ -1,0 +1,77 @@
+"""Integer-exact authority iteration (operators.graph). Cross-engine
+parity for the full 3-iteration trajectory over the real near-dup graph
+is q73's oracle gate; these pin the update rule and the fixture-free
+semantics on hand graphs."""
+
+from __future__ import annotations
+
+import pytest
+
+from candia_spark.operators.graph import authority_scores
+
+B = ((20 - 17) * 10**12) // 20  # 150_000_000_000 per-node base mass
+INIT = 10**12
+
+
+def _graph(spark, pairs, node_ids):
+    edges = spark.createDataFrame(
+        [(a, b) for a, b in pairs] + [(b, a) for a, b in pairs],
+        "src bigint, dst bigint",
+    )
+    nodes = spark.createDataFrame([(i,) for i in node_ids], "doc_id bigint")
+    return edges, nodes
+
+
+def test_authority_update_rule_by_hand(spark):
+    # triangle {0,1,2} (2-regular) + isolated node 9
+    edges, nodes = _graph(spark, [(0, 1), (1, 2), (0, 2)], [0, 1, 2, 9])
+    out = {
+        r["doc_id"]: r
+        for r in authority_scores(edges, nodes, iters=1).collect()
+    }
+    # 2-regular: each node receives 2 * (17*INIT)//(20*2) = 850e9, plus
+    # base 150e9 -> the initial mass exactly (regular graphs are fixed
+    # points of the damped update up to flooring)
+    per_edge = (17 * INIT) // (20 * 2)
+    for v in (0, 1, 2):
+        assert out[v]["score"] == B + 2 * per_edge == INIT
+        assert out[v]["degree"] == 2
+    # isolated node: no in-mass, base only
+    assert out[9]["score"] == B and out[9]["degree"] == 0
+
+
+def test_authority_star_concentrates_and_iterates(spark):
+    # star: center 0 with leaves 1..4
+    edges, nodes = _graph(spark, [(0, i) for i in (1, 2, 3, 4)], [0, 1, 2, 3, 4])
+    one = {
+        r["doc_id"]: r["score"]
+        for r in authority_scores(edges, nodes, iters=1).collect()
+    }
+    # center receives 4 whole leaf-masses (each leaf has deg 1), leaves
+    # receive 1/4 of the center's
+    assert one[0] == B + 4 * ((17 * INIT) // (20 * 1))
+    assert one[1] == B + (17 * INIT) // (20 * 4)
+    assert one[0] > INIT > one[1]
+    # second iteration recomputes from the it-1 scores (not from init):
+    two = {
+        r["doc_id"]: r["score"]
+        for r in authority_scores(edges, nodes, iters=2).collect()
+    }
+    assert two[0] == B + 4 * ((17 * one[1]) // (20 * 1))
+    assert two[1] == B + (17 * one[0]) // (20 * 4)
+    # determinism
+    again = {
+        r["doc_id"]: r["score"]
+        for r in authority_scores(edges, nodes, iters=2).collect()
+    }
+    assert again == two
+
+
+def test_authority_validation(spark):
+    edges, nodes = _graph(spark, [(0, 1)], [0, 1])
+    with pytest.raises(ValueError, match="iters"):
+        authority_scores(edges, nodes, iters=0)
+    with pytest.raises(ValueError, match="damping"):
+        authority_scores(edges, nodes, damping=(20, 17))
+    with pytest.raises(ValueError, match="init"):
+        authority_scores(edges, nodes, init=0)
