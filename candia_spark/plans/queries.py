@@ -3635,6 +3635,97 @@ def q73_dedup_graph_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
     return authority_scores(edges, docs.select("doc_id"), iters=3)
 
 
+@register(
+    "q74_decile_split_audit",
+    # q61's exact percentile chain -> quality decile, crossed with a
+    # deterministic content-hash 90/10 split (first two md5 hex chars
+    # < '1a' ~ 26/256): the audit table a training-data pipeline checks
+    # before shipping a split — val fraction must be stable WITHIN every
+    # quality decile, not just globally
+    oracle="""
+    WITH feats AS (
+        SELECT doc_id,
+               CAST(len({toks}) AS DOUBLE) AS n,
+               CAST(len(list_distinct({toks})) AS DOUBLE) AS nd,
+               CAST(len(list_filter({toks},
+                    x -> list_contains(['the','and','of','to','is'], x))) AS DOUBLE) AS stop_hits
+        FROM documents),
+    qs AS (
+        SELECT doc_id,
+               CASE WHEN n > 0 THEN
+                 CAST(0.4 * LEAST(1.0, n / 50.0)
+                      + 0.3 * (nd / n)
+                      + 0.3 * LEAST(1.0, 5.0 * stop_hits / n) AS DOUBLE)
+               ELSE 0.0 END AS q
+        FROM feats),
+    scored AS (
+        SELECT doc_id, CAST(floor(q * 1000) AS BIGINT) AS bucket FROM qs),
+    census AS (
+        SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_in_bucket
+        FROM scored GROUP BY bucket),
+    cum AS (
+        SELECT bucket,
+               COALESCE(CAST(SUM(n_in_bucket) OVER (ORDER BY bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+                   0) AS n_below,
+               CAST(SUM(n_in_bucket) OVER (ORDER BY bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+                   AS BIGINT) AS total
+        FROM census),
+    pcts AS (
+        SELECT s.doc_id,
+               CAST(floor(10.0 * (CAST(c.n_below AS DOUBLE) / c.total))
+                    AS BIGINT) AS decile
+        FROM scored s JOIN cum c USING (bucket)),
+    tagged AS (
+        SELECT doc_id, decile,
+               CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || 'split7'), 1, 2)
+                         < '1a'
+                    THEN 'val' ELSE 'train' END AS split
+        FROM pcts)
+    SELECT decile, split, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM tagged GROUP BY decile, split
+    """.replace("{toks}", _TOKS_SQL),
+    survey_ref="stratified split audit (north star: per-decile train/val balance)",
+)
+def q74_decile_split_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-quality-decile train/val split audit — a pure composition of
+    shipped operators: q61's exact percentile chain
+    (curation.score_percentiles over text.quality_score) buckets every
+    document into a decile; a deterministic md5 content-hash predicate
+    (the sampling.py device) assigns the 90/10 split; the output is the
+    (decile, split) census a pipeline checks before shipping — the val
+    fraction must hold within every quality stratum, not just globally.
+    All counts exact; the split is reproducible across engines, retries
+    and partitionings."""
+    from candia_spark.functions.text import quality_score
+    from candia_spark.operators.curation import score_percentiles
+
+    docs = _t(spark, sf_dir, "documents")
+    pct = score_percentiles(docs, quality_score("text"))
+    tagged = pct.select(
+        F.floor(F.lit(10.0) * F.col("pct")).cast("bigint").alias("decile"),
+        F.when(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("doc_id").cast("string"), F.lit("split7")
+                    ).cast("binary")
+                ),
+                1,
+                2,
+            )
+            < "1a",
+            F.lit("val"),
+        )
+        .otherwise(F.lit("train"))
+        .alias("split"),
+    )
+    return tagged.groupBy("decile", "split").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+
+
 # --- Driver certification window (verdict r5 #2) -------------------------
 # The per-round driver correctness artifact certifies the FIRST 50
 # registry entries, and queries()/oracle_sql() preserve this dict's
@@ -3646,6 +3737,7 @@ def q73_dedup_graph_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
 # sampling, percentiles, curate_corpus) sit INSIDE the driver-checked
 # window. Registry contents are unchanged — order only.
 _DRIVER_WINDOW_TAIL = [
+    "q48_rollup_pricing",
     "q41_fragment_ions",
     "q12_star_join_revenue",
     "q07_model_spectrum_index",
