@@ -140,6 +140,47 @@ def run_winnow(spark, out_dir: str, runs: int) -> dict:
     }
 
 
+def run_authority(spark, k: int, runs: int) -> dict:
+    """Authority iteration (q73 family) isolated from edge-list
+    construction: a deterministic hash graph (100k*k nodes, 10 out-edges
+    each via xxhash64(src, i) % N) feeds authority_scores(iters=3). The
+    claim under test: per-iteration cost is one keyed join + one keyed
+    aggregation, so wall scales linearly in |E| with flat ns/edge — the
+    textbook distributed PageRank shape with no hidden corpus-squared
+    term."""
+    from pyspark.sql import functions as F2
+
+    from candia_spark.operators.graph import authority_scores
+
+    n_nodes = 100_000 * k
+    out_deg = 10
+    nodes = spark.range(n_nodes).select(F2.col("id").alias("doc_id"))
+    edges = spark.range(n_nodes).select(
+        F2.col("id").alias("src"),
+        F2.explode(
+            F2.transform(
+                F2.sequence(F2.lit(1), F2.lit(out_deg)),
+                lambda i: F2.pmod(F2.xxhash64(F2.col("id"), i), F2.lit(n_nodes)),
+            )
+        ).alias("dst"),
+    )
+    # warm the graph-family codegen shapes (join + keyed agg + div expr)
+    # once — the harness's global warmup covers the text family only, and
+    # an unwarmed first size otherwise carries ~8 s of JIT into its
+    # minimum (measured 18.1 s polluted vs 10.6 s clean at 10M edges)
+    authority_scores(edges.limit(1000), nodes.limit(1000), iters=1).count()
+    sec = ss.timed(
+        lambda: authority_scores(edges, nodes, iters=3), runs=runs
+    )
+    n_edges = n_nodes * out_deg
+    return {
+        "authority_sec": sec,
+        "n_nodes": n_nodes,
+        "n_edges": n_edges,
+        "ns_per_edge_iter": round(sec / (3 * n_edges) * 1e9, 1),
+    }
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sizes", type=int, nargs="+", default=[10, 25, 50])
@@ -150,7 +191,7 @@ def main() -> int:
         "--only",
         nargs="+",
         default=["block", "bm25", "novelty", "winnow"],
-        choices=["block", "bm25", "novelty", "winnow"],
+        choices=["block", "bm25", "novelty", "winnow", "authority"],
     )
     args = ap.parse_args()
 
@@ -171,11 +212,15 @@ def main() -> int:
         "sizes": [],
     }
     max_size = max(args.sizes)
+    needs_corpus = bool(set(args.only) & {"block", "bm25", "novelty", "winnow"})
     for k in args.sizes:
         out_dir = os.path.join(ss.OUT_ROOT, f"r7_x{k}")
-        t0 = time.perf_counter()
-        n_docs = ss.build_documents(spark, k, out_dir)
-        gen_sec = round(time.perf_counter() - t0, 3)
+        if needs_corpus:
+            t0 = time.perf_counter()
+            n_docs = ss.build_documents(spark, k, out_dir)
+            gen_sec = round(time.perf_counter() - t0, 3)
+        else:
+            n_docs, gen_sec = 0, 0.0
         entry = {"mult": k, "n_docs": n_docs, "gen_sec": gen_sec}
         if "block" in args.only:
             ss.reclaim()
@@ -189,6 +234,9 @@ def main() -> int:
         if "winnow" in args.only:
             ss.reclaim()
             entry.update(run_winnow(spark, out_dir, args.runs))
+        if "authority" in args.only:
+            ss.reclaim()
+            entry.update(run_authority(spark, k, args.runs))
         report["sizes"].append(entry)
         print(json.dumps({"progress": f"x{k} done", **entry}), flush=True)
         if not args.keep_data:
