@@ -451,3 +451,74 @@ def curate_corpus(
         capped, budget=budget, shard_col=source_col, id_col=id_col,
         text_col=text_col,
     )
+
+
+def sample_to_temperature(
+    df: DataFrame,
+    total: int,
+    alpha_sqrt: bool = True,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Temperature-scaled mixture sampling (the multilingual-LM
+    up/down-sampling rule): per-source targets proportional to
+    ``count^alpha`` with alpha = 0.5, i.e. ``target_s = floor(total *
+    sqrt(c_s) / Σ_j sqrt(c_j))`` — smaller sources are up-weighted
+    relative to their share, the standard fix for head-language
+    domination. Unlike :func:`sample_to_mixture` the weights derive from
+    the DATA (the source census), not a caller dict.
+
+    Cross-engine exactness for a data-derived float expression: sqrt of
+    identical doubles is IEEE-correctly-rounded in both engines, and the
+    denominator is a deterministic LEFT FOLD over the census sorted by
+    source name (one ~5-row array in a 1-row aggregate) rather than a
+    SUM whose accumulation order the engine chooses — the one device
+    that makes a float reduction hash-comparable. Everything after the
+    targets is :func:`sample_to_mixture`'s md5-ranked survivor window.
+
+    Scale: the census is a tiny keyed aggregate, the fold is one row,
+    targets broadcast, and the corpus pays one window partitioned by
+    source — identical shape to :func:`cap_per_source`. ``alpha_sqrt``
+    is the only exposed temperature (alpha=0.5): arbitrary alpha needs
+    pow(), whose cross-engine rounding is NOT guaranteed; extend with a
+    rational-exponent chain of sqrt() calls if another temperature is
+    ever needed.
+    """
+    if total <= 0:
+        raise ValueError(f"total must be positive, got {total}")
+    if not alpha_sqrt:
+        raise ValueError(
+            "only alpha=0.5 (sqrt) is supported: pow() is not "
+            "cross-engine exact; see docstring"
+        )
+    census = df.groupBy(source_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("__c")
+    )
+    denom = census.agg(
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(F.struct(F.col(source_col), F.col("__c")))
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + F.sqrt(x["__c"].cast("double")),
+        ).alias("__denom")
+    )
+    targets = census.crossJoin(F.broadcast(denom)).select(
+        source_col,
+        F.floor(
+            F.lit(float(total))
+            * (F.sqrt(F.col("__c").cast("double")) / F.col("__denom"))
+        )
+        .cast("bigint")
+        .alias("target"),
+    )
+    pri = F.md5(
+        F.concat(F.col(id_col).cast("string"), F.lit(salt)).cast("binary")
+    )
+    w = Window.partitionBy(source_col).orderBy(pri.asc(), F.col(id_col).asc())
+    return (
+        df.join(F.broadcast(targets), source_col)
+        .withColumn("src_rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("src_rank") <= F.col("target"))
+    )

@@ -3726,6 +3726,55 @@ def q74_decile_split_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q75_temperature_sample",
+    # data-derived float weights made hash-exact: sqrt is IEEE-correctly-
+    # rounded in both engines, and the denominator is a deterministic
+    # LEFT FOLD over the source-sorted census (list_reduce with a 0.0
+    # prepend == Spark's F.aggregate init), never an engine-ordered SUM
+    oracle="""
+    WITH census AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS c
+        FROM documents GROUP BY source),
+    denom AS (
+        SELECT list_reduce(
+            list_prepend(CAST(0.0 AS DOUBLE),
+                list_transform(list_sort(list(struct_pack(s := source, c := c))),
+                               x -> sqrt(CAST(x.c AS DOUBLE)))),
+            (acc, x) -> acc + x) AS d
+        FROM census),
+    targets AS (
+        SELECT source,
+               CAST(floor(CAST(120.0 AS DOUBLE)
+                    * (sqrt(CAST(c AS DOUBLE)) / d)) AS BIGINT) AS target
+        FROM census, denom),
+    ranked AS (
+        SELECT d.doc_id, d.source, d.lang, t.target,
+               CAST(ROW_NUMBER() OVER (
+                    PARTITION BY d.source
+                    ORDER BY md5(CAST(d.doc_id AS VARCHAR) || 'temp7') ASC,
+                             d.doc_id ASC) AS BIGINT) AS src_rank
+        FROM documents d JOIN targets t USING (source))
+    SELECT source, doc_id, lang, target, src_rank
+    FROM ranked WHERE src_rank <= target
+    """,
+    survey_ref="temperature sampling (north star: count^alpha mix rebalancing)",
+)
+def q75_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture sampling
+    (operators.curation.sample_to_temperature): per-source targets
+    proportional to sqrt(source count) — the multilingual up/down-
+    sampling rule (alpha = 0.5) that stops head sources from dominating
+    the mix, with the weights derived from the corpus census itself.
+    The float reduction is made engine-exact by folding sqrt terms in
+    source order (a one-row array aggregate), the only device that
+    makes a data-derived float denominator hash-comparable."""
+    from candia_spark.operators.curation import sample_to_temperature
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "lang")
+    return sample_to_temperature(docs, total=120, salt="temp7")
+
+
 # --- Driver certification window (verdict r5 #2) -------------------------
 # The per-round driver correctness artifact certifies the FIRST 50
 # registry entries, and queries()/oracle_sql() preserve this dict's
@@ -3737,6 +3786,7 @@ def q74_decile_split_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # sampling, percentiles, curate_corpus) sit INSIDE the driver-checked
 # window. Registry contents are unchanged — order only.
 _DRIVER_WINDOW_TAIL = [
+    "q44_repetition_metrics",
     "q48_rollup_pricing",
     "q41_fragment_ions",
     "q12_star_join_revenue",

@@ -188,3 +188,24 @@ def write_documents_jsonl(df: DataFrame, path: str) -> None:
     if "_corrupt_record" in df.columns:
         df = df.drop("_corrupt_record")
     df.write.mode("overwrite").json(path)
+
+
+def read_documents_orc(spark: SparkSession, path: str) -> DataFrame:
+    """Read a document corpus stored as ORC — the columnar interchange
+    format Hive-lineage pipelines hand over (schema travels in the file
+    footer, so no inference pass and no DDL argument; predicate pushdown
+    and column pruning work exactly as for parquet). Use parquet for new
+    data; this reader exists so an existing ORC corpus needs no
+    conversion step before entering the engine."""
+    return spark.read.orc(path)
+
+
+def write_documents_orc(
+    df: DataFrame, path: str, compression: str = "zlib"
+) -> None:
+    """Write a document corpus as ORC (one file per partition,
+    distributed writer — no driver collection). ``zlib`` is ORC's
+    portable default; pass ``"snappy"`` to favor speed over size."""
+    if "_corrupt_record" in df.columns:
+        df = df.drop("_corrupt_record")
+    df.write.mode("overwrite").option("compression", compression).orc(path)

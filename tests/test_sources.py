@@ -369,3 +369,61 @@ def test_documents_jsonl_round_trip(spark, tmp_path):
         (r["doc_id"], r["text"], r["lang"], r["source"], r["n_chars"])
         for r in back2.collect()
     ) == a
+
+
+def test_documents_orc_round_trip(spark, tmp_path):
+    """ORC corpus interchange: footer-carried schema (no inference, no
+    DDL), distributed read/write, values and types preserved exactly —
+    the no-conversion on-ramp for Hive-lineage corpora."""
+    from candia_spark.sources.adapters import (
+        read_documents_orc,
+        write_documents_orc,
+    )
+    from candia_spark.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    p = str(tmp_path / "docs_orc")
+    write_documents_orc(docs, p)
+    back = read_documents_orc(spark, p)
+    assert back.schema == docs.schema
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, docs.collect()))
+    # column pruning + predicate pushdown reach the ORC scan
+    plan = (
+        back.filter(back["doc_id"] < 10)
+        .select("doc_id")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,10)]" in plan
+
+
+def test_temperature_sample_upweights_small_sources(spark):
+    """sqrt-temperature mixing: a source's drawn share must sit BETWEEN
+    its corpus share and the uniform share (the whole point of
+    alpha=0.5), deterministically."""
+    from candia_spark.operators.curation import sample_to_temperature
+
+    rows = [(i, "big") for i in range(900)] + [
+        (1000 + i, "small") for i in range(100)
+    ]
+    d = spark.createDataFrame(rows, "doc_id bigint, source string")
+    out = sample_to_temperature(d, total=100)
+    counts = {
+        r["source"]: r["n"]
+        for r in out.groupBy("source").agg(
+            __import__("pyspark.sql.functions", fromlist=["F"]).count("*").alias("n")
+        ).collect()
+    }
+    # corpus shares: 90% / 10%; sqrt shares: 30/(30+10)=75% / 25%
+    assert counts["big"] == 75 and counts["small"] == 25
+    # determinism across invocations
+    r1 = sorted(r["doc_id"] for r in sample_to_temperature(d, total=100).collect())
+    r2 = sorted(r["doc_id"] for r in sample_to_temperature(d, total=100).collect())
+    assert r1 == r2
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="positive"):
+        sample_to_temperature(d, total=0)
+    with _pytest.raises(ValueError, match="alpha"):
+        sample_to_temperature(d, total=10, alpha_sqrt=False)
