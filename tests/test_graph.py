@@ -75,3 +75,20 @@ def test_authority_validation(spark):
         authority_scores(edges, nodes, damping=(20, 17))
     with pytest.raises(ValueError, match="init"):
         authority_scores(edges, nodes, init=0)
+
+
+def test_authority_plan_shape(spark):
+    """Scale contract: one keyed join + one keyed aggregation per
+    iteration, no cartesian product, no corpus-wide window — the final
+    (post-materialization) iteration's plan shows exactly the
+    join/agg pair plus the output degree join."""
+    edges = spark.createDataFrame(
+        [(i, (i * 7 + 1) % 50) for i in range(50)], "src bigint, dst bigint"
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(50)], "doc_id bigint")
+    out = authority_scores(edges, nodes, iters=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+    # the contribution sum is a partial-aggregated hash aggregate
+    assert "partial" in plan.lower()
