@@ -3587,14 +3587,21 @@ def _q73_oracle(iters: int = 3) -> str:
         GROUP BY n.doc_id)"""
         )
         prev = f"s{k}"
+    # MATERIALIZED is load-bearing, not a hint: `pairs` is referenced
+    # twice (edge symmetrization) and `edges` by every iteration — with
+    # the default inlining DuckDB re-evaluates the whole inverted-index
+    # jaccard join per reference, which at sf0.1 overflowed memory into
+    # a disk-filling temp spill (measured: crashed a 250 GB volume).
+    # Materialized, each CTE evaluates once into its (tiny) result.
     return f"""
-    WITH pairs AS (SELECT id_a, id_b FROM ({pairs_sql}) jp),
-    edges AS (
+    WITH pairs AS MATERIALIZED (SELECT id_a, id_b FROM ({pairs_sql}) jp),
+    edges AS MATERIALIZED (
         SELECT id_a AS src, id_b AS dst FROM pairs
         UNION ALL
         SELECT id_b AS src, id_a AS dst FROM pairs),
     nodes AS (SELECT doc_id FROM documents),
-    deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY src),
+    deg AS MATERIALIZED (
+        SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY src),
     {", ".join(its)}
     SELECT n.doc_id, CAST(COALESCE(d.deg, 0) AS BIGINT) AS degree,
            f.s AS score
@@ -3620,13 +3627,19 @@ def q73_dedup_graph_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
     tolerance; per iteration the plan is one keyed join plus one keyed
     aggregation (the textbook distributed PageRank shape), materialized
     per round per the iteration doctrine."""
-    from candia_spark.operators.dedup import ngram_jaccard_pairs
+    from candia_spark.operators.dedup import _materialize, ngram_jaccard_pairs
     from candia_spark.operators.graph import authority_scores
 
     docs = _t(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(
-        docs, n=2, threshold=0.35, max_shingle_frac=0.5
-    ).select("id_a", "id_b")
+    # cut BEFORE symmetrizing: both union branches read the stored pair
+    # rows instead of each re-running the inverted-index jaccard join
+    # (the same double-evaluation that made the un-materialized DuckDB
+    # oracle spill; measured 7.1 -> ~4.8 s at sf0.1)
+    pairs = _materialize(
+        ngram_jaccard_pairs(
+            docs, n=2, threshold=0.35, max_shingle_frac=0.5
+        ).select("id_a", "id_b")
+    )
     edges = pairs.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     ).unionByName(
