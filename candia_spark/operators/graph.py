@@ -44,6 +44,7 @@ def authority_scores(
     damping: tuple[int, int] = (17, 20),
     init: int = 10**12,
     id_col: str = "doc_id",
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Damped integer-exact authority iteration over a directed edge list.
 
@@ -52,7 +53,17 @@ def authority_scores(
     ``id_col`` row per node (isolated nodes keep the base mass). Returns
     (id, degree, score) after ``iters`` unrolled iterations — all BIGINT,
     so the result hash-compares across engines with no tolerance.
-    """
+
+    ``weight_col`` names an INTEGER edge-weight column (e.g. the
+    near-dup pair's ``n_common`` shingle overlap): each source then
+    splits its damped mass proportionally to edge weight —
+    ``(num * S * w) // (den * W_u)`` with W_u the source's total
+    out-weight — so a strong near-dup tie carries more authority than a
+    marginal one. ``degree`` in the output stays the edge COUNT either
+    way. The extra bigint factor narrows the overflow margin to
+    ``num * maxS * maxw < 2^63`` (~5e17 of S·w headroom at num = 17):
+    fine for shingle-overlap weights (bounded by document length), not
+    for unbounded weights — rescale those first."""
     num, den = damping
     if iters <= 0:
         raise ValueError(f"iters must be positive, got {iters}")
@@ -63,20 +74,35 @@ def authority_scores(
     from candia_spark.operators.dedup import _materialize
 
     base = ((den - num) * init) // den
-    e = _materialize(edges.select(F.col("src"), F.col("dst")))
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
-    # (src, dst, deg) ready for every iteration's contribution join
+    cols = [F.col("src"), F.col("dst")]
+    if weight_col is not None:
+        cols.append(F.col(weight_col).cast("bigint").alias("__w"))
+    e = _materialize(edges.select(*cols))
+    deg = e.groupBy("src").agg(
+        F.count(F.lit(1)).cast("bigint").alias("deg"),
+        *(
+            [F.sum("__w").cast("bigint").alias("__wsum")]
+            if weight_col is not None
+            else []
+        ),
+    )
+    # (src, dst[, __w], deg[, __wsum]) ready for every iteration's join
     ed = _materialize(e.join(deg, "src"))
     n = nodes.select(F.col(id_col)).distinct()
     scores = n.select(
         F.col(id_col), F.lit(int(init)).cast("bigint").alias("score")
+    )
+    contrib_expr = (
+        f"({num} * score * __w) div ({den} * __wsum)"
+        if weight_col is not None
+        else f"({num} * score) div ({den} * deg)"
     )
     for _ in range(iters):
         contrib = ed.join(
             scores.select(F.col(id_col).alias("src"), "score"), "src"
         ).select(
             F.col("dst").alias(id_col),
-            F.expr(f"({num} * score) div ({den} * deg)").alias("c"),
+            F.expr(contrib_expr).alias("c"),
         )
         sums = contrib.groupBy(id_col).agg(F.sum("c").alias("in_mass"))
         scores = _materialize(

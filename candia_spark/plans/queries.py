@@ -3788,6 +3788,147 @@ def q75_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_to_temperature(docs, total=120, salt="temp7")
 
 
+@register(
+    "q76_corpus_diff",
+    # fixture: today's snapshot = yesterday's with every 13th doc edited,
+    # every 17th dropped, and every 19th re-ingested under a new id —
+    # the rolling-refresh delta a pipeline audits before reprocessing
+    oracle="""
+    WITH newc AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 13 = 0 THEN text || ' updated'
+                    ELSE text END AS text
+        FROM documents WHERE doc_id % 17 <> 0
+        UNION ALL
+        SELECT doc_id + 5000000 AS doc_id, text
+        FROM documents WHERE doc_id % 19 = 0),
+    old_d AS (SELECT doc_id, md5(text) AS old_digest FROM documents),
+    new_d AS (SELECT doc_id, md5(text) AS new_digest FROM newc)
+    SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+           CASE WHEN o.old_digest IS NULL THEN 'added'
+                WHEN n.new_digest IS NULL THEN 'removed'
+                WHEN o.old_digest = n.new_digest THEN 'unchanged'
+                ELSE 'changed' END AS status,
+           o.old_digest, n.new_digest
+    FROM old_d o FULL OUTER JOIN new_d n ON o.doc_id = n.doc_id
+    """,
+    survey_ref="snapshot diff (north star: rolling-refresh delta audit)",
+)
+def q76_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus snapshot delta (operators.curation.corpus_diff): today's
+    snapshot derives from yesterday's by editing every 13th document,
+    dropping every 17th, and re-ingesting every 19th under a new id; the
+    diff classifies every id as added/removed/changed/unchanged by md5
+    content digest. The incremental-consumer contract: downstream jobs
+    reprocess only the added/changed slice. One 48-byte-row full-outer
+    join keyed by id — text never shuffles."""
+    from candia_spark.operators.curation import corpus_diff
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    new_c = docs.filter(F.col("doc_id") % 17 != 0).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 13 == 0, F.concat(F.col("text"), F.lit(" updated"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    ).unionByName(
+        docs.filter(F.col("doc_id") % 19 == 0).select(
+            (F.col("doc_id") + 5000000).alias("doc_id"), "text"
+        )
+    )
+    return corpus_diff(docs, new_c)
+
+
+def _q77_oracle(iters: int = 2) -> str:
+    # q73's unrolled integer authority, WEIGHTED: each source splits its
+    # damped mass proportionally to the pair's n_common shingle overlap
+    # ((17 * s * w) // (20 * wsum)). Same MATERIALIZED discipline — the
+    # jaccard join must evaluate once, not once per CTE reference.
+    pairs_sql = _JACCARD_ORACLE_TEMPLATE.format(
+        threshold="0.35",
+        shingle_universe="""
+        SELECT sh0.* FROM sh0
+        JOIN (SELECT shingle FROM sh0 GROUP BY shingle
+              HAVING COUNT(*) <= 0.5 * (SELECT COUNT(DISTINCT doc_id)
+                                        FROM sh0))
+        USING (shingle)""",
+    )
+    base = ((20 - 17) * 10**12) // 20
+    its = ["s0 AS (SELECT doc_id, CAST(1000000000000 AS BIGINT) AS s FROM nodes)"]
+    prev = "s0"
+    for k in range(1, iters + 1):
+        its.append(
+            f"""s{k} AS (
+        SELECT n.doc_id,
+               CAST({base} + COALESCE(SUM((17 * s.s * e.w) // (20 * d.wsum)), 0)
+                    AS BIGINT) AS s
+        FROM nodes n
+        LEFT JOIN edges e ON e.dst = n.doc_id
+        LEFT JOIN {prev} s ON s.doc_id = e.src
+        LEFT JOIN deg d ON d.src = e.src
+        GROUP BY n.doc_id)"""
+        )
+        prev = f"s{k}"
+    return f"""
+    WITH pairs AS MATERIALIZED (
+        SELECT id_a, id_b, n_common FROM ({pairs_sql}) jp),
+    edges AS MATERIALIZED (
+        SELECT id_a AS src, id_b AS dst, n_common AS w FROM pairs
+        UNION ALL
+        SELECT id_b AS src, id_a AS dst, n_common AS w FROM pairs),
+    nodes AS (SELECT doc_id FROM documents),
+    deg AS MATERIALIZED (
+        SELECT src, CAST(COUNT(*) AS BIGINT) AS deg,
+               CAST(SUM(w) AS BIGINT) AS wsum
+        FROM edges GROUP BY src),
+    {", ".join(its)}
+    SELECT n.doc_id, CAST(COALESCE(d.deg, 0) AS BIGINT) AS degree,
+           f.s AS score
+    FROM nodes n
+    LEFT JOIN deg d ON d.src = n.doc_id
+    JOIN {prev} f ON f.doc_id = n.doc_id
+    """
+
+
+@register(
+    "q77_weighted_authority",
+    oracle=_q77_oracle(),
+    survey_ref="weighted graph scoring (north star: tie-strength centrality)",
+)
+def q77_weighted_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-proportional authority (operators.graph.authority_scores
+    with weight_col): q73's iteration, but each source splits its damped
+    mass by the near-dup pair's n_common shingle overlap — a strong tie
+    carries more authority than a marginal one, the centrality a
+    keep-the-canonical-copy policy actually wants. Two unrolled
+    iterations, all bigint; the overflow margin (num * S * w) is
+    documented and holds for shingle-overlap weights."""
+    from candia_spark.operators.dedup import _materialize, ngram_jaccard_pairs
+    from candia_spark.operators.graph import authority_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = _materialize(
+        ngram_jaccard_pairs(
+            docs, n=2, threshold=0.35, max_shingle_frac=0.5
+        ).select("id_a", "id_b", "n_common")
+    )
+    edges = pairs.select(
+        F.col("id_a").alias("src"),
+        F.col("id_b").alias("dst"),
+        F.col("n_common").alias("w"),
+    ).unionByName(
+        pairs.select(
+            F.col("id_b").alias("src"),
+            F.col("id_a").alias("dst"),
+            F.col("n_common").alias("w"),
+        )
+    )
+    return authority_scores(
+        edges, docs.select("doc_id"), iters=2, weight_col="w"
+    )
+
+
 # --- Driver certification window (verdict r5 #2) -------------------------
 # The per-round driver correctness artifact certifies the FIRST 50
 # registry entries, and queries()/oracle_sql() preserve this dict's
@@ -3799,6 +3940,8 @@ def q75_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # sampling, percentiles, curate_corpus) sit INSIDE the driver-checked
 # window. Registry contents are unchanged — order only.
 _DRIVER_WINDOW_TAIL = [
+    "q45_decontaminate",
+    "q47_redact_pii",
     "q44_repetition_metrics",
     "q48_rollup_pricing",
     "q41_fragment_ions",

@@ -384,3 +384,22 @@ def test_mixture_targets_exact_rational_floor():
     # non-terminating decimals still floor exactly
     assert mixture_targets({"a": 1 / 3}, 3) == {"a": 0}
     assert mixture_targets({"a": 0.35}, 10) == {"a": 3}
+
+
+def test_corpus_diff_statuses(spark):
+    """Snapshot delta semantics: all four statuses on one fixture, by
+    content digest (re-crawled identical text is 'unchanged')."""
+    from candia_spark.operators.curation import corpus_diff
+
+    old = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "gamma")], "doc_id bigint, text string"
+    )
+    new = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta v2"), (4, "delta")],
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"]: r["status"] for r in corpus_diff(old, new).collect()}
+    assert out == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
+    # the join carries digests, never text: both digest columns present
+    cols = corpus_diff(old, new).columns
+    assert cols == ["doc_id", "status", "old_digest", "new_digest"]

@@ -92,3 +92,31 @@ def test_authority_plan_shape(spark):
     assert "Window" not in plan
     # the contribution sum is a partial-aggregated hash aggregate
     assert "partial" in plan.lower()
+
+
+def test_weighted_authority_by_hand(spark):
+    """weight_col: mass splits by edge weight, not edge count — a 3x
+    weight edge gets 3/4 of the source's damped mass when the other
+    out-edge weighs 1."""
+    edges = spark.createDataFrame(
+        [(0, 1, 3), (0, 2, 1), (1, 0, 1), (2, 0, 1)],
+        "src bigint, dst bigint, w bigint",
+    )
+    nodes = spark.createDataFrame([(i,) for i in (0, 1, 2)], "doc_id bigint")
+    out = {
+        r["doc_id"]: r
+        for r in authority_scores(
+            edges, nodes, iters=1, weight_col="w"
+        ).collect()
+    }
+    assert out[1]["score"] == B + (17 * INIT * 3) // (20 * 4)
+    assert out[2]["score"] == B + (17 * INIT * 1) // (20 * 4)
+    assert out[0]["score"] == B + 2 * ((17 * INIT * 1) // (20 * 1))
+    # degree stays the edge COUNT in weighted mode
+    assert out[0]["degree"] == 2 and out[1]["degree"] == 1
+    # unweighted result on the same graph differs (1 and 2 would tie)
+    unw = {
+        r["doc_id"]: r["score"]
+        for r in authority_scores(edges, nodes, iters=1).collect()
+    }
+    assert unw[1] == unw[2] and out[1]["score"] != out[2]["score"]
