@@ -1478,46 +1478,17 @@ def substring_duplication(
     )
 
 
-def remove_duplicate_blocks(
-    df: DataFrame,
-    block_words: int = 16,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-) -> DataFrame:
-    """Corpus-level duplicate-BLOCK removal — the C4-style rewrite step
-    that deletes repeated boilerplate spans from every document, keeping
-    exactly one global first occurrence of each span. Documents are cut
-    into consecutive non-overlapping ``block_words``-token blocks (the
-    trailing partial block is always kept — it identifies no reusable
-    span); a block is kept iff its (doc, position) is the GLOBAL first
-    occurrence of that block text, ordered by (``id_col``, position).
-    Unlike :func:`substring_duplication` (a per-doc duplication PROFILE),
-    this returns the rewritten corpus: (id, n_blocks, n_kept,
-    clean_text) with clean_text = kept blocks + trailing remainder
-    re-joined in original order.
-
-    Scale design: first-occurrence resolution is a ``groupBy(block)``
-    with ``min(struct(doc, pos))`` — an aggregate, NOT a window, so hot
-    blocks (the boilerplate this operator exists for) collapse map-side
-    via partial aggregation instead of funnelling every occurrence
-    through one window task. The join back is keyed by block text with
-    exactly one row per block on the build side, so residual skew sits
-    on the probe side where AQE skew-join splits it. Reassembly is one
-    (doc) aggregation over kept blocks. Three shuffles total, all keyed,
-    none corpus-wide-windowed; at petabyte scale key the exchanges by a
-    block digest instead of the text to narrow the shuffle rows (the
-    digest is an internal key here, so engine-native hashing would do —
-    kept as text in this reference implementation for cross-engine
-    verifiability).
-    """
+def _block_base_and_occurrences(
+    df: DataFrame, block_words: int, text_col: str, id_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """Shared front half of the block-dedup family: the materialized
+    tokenized base (id, __toks, __n_tok, __nb) and the per-full-block
+    occurrence table (id, pos, block)."""
     if block_words <= 0:
         raise ValueError(f"block_words must be positive, got {block_words}")
     toks = F.split(F.col(text_col), " ")
     n_tok = F.size(toks)
     n_blocks = F.floor(n_tok / block_words).cast("int")
-    block_at = lambda i: F.array_join(  # noqa: E731
-        F.slice(toks, i * block_words + 1, block_words), " "
-    )
     # the tokenized base feeds TWO branches (the occurrence explode and
     # the final reassembly join) — cut it once so the corpus splits one
     # time, not once per branch (the q55 per_doc doctrine)
@@ -1546,6 +1517,92 @@ def remove_duplicate_blocks(
             ).otherwise(F.array().cast("array<string>"))
         ).alias("pos", "block"),
     )
+    return base, occurrences
+
+
+def block_census(
+    df: DataFrame,
+    block_words: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The persistable corpus-side artifact of rolling block dedup:
+    (block, first_id, first_pos) — every distinct block with its global
+    first occurrence. Write to parquet once per corpus life (bucket by
+    block at real scale) and hand it to :func:`remove_duplicate_blocks`
+    as ``corpus_firsts``: each ingestion batch then rewrites against the
+    STORED census without ever re-splitting the corpus — the same
+    rolling-ingestion contract as :func:`incremental_corpus_state`."""
+    _, occurrences = _block_base_and_occurrences(
+        df, block_words, text_col, id_col
+    )
+    first = F.min(
+        F.struct(F.col(id_col).alias("d"), F.col("pos").alias("p"))
+    ).alias("__first")
+    return (
+        occurrences.groupBy("block")
+        .agg(first)
+        .select(
+            "block",
+            F.col("__first")["d"].alias("first_id"),
+            F.col("__first")["p"].alias("first_pos"),
+        )
+    )
+
+
+def remove_duplicate_blocks(
+    df: DataFrame,
+    block_words: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    corpus_firsts: DataFrame | None = None,
+) -> DataFrame:
+    """Corpus-level duplicate-BLOCK removal — the C4-style rewrite step
+    that deletes repeated boilerplate spans from every document, keeping
+    exactly one global first occurrence of each span. Documents are cut
+    into consecutive non-overlapping ``block_words``-token blocks (the
+    trailing partial block is always kept — it identifies no reusable
+    span); a block is kept iff its (doc, position) is the GLOBAL first
+    occurrence of that block text, ordered by (``id_col``, position).
+    Unlike :func:`substring_duplication` (a per-doc duplication PROFILE),
+    this returns the rewritten corpus: (id, n_blocks, n_kept,
+    clean_text) with clean_text = kept blocks + trailing remainder
+    re-joined in original order.
+
+    Scale design: first-occurrence resolution is a ``groupBy(block)``
+    with ``min(struct(doc, pos))`` — an aggregate, NOT a window, so hot
+    blocks (the boilerplate this operator exists for) collapse map-side
+    via partial aggregation instead of funnelling every occurrence
+    through one window task. The join back is keyed by block text with
+    exactly one row per block on the build side, so residual skew sits
+    on the probe side where AQE skew-join splits it. Reassembly is one
+    (doc) aggregation over kept blocks. Three shuffles total, all keyed,
+    none corpus-wide-windowed; at petabyte scale key the exchanges by a
+    block digest instead of the text to narrow the shuffle rows (the
+    digest is an internal key here, so engine-native hashing would do —
+    kept as text in this reference implementation for cross-engine
+    verifiability).
+
+    ROLLING mode: pass ``corpus_firsts`` (a persisted
+    :func:`block_census` of the already-ingested corpus) and ``df``
+    becomes the incoming BATCH: any batch block present in the census is
+    removed outright (the corpus owns it), and among census-novel blocks
+    the batch-internal first occurrence wins — exactly the output a full
+    run over corpus+batch would produce for the batch documents, without
+    re-splitting a byte of corpus text (equivalence pinned in
+    tests/test_retrieval.py). Per-batch cost tracks the batch plus one
+    columnar scan of the stored census into a LEFT ANTI join.
+    """
+    base, occurrences = _block_base_and_occurrences(
+        df, block_words, text_col, id_col
+    )
+    if corpus_firsts is not None:
+        # the corpus owns every censused block: batch occurrences of
+        # those blocks drop in one anti join, and first-occurrence
+        # resolution then runs over the surviving (census-novel) blocks
+        occurrences = occurrences.join(
+            corpus_firsts.select("block"), "block", "left_anti"
+        )
     firsts = occurrences.groupBy("block").agg(
         F.min(F.struct(F.col(id_col).alias("d"), F.col("pos").alias("p"))).alias(
             "__first"

@@ -287,3 +287,62 @@ def test_winnowing_index_is_subsampled_and_validated(spark):
     out = winnow_fingerprints(short, n=3, window=4).groupBy("doc_id").count()
     got = {r["doc_id"]: r["count"] for r in out.collect()}
     assert got.get(2) == 1 and 3 not in got
+
+
+def test_remove_duplicate_blocks_incremental_matches_full(spark, tmp_path):
+    """Rolling block dedup: a batch rewritten against the PERSISTED
+    corpus block census equals the batch slice of a full run over
+    corpus+batch (corpus ids precede batch ids, so corpus occurrences
+    globally win) — the census artifact round-trips through parquet and
+    the corpus text is never re-split."""
+    from candia_spark.operators.dedup import block_census
+    from candia_spark.tables import load_table
+
+    corpus = (
+        load_table(spark, "/root/testdata/sf0.001", "documents")
+        .select("doc_id", "text")
+        .limit(200)
+    )
+    rows = corpus.collect()
+    off = 10_000_000
+    batch_rows = (
+        # verbatim re-ingests: every block already censused -> all removed
+        [(off + r["doc_id"], r["text"]) for r in rows[:20]]
+        # novel docs with an internal duplicate block pair
+        + [
+            (off + 900_000 + i, f"nov{i}a nov{i}b nov{i}c nov{i}d "
+             f"nov{i}a nov{i}b nov{i}c nov{i}d tail{i}")
+            for i in range(10)
+        ]
+    )
+    batch = spark.createDataFrame(batch_rows, "doc_id bigint, text string")
+    census_path = str(tmp_path / "block_census")
+    block_census(corpus, block_words=4).write.mode("overwrite").parquet(
+        census_path
+    )
+    reloaded = spark.read.parquet(census_path)
+    inc = sorted(
+        map(
+            tuple,
+            remove_duplicate_blocks(
+                batch, block_words=4, corpus_firsts=reloaded
+            ).collect(),
+        )
+    )
+    full = sorted(
+        map(
+            tuple,
+            remove_duplicate_blocks(
+                corpus.unionByName(batch), block_words=4
+            )
+            .filter(F.col("doc_id") >= off)
+            .collect(),
+        )
+    )
+    assert inc == full and len(inc) == 30
+    # the verbatim re-ingests really did collapse
+    collapsed = [t for t in inc if t[0] < off + 900_000]
+    assert all(t[2] == 0 for t in collapsed)  # n_kept == 0
+    # and the novel docs deduplicated their internal repeat
+    novel = [t for t in inc if t[0] >= off + 900_000]
+    assert all(t[1] == 2 and t[2] == 1 for t in novel)
