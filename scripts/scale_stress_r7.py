@@ -181,6 +181,56 @@ def run_authority(spark, k: int, runs: int) -> dict:
     }
 
 
+def run_rolling_block(spark, out_dir: str, runs: int) -> dict:
+    """Rolling block dedup (q78 family): a FIXED ~500-doc batch rewritten
+    against the block census of a corpus growing 10x->50x. The rolling
+    claim under test: with the census persisted, per-batch wall tracks
+    the BATCH (near-flat), while the full corpus+batch rerun grows with
+    the corpus — the incremental_dedup (q54) experiment shape applied to
+    the C4 rewrite."""
+    import os as _os
+
+    from pyspark.sql import functions as F2
+
+    from candia_spark.operators.dedup import block_census, remove_duplicate_blocks
+
+    docs = _docs(spark, out_dir).select("doc_id", "text")
+    from candia_spark.tables import load_table
+
+    # fixed batch derived from the BASE corpus: byte-identical at every
+    # corpus size (the r6 incremental-dedup methodology)
+    base = load_table(spark, ss.BASE_SF, "documents")
+    batch = (
+        base.filter(F2.col("doc_id") % 11 == 0)
+        .select((F2.col("doc_id") + 90_000_000).alias("doc_id"), "text")
+        .limit(500)
+    )
+    t0 = time.perf_counter()
+    census_path = _os.path.join(out_dir, "block_census.parquet")
+    block_census(docs, block_words=8).write.mode("overwrite").parquet(census_path)
+    census_sec = round(time.perf_counter() - t0, 3)
+    census = spark.read.parquet(census_path)
+    inc_sec = ss.timed(
+        lambda: remove_duplicate_blocks(
+            batch, block_words=8, corpus_firsts=census
+        ),
+        runs=runs,
+    )
+    full_sec = ss.timed(
+        lambda: remove_duplicate_blocks(
+            docs.unionByName(batch), block_words=8
+        ),
+        runs=runs,
+    )
+    n_census = census.count()
+    return {
+        "census_build_sec": census_sec,
+        "census_blocks": n_census,
+        "incremental_batch_sec": inc_sec,
+        "full_rerun_sec": full_sec,
+    }
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sizes", type=int, nargs="+", default=[10, 25, 50])
@@ -191,7 +241,7 @@ def main() -> int:
         "--only",
         nargs="+",
         default=["block", "bm25", "novelty", "winnow"],
-        choices=["block", "bm25", "novelty", "winnow", "authority"],
+        choices=["block", "bm25", "novelty", "winnow", "authority", "rollingblock"],
     )
     args = ap.parse_args()
 
@@ -212,7 +262,7 @@ def main() -> int:
         "sizes": [],
     }
     max_size = max(args.sizes)
-    needs_corpus = bool(set(args.only) & {"block", "bm25", "novelty", "winnow"})
+    needs_corpus = bool(set(args.only) & {"block", "bm25", "novelty", "winnow", "rollingblock"})
     for k in args.sizes:
         out_dir = os.path.join(ss.OUT_ROOT, f"r7_x{k}")
         if needs_corpus:
@@ -237,6 +287,9 @@ def main() -> int:
         if "authority" in args.only:
             ss.reclaim()
             entry.update(run_authority(spark, k, args.runs))
+        if "rollingblock" in args.only:
+            ss.reclaim()
+            entry.update(run_rolling_block(spark, out_dir, args.runs))
         report["sizes"].append(entry)
         print(json.dumps({"progress": f"x{k} done", **entry}), flush=True)
         if not args.keep_data:
