@@ -76,7 +76,27 @@ def authority_scores(
     base = ((den - num) * init) // den
     cols = [F.col("src"), F.col("dst")]
     if weight_col is not None:
-        cols.append(F.col(weight_col).cast("bigint").alias("__w"))
+        # loud per-row guard: a non-positive weight would make some
+        # source's total out-weight zero, and the (.. div 0) term is a
+        # cross-engine DIVERGENCE — Spark's non-ANSI div yields null
+        # (silently absorbed by the coalesce) while an ANSI engine
+        # errors. Same raise_error doctrine as score_percentiles.
+        w = F.col(weight_col).cast("bigint")
+        cols.append(
+            F.when(
+                w > 0, w
+            ).otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "authority_scores: edge weights must be "
+                            "positive, got "
+                        ),
+                        F.coalesce(w.cast("string"), F.lit("null")),
+                    )
+                ).cast("bigint")
+            ).alias("__w")
+        )
     e = _materialize(edges.select(*cols))
     deg = e.groupBy("src").agg(
         F.count(F.lit(1)).cast("bigint").alias("deg"),

@@ -288,6 +288,11 @@ def write_dedup_batch(
     partition, which is what turns foreachBatch's at-least-once delivery
     into an exactly-once sink. Readers either prune or drop the
     ``_batch_id`` column.
+
+    Operational note: a batch that yields ZERO pairs writes no files, so
+    if every batch so far was pair-free the output path has no parquet
+    footers yet — readers that may race the first pairs should pass an
+    explicit schema instead of relying on inference.
     """
     from candia_spark.operators.dedup import incremental_near_dups
 

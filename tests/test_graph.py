@@ -120,3 +120,19 @@ def test_weighted_authority_by_hand(spark):
         for r in authority_scores(edges, nodes, iters=1).collect()
     }
     assert unw[1] == unw[2] and out[1]["score"] != out[2]["score"]
+
+
+def test_weighted_authority_rejects_nonpositive_weights(spark):
+    """A zero/negative weight would zero some source's total out-weight
+    and the div-by-zero term silently nulls under Spark's non-ANSI
+    arithmetic while ANSI engines error — so the operator raises loudly
+    instead (the score_percentiles raise_error doctrine)."""
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    edges = spark.createDataFrame(
+        [(0, 1, 1), (1, 0, 0)], "src bigint, dst bigint, w bigint"
+    )
+    nodes = spark.createDataFrame([(0,), (1,)], "doc_id bigint")
+    with pytest.raises((SparkRuntimeException, Py4JJavaError, Exception), match="positive"):
+        authority_scores(edges, nodes, iters=1, weight_col="w").collect()
