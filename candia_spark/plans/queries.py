@@ -4024,6 +4024,53 @@ def q78_incremental_block_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q79_cross_source_dup_matrix",
+    # (source, normalized-digest) DISTINCT census self-joined on digest:
+    # the S x S contamination matrix a curation team reads before mixing
+    # sources — which pairs of sources carry the same documents (modulo
+    # formatting), and how much. Diagonal = each source's own distinct
+    # normalized-document count
+    oracle="""
+    WITH digests AS (
+        SELECT DISTINCT source,
+               md5(trim(regexp_replace(
+                   regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                   ' +', ' ', 'g'))) AS nd
+        FROM documents)
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM digests a JOIN digests b
+      ON a.nd = b.nd AND a.source <= b.source
+    GROUP BY 1, 2
+    """,
+    survey_ref="cross-source contamination matrix (north star: mix hygiene audit)",
+)
+def q79_cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix: for every source pair, how many
+    normalized-identical documents (functions.text.normalize_text md5)
+    they share — the mix-hygiene audit run before assembling a training
+    mixture (two sources shipping the same pages inflate their combined
+    weight invisibly). The per-source DISTINCT digest census collapses
+    map-side before the digest self-join, so the join mass is bounded by
+    duplicate digests times source count, never the corpus pair space;
+    the diagonal reports each source's own distinct document count."""
+    from candia_spark.functions.text import normalize_text
+
+    docs = _t(spark, sf_dir, "documents")
+    digests = docs.select(
+        "source", F.md5(normalize_text("text").cast("binary")).alias("nd")
+    ).distinct()
+    a = digests.select(F.col("source").alias("source_a"), "nd")
+    b = digests.select(F.col("source").alias("source_b"), "nd")
+    return (
+        a.join(b, "nd")
+        .filter(F.col("source_a") <= F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+    )
+
+
 # --- Driver certification window (verdict r5 #2) -------------------------
 # The per-round driver correctness artifact certifies the FIRST 50
 # registry entries, and queries()/oracle_sql() preserve this dict's
@@ -4035,6 +4082,7 @@ def q78_incremental_block_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # sampling, percentiles, curate_corpus) sit INSIDE the driver-checked
 # window. Registry contents are unchanged — order only.
 _DRIVER_WINDOW_TAIL = [
+    "q40_heavy_hitters",
     "q46_stratified_sample",
     "q45_decontaminate",
     "q47_redact_pii",
