@@ -122,6 +122,62 @@ def test_weighted_authority_by_hand(spark):
     assert unw[1] == unw[2] and out[1]["score"] != out[2]["score"]
 
 
+def test_authority_overflow_guard_star_graph(spark):
+    """Advice r7 #1: a boilerplate-hub star (~7e5 degree-1 in-neighbors)
+    at the defaults concentrates ~6e17 of mass on the hub after one
+    iteration, so iteration 2's bigint product 17 * score would wrap
+    silently under non-ANSI arithmetic. The guard must raise loudly
+    instead (the static bound fails at N > ~5.4e5, the dynamic check
+    fires before the wrapping iteration)."""
+    from pyspark.sql import functions as F
+
+    n_leaves = 700_000
+    edges = spark.range(1, n_leaves + 1).select(
+        F.col("id").alias("src"), F.lit(0).cast("bigint").alias("dst")
+    )
+    nodes = spark.range(n_leaves + 1).select(F.col("id").alias("doc_id"))
+    with pytest.raises(ValueError, match="overflow margin"):
+        authority_scores(edges, nodes, iters=2).collect()
+
+
+def test_authority_overflow_guard_rejects_huge_init_upfront(spark):
+    """N * init >= 2^63 means even the in-mass SUM can wrap — refused
+    before any iteration runs."""
+    edges, nodes = _graph(spark, [(0, 1)], [0, 1])
+    with pytest.raises(ValueError, match="total mass"):
+        authority_scores(edges, nodes, iters=1, init=2**62)
+
+
+def test_authority_dynamic_guard_allows_safe_trajectory(spark):
+    """A graph whose STATIC bound fails (num * N * init * maxw >= 2^63)
+    but whose actual trajectory stays bounded must still run under the
+    per-iteration dynamic check and produce the exact unguarded scores:
+    a 1000-cycle at init=1e15 never concentrates mass (each score stays
+    ~init), so the dynamic margin holds every iteration."""
+    from pyspark.sql import functions as F
+
+    from candia_spark.operators.graph import LAST_AUTHORITY_TELEMETRY
+
+    n = 1000
+    init = 10**15
+    assert 17 * n * init >= 2**63  # static bound genuinely fails
+    edges = spark.range(n).select(
+        F.col("id").alias("src"), ((F.col("id") + 1) % n).alias("dst")
+    )
+    nodes = spark.range(n).select(F.col("id").alias("doc_id"))
+    out = authority_scores(edges, nodes, iters=2, init=init)
+    rows = {r["doc_id"]: r["score"] for r in out.collect()}
+    assert LAST_AUTHORITY_TELEMETRY["static_safe"] is False
+    assert LAST_AUTHORITY_TELEMETRY["dynamic_checks"] == 1  # iters - 1
+    assert LAST_AUTHORITY_TELEMETRY["n_nodes"] == n
+    assert LAST_AUTHORITY_TELEMETRY["n_edges"] == n
+    # cycle is 1-regular: damped update is a fixed point up to flooring,
+    # every score stays exactly init (17*init divisible by 20? 17*1e15 /
+    # 20 is exact) -> base + (17*init)//20 == init
+    base = (3 * init) // 20
+    assert all(s == base + (17 * init) // 20 == init for s in rows.values())
+
+
 def test_weighted_authority_rejects_nonpositive_weights(spark):
     """A zero/negative weight would zero some source's total out-weight
     and the div-by-zero term silently nulls under Spark's non-ANSI
