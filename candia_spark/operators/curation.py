@@ -484,6 +484,18 @@ def sample_to_temperature(
     pow(), whose cross-engine rounding is NOT guaranteed; extend with a
     rational-exponent chain of sqrt() calls if another temperature is
     ever needed.
+
+    SAMPLING IS WITHOUT REPLACEMENT, so this operator can only
+    DOWN-sample: a small source whose target exceeds its row count
+    (e.g. counts {1, 10000} with total=1000 give the 1-row source
+    target 9) is silently capped at its population — the rank filter
+    keeps all c_s rows and the realized mixture deviates from the
+    count^alpha proportions. The ``target`` column rides in the output
+    for exactly this audit: ``groupBy(source).agg(count(*), first
+    (target))`` exposes any per-source deficit (realized < target), and
+    a caller that needs true temperature up-sampling must replicate
+    deficient sources (an epoch/repeat-factor decision that belongs to
+    the training loader, not a without-replacement sampler).
     """
     if total <= 0:
         raise ValueError(f"total must be positive, got {total}")

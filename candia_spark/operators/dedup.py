@@ -157,28 +157,54 @@ def shingle_index(
     their plans at all.
     """
     base = _materialize(word_ngram_hashes(df, n, text_col, id_col))
-    if max_shingle_df is None and max_shingle_frac is None:
-        return base
-    cap: Column = F.lit(max_shingle_df).cast("double")
-    if max_shingle_frac is not None:
+    capped, _ = _cap_hot_keys(
+        base, "shingle", id_col, max_shingle_df, max_shingle_frac
+    )
+    return capped
+
+
+def _cap_hot_keys(
+    base: DataFrame,
+    key_col: str,
+    id_col: str,
+    max_df: int | None,
+    max_frac: float | None,
+) -> tuple[DataFrame, int]:
+    """The shared hot-key capping device (shingle_index's historical
+    inline form, reused by the winnowed-fingerprint index — advice/
+    verdict r7 #2): census the MATERIALIZED inverted index, anti-join
+    away keys whose document frequency exceeds the cap, and return
+    ``(capped_index, n_hot)``. The fractional cap is measured against
+    the documents PRESENT IN THE INDEX, so it is scale-invariant and
+    needs no second corpus scan.
+
+    The cap usually doesn't bite (hot keys are pathological by
+    definition): the over-cap set is counted first — one tiny job over
+    the already-materialized base — and when it's empty the base is
+    returned untouched with no second materialization.
+    """
+    if max_df is None and max_frac is None:
+        return base, 0
+    cap: Column = F.lit(max_df).cast("double")
+    if max_frac is not None:
         ndocs = base.select(F.count_distinct(F.col(id_col)).alias("__ndocs"))
-        frac_cap = F.col("__ndocs") * F.lit(max_shingle_frac)
-        cap = frac_cap if max_shingle_df is None else F.least(cap, frac_cap)
+        frac_cap = F.col("__ndocs") * F.lit(max_frac)
+        cap = frac_cap if max_df is None else F.least(cap, frac_cap)
         census = (
-            base.groupBy("shingle")
+            base.groupBy(key_col)
             .agg(F.count(F.lit(1)).alias("__df"))
             .crossJoin(F.broadcast(ndocs))
         )
     else:
-        census = base.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
-    hot = _materialize(census.filter(F.col("__df") > cap).select("shingle"))
-    # The cap usually doesn't bite (hot shingles are pathological by
-    # definition): count the over-cap set first — one tiny job over the
-    # already-materialized base — and skip the second index materialization
-    # entirely when it's empty.
-    if hot.count() == 0:
-        return base
-    return _materialize(base.join(F.broadcast(hot), "shingle", "left_anti"))
+        census = base.groupBy(key_col).agg(F.count(F.lit(1)).alias("__df"))
+    hot = _materialize(census.filter(F.col("__df") > cap).select(key_col))
+    n_hot = hot.count()
+    if n_hot == 0:
+        return base, 0
+    return (
+        _materialize(base.join(F.broadcast(hot), key_col, "left_anti")),
+        n_hot,
+    )
 
 
 # Telemetry from the most recent standalone ngram_jaccard_pairs mode
@@ -1587,11 +1613,18 @@ def remove_duplicate_blocks(
     :func:`block_census` of the already-ingested corpus) and ``df``
     becomes the incoming BATCH: any batch block present in the census is
     removed outright (the corpus owns it), and among census-novel blocks
-    the batch-internal first occurrence wins — exactly the output a full
-    run over corpus+batch would produce for the batch documents, without
-    re-splitting a byte of corpus text (equivalence pinned in
-    tests/test_retrieval.py). Per-batch cost tracks the batch plus one
-    columnar scan of the stored census into a LEFT ANTI join.
+    the batch-internal first occurrence wins. THE CONTRACT IS "the
+    corpus owns every censused block" — ingestion order decides
+    ownership, not id order. That coincides with a full run over
+    corpus+batch only under the precondition that every corpus id
+    orders before every batch id (the equivalence pinned in
+    tests/test_retrieval.py states exactly this); with interleaved ids
+    a batch doc whose id sorts before a corpus doc would KEEP a shared
+    block in the full run but lose it here — by design, since a rolling
+    pipeline cannot rewrite already-shipped corpus documents (q78's
+    oracle encodes these rolling semantics, not full-run semantics).
+    Per-batch cost tracks the batch plus one columnar scan of the
+    stored census into a LEFT ANTI join.
     """
     base, occurrences = _block_base_and_occurrences(
         df, block_words, text_col, id_col
@@ -1760,6 +1793,14 @@ def winnow_fingerprints(
     return df.select(F.col(id_col), F.explode(fps).alias("fp"))
 
 
+# Telemetry from the most recent winnow_fingerprint_pairs call on this
+# driver (the LAST_JACCARD_TELEMETRY pattern): {"calls": monotone
+# counter, "fp_rows": capped-index row count, "hot_fps": fingerprints
+# dropped by the df cap} — bench.py attributes it per query so the
+# official artifact shows the index density and whether the cap bit.
+LAST_WINNOW_TELEMETRY: dict = {}
+
+
 def winnow_fingerprint_pairs(
     df: DataFrame,
     n: int = 2,
@@ -1768,6 +1809,8 @@ def winnow_fingerprint_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     fingerprints: DataFrame | None = None,
+    max_fp_df: int | None = None,
+    max_fp_frac: float | None = None,
 ) -> DataFrame:
     """Document pairs sharing winnowed fingerprints: (id_a, id_b,
     n_shared, fp_a, fp_b, overlap) with overlap = n_shared /
@@ -1783,7 +1826,24 @@ def winnow_fingerprint_pairs(
     winnowed index, a ~(window+1)/2× subsample of the full shingle
     index, so the join mass shrinks quadratically in the density while
     the local-match guarantee holds. Pass ``fingerprints`` (a persisted
-    :func:`winnow_fingerprints`) to reuse an existing index."""
+    :func:`winnow_fingerprints`) to reuse an existing index.
+
+    ``max_fp_df`` / ``max_fp_frac`` cap HOT fingerprints (verdict r7
+    #2), exactly as ``max_shingle_df``/``max_shingle_frac`` cap the
+    jaccard family's shingle index: real corpora share boilerplate, and
+    one fingerprint hitting 10^4 documents contributes 10^8 pair rows
+    to the inverted-index join — the disjoint-vocabulary regime where
+    the uncapped scan measures linear says nothing about that. Capped
+    fingerprints are DROPPED (sizes are computed after capping, so
+    ``overlap`` stays internally consistent): a hot fingerprint is one
+    boilerplate window shared corpus-wide, which carries no splice
+    evidence — connecting documents through it is precisely the
+    false-positive mass the cap exists to remove, so no star-pair
+    device applies here (unlike :func:`minhash_lsh_pairs`' hot BUCKETS,
+    which hold genuine whole-document duplicate clusters). At corpus
+    scale pass ``max_fp_frac`` (scale-invariant); the capped-vs-uncapped
+    skew behavior is measured on the Zipf shared-vocabulary corpus in
+    SCALING_r08.json (r8_winnow_zipf)."""
     # the fingerprint index feeds THREE consumers (sizes, both join
     # sides) — cut it once so the md5 + window-minima map runs one time
     # (measured 6.4 -> ~2.5 s at sf0.1 on the q72 fixture)
@@ -1791,6 +1851,12 @@ def winnow_fingerprint_pairs(
         fingerprints
         if fingerprints is not None
         else winnow_fingerprints(df, n, window, text_col, id_col)
+    )
+    fp, n_hot = _cap_hot_keys(fp, "fp", id_col, max_fp_df, max_fp_frac)
+    LAST_WINNOW_TELEMETRY.update(
+        calls=LAST_WINNOW_TELEMETRY.get("calls", 0) + 1,
+        fp_rows=fp.count(),
+        hot_fps=n_hot,
     )
     sizes = fp.groupBy(id_col).agg(F.count(F.lit(1)).alias("fp_n"))
     par = 2 * fp.sparkSession.sparkContext.defaultParallelism

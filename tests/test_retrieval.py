@@ -289,6 +289,56 @@ def test_winnowing_index_is_subsampled_and_validated(spark):
     assert got.get(2) == 1 and 3 not in got
 
 
+def test_winnow_hot_fingerprint_cap(spark):
+    """Verdict r7 #2: a boilerplate run shared corpus-wide floods the
+    uncapped inverted index with O(docs^2) pair rows; max_fp_df drops
+    those fingerprints (like max_shingle_df for the jaccard family), so
+    only genuinely spliced pairs survive, sizes are computed post-cap,
+    and the telemetry records that the cap bit."""
+    from candia_spark.operators.dedup import (
+        LAST_WINNOW_TELEMETRY,
+        winnow_fingerprint_pairs,
+    )
+
+    # 20-token boilerplate: its INTERIOR windows produce identical
+    # minima in every doc (df=10 fingerprints — the hot class), while
+    # boundary windows mix with per-doc tokens and stay sub-cap
+    boiler = " ".join(f"legal{j} boiler{j}" for j in range(10))
+    splice = "quick brown foxes jump over lazy dogs today"
+    rows = [
+        (
+            i,
+            f"unique{i}a word{i}b item{i}c note{i}d case{i}e {boiler} "
+            f"tail{i}f end{i}g more{i}h else{i}k",
+        )
+        for i in range(10)
+    ]
+    # docs 0 and 1 additionally share a GENUINE spliced run
+    rows[0] = (0, rows[0][1] + f" {splice}")
+    rows[1] = (1, rows[1][1] + f" {splice}")
+    d = spark.createDataFrame(rows, "doc_id bigint, text string")
+    uncapped = winnow_fingerprint_pairs(d, n=3, window=4, threshold=0.25)
+    # boilerplate connects every doc pair without a cap (overlaps .58-.77)
+    assert uncapped.count() == 45
+    capped = winnow_fingerprint_pairs(
+        d, n=3, window=4, threshold=0.25, max_fp_df=5
+    )
+    got = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    assert got == {(0, 1)}, "only the genuine splice pair survives the cap"
+    assert LAST_WINNOW_TELEMETRY["hot_fps"] > 0
+    assert LAST_WINNOW_TELEMETRY["fp_rows"] > 0
+    # fractional form: 5/10 docs == max_fp_df=5 — identical result
+    frac = winnow_fingerprint_pairs(
+        d, n=3, window=4, threshold=0.25, max_fp_frac=0.5
+    )
+    assert {(r["id_a"], r["id_b"]) for r in frac.collect()} == {(0, 1)}
+    # a no-bite cap leaves the result identical to uncapped
+    loose = winnow_fingerprint_pairs(
+        d, n=3, window=4, threshold=0.25, max_fp_df=1000
+    )
+    assert loose.count() == 45 and LAST_WINNOW_TELEMETRY["hot_fps"] == 0
+
+
 def test_remove_duplicate_blocks_incremental_matches_full(spark, tmp_path):
     """Rolling block dedup: a batch rewritten against the PERSISTED
     corpus block census equals the batch slice of a full run over
