@@ -103,12 +103,20 @@ def main() -> None:
         from candia_spark.operators.dedup import (
             LAST_CC_TELEMETRY,
             LAST_JACCARD_TELEMETRY,
+            LAST_WINNOW_TELEMETRY,
         )
     except Exception:
         LAST_CC_TELEMETRY = {}
         LAST_JACCARD_TELEMETRY = {}
+        LAST_WINNOW_TELEMETRY = {}
+    try:
+        from candia_spark.operators.graph import LAST_AUTHORITY_TELEMETRY
+    except Exception:
+        LAST_AUTHORITY_TELEMETRY = {}
     cc_rounds_by_query: dict[str, int] = {}
     jaccard_mode_by_query: dict[str, str] = {}
+    winnow_by_query: dict[str, list[int]] = {}
+    authority_by_query: dict[str, list] = {}
 
     # Per-query fault isolation: one broken query must never cost the
     # round its timings (round 3 lost ALL perf evidence to a single
@@ -117,6 +125,8 @@ def main() -> None:
         for _run in range(max(1, cli.runs)):
             cc_calls_before = LAST_CC_TELEMETRY.get("calls", 0)
             jac_calls_before = LAST_JACCARD_TELEMETRY.get("calls", 0)
+            win_calls_before = LAST_WINNOW_TELEMETRY.get("calls", 0)
+            auth_calls_before = LAST_AUTHORITY_TELEMETRY.get("calls", 0)
             t0 = time.perf_counter()
             try:
                 df = QUERY_REGISTRY[name].spark(spark, sf_dir)
@@ -140,6 +150,21 @@ def main() -> None:
                 jaccard_mode_by_query[name] = LAST_JACCARD_TELEMETRY.get(
                     "mode", "?"
                 )
+            # Winnowing index density + hot-fingerprint cap bite, and
+            # authority graph geometry + guard mode (verdict r7 #8):
+            # regressions in either surface as numbers in the official
+            # artifact instead of as silent wall-time.
+            if LAST_WINNOW_TELEMETRY.get("calls", 0) != win_calls_before:
+                winnow_by_query[name] = [
+                    LAST_WINNOW_TELEMETRY.get("fp_rows", -1),
+                    LAST_WINNOW_TELEMETRY.get("hot_fps", -1),
+                ]
+            if LAST_AUTHORITY_TELEMETRY.get("calls", 0) != auth_calls_before:
+                authority_by_query[name] = [
+                    LAST_AUTHORITY_TELEMETRY.get("n_nodes", -1),
+                    LAST_AUTHORITY_TELEMETRY.get("n_edges", -1),
+                    int(bool(LAST_AUTHORITY_TELEMETRY.get("static_safe"))),
+                ]
 
     total = round(sum(timings.values()), 3)
     try:
@@ -173,6 +198,14 @@ def main() -> None:
     if jaccard_mode_by_query:
         out["jaccard_mode"] = {
             short(k): v for k, v in jaccard_mode_by_query.items()
+        }
+    if winnow_by_query:
+        # [fp index rows, fingerprints dropped by the hot cap]
+        out["winnow"] = {short(k): v for k, v in winnow_by_query.items()}
+    if authority_by_query:
+        # [nodes, edges, 1 if the static overflow bound held]
+        out["authority"] = {
+            short(k): v for k, v in authority_by_query.items()
         }
     # Stop Spark BEFORE emitting the JSON so the one JSON line is the
     # very last stdout the harness produces — nothing (shutdown chatter

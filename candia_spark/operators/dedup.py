@@ -844,6 +844,63 @@ def incremental_corpus_state(
     return bands_df, sets_df
 
 
+def compact_corpus_state(
+    corpus_bands: DataFrame,
+    corpus_sets: DataFrame,
+    batch_df: DataFrame,
+    num_hashes: int = 32,
+    bands: int = 16,
+    n: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    batch_index: DataFrame | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """The periodic compaction job the rolling near-dedup contract
+    defers (streaming.dedup_stream / incremental_vs_corpus_stream tails):
+    fold a processed batch back into the persisted corpus state so the
+    NEXT batch also collides against today's documents. Returns the
+    ``(bands_delta, sets_delta)`` rows to APPEND to the stored
+    :func:`incremental_corpus_state` tables — deltas, not a rewritten
+    state, because at corpus scale the state is an append-only
+    partitioned table (key each compaction's append by batch id with
+    dynamic partition overwrite, the same replay-idempotence device as
+    ``streaming.write_dedup_batch``) and rewriting terabytes of bands
+    per batch would make compaction cost track the corpus instead of
+    the batch.
+
+    Semantics: ``stored state + delta == incremental_corpus_state(
+    corpus ∪ batch)`` row-for-row (pinned in tests), under the rolling
+    ownership rule — a batch id ALREADY PRESENT in the stored state is
+    skipped entirely (the corpus owns it), so replaying a batch or
+    re-ingesting an already-censused document cannot double its rows.
+    The geometry stamp is asserted against the call parameters up front
+    (:func:`_assert_state_geometry`) and travels on the delta, so a
+    later reader of the appended table sees one consistent stamp.
+
+    Per-batch cost: batch tokenize/minhash (shared with the dedup pass
+    itself via ``batch_index``) plus one id anti-join against a
+    one-column scan of the stored sets — nothing corpus-sized is
+    re-hashed or shuffled. Callers that deduplicate before compacting
+    pass the SURVIVING batch docs as ``batch_df``."""
+    _assert_state_geometry(corpus_bands, corpus_sets, n, num_hashes, bands)
+    bands_new, sets_new = incremental_corpus_state(
+        batch_df,
+        num_hashes=num_hashes,
+        bands=bands,
+        n=n,
+        text_col=text_col,
+        id_col=id_col,
+        corpus_index=batch_index,
+    )
+    # the stored sets table is the one-row-per-doc side: its id column
+    # scans narrow (48 bytes/doc) and anti-joins both delta halves
+    owned = corpus_sets.select("corpus_id")
+    return (
+        bands_new.join(owned, "corpus_id", "left_anti"),
+        sets_new.join(owned, "corpus_id", "left_anti"),
+    )
+
+
 def _assert_state_geometry(
     corpus_bands: DataFrame,
     corpus_sets: DataFrame,
@@ -1576,6 +1633,42 @@ def block_census(
     )
 
 
+def compact_block_census(
+    corpus_firsts: DataFrame,
+    batch_df: DataFrame,
+    block_words: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Fold a processed ingestion batch into the persisted
+    :func:`block_census` — the block-dedup half of the periodic
+    compaction job (:func:`compact_corpus_state` is the near-dedup
+    half). Returns the DELTA census rows to APPEND to the stored table:
+    the batch's census-NOVEL blocks with their batch-internal first
+    occurrence. Censused blocks produce no delta row — the corpus owns
+    them (the rolling ownership rule :func:`remove_duplicate_blocks`
+    documents), so their stored (first_id, first_pos) never changes and
+    compaction never rewrites a stored row.
+
+    ``stored census + delta == block_census(corpus ∪ batch)`` whenever
+    every corpus id orders before every batch id (pinned in tests);
+    under interleaved ids the compacted census encodes the ROLLING
+    semantics q78's oracle certifies — ownership by ingestion order —
+    which is the semantics a pipeline that cannot rewrite shipped
+    documents actually wants. Replay-idempotence belongs to the sink:
+    key each append by batch id with dynamic partition overwrite, as
+    with :func:`compact_corpus_state`.
+
+    Per-batch cost: one batch split (shared shape with the rewrite pass)
+    plus a LEFT ANTI join against a block-column scan of the stored
+    census — the corpus text is never re-split; at real scale bucket
+    the stored census by block (digest) so the anti join co-locates."""
+    batch_census = block_census(batch_df, block_words, text_col, id_col)
+    return batch_census.join(
+        corpus_firsts.select("block"), "block", "left_anti"
+    )
+
+
 def remove_duplicate_blocks(
     df: DataFrame,
     block_words: int = 16,
@@ -1744,6 +1837,77 @@ def ngram_containment_pairs(
             F.col("n_common") / F.least(F.col("size_a"), F.col("size_b"))
         ).cast("double"),
     ).filter(F.col("containment") >= threshold)
+
+
+def containment_candidate_pairs(
+    df: DataFrame,
+    num_hashes: int = 64,
+    n: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    index: DataFrame | None = None,
+    max_shingle_df: int | None = None,
+    max_shingle_frac: float | None = None,
+) -> DataFrame:
+    """Candidate pairs for CONTAINMENT verification — the asymmetric
+    sketch Jaccard-banding cannot provide. Symmetric banded MinHash
+    (:func:`minhash_lsh_pairs`) collides with probability driven by
+    JACCARD, and a contained pair's Jaccard is ~|A|/|B| — arbitrarily
+    small — so no (bands, rows) setting gives reliable recall for the
+    pairs :func:`ngram_containment_pairs` exists to find. This operator
+    bands the SHORTER SIDE ONLY: each document contributes its
+    ``num_hashes`` minhash WITNESS shingles (the argmin shingle per
+    seeded permutation — at most k rows per doc, k << set size), and a
+    witness probes the full inverted index for every OTHER document
+    containing that exact shingle. For a pair with containment
+    ``t = |A∩B| / |A|`` (A the smaller side), each of A's witnesses
+    lands in A∩B — and therefore in B's index rows — with probability
+    exactly t, so the pair is missed with probability ``(1-t)^k``:
+    ~1e-64 at t=0.9, k=64. That bound is what lets q81 run this path
+    against an EXACT oracle (the q27 stance: recall is part of the
+    gate), and it holds for whichever side of the pair is smaller,
+    since every document plays the witness role.
+
+    Scale: the witness table is ≤ k rows/doc regardless of document
+    length, and per witness the probe fans out to that shingle's
+    document frequency — total candidate mass ≤ k · Σ df(witness), so
+    the hot-shingle caps (``max_shingle_df`` / ``max_shingle_frac``,
+    applied to the probed index) bound it at k · N · cap. When capping,
+    cap the VERIFY index identically (and the oracle, q73's HAVING
+    device), or a witness may probe for a shingle the capped index no
+    longer holds. Output: (id_a, id_b) distinct, id_a < id_b. Pass
+    ``index`` to share one corpus scan with verification."""
+    if num_hashes <= 0:
+        raise ValueError(f"num_hashes must be positive, got {num_hashes}")
+    if index is None:
+        index = shingle_index(
+            df, n, text_col, id_col,
+            max_shingle_df=max_shingle_df,
+            max_shingle_frac=max_shingle_frac,
+        )
+    witnesses = index.groupBy(id_col).agg(
+        *[
+            F.min_by("shingle", F.xxhash64(F.col("shingle"), F.lit(i))).alias(
+                f"__w{i}"
+            )
+            for i in range(num_hashes)
+        ]
+    )
+    probe = witnesses.select(
+        F.col(id_col).alias("__wid"),
+        F.explode(
+            F.array_distinct(
+                F.array(*[F.col(f"__w{i}") for i in range(num_hashes)])
+            )
+        ).alias("shingle"),
+    )
+    hits = probe.join(index, "shingle").filter(
+        F.col("__wid") != F.col(id_col)
+    )
+    return hits.select(
+        F.least("__wid", id_col).alias("id_a"),
+        F.greatest("__wid", id_col).alias("id_b"),
+    ).distinct()
 
 
 def winnow_fingerprints(

@@ -351,7 +351,10 @@ def incremental_dedup_stream(
     A blind ``mode("append")`` here would duplicate pairs on restart.
     Refreshing the corpus state (folding deduplicated batches back in)
     is the periodic compaction job's business, same stance as
-    :func:`dedup_stream`'s tail.
+    :func:`dedup_stream`'s tail — that job is
+    ``operators.dedup.compact_corpus_state`` (bands+sets deltas) /
+    ``compact_block_census`` (block census deltas), appended under the
+    same ``_batch_id`` dynamic-overwrite discipline as this sink.
 
     ``availableNow`` drains all pending input then stops — the
     production backfill trigger; swap for a processing-time trigger on a

@@ -396,3 +396,123 @@ def test_remove_duplicate_blocks_incremental_matches_full(spark, tmp_path):
     # and the novel docs deduplicated their internal repeat
     novel = [t for t in inc if t[0] >= off + 900_000]
     assert all(t[1] == 2 and t[2] == 1 for t in novel)
+
+
+def test_compact_block_census_closes_the_rolling_loop(spark, tmp_path):
+    """Verdict r7 #5 (corpus-state compaction): folding batch-novel
+    blocks into the persisted census (compact_block_census delta,
+    appended) yields exactly the census a from-scratch rebuild over
+    corpus+batch produces when corpus ids precede batch ids; under
+    interleaved ids the stored rows never change (the corpus owns
+    censused blocks); and the NEXT batch rewritten against the
+    compacted census equals the rewrite against the rebuilt one —
+    the rolling loop is closed without ever re-splitting corpus text."""
+    from candia_spark.operators.dedup import block_census, compact_block_census
+    from candia_spark.tables import load_table
+
+    corpus = (
+        load_table(spark, "/root/testdata/sf0.001", "documents")
+        .select("doc_id", "text")
+        .limit(120)
+    )
+    rows = corpus.collect()
+    off = 10_000_000
+    b1 = spark.createDataFrame(
+        # one verbatim re-ingest (all blocks censused), novel docs with a
+        # block shared batch-internally
+        [(off + rows[0]["doc_id"], rows[0]["text"])]
+        + [
+            (off + 100 + i, f"b{i}x b{i}y b{i}z b{i}w shared1 shared2 "
+             f"shared3 shared4 t{i}")
+            for i in range(6)
+        ],
+        "doc_id bigint, text string",
+    )
+    census_path = str(tmp_path / "census")
+    block_census(corpus, block_words=4).write.mode("overwrite").parquet(
+        census_path
+    )
+    stored = spark.read.parquet(census_path)
+    delta = compact_block_census(stored, b1, block_words=4)
+    # append the delta (the compaction job's write) and reload
+    delta.write.mode("append").parquet(census_path)
+    compacted = spark.read.parquet(census_path)
+    rebuilt = block_census(corpus.unionByName(b1), block_words=4)
+    assert sorted(map(tuple, compacted.collect())) == sorted(
+        map(tuple, rebuilt.collect())
+    )
+    # delta rows are batch-novel only, owned by the batch-internal first
+    dl = {r["block"]: (r["first_id"], r["first_pos"]) for r in delta.collect()}
+    assert all(fid >= off + 100 for fid, _ in dl.values())
+    assert dl["shared1 shared2 shared3 shared4"] == (off + 100, 1)
+    # rolling ownership under interleaved ids: a batch doc whose id sorts
+    # BEFORE a censused owner contributes no delta row for that block
+    early = spark.createDataFrame(
+        [(-1, rows[0]["text"])], "doc_id bigint, text string"
+    )
+    assert compact_block_census(compacted, early, block_words=4).count() == 0
+    # next batch against compacted census == against from-scratch census
+    b2 = spark.createDataFrame(
+        [(off + 500, rows[1]["text"] + " shared1 shared2 shared3 shared4")],
+        "doc_id bigint, text string",
+    )
+    via_compacted = sorted(
+        map(
+            tuple,
+            remove_duplicate_blocks(
+                b2, block_words=4, corpus_firsts=compacted
+            ).collect(),
+        )
+    )
+    via_rebuilt = sorted(
+        map(
+            tuple,
+            remove_duplicate_blocks(
+                b2, block_words=4, corpus_firsts=rebuilt
+            ).collect(),
+        )
+    )
+    assert via_compacted == via_rebuilt and len(via_compacted) == 1
+
+
+def test_containment_candidate_pairs_witness_sketch(spark):
+    """Verdict r7 #4: the shorter-side witness sketch finds every
+    contained pair symmetric Jaccard-banding structurally misses — a
+    10-token prefix inside a 200-token doc has Jaccard ~0.05 (no
+    banding setting collides reliably) but containment 1.0, and each
+    of the prefix's witnesses probes into the parent's index rows with
+    probability ~1. Candidates fed to ngram_containment_pairs equal
+    the standalone result; candidate count stays << all-pairs."""
+    from candia_spark.operators.dedup import (
+        containment_candidate_pairs,
+        ngram_containment_pairs,
+        shingle_index,
+    )
+
+    long_text = " ".join(f"w{i}" for i in range(200))
+    rows = [(1, long_text), (2, " ".join(f"w{i}" for i in range(10)))] + [
+        (10 + i, " ".join(f"u{i}_{j}" for j in range(30))) for i in range(20)
+    ]
+    d = spark.createDataFrame(rows, "doc_id bigint, text string")
+    idx = shingle_index(d, 2)
+    cands = containment_candidate_pairs(d, num_hashes=64, index=idx)
+    got = {(r["id_a"], r["id_b"]) for r in cands.collect()}
+    assert (1, 2) in got
+    # disjoint-vocabulary docs never become candidates: mass tracks
+    # shared shingles, not the pair space
+    assert all(a in (1, 2) and b in (1, 2) for a, b in got)
+    via_cands = sorted(
+        map(
+            tuple,
+            ngram_containment_pairs(
+                d, threshold=0.9, candidates=cands, index=idx
+            ).collect(),
+        )
+    )
+    standalone = sorted(
+        map(tuple, ngram_containment_pairs(d, threshold=0.9, index=idx).collect())
+    )
+    assert via_cands == standalone and len(standalone) == 1
+    # validation
+    with pytest.raises(ValueError, match="num_hashes"):
+        containment_candidate_pairs(d, num_hashes=0)
