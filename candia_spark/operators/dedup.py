@@ -155,6 +155,14 @@ def shingle_index(
     broadcast anti-join -> the CAPPED index is materialized too, so
     downstream consumers read capped blocks with no census subtree in
     their plans at all.
+
+    The two forms bound different things (SCALING_r08 winnow_zipf is the
+    measured version of this distinction): the FRACTIONAL cap is the
+    semantic knob — "no shingle shared by over X% of documents carries
+    similarity evidence" — but df <= frac*N still admits Θ(N²) pair-scan
+    mass on a shared-vocabulary corpus; the ABSOLUTE cap is the mass
+    bound — Σ_{df<=cap} df² <= cap * index_rows, linear in the corpus by
+    construction. At corpus scale pass both (they compose as a LEAST).
     """
     base = _materialize(word_ngram_hashes(df, n, text_col, id_col))
     capped, _ = _cap_hot_keys(
@@ -2004,10 +2012,17 @@ def winnow_fingerprint_pairs(
     evidence — connecting documents through it is precisely the
     false-positive mass the cap exists to remove, so no star-pair
     device applies here (unlike :func:`minhash_lsh_pairs`' hot BUCKETS,
-    which hold genuine whole-document duplicate clusters). At corpus
-    scale pass ``max_fp_frac`` (scale-invariant); the capped-vs-uncapped
-    skew behavior is measured on the Zipf shared-vocabulary corpus in
-    SCALING_r08.json (r8_winnow_zipf)."""
+    which hold genuine whole-document duplicate clusters).
+
+    The two cap forms bound different things: ``max_fp_frac`` is the
+    SEMANTIC knob (drop corpus-wide boilerplate; scale-invariant), but
+    df <= frac*N still admits Θ(N²) join mass on a shared-vocabulary
+    corpus; ``max_fp_df`` is the MASS bound — Σ_{df<=cap} df² <=
+    cap * Σ df = cap * index_rows, linear in the corpus by
+    construction. At corpus scale pass both: frac for meaning, an
+    absolute cap for the worst case. The capped-vs-uncapped skew
+    behavior is measured on the Zipf shared-vocabulary corpus in
+    SCALING_r08.json (winnow_zipf)."""
     # the fingerprint index feeds THREE consumers (sizes, both join
     # sides) — cut it once so the md5 + window-minima map runs one time
     # (measured 6.4 -> ~2.5 s at sf0.1 on the q72 fixture)

@@ -5,16 +5,24 @@
   skew regime SCALING_r07's disjoint-vocabulary tiles structurally
   cannot produce). The claim under test: the UNCAPPED pair scan blows
   up with corpus size because boilerplate-grade fingerprints hit large
-  document fractions (df² pair mass), while the hot-fingerprint cap
-  (max_fp_frac) keeps the scan near-linear; hot_fps/fp_rows telemetry
-  rides next to the wall times. The uncapped leg is measured only up to
-  --uncapped-max docs and SKIPPED above (recorded as null, not hidden)
-  — at the largest size the uncapped join is exactly the explosion the
-  cap exists to prevent.
+  document fractions (df² pair mass), while an ABSOLUTE hot-fingerprint
+  cap keeps it near-linear — Σ_{df<=cap} df² <= cap · Σ df =
+  cap · index_rows, i.e. O(corpus) by construction. (The FRACTIONAL cap
+  is the semantic knob — drop corpus-wide boilerplate — but df <=
+  frac·N still admits Θ(N²) mass on a shared-vocabulary corpus; the
+  absolute cap is the mass-bound knob, and this section measures that
+  distinction.) hot_fps/fp_rows telemetry rides next to the wall
+  times. The uncapped leg is measured only up to --uncapped-max docs
+  and SKIPPED above (recorded as null, not hidden) — at the largest
+  size the uncapped join is exactly the explosion the cap prevents.
 - ``containment_zipf`` (verdict r7 #4): the containment family on the
-  same Zipf corpus — capped standalone (q71's call shape) and the
-  shorter-side witness-sketch candidates path (q81,
-  containment_candidate_pairs -> verify). Cap statistics recorded.
+  same Zipf corpus — capped standalone (q71's call shape, absolute cap
+  for the same mass bound) and the shorter-side witness-sketch
+  candidates path (q81; k=16 witnesses — recall (1-0.9)^16 ≈ 1e-16 at
+  the 0.9 threshold — each fanning out to at most cap postings). Cap
+  statistics recorded. On a shared-vocabulary corpus the candidate set
+  is inherently dense (that is the data, not the engine), so the claim
+  is bounded mass per witness, not a tiny candidate list.
 - ``corpus_diff`` (verdict r7 #5 measurement gap): q76's operator at
   x10/x25/x50 — old = tiled corpus, new = same corpus with ~1/13 of
   docs dropped, ~1/17 edited, plus a fixed added slice. The claim: the
@@ -66,7 +74,7 @@ def run_winnow_zipf(spark, zipf_dir: str, runs: int, uncapped: bool) -> dict:
     out: dict = {}
     capped_sec = ss.timed(
         lambda: winnow_fingerprint_pairs(
-            docs, n=3, window=4, threshold=0.3, max_fp_frac=0.1
+            docs, n=3, window=4, threshold=0.3, max_fp_df=500
         ),
         runs=runs,
     )
@@ -96,10 +104,11 @@ def run_containment_zipf(spark, zipf_dir: str, runs: int) -> dict:
     )
 
     docs = _docs(spark, zipf_dir).select("doc_id", "text")
+    cap = 100  # absolute: pair mass <= cap * index_rows, linear in docs
     # q71's standalone shape: capped inverted-index scan
     capped_sec = ss.timed(
         lambda: ngram_containment_pairs(
-            docs, n=2, threshold=0.9, max_shingle_frac=0.1
+            docs, n=2, threshold=0.9, max_shingle_df=cap
         ),
         runs=runs,
     )
@@ -107,29 +116,29 @@ def run_containment_zipf(spark, zipf_dir: str, runs: int) -> dict:
 
     # q81's candidates shape: witness sketch probes the SAME capped index
     def _witness():
-        idx = shingle_index(docs, 2, max_shingle_frac=0.1)
-        cands = containment_candidate_pairs(docs, num_hashes=64, index=idx)
+        idx = shingle_index(docs, 2, max_shingle_df=cap)
+        cands = containment_candidate_pairs(docs, num_hashes=16, index=idx)
         return ngram_containment_pairs(
             docs, n=2, threshold=0.9, candidates=cands, index=idx
         )
 
     witness_sec = ss.timed(_witness, runs=runs)
     # cap statistics for the corpus at this size (how much of the Zipf
-    # head the fractional cap removes)
+    # head the absolute cap removes)
     from candia_spark.operators.dedup import word_ngram_hashes
 
     base = word_ngram_hashes(docs, 2)
-    n_docs = base.select("doc_id").distinct().count()
     hot = (
         base.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") > 0.1 * n_docs)
+        .filter(F.col("df") > cap)
         .count()
     )
     return {
         "capped_standalone_sec": capped_sec,
         "witness_candidates_sec": witness_sec,
-        "hot_shingles_over_frac0.1": hot,
+        "shingle_df_cap": cap,
+        "hot_shingles_over_cap": hot,
     }
 
 
@@ -191,9 +200,9 @@ def run_dup_matrix(spark, out_dir: str, runs: int) -> dict:
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--zipf-docs", type=int, nargs="+",
-                    default=[20_000, 50_000, 100_000])
+                    default=[10_000, 20_000, 50_000])
     ap.add_argument("--zipf-tokens", type=int, default=50)
-    ap.add_argument("--uncapped-max", type=int, default=50_000)
+    ap.add_argument("--uncapped-max", type=int, default=20_000)
     ap.add_argument("--sizes", type=int, nargs="+", default=[10, 25, 50])
     ap.add_argument("--runs", type=int, default=2)
     ap.add_argument("--keep-data", action="store_true")
