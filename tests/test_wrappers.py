@@ -53,6 +53,7 @@ def test_command_template_defaults():
     assert cmd[1:] == [
         "comet", "--output-dir", "out", "--peptide_mass_tolerance", "40",
         "--peptide_mass_units", "2", "--decoy_search", "0",
+        "--overwrite", "T",
         "scans.mgf", "db.fasta",
     ]
 
@@ -295,3 +296,139 @@ def test_build_library_chain_end_to_end(fake_tpp_chain, tmp_path, monkeypatch):
     empty.write_text("")
     with pytest.raises(ValueError, match="empty"):
         mayu_cutoff(str(empty))
+
+
+def _chain_fixture_files(tmp_path):
+    """Shared scaffolding for the degrade-leg tests: scan file, SWATH
+    window CSV, output path."""
+    mzxml = tmp_path / "best_models.mzXML"
+    mzxml.write_text("<mzXML/>")
+    windows = tmp_path / "windows.csv"
+    windows.write_text("400,425\n424,450\n")
+    return mzxml, windows, str(tmp_path / "assays.tsv")
+
+
+def test_build_library_binary_vanishes_mid_chain(
+    fake_tpp_chain, tmp_path, monkeypatch
+):
+    """Verdict r8 next #7: the upfront gate resolves all five binaries
+    BEFORE any stage runs, but a binary can still vanish between the
+    gate and its stage (an NFS unmount, a module unload on a cluster).
+    The stage's own resolve-at-run must then raise ToolUnavailableError
+    naming the stage — never an opaque OSError from subprocess — and
+    the artifacts of the stages that DID complete must survive for a
+    rerun to reuse."""
+    import shutil
+    import textwrap
+
+    from candia_spark.sources.wrappers import ToolUnavailableError, build_library
+
+    monkeypatch.setenv("MAYU_STANDALONE_PATH", "/opt/Mayu")
+    # a spectrast copy the comet stand-in deletes as its side effect
+    vanishing = tmp_path / "vanishing_spectrast"
+    shutil.copy(fake_tpp_chain["spectrast"], vanishing)
+    vanishing.chmod(vanishing.stat().st_mode | stat.S_IEXEC)
+    comet = tmp_path / "comet_that_unmounts"
+    comet.write_text(
+        "#!/bin/sh\n"
+        + textwrap.dedent(
+            f"""
+            [ "$1" = comet ] || exit 9
+            while [ "$1" ]; do
+              case "$1" in --output-dir) DIR=$2; shift 2;; *) shift;; esac
+            done
+            echo "<pepxml/>" > "$DIR/comet.target.pep.xml"
+            rm -f {vanishing}
+            """
+        )
+    )
+    comet.chmod(comet.stat().st_mode | stat.S_IEXEC)
+    overrides = dict(
+        fake_tpp_chain, comet=str(comet), spectrast=str(vanishing)
+    )
+    mzxml, windows, out = _chain_fixture_files(tmp_path)
+    lib_dir = str(tmp_path / "lib_vanish")
+    with pytest.raises(ToolUnavailableError, match="spectrast"):
+        build_library(lib_dir, str(mzxml), "db.fasta", str(windows), out,
+                      overrides=overrides)
+    # completed stages' artifacts survive for the rerun
+    assert os.path.exists(os.path.join(lib_dir, "comet.target.pep.xml"))
+    assert not os.path.exists(out)
+
+
+def test_build_library_mayu_csv_absent(fake_tpp_chain, tmp_path, monkeypatch):
+    """Verdict r8 next #7: Mayu exiting 0 WITHOUT writing the
+    filtered-PSM CSV (wrong -G naming, a silently-broken Mayu install)
+    must fail by stage name with the expected path — not surface as a
+    bare FileNotFoundError from the cutoff parser."""
+    import stat as stat_mod
+    import textwrap
+
+    from candia_spark.sources.wrappers import build_library
+
+    monkeypatch.setenv("MAYU_STANDALONE_PATH", "/opt/Mayu")
+    silent_mayu = tmp_path / "silent_mayu"
+    silent_mayu.write_text(
+        "#!/bin/sh\n"
+        + textwrap.dedent(
+            """
+            case "$1" in -I*/lib) ;; *) exit 9;; esac
+            exit 0
+            """
+        )
+    )
+    silent_mayu.chmod(silent_mayu.stat().st_mode | stat_mod.S_IEXEC)
+    overrides = dict(fake_tpp_chain, mayu=str(silent_mayu))
+    mzxml, windows, out = _chain_fixture_files(tmp_path)
+    with pytest.raises(ValueError, match="stage 'mayu'.*did not write"):
+        build_library(str(tmp_path / "lib_mayu"), str(mzxml), "db.fasta",
+                      str(windows), out, overrides=overrides)
+
+
+def test_build_library_spectrast_nonzero_exit(
+    fake_tpp_chain, tmp_path, monkeypatch
+):
+    """Verdict r8 next #7: a nonzero SpectraST exit aborts the chain
+    loudly (check=True subprocess contract) instead of recording the
+    code and pressing on to export assays from a missing .sptxt."""
+    import stat as stat_mod
+    import subprocess
+
+    from candia_spark.sources.wrappers import build_library
+
+    monkeypatch.setenv("MAYU_STANDALONE_PATH", "/opt/Mayu")
+    failing = tmp_path / "failing_spectrast"
+    failing.write_text("#!/bin/sh\nexit 3\n")
+    failing.chmod(failing.stat().st_mode | stat_mod.S_IEXEC)
+    overrides = dict(fake_tpp_chain, spectrast=str(failing))
+    mzxml, windows, out = _chain_fixture_files(tmp_path)
+    with pytest.raises(subprocess.CalledProcessError):
+        build_library(str(tmp_path / "lib_spt"), str(mzxml), "db.fasta",
+                      str(windows), out, overrides=overrides)
+    assert not os.path.exists(out)
+
+
+def test_build_library_scan_link_repointed(fake_tpp_chain, tmp_path, monkeypatch):
+    """Advice r8 #4: a stale scan symlink — dangling (mzxml moved) or
+    pointing at a DIFFERENT mzxml — is re-pointed, not FileExistsError'd
+    or silently reused."""
+    from candia_spark.sources.wrappers import build_library
+
+    monkeypatch.setenv("MAYU_STANDALONE_PATH", "/opt/Mayu")
+    mzxml, windows, out = _chain_fixture_files(tmp_path)
+    lib_dir = str(tmp_path / "lib_link")
+    os.makedirs(lib_dir)
+    # dangling link: target never existed
+    os.symlink(str(tmp_path / "gone.mzXML"), os.path.join(lib_dir, "comet.mzXML"))
+    res = build_library(lib_dir, str(mzxml), "db.fasta", str(windows), out,
+                        overrides=fake_tpp_chain)
+    assert res["spectrast"] == 0  # the fake asserts the link resolves
+    assert os.readlink(os.path.join(lib_dir, "comet.mzXML")) == str(mzxml)
+    # stale-but-valid link to a different file: re-pointed too
+    other = tmp_path / "other.mzXML"
+    other.write_text("<mzXML/>")
+    os.remove(os.path.join(lib_dir, "comet.mzXML"))
+    os.symlink(str(other), os.path.join(lib_dir, "comet.mzXML"))
+    build_library(lib_dir, str(mzxml), "db.fasta", str(windows), out,
+                  overrides=fake_tpp_chain)
+    assert os.readlink(os.path.join(lib_dir, "comet.mzXML")) == str(mzxml)
