@@ -168,6 +168,8 @@ def nn_parafac(
     seed: int = 123,
     max_iter: int = 5000,
     tol: float = 1e-7,
+    backend: str = "numpy",
+    device: str = "cpu",
 ) -> tuple[list[np.ndarray], float, int]:
     """Non-negative CP decomposition by multiplicative updates.
 
@@ -176,7 +178,21 @@ def nn_parafac(
     Stops when |Δ rec_error| < tol or max_iter. Returns
     (factors, rsq, iterations) where rsq = 1 - (||X-X̂||_F/||X||_F)^2
     (parity: decompose_parafac.py:107,307-311).
+
+    ``backend="torch"`` runs the identical update loop on torch tensors
+    on ``device`` — the reference's GPU option (decompose_parafac.py:
+    36-47 CUDA-MPS init, :114-126 tensor-on-device override; SURVEY
+    §7.1 step 7). Both backends start from the SAME numpy-seeded
+    factors, so results agree to floating-point reassociation — the
+    parity test gates them at the reference's own bar, atol 1e-2 on
+    thresholded mode loadings (decompose_parafac.py:560-563). torch is
+    optional (import-gated): absent torch raises ImportError naming the
+    knob, and the numpy path — the default, and the one the q23
+    goldens certify bit-for-bit — never touches it. Factor layout,
+    return contract, and iteration count are backend-independent.
     """
+    if backend not in ("numpy", "torch"):
+        raise ValueError(f"backend must be 'numpy' or 'torch', got {backend!r}")
     ndim = tensor.ndim
     rng = np.random.default_rng(seed)
     factors = [
@@ -185,6 +201,10 @@ def nn_parafac(
     norm_x = np.linalg.norm(tensor)
     if norm_x == 0:
         return factors, 1.0, 0
+    if backend == "torch":
+        return _nn_parafac_torch(
+            tensor, factors, float(norm_x), max_iter, tol, device
+        )
     prev_err = np.inf
     iters = 0
     for it in range(1, max_iter + 1):
@@ -204,6 +224,68 @@ def nn_parafac(
         prev_err = err
     rsq = 1.0 - err**2
     return factors, float(rsq), iters
+
+
+def _nn_parafac_torch(
+    tensor: np.ndarray,
+    init_factors: list[np.ndarray],
+    norm_x: float,
+    max_iter: int,
+    tol: float,
+    device: str,
+) -> tuple[list[np.ndarray], float, int]:
+    """The torch leg of :func:`nn_parafac`: the same multiplicative-
+    update loop on torch float64 tensors on ``device``. Split out so
+    the import gate sits at the call, not at module load — this
+    sandbox has no torch; deployments with it flip ``backend="torch"``
+    (and ``device="cuda:N"``) to put the reference's single biggest
+    compute stage (6-12 h of decompositions, BASELINE.md) on GPU."""
+    try:
+        import torch
+    except ImportError as exc:  # pragma: no cover - torch absent in CI
+        raise ImportError(
+            "nn_parafac(backend='torch') requires torch, which is not "
+            "installed — use the default backend='numpy' or install "
+            "torch (CPU builds suffice for parity; CUDA for speed)."
+        ) from exc
+
+    rank = init_factors[0].shape[1]
+    x = torch.tensor(tensor, dtype=torch.float64, device=device)
+    factors = [
+        torch.tensor(f, dtype=torch.float64, device=device)
+        for f in init_factors
+    ]
+    ndim = x.ndim
+
+    def kr(mats):
+        out = mats[0]
+        for m in mats[1:]:
+            out = (out.unsqueeze(1) * m.unsqueeze(0)).reshape(-1, rank)
+        return out
+
+    def unfold(t, mode):
+        return torch.movedim(t, mode, 0).reshape(t.shape[mode], -1)
+
+    prev_err = float("inf")
+    iters = 0
+    err = torch.tensor(0.0, dtype=torch.float64, device=device)
+    for it in range(1, max_iter + 1):
+        iters = it
+        for n in range(ndim):
+            others = [factors[m] for m in range(ndim) if m != n]
+            numer = unfold(x, n) @ kr(others)
+            gram = torch.ones((rank, rank), dtype=torch.float64, device=device)
+            for o in others:
+                gram = gram * (o.T @ o)
+            denom = factors[n] @ gram + _EPS
+            factors[n] = factors[n] * numer / denom
+        recon = (factors[0] @ kr(factors[1:]).T).reshape(x.shape)
+        err = torch.linalg.norm(x - recon) / norm_x
+        if abs(prev_err - float(err)) < tol:
+            break
+        prev_err = float(err)
+    rsq = 1.0 - float(err) ** 2
+    return [f.cpu().numpy() for f in factors], float(rsq), iters
 
 
 # ---------------------------------------------------------------------------

@@ -4287,48 +4287,52 @@ def q81_containment_witness_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # r7 next #6: every query's driver-grade certification stays <= 2 rounds
 # old). Round-8 rotation: the 31 queries below — ALL driver-certified
 # green in CORRECTNESS_r07 (rows 1-50 of that artifact) — move to the
-# tail, which brings the 29 queries the r7 rotation had parked there
-# (q02-q22 trivia, q29, q39-q48 — driver-certified r4-r6 and judge-run
-# exact in r7, the oldest driver certifications in the registry) back
-# INSIDE the window alongside the two new round-8 queries (q80, q81)
-# and the 19 heaviest/newest r7 operators (q26/q27 jaccard+LSH, q49/q50
-# corpus dedup + forced-distributed CC, q54 incremental dedup, q57/q63
-# k-means, and q68-q79). Every tail entry stays re-certified locally
-# each round by plans/compare.py compare_all at three scales
+# tail. Round-9 rotation (verdict r8 next #1): the 31 queries the r8
+# rotation parked in the tail (q01, q06, q23-q25, q28, q30-q38, q42,
+# q43, q51-q53, q55, q56, q58-q62, q64-q67 — driver-certified r07, the
+# oldest certifications in the registry) come back INSIDE the window,
+# alongside the 19 r8-certified queries that stay in: the four whose
+# code or oracle changed THIS round (q72 oracle cap mirror, q73/q77
+# authority guards, q81 min_hits) and the heaviest pipeline families
+# (q26/q27 jaccard+LSH, q49/q50 corpus dedup + forced-distributed CC,
+# q54 incremental dedup, q57/q63 k-means, q68-q71, q76, q78-q80). The
+# 31 parked below are all r8-driver-certified trivia/stable rows, back
+# in at r10. Every tail entry stays re-certified locally each round by
+# plans/compare.py compare_all at three scales
 # (CORRECTNESS_local_r{N}.json). Registry contents unchanged — order
 # only.
 _DRIVER_WINDOW_TAIL = [
-    "q01_pricing_summary",
-    "q06_two_level_count_filter",
-    "q23_parafac_decompose",
-    "q24_time_mode_peaks",
-    "q25_dedup_exact",
-    "q28_simhash_dups",
-    "q30_cosine_topk",
-    "q31_cosine_lsh",
-    "q32_lang_id",
-    "q33_quality_score",
-    "q34_token_counts",
-    "q35_multimodal_metadata",
-    "q36_multimodal_features",
-    "q37_sessionize",
-    "q38_cosine_ivf",
-    "q42_embedding_dups",
-    "q43_dedup_components",
-    "q51_sequence_packing",
-    "q52_top_tfidf_terms",
-    "q53_source_cap",
-    "q55_substring_dups",
-    "q56_normalized_dedup",
-    "q58_semantic_closest_pairs",
-    "q59_cluster_balanced_sample",
-    "q60_kmeans_hierarchical",
-    "q61_quality_percentiles",
-    "q62_curate_corpus",
-    "q64_cluster_knn_graph",
-    "q65_chunk_documents",
-    "q66_mixture_sample",
-    "q67_knn_multiprobe",
+    "q02_interval_join",
+    "q03_window_adjust",
+    "q04_time_buckets",
+    "q05_groupwise_argmax",
+    "q07_model_spectrum_index",
+    "q08_histogram_cutoff",
+    "q09_band_join",
+    "q10_anti_join",
+    "q11_semi_join",
+    "q12_star_join_revenue",
+    "q13_conditional_fraction",
+    "q14_cv_per_group",
+    "q15_count_distinct_argmax",
+    "q16_median",
+    "q17_union_align",
+    "q18_interval_anti_join",
+    "q19_scalar_functions",
+    "q20_greedy_ppm_partition",
+    "q21_scan_cycles",
+    "q22_asof_join",
+    "q29_fingerprint",
+    "q39_nearest_value",
+    "q40_heavy_hitters",
+    "q41_fragment_ions",
+    "q44_repetition_metrics",
+    "q45_decontaminate",
+    "q46_stratified_sample",
+    "q47_redact_pii",
+    "q48_rollup_pricing",
+    "q74_decile_split_audit",
+    "q75_temperature_sample",
 ]
 for _name in _DRIVER_WINDOW_TAIL:
     QUERY_REGISTRY[_name] = QUERY_REGISTRY.pop(_name)

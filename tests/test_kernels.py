@@ -222,3 +222,50 @@ def test_rms_scale_roundtrip():
     boosted = unscale_mass_mode(mass, np.ones(3), ms1_indices=[1])
     assert np.allclose(boosted[1], mass[1] * 1000.0)
     assert np.allclose(boosted[0], mass[0])
+
+
+def _torch_available() -> bool:
+    try:
+        import torch  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def test_nn_parafac_backend_validation_and_gate():
+    """Verdict r8 next #5: the torch backend is a flagged knob — an
+    unknown backend is a ValueError, and torch-absent environments get
+    an ImportError naming the knob at CALL time (module import stays
+    torch-free, the environment-contract import-try doctrine)."""
+    tensor, _ = _synthetic_rank2()
+    with pytest.raises(ValueError, match="backend"):
+        nn_parafac(tensor, rank=2, backend="tensorflow")
+    if not _torch_available():
+        with pytest.raises(ImportError, match="backend='numpy'"):
+            nn_parafac(tensor, rank=2, backend="torch")
+
+
+@pytest.mark.skipif(not _torch_available(), reason="torch not installed")
+def test_nn_parafac_torch_parity():
+    """The reference's GPU option (decompose_parafac.py:36-47,114-126)
+    as a backend toggle: torch and numpy start from the SAME seeded
+    factors and run the same update loop, so mode loadings agree at the
+    reference's own tolerance bar — atol 1e-2 on thresholded loadings
+    (decompose_parafac.py:560-563) — and the iteration count matches.
+    Certified with torch-CPU; device='cuda:N' is the production knob."""
+    tensor, _ = _synthetic_rank2()
+    fn, rn, itn = nn_parafac(tensor, rank=2, seed=123, max_iter=500)
+    ft, rt, itt = nn_parafac(
+        tensor, rank=2, seed=123, max_iter=500, backend="torch"
+    )
+    assert [f.shape for f in ft] == [f.shape for f in fn]
+    assert all((f >= 0).all() for f in ft)
+    assert abs(rt - rn) < 1e-6
+    assert itt == itn
+    for a, b in zip(fn, ft):
+        a = a.copy()
+        b = b.copy()
+        a[a <= 1e-5] = 0
+        b[b <= 1e-5] = 0
+        assert np.allclose(a, b, atol=1e-2)
