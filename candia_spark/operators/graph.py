@@ -103,6 +103,7 @@ def authority_scores(
     init: int = 10**12,
     id_col: str = "doc_id",
     weight_col: str | None = None,
+    seeds: DataFrame | None = None,
 ) -> DataFrame:
     """Damped integer-exact authority iteration over a directed edge list.
 
@@ -124,7 +125,18 @@ def authority_scores(
     ``num * N * init * maxw < 2^63`` (scores never exceed total mass
     N*init), else by a per-iteration max() check over the materialized
     score table that raises loudly before the non-ANSI product can wrap
-    (see the module docstring; mirrors the k-means margin doctrine)."""
+    (see the module docstring; mirrors the k-means margin doctrine).
+
+    ``seeds`` personalizes the iteration (personalized PageRank): both
+    the initial mass AND the per-iteration base (restart) mass land
+    ONLY on the seed nodes — S'(v) = B·[v ∈ seeds] + damped in-mass —
+    so authority measures proximity to the seed set through the
+    duplication/similarity graph (which cluster does this doc belong
+    to? which docs sit between two seeded clusters?) instead of global
+    centrality. Seeds are broadcast (a personalization set is small by
+    use-case); non-seed isolated nodes score exactly 0. The overflow
+    margins are unchanged — total mass only shrinks (|seeds| <= N), so
+    the N-based bounds stay valid upper bounds."""
     num, den = damping
     if iters <= 0:
         raise ValueError(f"iters must be positive, got {iters}")
@@ -203,8 +215,34 @@ def authority_scores(
     # (src, dst[, __w], deg[, __wsum]) ready for every iteration's join
     ed = _materialize(e.join(deg, "src"))
     # materialized: every iteration's left-join rebuilds from this node
-    # set, and the margin guard needs its count anyway
-    n = _materialize(nodes.select(F.col(id_col)).distinct())
+    # set, and the margin guard needs its count anyway. In personalized
+    # mode the broadcast seed flag rides the node table, so the restart
+    # term needs no extra join in the iteration loop.
+    n = nodes.select(F.col(id_col)).distinct()
+    if seeds is not None:
+        seed_ids = seeds.select(F.col(id_col)).distinct()
+        n = n.join(
+            F.broadcast(seed_ids.withColumn("__seed", F.lit(True))),
+            id_col,
+            "left",
+        ).select(
+            F.col(id_col),
+            F.coalesce(F.col("__seed"), F.lit(False)).alias("__seed"),
+        )
+        base_expr = (
+            F.when(F.col("__seed"), F.lit(int(base)))
+            .otherwise(F.lit(0))
+            .cast("bigint")
+        )
+        init_expr = (
+            F.when(F.col("__seed"), F.lit(int(init)))
+            .otherwise(F.lit(0))
+            .cast("bigint")
+        )
+    else:
+        base_expr = F.lit(int(base)).cast("bigint")
+        init_expr = F.lit(int(init)).cast("bigint")
+    n = _materialize(n)
     n_nodes = n.count()
     if weight_col is not None:
         # denominator side (advice r8 #1): `den * __wsum` is a bigint
@@ -248,9 +286,7 @@ def authority_scores(
         n_edges=n_edges,
         static_safe=static_safe,
     )
-    scores = n.select(
-        F.col(id_col), F.lit(int(init)).cast("bigint").alias("score")
-    )
+    scores = n.select(F.col(id_col), init_expr.alias("score"))
     max_score = init  # exact before the first iteration
     contrib_expr = (
         f"({num} * score * __w) div ({den} * __wsum)"
@@ -288,7 +324,7 @@ def authority_scores(
         nxt = n.join(sums, id_col, "left").select(
             F.col(id_col),
             (
-                F.lit(int(base)).cast("bigint")
+                base_expr
                 + F.coalesce(F.col("in_mass"), F.lit(0)).cast("bigint")
             ).alias("score"),
         )

@@ -3590,12 +3590,15 @@ def q72_winnow_splice_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _q73_oracle(iters: int = 3) -> str:
+def _q73_oracle(iters: int = 3, seed_mod: int | None = None) -> str:
     # edges = q26's exact-jaccard pairs (same threshold + hot-shingle
     # cap), symmetrized; then `iters` UNROLLED integer-exact authority
     # iterations — the k-means unrolled-trajectory device applied to
     # graph iteration. All arithmetic is bigint with floor division
     # (damping 17/20), so the whole trajectory hash-compares.
+    # ``seed_mod`` personalizes (q82): initial AND restart mass land
+    # only on doc_id % seed_mod == 0 nodes, mirroring
+    # authority_scores(seeds=...).
     pairs_sql = _JACCARD_ORACLE_TEMPLATE.format(
         threshold="0.35",
         shingle_universe="""
@@ -3606,13 +3609,24 @@ def _q73_oracle(iters: int = 3) -> str:
         USING (shingle)""",
     )
     base = ((20 - 17) * 10**12) // 20
-    its = ["s0 AS (SELECT doc_id, CAST(1000000000000 AS BIGINT) AS s FROM nodes)"]
+    if seed_mod is None:
+        s0_expr = "CAST(1000000000000 AS BIGINT)"
+        base_expr = str(base)
+    else:
+        s0_expr = (
+            f"CAST(CASE WHEN doc_id % {seed_mod} = 0 "
+            "THEN 1000000000000 ELSE 0 END AS BIGINT)"
+        )
+        base_expr = (
+            f"CASE WHEN n.doc_id % {seed_mod} = 0 THEN {base} ELSE 0 END"
+        )
+    its = [f"s0 AS (SELECT doc_id, {s0_expr} AS s FROM nodes)"]
     prev = "s0"
     for k in range(1, iters + 1):
         its.append(
             f"""s{k} AS (
         SELECT n.doc_id,
-               CAST({base} + COALESCE(SUM((17 * s.s) // (20 * d.deg)), 0)
+               CAST({base_expr} + COALESCE(SUM((17 * s.s) // (20 * d.deg)), 0)
                     AS BIGINT) AS s
         FROM nodes n
         LEFT JOIN edges e ON e.dst = n.doc_id
@@ -4280,6 +4294,45 @@ def q81_containment_witness_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q82_personalized_authority",
+    oracle=_q73_oracle(seed_mod=13),
+    survey_ref="personalized authority (north star: seed-proximity scoring)",
+)
+def q82_personalized_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized (seeded) authority over the near-dup graph
+    (operators.graph.authority_scores(seeds=...)): q73's edge list, but
+    initial AND restart mass land only on the doc_id % 13 == 0 seed set
+    — personalized PageRank in the repo's integer-exact style, scoring
+    every document's proximity to the seeds through the duplication
+    graph (the labeled-cluster expansion device: given a few known-bad
+    boilerplate docs, which unlabeled docs does the graph implicate?).
+    Non-seed isolated nodes score exactly 0; the whole trajectory is
+    bigint + floor division, hash-gated with zero tolerance. The seed
+    flag is a broadcast column on the node table, so the per-iteration
+    plan stays one keyed join + one keyed aggregation."""
+    from candia_spark.operators.dedup import _materialize, ngram_jaccard_pairs
+    from candia_spark.operators.graph import authority_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = _materialize(
+        ngram_jaccard_pairs(
+            docs, n=2, threshold=0.35, max_shingle_frac=0.5
+        ).select("id_a", "id_b")
+    )
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    )
+    return authority_scores(
+        edges,
+        docs.select("doc_id"),
+        iters=3,
+        seeds=docs.filter(F.col("doc_id") % 13 == 0).select("doc_id"),
+    )
+
+
 # --- Driver certification window (verdict r5 #2) -------------------------
 # The per-round driver correctness artifact certifies the FIRST 50
 # registry entries, and queries()/oracle_sql() preserve this dict's
@@ -4333,6 +4386,7 @@ _DRIVER_WINDOW_TAIL = [
     "q48_rollup_pricing",
     "q74_decile_split_audit",
     "q75_temperature_sample",
+    "q76_corpus_diff",
 ]
 for _name in _DRIVER_WINDOW_TAIL:
     QUERY_REGISTRY[_name] = QUERY_REGISTRY.pop(_name)

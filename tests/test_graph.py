@@ -273,3 +273,20 @@ def test_authority_fallback_guard_costs_zero_extra_jobs(spark):
     jf4 = jobs_for(4, fallback_init, "auth_jf4")
     assert LAST_AUTHORITY_TELEMETRY["dynamic_checks"] == 3  # iters - 1
     assert (jf4 - jf2) == (js4 - js2)  # guard rides for free
+
+
+def test_personalized_authority_seed_restart(spark):
+    """Seeded mode (q82): initial AND restart mass land only on seeds.
+    Triangle {0,1,2} + isolated 9, seeds={0}, one iteration, by hand:
+    S0 = (1e12, 0, 0, 0); node 0 sends (17e12)//(20*2) = 425e9 to each
+    neighbor; S1 = (base=150e9, 425e9, 425e9, 0) — the non-seed
+    isolated node scores exactly 0, not base."""
+    edges, nodes = _graph(spark, [(0, 1), (1, 2), (0, 2)], [0, 1, 2, 9])
+    seeds = spark.createDataFrame([(0,)], "doc_id bigint")
+    out = {
+        r["doc_id"]: r["score"]
+        for r in authority_scores(edges, nodes, iters=1, seeds=seeds).collect()
+    }
+    assert out[0] == (3 * INIT) // 20  # 150e9 restart, no in-mass
+    assert out[1] == out[2] == (17 * INIT) // 40  # 425e9
+    assert out[9] == 0
