@@ -576,3 +576,146 @@ def corpus_diff(
     return joined.select(
         F.col(id_col), status.alias("status"), "old_digest", "new_digest"
     )
+
+
+def bpe_merge_pairs(
+    df: DataFrame,
+    k: int = 20,
+    text_col: str = "text",
+) -> DataFrame:
+    """Tokenizer induction, step one: the ``k`` most frequent adjacent
+    character pairs over the corpus vocabulary, weighted by word
+    frequency — exactly the statistic the first byte-pair-encoding merge
+    maximizes (Sennrich et al. 2016: repeatedly merge the most frequent
+    symbol pair; this operator computes one merge round's candidate
+    table, which is also the "what would a tokenizer learn from this
+    corpus" audit a data-mixture change is checked against).
+
+    Output: (pair, weight), weight = Σ over vocabulary words of
+    count(word) · occurrences(pair in word), ordered by
+    (weight DESC, pair ASC) and cut to ``k`` — an integer-exact,
+    deterministic table (ties broken lexicographically).
+
+    Scale: the ONLY corpus-sized operation is the word-frequency
+    group-by (one shuffle with map-side partial aggregation over
+    whitespace tokens). Pair expansion runs on the DISTINCT-word table —
+    vocabulary-sized, orders of magnitude smaller than the corpus by
+    Heaps' law — entirely in codegen (``transform(sequence(..),
+    substr)``; no UDF, no join), and the final top-k is a
+    TakeOrdered, not a global sort shuffle. Weights are bounded by the
+    corpus character count, far inside bigint at 100 TB (~1e14 < 2^63);
+    ANSI Spark would raise, not wrap, were that ever exceeded.
+
+    Single-character words carry no pair and are filtered BEFORE the
+    ``sequence(1, length-1)`` expansion (Spark's ``sequence(1, 0)``
+    counts DOWN — [1, 0] — so the guard is load-bearing, not cosmetic).
+    """
+    words = (
+        df.select(F.explode(tokens(text_col)).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .filter(F.length("word") >= 2)
+    )
+    pairs = words.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(word) - 1), i -> substr(word, i, 2))")
+        ).alias("pair"),
+        "cnt",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("cnt").cast("bigint").alias("weight"))
+        .orderBy(F.col("weight").desc(), F.col("pair"))
+        .limit(k)
+    )
+
+
+def unigram_rarity(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_vocab: bool = True,
+) -> DataFrame:
+    """Reference-frequency quality scoring (the CCNet device: score every
+    document under a language model of the corpus and split on the
+    score), made integer-exact: each token costs
+    ``length(bin(count(token)))`` bits — floor(log2 count)+1, the
+    engine-exact stand-in for log-frequency (monotone in count, computed
+    identically by Spark's ``bin`` and an ANSI engine's, no libm).
+
+    Output per non-empty document: (id, n_tokens, total_bits, tail) with
+    tail = 1 iff the document's mean bits-per-token is below the corpus
+    mean — i.e. its vocabulary is systematically rarer than the corpus'
+    (the high-perplexity tail CCNet buckets for removal or down-
+    sampling). The comparison is cross-multiplied in decimal(38,0)
+    (``total_bits·Σn_tokens < Σtotal_bits·n_tokens``), so no division
+    ever happens and the flag is hash-exact.
+
+    Scale: the vocabulary census is one token-level group-by (map-side
+    partial agg). With ``broadcast_vocab`` (default) scoring is then a
+    PURE MAP — the census collapses to a single map-typed row,
+    broadcast, and each document folds its token array through
+    ``aggregate(..)``: zero scoring shuffles, the bm25/top_tfidf device.
+    That bounds the broadcast by vocabulary size (fine to ~1e6 types);
+    for an open-vocab 100 TB corpus pass ``broadcast_vocab=False`` for
+    the explode + shuffle-join path (linear, AQE picks the strategy).
+    The corpus-mean comparison broadcasts a 1-row aggregate against the
+    materialized per-doc table (one corpus pass, localCheckpoint-shared
+    by both consumers)."""
+    from candia_spark.operators.dedup import _materialize
+
+    bits = F.length(F.bin(F.col("cnt"))).cast("bigint")
+    if broadcast_vocab:
+        toks = df.select(F.col(id_col), tokens(text_col).alias("toks"))
+        vocab = (
+            toks.select(F.explode("toks").alias("tok"))
+            .groupBy("tok")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        )
+        freq_row = vocab.agg(
+            F.map_from_entries(
+                F.collect_list(F.struct(F.col("tok"), bits.alias("bits")))
+            ).alias("freq")
+        )
+        scored = (
+            toks.join(F.broadcast(freq_row))
+            .select(
+                F.col(id_col),
+                F.size("toks").cast("bigint").alias("n_tokens"),
+                F.aggregate(
+                    "toks",
+                    F.lit(0).cast("bigint"),
+                    lambda acc, t: acc + F.element_at("freq", t),
+                ).alias("total_bits"),
+            )
+            .filter(F.col("n_tokens") > 0)
+        )
+    else:
+        toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
+        vocab = toks.groupBy("tok").agg(
+            F.count(F.lit(1)).cast("bigint").alias("cnt")
+        )
+        scored = (
+            toks.join(vocab.select("tok", bits.alias("bits")), "tok")
+            .groupBy(id_col)
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+                F.sum("bits").cast("bigint").alias("total_bits"),
+            )
+        )
+    scored = _materialize(scored)
+    corpus = scored.agg(
+        F.sum("n_tokens").cast("decimal(38,0)").alias("c_toks"),
+        F.sum("total_bits").cast("decimal(38,0)").alias("c_bits"),
+    )
+    return scored.join(F.broadcast(corpus)).select(
+        F.col(id_col),
+        "n_tokens",
+        "total_bits",
+        (
+            F.col("total_bits").cast("decimal(38,0)") * F.col("c_toks")
+            < F.col("c_bits") * F.col("n_tokens").cast("decimal(38,0)")
+        )
+        .cast("bigint")
+        .alias("tail"),
+    )

@@ -4335,6 +4335,81 @@ def q82_personalized_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q83_bpe_merge_pairs",
+    oracle="""
+    WITH words AS (
+        SELECT unnest({toks}) AS word FROM documents
+    ), wf AS (
+        SELECT word, COUNT(*) AS cnt FROM words GROUP BY word
+    ), pairs AS (
+        SELECT unnest([substr(word, CAST(i AS INTEGER), 2)
+                       for i in range(1, length(word))]) AS pair,
+               cnt
+        FROM wf
+    )
+    SELECT pair, CAST(SUM(cnt) AS BIGINT) AS weight
+    FROM pairs GROUP BY pair
+    ORDER BY weight DESC, pair
+    LIMIT 20
+    """.replace("{toks}", _TOKS_SQL),
+    survey_ref="tokenizer induction: BPE merge-pair census (north star)",
+)
+def q83_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First BPE merge round over the documents corpus
+    (operators.curation.bpe_merge_pairs): top-20 adjacent character
+    pairs by frequency-weighted count — the corpus statistic a
+    tokenizer-training job maximizes, integer-exact with a
+    lexicographic tie-break. Pair expansion runs on the vocabulary
+    (distinct words), not the corpus; the oracle's list comprehension
+    over range(1, length) is the same positions as the plan's
+    sequence(1, length-1) with the length>=2 filter (range(1,1) = []
+    drops 1-char words on the DuckDB side identically)."""
+    from candia_spark.operators.curation import bpe_merge_pairs
+
+    return bpe_merge_pairs(_t(spark, sf_dir, "documents"), k=20)
+
+
+@register(
+    "q84_rarity_tail",
+    oracle="""
+    WITH toks AS MATERIALIZED (
+        SELECT doc_id, unnest({toks}) AS tok FROM documents
+    ), vocab AS (
+        SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok
+    ), scored AS MATERIALIZED (
+        SELECT t.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(SUM(length(bin(v.cnt))) AS BIGINT) AS total_bits
+        FROM toks t JOIN vocab v ON t.tok = v.tok
+        GROUP BY t.doc_id
+    ), corpus AS (
+        SELECT CAST(SUM(n_tokens) AS HUGEINT) AS c_toks,
+               CAST(SUM(total_bits) AS HUGEINT) AS c_bits
+        FROM scored
+    )
+    SELECT doc_id, n_tokens, total_bits,
+           CAST(CAST(total_bits AS HUGEINT) * c_toks
+                < c_bits * CAST(n_tokens AS HUGEINT) AS BIGINT) AS tail
+    FROM scored, corpus
+    """.replace("{toks}", _TOKS_SQL),
+    survey_ref="reference-frequency quality filter (CCNet device, north star)",
+)
+def q84_rarity_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact CCNet-style frequency scoring
+    (operators.curation.unigram_rarity): every document's unigram "bit
+    cost" (Σ length(bin(corpus count)) per token — the engine-exact
+    log2-frequency proxy) plus the perplexity-tail flag, cross-
+    multiplied in decimal so no division touches the gate. Broadcast-
+    vocab path: the census collapses to one map row and scoring is a
+    pure map over the token arrays — zero scoring shuffles. The oracle
+    marks its doubly-referenced CTEs MATERIALIZED (the q73 lesson:
+    DuckDB inlines multi-referenced CTEs by default)."""
+    from candia_spark.operators.curation import unigram_rarity
+
+    return unigram_rarity(_t(spark, sf_dir, "documents"))
+
+
 # --- Driver certification window (verdict r5 #2) -------------------------
 # The per-round driver correctness artifact certifies the FIRST 50
 # registry entries, and queries()/oracle_sql() preserve this dict's
@@ -4389,6 +4464,12 @@ _DRIVER_WINDOW_TAIL = [
     "q74_decile_split_audit",
     "q75_temperature_sample",
     "q76_corpus_diff",
+    # Round-9 additions q83/q84 enter the WINDOW (new queries always
+    # certify driver-grade in their first round); the two seats they
+    # displace are r8-driver-certified, unchanged-this-round stable
+    # rows, parked here until the r10 rotation:
+    "q69_bm25_topk",
+    "q79_cross_source_dup_matrix",
 ]
 for _name in _DRIVER_WINDOW_TAIL:
     QUERY_REGISTRY[_name] = QUERY_REGISTRY.pop(_name)

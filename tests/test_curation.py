@@ -403,3 +403,64 @@ def test_corpus_diff_statuses(spark):
     # the join carries digests, never text: both digest columns present
     cols = corpus_diff(old, new).columns
     assert cols == ["doc_id", "status", "old_digest", "new_digest"]
+
+
+def test_bpe_merge_pairs_counts_and_tiebreak(spark):
+    from candia_spark.operators.curation import bpe_merge_pairs
+
+    # vocabulary: "abab" x3, "ab" x2, "ba" x1, "x" x2 (1-char: no pairs)
+    rows = [
+        (1, "A", "abab ab x"),
+        (2, "A", "abab ab ba"),
+        (3, "A", "abab x"),
+    ]
+    out = bpe_merge_pairs(_docs(spark, rows), k=10).collect()
+    got = {(r["pair"], r["weight"]) for r in out}
+    # "abab": pairs ab, ba, ab -> per word 2*ab + 1*ba, x3 words
+    # "ab" x2 -> 2*ab ; "ba" x1 -> 1*ba
+    assert got == {("ab", 3 * 2 + 2), ("ba", 3 * 1 + 1)}
+    # deterministic order: weight DESC then pair ASC
+    assert [r["pair"] for r in out] == ["ab", "ba"]
+
+
+def test_bpe_merge_pairs_single_char_words_only(spark):
+    from candia_spark.operators.curation import bpe_merge_pairs
+
+    rows = [(1, "A", "a b c a")]
+    assert bpe_merge_pairs(_docs(spark, rows)).count() == 0
+
+
+def test_unigram_rarity_bits_exact(spark):
+    from candia_spark.operators.curation import unigram_rarity
+
+    # corpus counts: the=4 (bits 3), rare=1 (bits 1), word=3 (bits 2)
+    rows = [
+        (1, "A", "the the word"),     # bits 3+3+2=8,  n=3
+        (2, "A", "the word rare"),    # bits 3+2+1=6,  n=3
+        (3, "A", "the word"),         # bits 3+2=5,    n=2
+        (4, "A", ""),                 # empty: excluded
+    ]
+    for bcast in (True, False):
+        out = {
+            r["doc_id"]: r
+            for r in unigram_rarity(_docs(spark, rows), broadcast_vocab=bcast).collect()
+        }
+        assert set(out) == {1, 2, 3}
+        assert (out[1]["n_tokens"], out[1]["total_bits"]) == (3, 8)
+        assert (out[2]["n_tokens"], out[2]["total_bits"]) == (3, 6)
+        assert (out[3]["n_tokens"], out[3]["total_bits"]) == (2, 5)
+        # corpus: c_toks=8, c_bits=19. tail iff bits*8 < 19*n:
+        # doc1 64 >= 57 no; doc2 48 < 57 yes; doc3 40 >= 38 no
+        assert (out[1]["tail"], out[2]["tail"], out[3]["tail"]) == (0, 1, 0)
+
+
+def test_unigram_rarity_broadcast_path_has_no_scoring_exchange(spark):
+    from candia_spark.operators.curation import unigram_rarity
+
+    rows = [(i, "A", "tok a b c") for i in range(1, 6)]
+    plan = _plan_of(unigram_rarity(_docs(spark, rows), broadcast_vocab=True))
+    # after the (materialized) per-doc score table, the corpus-mean join
+    # must be broadcast: no hashpartitioning exchange downstream of the
+    # localCheckpoint scan
+    tail_plan = plan.split("ExistingRDD")[0]
+    assert "Exchange hashpartitioning" not in tail_plan
