@@ -630,6 +630,175 @@ def bpe_merge_pairs(
     )
 
 
+def cluster_safe_split(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    mod: int = 10,
+    train_lt: int = 8,
+) -> DataFrame:
+    """Leakage-free train/val splitting with an audit of what naive
+    splitting would have done wrong. The classic eval-leakage failure is
+    NOT exact duplication (decontamination catches that) but near-dup
+    FAMILIES straddling the split: a doc in train and its 0.9-Jaccard
+    sibling in val inflates every held-out metric. The fix every serious
+    pipeline applies is cluster-aware assignment — hash the CLUSTER
+    representative, not the member, so a whole near-dup family lands on
+    one side.
+
+    Input: the corpus plus any near-dup pair graph (ngram_jaccard_pairs
+    / minhash_lsh_pairs / cosine_dup_pairs output). Members are labeled
+    with their connected-component min-id representative (singletons
+    represent themselves); the cluster split is ``rep % mod < train_lt``
+    (deterministic, engine-exact integer arithmetic — the decile device
+    of q74), the naive split is the same predicate on the member id.
+
+    Output: one row per split — (split, n_docs, n_clusters, n_moved,
+    n_leaky_clusters) where n_moved counts members whose naive
+    assignment differs from their cluster's (the correction applied) and
+    n_leaky_clusters counts clusters naive splitting would have
+    straddled (the leaks prevented). All counters bigint-exact.
+
+    Scale shape: the component collapse is star contraction over the
+    pair graph (bounded by verified-pair mass, not the corpus); the
+    member labeling is one join of bare ids against the component table
+    (8-byte corpus rows, AQE broadcasts the component side when small);
+    the audit is two keyed aggregations, the second over the
+    cluster-sized table with a 2-value key."""
+    from candia_spark.operators.dedup import connected_components
+
+    comp = connected_components(pairs)
+    members = (
+        df.select(F.col(id_col))
+        .join(comp.withColumnRenamed("node", id_col), id_col, "left")
+        .select(F.col(id_col), F.coalesce("rep", F.col(id_col)).alias("rep"))
+    )
+    naive_train = (F.col(id_col) % mod < train_lt).cast("bigint")
+    cl = members.groupBy("rep").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+        F.sum(naive_train).cast("bigint").alias("n_naive_train"),
+    )
+    cluster_train = F.col("rep") % mod < train_lt
+    return (
+        cl.groupBy(
+            F.when(cluster_train, F.lit("train"))
+            .otherwise(F.lit("val"))
+            .alias("split")
+        )
+        .agg(
+            F.sum("n_members").cast("bigint").alias("n_docs"),
+            F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+            F.sum(
+                F.when(
+                    cluster_train, F.col("n_members") - F.col("n_naive_train")
+                ).otherwise(F.col("n_naive_train"))
+            )
+            .cast("bigint")
+            .alias("n_moved"),
+            F.sum(
+                (
+                    (F.col("n_naive_train") > 0)
+                    & (F.col("n_naive_train") < F.col("n_members"))
+                ).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("n_leaky_clusters"),
+        )
+    )
+
+
+def bigram_assoc(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Bigram-coherence scoring — the word-salad detector that
+    complements ``unigram_rarity``: a document of individually common
+    but never-adjacent words sails through a unigram LM filter and is
+    exactly what this catches (shuffled/templated junk, keyword-stuffed
+    spam). Per adjacent token pair (a, b) the integer association score
+    is ``2·bits(c_ab) − bits(c_a) − bits(c_b)`` with bits(x) =
+    length(bin(x)) — the engine-exact floor-log2 proxy for pointwise
+    mutual information, always <= 0 (c_ab <= min(c_a, c_b)), and equal
+    to 0 only when the pair is as frequent as both its words.
+
+    Output per document with >= 1 pair: (id, n_pairs, total_assoc,
+    incoherent) where incoherent = 1 iff the doc's mean association is
+    below the corpus mean — cross-multiplied in decimal(38,0)
+    (``total_assoc·Σn_pairs < Σtotal_assoc·n_pairs``; both multipliers
+    positive, so the inequality is division-free and sign-safe for the
+    negative scores).
+
+    Scale shape: the unigram census collapses to one broadcast map row
+    (vocabulary-sized, the q84/bm25 device) so word costs are a pure
+    map; the ONLY corpus-scale shuffle in scoring is the pair-census
+    join on (a, b) — bigram vocabulary is unbounded by Heaps' law, so
+    it shuffle-joins rather than broadcasts, with map-side partial
+    aggregation on the census side and AQE free to broadcast it when a
+    real corpus's bigram table turns out small. The per-doc aggregation
+    then carries 32-byte rows. No UDF anywhere; bin/length/element_at
+    are all codegen expressions."""
+    from candia_spark.operators.dedup import _materialize
+
+    bits = lambda c: F.length(F.bin(c)).cast("bigint")  # noqa: E731
+    toks = df.select(F.col(id_col), tokens(text_col).alias("__t"))
+    m = F.greatest(F.size("__t") - 1, F.lit(0))
+    pr = toks.select(
+        F.col(id_col),
+        F.explode(
+            F.zip_with(
+                F.slice("__t", F.lit(1), m),
+                F.slice("__t", F.lit(2), m),
+                lambda x, y: F.struct(x.alias("a"), y.alias("b")),
+            )
+        ).alias("p"),
+    ).select(F.col(id_col), F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+    uni = (
+        toks.select(F.explode("__t").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    freq_row = uni.agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("tok"), bits(F.col("cnt")).alias("bits")))
+        ).alias("freq")
+    )
+    big = pr.groupBy("a", "b").agg(
+        bits(F.count(F.lit(1))).alias("bits_ab")
+    )
+    scored = (
+        pr.join(big, ["a", "b"])
+        .join(F.broadcast(freq_row))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.sum(
+                F.lit(2) * F.col("bits_ab")
+                - F.element_at("freq", F.col("a"))
+                - F.element_at("freq", F.col("b"))
+            )
+            .cast("bigint")
+            .alias("total_assoc"),
+        )
+    )
+    scored = _materialize(scored)
+    corpus = scored.agg(
+        F.sum("n_pairs").cast("decimal(38,0)").alias("c_pairs"),
+        F.sum("total_assoc").cast("decimal(38,0)").alias("c_assoc"),
+    )
+    return scored.join(F.broadcast(corpus)).select(
+        F.col(id_col),
+        "n_pairs",
+        "total_assoc",
+        (
+            F.col("total_assoc").cast("decimal(38,0)") * F.col("c_pairs")
+            < F.col("c_assoc") * F.col("n_pairs").cast("decimal(38,0)")
+        )
+        .cast("bigint")
+        .alias("incoherent"),
+    )
+
+
 def unigram_rarity(
     df: DataFrame,
     text_col: str = "text",

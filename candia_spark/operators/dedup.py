@@ -1383,6 +1383,70 @@ def decontaminate(
     )
 
 
+def contamination_spans(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    heavy_num: int = 1,
+    heavy_den: int = 5,
+) -> DataFrame:
+    """Span-level contamination coverage: for each corpus document sharing
+    at least one word n-gram with the benchmark set, the COUNT OF TOKEN
+    POSITIONS covered by any colliding n-gram — the GPT-3/PaLM appendix
+    formulation, where a document is judged not by whether it overlaps an
+    eval item but by HOW MUCH of it the overlap covers (a stray idiom is
+    one collision; a verbatim eval question is a long covered span).
+
+    Output per contaminated document: (id, n_tokens, n_contaminated,
+    heavy) with heavy = 1 iff n_contaminated/n_tokens >= heavy_num/
+    heavy_den, cross-multiplied in bigint so no division or float ever
+    enters the gate (the q84 device). ``decontaminate`` answers "does it
+    overlap"; this answers "is the overlap a span worth dropping the doc
+    for" — the knob real pipelines split on.
+
+    Scale shape: identical to decontaminate — the benchmark shingle-hash
+    set broadcasts, the corpus side is one positioned-shingle scan
+    probing it map-side, and ONLY matched rows (mass bounded by
+    |benchmark shingles| x their corpus df, times n for the position
+    expansion) reach the per-doc aggregation. n_tokens rides the probe
+    rows as a per-row scalar, so no second corpus scan or join-back is
+    needed. The position expansion is exact coverage, not an
+    approximation: overlapping collisions count each token once
+    (count(DISTINCT position))."""
+    tdf = corpus.select(F.col(id_col), tokens_col(text_col).alias("__t"))
+    sh = tdf.select(
+        F.col(id_col),
+        F.size("__t").cast("bigint").alias("n_tokens"),
+        F.posexplode(
+            F.transform(_shingle_array(F.col("__t"), n), lambda s: F.xxhash64(s))
+        ).alias("pos", "shingle"),
+    )
+    b_sh = (
+        word_ngram_hashes(benchmark, n, text_col, id_col)
+        .select("shingle")
+        .distinct()
+    )
+    covered = sh.join(F.broadcast(b_sh), "shingle").select(
+        F.col(id_col),
+        "n_tokens",
+        F.explode(
+            F.sequence(F.col("pos"), F.col("pos") + F.lit(n - 1))
+        ).alias("cp"),
+    )
+    return covered.groupBy(id_col).agg(
+        F.first("n_tokens").alias("n_tokens"),
+        F.count_distinct("cp").cast("bigint").alias("n_contaminated"),
+    ).withColumn(
+        "heavy",
+        (
+            F.col("n_contaminated") * F.lit(heavy_den)
+            >= F.col("n_tokens") * F.lit(heavy_num)
+        ).cast("bigint"),
+    )
+
+
 def simhash_signatures(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

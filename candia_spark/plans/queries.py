@@ -4410,6 +4410,168 @@ def q84_rarity_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_rarity(_t(spark, sf_dir, "documents"))
 
 
+@register(
+    "q85_contamination_spans",
+    oracle="""
+    WITH toks AS MATERIALIZED (
+        SELECT doc_id, {toks} AS t FROM documents
+    ), bench AS (
+        SELECT DISTINCT t[i] || chr(31) || t[i+1] || chr(31) || t[i+2] AS s
+        FROM toks, UNNEST(generate_series(1, greatest(len(t) - 2, 0))) AS u(i)
+        WHERE doc_id % 97 = 0
+    ), sh AS (
+        SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens, i - 1 AS pos,
+               t[i] || chr(31) || t[i+1] || chr(31) || t[i+2] AS s
+        FROM toks, UNNEST(generate_series(1, greatest(len(t) - 2, 0))) AS u(i)
+        WHERE doc_id % 97 <> 0
+    ), cov AS (
+        SELECT DISTINCT doc_id, n_tokens, pos + j AS cp
+        FROM sh JOIN bench USING (s),
+             UNNEST(generate_series(0, 2)) AS v(j)
+    )
+    SELECT doc_id, n_tokens, CAST(COUNT(*) AS BIGINT) AS n_contaminated,
+           CAST(CAST(COUNT(*) AS BIGINT) * 5 >= n_tokens AS BIGINT) AS heavy
+    FROM cov GROUP BY doc_id, n_tokens
+    """.replace("{toks}", _TOKS_SQL),
+    survey_ref="span-level contamination coverage (north star)",
+)
+def q85_contamination_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level decontamination (operators.dedup.contamination_spans):
+    per contaminated doc, the count of token POSITIONS covered by any
+    3-gram colliding with the doc_id%97 benchmark slice, plus the
+    heavy flag at >=20% coverage (cross-multiplied bigint, no division)
+    — the GPT-3 appendix-C formulation, graduating q45's boolean
+    overlap into the coverage knob pipelines actually split on.
+    Benchmark shingles broadcast; only matched positions (bounded by
+    benchmark df mass x n) reach the per-doc aggregation; n_tokens
+    rides the probe rows so there is no join-back corpus scan."""
+    from candia_spark.operators.dedup import contamination_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    return contamination_spans(corpus, bench, n=3)
+
+
+@register(
+    "q86_bigram_assoc",
+    oracle="""
+    WITH toks AS MATERIALIZED (
+        SELECT doc_id, {toks} AS t FROM documents
+    ), pr AS MATERIALIZED (
+        SELECT doc_id, t[i] AS a, t[i+1] AS b
+        FROM toks, UNNEST(generate_series(1, greatest(len(t) - 1, 0))) AS u(i)
+    ), uni AS (
+        SELECT tok, CAST(length(bin(COUNT(*))) AS BIGINT) AS bits
+        FROM (SELECT unnest(t) AS tok FROM toks) GROUP BY tok
+    ), big AS (
+        SELECT a, b, CAST(length(bin(COUNT(*))) AS BIGINT) AS bits_ab
+        FROM pr GROUP BY a, b
+    ), scored AS MATERIALIZED (
+        SELECT pr.doc_id, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(SUM(2 * big.bits_ab - ua.bits - ub.bits) AS BIGINT)
+                   AS total_assoc
+        FROM pr
+        JOIN big USING (a, b)
+        JOIN uni ua ON pr.a = ua.tok
+        JOIN uni ub ON pr.b = ub.tok
+        GROUP BY pr.doc_id
+    ), corpus AS (
+        SELECT CAST(SUM(n_pairs) AS HUGEINT) AS c_pairs,
+               CAST(SUM(total_assoc) AS HUGEINT) AS c_assoc
+        FROM scored
+    )
+    SELECT doc_id, n_pairs, total_assoc,
+           CAST(CAST(total_assoc AS HUGEINT) * c_pairs
+                < c_assoc * CAST(n_pairs AS HUGEINT) AS BIGINT) AS incoherent
+    FROM scored, corpus
+    """.replace("{toks}", _TOKS_SQL),
+    survey_ref="bigram-coherence LM filter (CCNet device, north star)",
+)
+def q86_bigram_assoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-coherence scoring (operators.curation.bigram_assoc): per
+    document, the integer PMI-proxy ``Σ 2·bits(c_ab) − bits(c_a) −
+    bits(c_b)`` over adjacent token pairs plus the incoherent-tail flag
+    vs the corpus mean (decimal cross-multiply, no division) — the
+    word-salad detector a unigram LM filter (q84) cannot express.
+    Unigram costs ride one broadcast map row; the single corpus-scale
+    scoring shuffle is the bigram-census join."""
+    from candia_spark.operators.curation import bigram_assoc
+
+    return bigram_assoc(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "q87_cluster_safe_split",
+    # pairs CTE = q26's exact-Jaccard near-dup graph (0.35 threshold,
+    # hot-shingle cap); components via the q43 recursive reachability
+    # closure; members left-join the corpus with singleton fallback;
+    # both splits recomputed as pure integer predicates.
+    oracle=(
+        "WITH RECURSIVE pairs AS (\n"
+        + _JACCARD_ORACLE_TEMPLATE.format(
+            threshold="0.35",
+            shingle_universe="""
+        SELECT sh0.* FROM sh0
+        JOIN (SELECT shingle FROM sh0 GROUP BY shingle
+              HAVING COUNT(*) <= 0.5 * (SELECT COUNT(DISTINCT doc_id)
+                                        FROM sh0))
+        USING (shingle)""",
+        )
+        + """),
+    edges AS (
+        SELECT id_a AS a, id_b AS b FROM pairs
+        UNION
+        SELECT id_b, id_a FROM pairs),
+    nodes AS (SELECT DISTINCT a AS n FROM edges),
+    reach(n, r) AS (
+        SELECT n, n FROM nodes
+        UNION
+        SELECT reach.n, e.b FROM reach JOIN edges e ON e.a = reach.r),
+    comp AS (SELECT n AS did, MIN(r) AS rep FROM reach GROUP BY n),
+    members AS (
+        SELECT d.doc_id, COALESCE(c.rep, d.doc_id) AS rep
+        FROM documents d LEFT JOIN comp c ON c.did = d.doc_id),
+    cl AS (
+        SELECT rep, CAST(COUNT(*) AS BIGINT) AS n_members,
+               CAST(SUM(CASE WHEN doc_id % 10 < 8 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_naive_train
+        FROM members GROUP BY rep)
+    SELECT CASE WHEN rep % 10 < 8 THEN 'train' ELSE 'val' END AS split,
+           CAST(SUM(n_members) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(SUM(CASE WHEN rep % 10 < 8
+                         THEN n_members - n_naive_train
+                         ELSE n_naive_train END) AS BIGINT) AS n_moved,
+           CAST(SUM(CASE WHEN n_naive_train > 0
+                          AND n_naive_train < n_members
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_leaky_clusters
+    FROM cl GROUP BY 1
+    """
+    ),
+    survey_ref="leakage-free split audit (north star)",
+)
+def q87_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-aware train/val splitting with a leak audit
+    (operators.curation.cluster_safe_split): near-dup families from the
+    q26 exact-Jaccard graph are collapsed to min-id components, every
+    member is assigned by its REPRESENTATIVE's hash (rep % 10 < 8), and
+    the output counts per split what naive member-hash splitting would
+    have done wrong — n_moved members re-homed, n_leaky_clusters
+    families that would have straddled the split and leaked eval
+    signal. Decontamination (q45/q85) protects against benchmark
+    overlap; this protects the split itself — the other half of
+    eval hygiene."""
+    from candia_spark.operators.curation import cluster_safe_split
+    from candia_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        docs, n=2, threshold=0.35, max_shingle_frac=0.5
+    )
+    return cluster_safe_split(docs, pairs)
+
+
 # --- Driver certification window (verdict r5 #2) -------------------------
 # The per-round driver correctness artifact certifies the FIRST 50
 # registry entries, and queries()/oracle_sql() preserve this dict's
@@ -4470,6 +4632,15 @@ _DRIVER_WINDOW_TAIL = [
     # rows, parked here until the r10 rotation:
     "q69_bm25_topk",
     "q79_cross_source_dup_matrix",
+    # Round-9 additions q85-q87 also enter the WINDOW; the three seats
+    # they displace are r8-driver-certified, unchanged-this-round rows
+    # whose machinery stays driver-covered inside the window — q26/q27's
+    # shingle-index + jaccard-verify + banded-LSH path through q49 (which
+    # composes them) and q71/q81, q70's broadcast-vocab census through
+    # q84's rarity scoring. Back in at r10:
+    "q26_ngram_jaccard",
+    "q27_minhash_lsh",
+    "q70_ngram_novelty",
 ]
 for _name in _DRIVER_WINDOW_TAIL:
     QUERY_REGISTRY[_name] = QUERY_REGISTRY.pop(_name)

@@ -23,9 +23,14 @@
   metric, so the telemetry also certifies the guard's zero-job cost at
   the scale where it matters.
 
+- ``textfilters`` (round-9 additions q85/q86/q87): bigram-coherence
+  scoring, span-level contamination coverage against a FIXED benchmark,
+  and the cluster-safe split audit over a linear pair graph, each at
+  x10/x25/x50 — linearity (flat per-doc cost) is the pass criterion.
+
 Usage: python scripts/scale_stress_r9.py [--sizes 10 25 50]
        [--edge-sizes 1000000 10000000 100000000] [--runs 2]
-       [--only compaction authority]
+       [--only compaction authority textfilters]
 """
 
 from __future__ import annotations
@@ -190,6 +195,72 @@ def run_authority(spark, n_edges: int, runs: int, init: int) -> dict:
     }
 
 
+def run_textfilters(spark, out_dir: str, runs: int) -> dict:
+    """Round-9 new-operator legs (q85/q86/q87):
+
+    - ``bigram_assoc``: the only corpus-scale shuffle is the bigram
+      census join (Heaps-unbounded vocab), so total seconds should grow
+      ~linearly with the corpus and per-doc cost stay ~flat even though
+      the tiled vocabulary itself grows with the multiplier (recorded).
+    - ``contamination_spans``: FIXED benchmark (tile-0 %97 slice,
+      constant across multipliers) broadcast against a growing corpus —
+      one positioned-shingle scan probing map-side; linear corpus cost,
+      matched mass pinned by the benchmark.
+    - ``cluster_safe_split``: the audit's own marginal over a prebuilt
+      linear pair graph (the tiled near-dup partners, one pair per nd
+      doc — pair GENERATION scaling is the q26-family curve in earlier
+      SCALING rounds). Claim: an 8-byte labeling join + two keyed aggs,
+      linear-at-worst.
+    """
+    from candia_spark.operators.curation import (
+        bigram_assoc,
+        cluster_safe_split,
+    )
+    from candia_spark.operators.dedup import contamination_spans
+
+    docs = spark.read.parquet(os.path.join(out_dir, "documents.parquet"))
+    n_docs = docs.count()
+
+    bigram_sec = ss.timed(lambda: bigram_assoc(docs), runs)
+    bigram_vocab = (
+        docs.select(F.explode(ss._toks("text")).alias("t"))
+        .agg(F.count_distinct("t"))
+        .collect()[0][0]
+    )
+
+    base = F.col("doc_id") % ss.TILE_STRIDE
+    is_bench = (F.col("doc_id") < ss.TILE_STRIDE) & (F.col("doc_id") % 97 == 0)
+    bench = docs.filter(is_bench)
+    corpus = docs.filter(~is_bench)
+    n_bench = bench.count()
+    spans_sec = ss.timed(
+        lambda: contamination_spans(corpus, bench, n=3), runs
+    )
+    spans_rows = contamination_spans(corpus, bench, n=3).count()
+
+    # linear pair graph from the tiled near-dup partners: (orig, nd)
+    pairs = docs.filter(
+        (base >= ss.ND_OFF) & (base < ss.EX_OFF)
+    ).select(
+        (F.col("doc_id") - ss.ND_OFF).alias("id_a"),
+        F.col("doc_id").alias("id_b"),
+    )
+    n_pairs = pairs.count()
+    split_sec = ss.timed(lambda: cluster_safe_split(docs, pairs), runs)
+
+    return {
+        "n_docs": n_docs,
+        "bigram_assoc_sec": bigram_sec,
+        "bigram_vocab": bigram_vocab,
+        "bigram_us_per_doc": round(bigram_sec * 1e6 / n_docs, 1),
+        "n_bench_docs": n_bench,
+        "contamination_spans_sec": spans_sec,
+        "contaminated_docs": spans_rows,
+        "n_pairs": n_pairs,
+        "cluster_safe_split_sec": split_sec,
+    }
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sizes", type=int, nargs="+", default=[10, 25, 50])
@@ -203,7 +274,7 @@ def main() -> int:
     ap.add_argument("--out", default=os.path.join(REPO, "SCALING_r09.json"))
     ap.add_argument(
         "--only", nargs="+", default=["compaction", "authority"],
-        choices=["compaction", "authority"],
+        choices=["compaction", "authority", "textfilters"],
     )
     args = ap.parse_args()
 
@@ -219,6 +290,7 @@ def main() -> int:
         "batch_docs": BATCH_DOCS,
         "compaction": [],
         "authority": [],
+        "textfilters": [],
     }
 
     if "compaction" in args.only:
@@ -265,8 +337,41 @@ def main() -> int:
             print(json.dumps({"progress": f"authority {ne} done", **entry}),
                   flush=True)
 
+    if "textfilters" in args.only:
+        # family warmup: tiny runs so the first size's minimum is not JIT
+        from candia_spark.operators.curation import bigram_assoc
+        from candia_spark.operators.dedup import contamination_spans
+        from candia_spark.tables import load_table
+
+        warm = load_table(spark, ss.BASE_SF, "documents").limit(200)
+        bigram_assoc(warm).count()
+        contamination_spans(
+            warm, warm.filter(F.col("doc_id") % 97 == 0), n=3
+        ).count()
+
+        for k in args.sizes:
+            out_dir = os.path.join(ss.OUT_ROOT, f"tiles_r9t_{k}")
+            n_docs = ss.build_documents(spark, k, out_dir)
+            ss.reclaim()
+            entry = {"multiplier": k, "n_docs": n_docs}
+            entry.update(run_textfilters(spark, out_dir, args.runs))
+            report["textfilters"].append(entry)
+            print(json.dumps({"progress": f"textfilters x{k} done", **entry}),
+                  flush=True)
+            if not args.keep_data:
+                shutil.rmtree(out_dir, ignore_errors=True)
+
+    # partial runs (--only) merge into an existing artifact instead of
+    # clobbering the sections that already ran
+    merged = report
+    if os.path.exists(args.out):
+        with open(args.out) as f:
+            merged = json.load(f)
+        for key in ("compaction", "authority", "textfilters"):
+            if report.get(key):
+                merged[key] = report[key]
     with open(args.out, "w") as f:
-        json.dump(report, f, indent=1)
+        json.dump(merged, f, indent=1)
     print(json.dumps({"written": args.out}))
     return 0
 

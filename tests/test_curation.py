@@ -454,6 +454,50 @@ def test_unigram_rarity_bits_exact(spark):
         assert (out[1]["tail"], out[2]["tail"], out[3]["tail"]) == (0, 1, 0)
 
 
+def test_bigram_assoc_bits_exact(spark):
+    from candia_spark.operators.curation import bigram_assoc
+
+    # unigram counts: a=3 (bits 2), b=2 (bits 2), c=1 (bits 1), x=1
+    # bigram counts: (a,b)=2 (bits 2), (b,a)=1 (bits 1), (a,c)=1 (bits 1)
+    rows = [
+        (1, "A", "a b a b"),  # pairs (a,b) 0, (b,a) -2, (a,b) 0 -> -2, n=3
+        (2, "A", "a c"),      # (a,c): 2*1-2-1 = -1, n=1
+        (3, "A", "x"),        # no pairs: excluded
+    ]
+    out = {
+        r["doc_id"]: (r["n_pairs"], r["total_assoc"], r["incoherent"])
+        for r in bigram_assoc(_docs(spark, rows)).collect()
+    }
+    # corpus: c_pairs=4, c_assoc=-3. incoherent iff assoc*4 < -3*n_pairs:
+    # doc1 -8 < -9 no; doc2 -4 < -3 yes
+    assert out == {1: (3, -2, 0), 2: (1, -1, 1)}
+
+
+def test_cluster_safe_split_audit_counts(spark):
+    """Members are assigned by their component representative's hash;
+    the audit counts re-homed members and the clusters naive splitting
+    would have straddled, on both sides of the split."""
+    from candia_spark.operators.curation import cluster_safe_split
+
+    docs = spark.createDataFrame(
+        [(i,) for i in (1, 2, 3, 4, 5, 8, 9, 18, 19, 21)], ["doc_id"]
+    )
+    pairs = spark.createDataFrame(
+        [(1, 8), (4, 5), (9, 19), (18, 21)], ["id_a", "id_b"]
+    )
+    # clusters: rep 1 {1,8} train (8 naive-val -> moved+leaky);
+    # rep 4 {4,5} train (both naive-train); rep 9 {9,19} val (both
+    # naive-val); rep 18 {18,21} val (21 naive-train -> moved+leaky);
+    # singletons 2, 3 train.
+    out = {
+        r["split"]: (
+            r["n_docs"], r["n_clusters"], r["n_moved"], r["n_leaky_clusters"]
+        )
+        for r in cluster_safe_split(docs, pairs).collect()
+    }
+    assert out == {"train": (6, 4, 1, 1), "val": (4, 2, 1, 1)}
+
+
 def test_unigram_rarity_broadcast_path_has_no_scoring_exchange(spark):
     from candia_spark.operators.curation import unigram_rarity
 

@@ -479,6 +479,37 @@ def test_decontaminate_flags_overlap_only(spark):
     assert {r["doc_id"] for r in strict.collect()} == {0}
 
 
+def test_contamination_spans_coverage_and_heavy(spark):
+    """Span coverage counts each token POSITION once even under
+    overlapping collisions; the heavy flag is the exact cross-multiplied
+    >= 20% gate (no float division)."""
+    from candia_spark.operators.dedup import contamination_spans
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps high")], ["doc_id", "text"]
+    )
+    filler = " ".join(f"f{i}" for i in range(17))
+    corpus = spark.createDataFrame(
+        [
+            # overlapping collisions at pos 1 ("the quick brown") and
+            # pos 2 ("quick brown fox") -> covered {1,2,3,4} = 4, not 6
+            (0, "see the quick brown fox run"),
+            # no 3-gram overlap -> absent from output
+            (1, "a completely different document body"),
+            # the same shingle twice -> two disjoint spans, 6 positions
+            (2, "the quick brown stuff the quick brown stuff"),
+            # one 3-token span in a 20-token doc: 3/20 < 20% -> heavy=0
+            (3, "the quick brown " + filler),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_contaminated"], r["heavy"])
+        for r in contamination_spans(corpus, bench, n=3).collect()
+    }
+    assert got == {0: (6, 4, 1), 2: (8, 6, 1), 3: (20, 3, 0)}
+
+
 def test_deterministic_sample_reproducible_and_salted(spark):
     from candia_spark.operators.sampling import (
         deterministic_sample,
