@@ -211,6 +211,55 @@ def test_q45_decontaminate_broadcasts_benchmark(spark):
     assert plan.count("Exchange hashpartitioning(doc_id") == 1
 
 
+def test_q85_contamination_spans_broadcasts_benchmark(spark):
+    """Same stance as q45: the benchmark shingle set broadcasts, the
+    corpus side never sort-merge-joins, and there is no join-back corpus
+    scan for n_tokens (it rides the probe rows — exactly one per-doc
+    hash exchange, the coverage count)."""
+    from candia_spark.plans.queries import q85_contamination_spans
+
+    plan = plan_of(q85_contamination_spans(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # the distinct-position count plans as the standard two-phase
+    # distinct aggregate: one exchange on (doc_id, position) to dedupe
+    # covered positions, one on doc_id for the final count — both over
+    # the bounded MATCHED mass, never the corpus
+    assert plan.count("Exchange hashpartitioning(doc_id") == 2
+
+
+def test_q86_bigram_assoc_unigram_side_broadcasts(spark):
+    """The unigram cost map collapses to ONE broadcast row (q84's
+    device): after the materialized per-doc score table, the corpus-mean
+    flag join is broadcast-only — no hash exchange downstream of the
+    localCheckpoint scan. (The bigram census join upstream MAY shuffle:
+    bigram vocabulary is Heaps-unbounded by design.)"""
+    from candia_spark.operators.curation import bigram_assoc
+
+    rows = [(i, "A", "tok a b c d e") for i in range(1, 8)]
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, source string, text string"
+    )
+    plan = plan_of(bigram_assoc(df))
+    tail = plan.split("ExistingRDD")[0]
+    assert "Exchange hashpartitioning" not in tail
+    assert "BroadcastNestedLoopJoin" in tail or "BroadcastHashJoin" in tail
+
+
+def test_q87_cluster_safe_split_labeling_join_is_narrow(spark):
+    """The member-labeling join carries bare ids only: no text column in
+    any exchange (8-byte corpus rows), and the audit is two keyed
+    aggregations — no window, no cartesian."""
+    from candia_spark.plans.queries import q87_cluster_safe_split
+
+    plan = plan_of(q87_cluster_safe_split(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+    for ln in plan.splitlines():
+        if "Exchange hashpartitioning" in ln:
+            assert "text" not in ln, ln
+
+
 def test_q46_sampling_is_single_agg_pass(spark):
     """The stratified audit is ONE aggregation over the scan: total and
     sampled counts share the same partial agg (no join of two groupBys,
