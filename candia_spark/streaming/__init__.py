@@ -383,6 +383,89 @@ def incremental_dedup_stream(
     q.awaitTermination()
 
 
+def write_contamination_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    out_path: str,
+    *,
+    benchmark: DataFrame,
+    n: int = 3,
+    heavy_num: int = 1,
+    heavy_den: int = 5,
+) -> None:
+    """Idempotent per-micro-batch sink for :func:`contamination_stream`
+    (module-level so replay behavior is directly testable, the
+    :func:`write_dedup_batch` stance): the batch's span-contamination
+    rows land under ``_batch_id=<batch_id>`` via dynamic partition
+    overwrite, so an at-least-once replay of a deterministic batch
+    rewrites its own partition instead of duplicating rows. A batch with
+    zero contaminated docs writes no files — racing readers should pass
+    an explicit schema."""
+    from candia_spark.operators.dedup import contamination_spans
+
+    out = contamination_spans(
+        batch_df,
+        benchmark,
+        n=n,
+        heavy_num=heavy_num,
+        heavy_den=heavy_den,
+    )
+    (
+        out.withColumn("_batch_id", F.lit(int(batch_id)))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("_batch_id")
+        .parquet(out_path)
+    )
+
+
+def contamination_stream(
+    docs_stream: DataFrame,
+    benchmark: DataFrame,
+    out_path: str,
+    checkpoint_dir: str,
+    n: int = 3,
+    heavy_num: int = 1,
+    heavy_den: int = 5,
+) -> None:
+    """Streaming ingestion contamination guard: every arriving micro-batch
+    of documents is scored for span-level benchmark contamination
+    (:func:`candia_spark.operators.dedup.contamination_spans`) against a
+    FIXED benchmark set, and flagged docs are appended to ``out_path``
+    under the ``_batch_id`` exactly-once discipline.
+
+    Composes under ``foreachBatch`` for the same reason the incremental
+    dedup does, only more strongly: each document's coverage depends ONLY
+    on its own row and the (small, broadcast) benchmark — no corpus
+    state at all — so the union of per-trigger outputs equals one batch
+    run over the concatenated batches (pinned in
+    tests/test_streaming.py). This is the guard a live ingestion
+    pipeline runs BEFORE a document ever reaches the training corpus:
+    the eval suite is fixed, the firehose is not.
+
+    ``availableNow`` drains pending input then stops (backfill trigger);
+    swap for a processing-time trigger on a live source."""
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        write_contamination_batch(
+            batch_df,
+            batch_id,
+            out_path,
+            benchmark=benchmark,
+            n=n,
+            heavy_num=heavy_num,
+            heavy_den=heavy_den,
+        )
+
+    q = (
+        docs_stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def run_available_now(
     stream_df: DataFrame,
     query_name: str,

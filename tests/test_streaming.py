@@ -388,6 +388,80 @@ def test_incremental_dedup_stream_matches_batch(spark, tmp_path):
     assert after_replay == batch
 
 
+def test_contamination_stream_matches_batch_and_absorbs_replay(
+    spark, tmp_path
+):
+    """Streaming contamination guard (round 9): per micro-batch span
+    scoring against a FIXED benchmark equals one batch run over all
+    arrivals (each doc's coverage depends only on its own row + the
+    benchmark — no corpus state at all), and the _batch_id
+    dynamic-overwrite sink absorbs an at-least-once replay."""
+    import json
+
+    from candia_spark.operators.dedup import contamination_spans
+    from candia_spark.streaming import (
+        contamination_stream,
+        write_contamination_batch,
+    )
+
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon")], ["doc_id", "text"]
+    )
+    files = [
+        [
+            (1, "x alpha beta gamma y"),          # cov {1,2,3}, 3/5 heavy
+            (2, "clean text with nothing shared"),
+        ],
+        [
+            (3, "beta gamma delta"),              # cov 3/3 heavy
+            (4, "also clean nothing in common"),
+        ],
+    ]
+    in_dir = tmp_path / "arrivals"
+    in_dir.mkdir()
+    for i, rows in enumerate(files):
+        with open(in_dir / f"batch{i}.jsonl", "w") as f:
+            for doc_id, text in rows:
+                f.write(json.dumps({"doc_id": doc_id, "text": text}) + "\n")
+
+    stream = (
+        spark.readStream.schema("doc_id LONG, text STRING")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(in_dir))
+    )
+    out_path = str(tmp_path / "contam_out")
+    contamination_stream(stream, bench, out_path, str(tmp_path / "ckpt"))
+
+    out = spark.read.parquet(out_path)
+    streamed = sorted(map(tuple, out.drop("_batch_id").collect()))
+    all_docs = spark.createDataFrame(
+        [r for rows in files for r in rows], "doc_id long, text string"
+    )
+    batch = sorted(
+        map(tuple, contamination_spans(all_docs, bench, n=3).collect())
+    )
+    assert streamed == batch
+    assert {r[0] for r in batch} == {1, 3}  # clean docs never surface
+    assert sorted(
+        r["_batch_id"] for r in out.select("_batch_id").distinct().collect()
+    ) == [0, 1]
+
+    # replay absorption: recover which batch id produced doc 3's row
+    # (file->batch order is a same-mtime tie), re-deliver that batch,
+    # and assert the partition was overwritten, not appended
+    file1_batch_id = (
+        out.where(out["doc_id"] == 3).select("_batch_id").collect()[0][0]
+    )
+    replay = spark.createDataFrame(files[1], "doc_id long, text string")
+    write_contamination_batch(
+        replay, file1_batch_id, out_path, benchmark=bench
+    )
+    after_replay = sorted(
+        map(tuple, spark.read.parquet(out_path).drop("_batch_id").collect())
+    )
+    assert after_replay == batch
+
+
 def test_stream_then_compact_then_stream_closed_loop(spark, tmp_path):
     """The full rolling-ingestion cycle (verdict r7 missing #5): batch 1
     streams against the persisted corpus state, the compaction job folds
