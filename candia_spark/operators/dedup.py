@@ -1447,6 +1447,66 @@ def contamination_spans(
     )
 
 
+def canonical_docs(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    quality: Column | None = None,
+) -> DataFrame:
+    """Canonical-member selection — the policy half of near-dup collapse.
+    ``connected_components`` says which docs are the same; this says which
+    COPY to keep: per component, the member with the highest quality
+    (default: token count — "keep the longest", the C4/CCNet convention),
+    ties broken by smallest id so the answer is engine-exact. Singletons
+    keep themselves.
+
+    Output: one row per component — (rep, keep_id, n_members,
+    best_quality). A keep-only corpus is then one semi-join of the corpus
+    against keep_id; a drop-list is the anti-join. Pass ``quality`` to
+    keep by any per-doc integer score instead (e.g. a quality-classifier
+    column) — it must be deterministic and integer/exact for the oracle
+    gate stance to hold.
+
+    Scale shape: the component collapse is bounded by verified-pair mass;
+    member labeling is one join of (id, quality) 16-byte rows against the
+    component table (AQE broadcasts the component side when small); then
+    one keyed agg for (count, max), one keyed join back on rep, and one
+    keyed agg for the tie-break min — every shuffle is keyed on rep, no
+    window over the corpus, text never shuffles."""
+    comp = connected_components(pairs)
+    q = (
+        quality
+        if quality is not None
+        else F.size(tokens_col(text_col)).cast("bigint")
+    )
+    members = _materialize(
+        df.select(F.col(id_col), q.alias("__q"))
+        .join(comp.withColumnRenamed("node", id_col), id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("__q"),
+            F.coalesce("rep", F.col(id_col)).alias("rep"),
+        )
+    )
+    best = members.groupBy("rep").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+        F.max("__q").alias("best_quality"),
+    )
+    return (
+        members.join(best, "rep")
+        .filter(F.col("__q") == F.col("best_quality"))
+        .groupBy("rep", "n_members", "best_quality")
+        .agg(F.min(id_col).alias("keep_id"))
+        .select(
+            "rep",
+            "keep_id",
+            "n_members",
+            F.col("best_quality").cast("bigint").alias("best_quality"),
+        )
+    )
+
+
 def simhash_signatures(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -4572,6 +4572,68 @@ def q87_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cluster_safe_split(docs, pairs)
 
 
+@register(
+    "q88_canonical_docs",
+    # q26's exact-Jaccard pair graph + the q43 recursive closure, then the
+    # keep policy: per component, max token count, min-id tie-break.
+    oracle=(
+        "WITH RECURSIVE pairs AS (\n"
+        + _JACCARD_ORACLE_TEMPLATE.format(
+            threshold="0.35",
+            shingle_universe="""
+        SELECT sh0.* FROM sh0
+        JOIN (SELECT shingle FROM sh0 GROUP BY shingle
+              HAVING COUNT(*) <= 0.5 * (SELECT COUNT(DISTINCT doc_id)
+                                        FROM sh0))
+        USING (shingle)""",
+        )
+        + """),
+    edges AS (
+        SELECT id_a AS a, id_b AS b FROM pairs
+        UNION
+        SELECT id_b, id_a FROM pairs),
+    nodes AS (SELECT DISTINCT a AS n FROM edges),
+    reach(n, r) AS (
+        SELECT n, n FROM nodes
+        UNION
+        SELECT reach.n, e.b FROM reach JOIN edges e ON e.a = reach.r),
+    comp AS (SELECT n AS did, MIN(r) AS rep FROM reach GROUP BY n),
+    members AS (
+        SELECT d.doc_id, COALESCE(c.rep, d.doc_id) AS rep,
+               CAST(len({toks}) AS BIGINT) AS q
+        FROM documents d LEFT JOIN comp c ON c.did = d.doc_id),
+    best AS (
+        SELECT rep, CAST(COUNT(*) AS BIGINT) AS n_members,
+               MAX(q) AS best_quality
+        FROM members GROUP BY rep)
+    SELECT b.rep, MIN(m.doc_id) AS keep_id, b.n_members,
+           CAST(b.best_quality AS BIGINT) AS best_quality
+    FROM members m JOIN best b ON m.rep = b.rep AND m.q = b.best_quality
+    GROUP BY b.rep, b.n_members, b.best_quality
+    """.replace("{toks}", _TOKS_SQL)
+    ),
+    survey_ref="canonical keep-selection (north star)",
+)
+def q88_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The policy half of near-dup collapse
+    (operators.dedup.canonical_docs): q43/q49 label components, this
+    picks which COPY survives — per component the member with the most
+    tokens (the C4/CCNet "keep the longest" convention), ties to the
+    smallest id so both engines agree exactly. One row per component
+    including singletons; the keep-only corpus is then a single
+    semi-join against keep_id."""
+    from candia_spark.operators.dedup import (
+        canonical_docs,
+        ngram_jaccard_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        docs, n=2, threshold=0.35, max_shingle_frac=0.5
+    )
+    return canonical_docs(docs, pairs)
+
+
 # --- Driver certification window (verdict r5 #2) -------------------------
 # The per-round driver correctness artifact certifies the FIRST 50
 # registry entries, and queries()/oracle_sql() preserve this dict's
@@ -4641,6 +4703,9 @@ _DRIVER_WINDOW_TAIL = [
     "q26_ngram_jaccard",
     "q27_minhash_lsh",
     "q70_ngram_novelty",
+    # q88's seat: q68's rewrite machinery stays driver-covered through
+    # q78 (the rolling loop composes remove_duplicate_blocks). Back r10:
+    "q68_remove_dup_blocks",
 ]
 for _name in _DRIVER_WINDOW_TAIL:
     QUERY_REGISTRY[_name] = QUERY_REGISTRY.pop(_name)

@@ -479,6 +479,37 @@ def test_decontaminate_flags_overlap_only(spark):
     assert {r["doc_id"] for r in strict.collect()} == {0}
 
 
+def test_canonical_docs_keep_policy_and_tiebreak(spark):
+    """Per component: keep the highest-quality member (default token
+    count), ties to smallest id; singletons keep themselves; custom
+    quality column swaps the policy."""
+    from candia_spark.operators.dedup import canonical_docs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c"),
+            (2, "a b c d"),
+            (3, "x"),
+            (4, "p q r s"),
+            (5, "p q r s"),
+        ],
+        ["doc_id", "text"],
+    )
+    pairs = spark.createDataFrame([(1, 2), (4, 5)], ["id_a", "id_b"])
+    got = {
+        r["rep"]: (r["keep_id"], r["n_members"], r["best_quality"])
+        for r in canonical_docs(docs, pairs).collect()
+    }
+    assert got == {1: (2, 2, 4), 3: (3, 1, 1), 4: (4, 2, 4)}
+    by_id = {
+        r["rep"]: r["keep_id"]
+        for r in canonical_docs(
+            docs, pairs, quality=F.col("doc_id")
+        ).collect()
+    }
+    assert by_id == {1: 2, 3: 3, 4: 5}
+
+
 def test_contamination_spans_coverage_and_heavy(spark):
     """Span coverage counts each token POSITION once even under
     overlapping collisions; the heavy flag is the exact cross-multiplied
