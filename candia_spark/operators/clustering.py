@@ -740,3 +740,54 @@ def kmeans_hierarchical(
         F.col("cluster"),
         F.col("cluster_size"),
     )
+
+
+def cluster_purity(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    scale: int = 1000,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Cluster-vs-label purity audit — the evaluation a pipeline runs
+    before trusting k-means buckets for domain balancing or SemDeDup:
+    per cluster, the majority ground-truth label and how much of the
+    cluster it owns. Output one row per cluster — (cluster,
+    cluster_size, majority_label, n_majority) — all bigint, no division
+    (purity IS n_majority/cluster_size, but the ratio stays with the
+    caller so the gated answer is engine-exact). Majority ties break to
+    the smallest label so both engines agree.
+
+    Scale shape: rides kmeans_assign's broadcast-centroid map; the
+    contingency table is one (cluster, label) keyed agg whose output is
+    at most k x |labels| rows, and the majority argmax runs on that
+    k x |labels| table — nothing downstream of the assignment ever
+    shuffles corpus-sized data."""
+    assign = kmeans_assign(
+        df, k=k, iters=iters, scale=scale, vec_col=vec_col, id_col=id_col
+    )
+    cont = (
+        assign.join(df.select(F.col(id_col), F.col(label_col)), id_col)
+        .groupBy("cluster", label_col)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__n"))
+    )
+    return (
+        cont.groupBy("cluster")
+        .agg(
+            F.sum("__n").cast("bigint").alias("cluster_size"),
+            F.max(
+                F.struct(
+                    F.col("__n"),
+                    (-F.col(label_col).cast("bigint")).alias("__neg"),
+                )
+            ).alias("__best"),
+        )
+        .select(
+            "cluster",
+            "cluster_size",
+            (-F.col("__best.__neg")).cast("bigint").alias("majority_label"),
+            F.col("__best.__n").cast("bigint").alias("n_majority"),
+        )
+    )

@@ -4634,6 +4634,46 @@ def q88_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return canonical_docs(docs, pairs)
 
 
+@register(
+    "q89_cluster_purity",
+    # full unrolled k-means trajectory (q57's CTE chain) + the label
+    # contingency and per-cluster majority argmax, ties to smallest label
+    oracle=(
+        _kmeans_ctes()
+        + """,
+    lab AS (
+        SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings),
+    cont AS (
+        SELECT a.cluster, l.label, CAST(COUNT(*) AS BIGINT) AS n
+        FROM assign3 a JOIN lab l USING (vec_id)
+        GROUP BY a.cluster, l.label),
+    best AS (
+        SELECT cluster, label AS majority_label, n AS n_majority,
+               ROW_NUMBER() OVER (PARTITION BY cluster
+                                  ORDER BY n DESC, label ASC) AS rn
+        FROM cont)
+    SELECT s.cluster, s.cluster_size, b.majority_label, b.n_majority
+    FROM (SELECT cluster, CAST(SUM(n) AS BIGINT) AS cluster_size
+          FROM cont GROUP BY cluster) s
+    JOIN best b ON b.cluster = s.cluster AND b.rn = 1
+    """
+    ),
+    survey_ref="cluster purity audit (north star: clustering evaluation)",
+)
+def q89_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-vs-label purity audit
+    (operators.clustering.cluster_purity): the k=8, 3-iteration
+    integer-exact k-means trajectory, then per cluster the majority
+    ground-truth label and its member count — the evaluation that
+    decides whether the buckets are trustworthy for domain balancing /
+    SemDeDup. Division-free (the caller forms the ratio); majority ties
+    to the smallest label. Everything downstream of the broadcast-
+    centroid assignment aggregates a k x |labels| table."""
+    from candia_spark.operators.clustering import cluster_purity
+
+    return cluster_purity(_t(spark, sf_dir, "embeddings"))
+
+
 # --- Driver certification window (verdict r5 #2) -------------------------
 # The per-round driver correctness artifact certifies the FIRST 50
 # registry entries, and queries()/oracle_sql() preserve this dict's
@@ -4706,6 +4746,10 @@ _DRIVER_WINDOW_TAIL = [
     # q88's seat: q68's rewrite machinery stays driver-covered through
     # q78 (the rolling loop composes remove_duplicate_blocks). Back r10:
     "q68_remove_dup_blocks",
+    # q89's seat: q57's min-id k-means trajectory stays driver-covered
+    # through q63 (farthest-seeded, the harder path) and q89 itself
+    # (which recomputes the full assign3 chain). Back r10:
+    "q57_kmeans_clusters",
 ]
 for _name in _DRIVER_WINDOW_TAIL:
     QUERY_REGISTRY[_name] = QUERY_REGISTRY.pop(_name)

@@ -409,3 +409,36 @@ def test_kmeans_overflow_guard_fires_up_front(spark):
         == 7
     )
     assert kmeans_assign(df, k=2, iters=1).count() == 7
+
+
+def test_cluster_purity_majority_and_tiebreak(spark):
+    """Purity audit over planted blobs: k=2 recovers the blobs, the
+    majority label owns each cluster, and a 1-1 label tie inside a
+    cluster breaks to the SMALLEST label."""
+    from candia_spark.operators.clustering import cluster_purity
+
+    rows = [
+        # blob A (cluster of ids 0,2,4): labels 7,7,9 -> majority 7 (2)
+        (0, [1.0, 0.0], 7),
+        (2, [0.9, 0.1], 7),
+        (4, [1.1, -0.1], 9),
+        # blob B (ids 1,3): labels 5,3 -> 1-1 tie, majority = min = 3
+        (1, [-1.0, 0.0], 5),
+        (3, [-0.9, 0.2], 3),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    )
+    out = {
+        r["cluster"]: (
+            r["cluster_size"], r["majority_label"], r["n_majority"]
+        )
+        for r in cluster_purity(df, k=2, iters=2).collect()
+    }
+    assert set(out) == {0, 1}
+    sizes = sorted(v[0] for v in out.values())
+    assert sizes == [2, 3]
+    big = next(v for v in out.values() if v[0] == 3)
+    small = next(v for v in out.values() if v[0] == 2)
+    assert big == (3, 7, 2)
+    assert small == (2, 3, 1)
