@@ -289,3 +289,57 @@ def ngram_novelty(
             ).alias("novelty"),
         )
     )
+
+
+def borda_fuse(
+    ranked: list[DataFrame],
+    depth: int,
+    out_k: int = 10,
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Integer-exact hybrid-retrieval rank fusion (Borda counting): each
+    ranked list contributes ``depth + 1 - rank`` points for every id it
+    ranks within ``depth`` (absent ids contribute 0 from that list), and
+    the fused order is total points descending, id ascending. This is
+    the division-free sibling of reciprocal-rank fusion — RRF's
+    1/(60+rank) weights would drag order-sensitive float sums into the
+    gate, while Borda stays in bigint, so a dense (cosine) and a sparse
+    (BM25) ranking fuse with an engine-exact answer.
+
+    Input contract: every DataFrame in ``ranked`` carries (``id_col``,
+    ``rank_col``) with rank starting at 1; rows ranked beyond ``depth``
+    are ignored. Output: (id, fused_points, n_lists, fused_rank) for the
+    top ``out_k`` fused ids, where n_lists counts how many lists ranked
+    the id (the agreement signal a reranker thresholds on).
+
+    Scale shape: the inputs are top-k outputs, so the union holds at
+    most ``len(ranked) * depth`` rows — the one keyed agg and the global
+    rank window run on that bounded table, never on a corpus. The
+    expensive part of hybrid retrieval is producing the per-modality
+    top-k lists (bm25_topk: zero corpus shuffles; cosine_topk: broadcast
+    queries), and fusion adds nothing corpus-sized on top."""
+    if not ranked:
+        raise ValueError("ranked must be non-empty")
+    if depth <= 0 or out_k <= 0:
+        raise ValueError(f"depth/out_k must be positive, got {depth}/{out_k}")
+    from pyspark.sql import Window
+
+    pts = None
+    for r in ranked:
+        p = r.filter(F.col(rank_col) <= depth).select(
+            F.col(id_col),
+            (F.lit(depth + 1) - F.col(rank_col)).cast("bigint").alias("__p"),
+        )
+        pts = p if pts is None else pts.unionByName(p)
+    fused = pts.groupBy(id_col).agg(
+        F.sum("__p").cast("bigint").alias("fused_points"),
+        F.count(F.lit(1)).cast("bigint").alias("n_lists"),
+    )
+    w = Window.orderBy(F.col("fused_points").desc(), F.col(id_col).asc())
+    return fused.select(
+        F.col(id_col),
+        "fused_points",
+        "n_lists",
+        F.row_number().over(w).cast("bigint").alias("fused_rank"),
+    ).filter(F.col("fused_rank") <= out_k)

@@ -4674,6 +4674,100 @@ def q89_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cluster_purity(_t(spark, sf_dir, "embeddings"))
 
 
+def _q90_oracle() -> str:
+    from candia_spark.operators.retrieval import bm25_oracle_sql
+
+    bm = bm25_oracle_sql("documents", _Q69_TERMS, k=15)
+    return (
+        "WITH bm AS (\n"
+        + bm
+        + """),
+    bmr AS (
+        SELECT doc_id,
+               CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC)
+                    AS BIGINT) AS rank
+        FROM bm),
+    qv AS (SELECT vec_id AS query_id, embedding FROM embeddings
+           WHERE vec_id = 0),
+    qn AS (
+        SELECT query_id,
+               SQRT(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS qnorm
+        FROM qv, UNNEST(embedding) AS u(x) GROUP BY query_id),
+    cn AS (
+        SELECT vec_id,
+               SQRT(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS cnorm
+        FROM embeddings, UNNEST(embedding) AS u(x) GROUP BY vec_id),
+    dots AS (
+        SELECT qv.query_id, c.vec_id,
+               SUM(CAST(qv.embedding[i] AS DOUBLE)
+                   * CAST(c.embedding[i] AS DOUBLE)) AS dot
+        FROM qv JOIN embeddings c ON TRUE,
+        UNNEST(generate_series(1, len(qv.embedding))) AS u(i)
+        GROUP BY 1, 2),
+    scored AS (
+        SELECT d.vec_id AS doc_id,
+               CAST(ROUND(d.dot / (qn.qnorm * cn.cnorm), 6) AS DOUBLE)
+                   AS cosine
+        FROM dots d JOIN qn ON qn.query_id = d.query_id
+        JOIN cn ON cn.vec_id = d.vec_id),
+    cosr AS (
+        SELECT doc_id,
+               CAST(ROW_NUMBER() OVER (ORDER BY cosine DESC, doc_id ASC)
+                    AS BIGINT) AS rank
+        FROM scored
+        QUALIFY rank <= 15),
+    pts AS (
+        SELECT doc_id, 16 - rank AS p FROM bmr
+        UNION ALL
+        SELECT doc_id, 16 - rank FROM cosr),
+    f AS (
+        SELECT doc_id, CAST(SUM(p) AS BIGINT) AS fused_points,
+               CAST(COUNT(*) AS BIGINT) AS n_lists
+        FROM pts GROUP BY doc_id)
+    SELECT doc_id, fused_points, n_lists,
+           CAST(ROW_NUMBER() OVER (ORDER BY fused_points DESC, doc_id ASC)
+                AS BIGINT) AS fused_rank
+    FROM f
+    QUALIFY fused_rank <= 10
+    """
+    )
+
+
+@register(
+    "q90_hybrid_fusion",
+    oracle=_q90_oracle(),
+    survey_ref="hybrid retrieval fusion (north star: RAG example mining)",
+)
+def q90_hybrid_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval (operators.retrieval.borda_fuse): the q69 BM25
+    top-15 (sparse) and the exact cosine top-15 for probe vector 0
+    (dense) fused by integer Borda counting — depth+1-rank points per
+    list, absent ids score 0, fused order (points DESC, id ASC), top 10.
+    Division-free by design: RRF's 1/(60+r) would put order-sensitive
+    float sums in the gate; Borda keeps the whole fusion in bigint.
+    Fusion input is two 15-row lists — nothing corpus-sized moves after
+    the per-modality top-k stages (bm25: zero corpus shuffles; cosine:
+    broadcast probe)."""
+    from candia_spark.operators.retrieval import bm25_topk, borda_fuse
+    from candia_spark.operators.similarity import cosine_topk_bruteforce
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    bm = bm25_topk(docs, _Q69_TERMS, k=15)
+    wr = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    bm_ranked = bm.select(
+        "doc_id", F.row_number().over(wr).cast("bigint").alias("rank")
+    )
+    emb = _t(spark, sf_dir, "embeddings")
+    probe = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cos_ranked = cosine_topk_bruteforce(emb, probe, k=15).select(
+        F.col("vec_id").alias("doc_id"), "rank"
+    )
+    return borda_fuse([bm_ranked, cos_ranked], depth=15, out_k=10)
+
+
 # --- Driver certification window (verdict r5 #2) -------------------------
 # The per-round driver correctness artifact certifies the FIRST 50
 # registry entries, and queries()/oracle_sql() preserve this dict's
@@ -4750,6 +4844,10 @@ _DRIVER_WINDOW_TAIL = [
     # through q63 (farthest-seeded, the harder path) and q89 itself
     # (which recomputes the full assign3 chain). Back r10:
     "q57_kmeans_clusters",
+    # q90's seat: q71's exact containment path IS q81's verify stage
+    # (same operator, same oracle semantics), so it stays driver-covered
+    # through q81. Back r10:
+    "q71_containment_pairs",
 ]
 for _name in _DRIVER_WINDOW_TAIL:
     QUERY_REGISTRY[_name] = QUERY_REGISTRY.pop(_name)

@@ -565,3 +565,36 @@ def test_containment_candidates_min_hits_seed_weighted(spark):
     assert (1, 3) not in tight
     with pytest.raises(ValueError, match="min_hits"):
         containment_candidate_pairs(d, num_hashes=64, min_hits=0)
+
+
+def test_borda_fuse_points_ties_and_depth(spark):
+    """depth+1-rank points per list, absent ids score 0, rows past depth
+    ignored, fused ties break to the smallest id, out_k truncates."""
+    from candia_spark.operators.retrieval import borda_fuse
+
+    a = spark.createDataFrame(
+        [(1, 1), (2, 2), (3, 3), (9, 4)], ["doc_id", "rank"]
+    )
+    b = spark.createDataFrame([(2, 1), (4, 3)], ["doc_id", "rank"])
+    got = {
+        r["doc_id"]: (r["fused_points"], r["n_lists"], r["fused_rank"])
+        for r in borda_fuse([a, b], depth=3, out_k=4).collect()
+    }
+    # a: 1->3, 2->2, 3->1 (9 past depth); b: 2->3, 4->1
+    # fused: 2=5, 1=3, then 3 and 4 tie at 1 -> id order
+    assert got == {
+        2: (5, 2, 1),
+        1: (3, 1, 2),
+        3: (1, 1, 3),
+        4: (1, 1, 4),
+    }
+    assert 9 not in got
+    top2 = borda_fuse([a, b], depth=3, out_k=2)
+    assert {r["doc_id"] for r in top2.collect()} == {2, 1}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="non-empty"):
+        borda_fuse([], depth=3)
+    with _pytest.raises(ValueError, match="positive"):
+        borda_fuse([a], depth=0)
