@@ -1915,6 +1915,66 @@ def remove_duplicate_blocks(
     )
 
 
+def remove_self_repeated_blocks(
+    df: DataFrame,
+    block_words: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """INTRA-document repeated-block removal — the fix for what q44's
+    Gopher repetition metrics only measure: a document that repeats its
+    own spans (looped templates, scraped pagination, generation
+    degeneration) keeps one first occurrence of every block and drops
+    the repeats. :func:`remove_duplicate_blocks` dedupes spans ACROSS
+    the corpus; this dedupes a document against ITSELF.
+
+    Output: (id, n_blocks, n_kept, clean_text) — the q68 contract, with
+    clean_text = first occurrences + trailing partial block in original
+    order.
+
+    Scale shape — the whole operator is a PURE MAP, zero exchanges: the
+    per-doc blocks array folds left under ``F.aggregate``, appending a
+    block iff it has not been seen in THIS document (the accumulator is
+    the kept-block list, bounded by the doc's distinct blocks). Nothing
+    shuffles, nothing aggregates across rows; at 100 TB this is an
+    embarrassingly parallel rewrite scan, which is exactly why the
+    intra-doc scope deserves its own operator instead of a scope flag on
+    the shuffle-based corpus path. Per-row cost is O(blocks x distinct
+    blocks) string compares — bounded by doc length, not corpus size."""
+    if block_words <= 0:
+        raise ValueError(f"block_words must be positive, got {block_words}")
+    toks = F.split(F.col(text_col), " ")
+    n_tok = F.size(toks)
+    nb = F.floor(n_tok / block_words).cast("int")
+    blocks = F.when(
+        nb > 0,
+        F.transform(
+            F.sequence(F.lit(0), nb - 1),
+            lambda i: F.array_join(
+                F.slice(toks, i * block_words + 1, block_words), " "
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    kept = F.aggregate(
+        blocks,
+        F.array().cast("array<string>"),
+        lambda acc, b: F.when(
+            F.exists(acc, lambda x: x == b), acc
+        ).otherwise(F.concat(acc, F.array(b))),
+    )
+    remainder = F.array_join(
+        F.slice(toks, nb * block_words + 1, n_tok - nb * block_words), " "
+    )
+    return df.select(
+        F.col(id_col),
+        nb.cast("bigint").alias("n_blocks"),
+        F.size(kept).cast("bigint").alias("n_kept"),
+        F.trim(
+            F.concat_ws(" ", F.array_join(kept, " "), remainder)
+        ).alias("clean_text"),
+    )
+
+
 def ngram_containment_pairs(
     df: DataFrame,
     n: int = 2,

@@ -4768,6 +4768,72 @@ def q90_hybrid_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return borda_fuse([bm_ranked, cos_ranked], depth=15, out_k=10)
 
 
+@register(
+    "q91_self_repetition_rewrite",
+    # every doc_id % 5 == 0 doc is doubled (text || ' ' || text) so the
+    # removal path visibly fires wherever the token count block-aligns;
+    # clean_md5 hash-gates every rewritten document either way
+    oracle="""
+    WITH aug AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 5 = 0 THEN text || ' ' || text
+                    ELSE text END AS text
+        FROM documents),
+    meta AS (
+        SELECT doc_id, string_split(text, ' ') AS t,
+               len(string_split(text, ' ')) AS n_tok,
+               CAST(floor(len(string_split(text, ' ')) / 4) AS INT) AS nb
+        FROM aug),
+    occ AS (
+        SELECT doc_id, i AS pos,
+               array_to_string(list_slice(t, i*4 + 1, i*4 + 4), ' ') AS block
+        FROM meta,
+             unnest(CASE WHEN nb > 0 THEN generate_series(0, nb - 1)
+                         ELSE [] END) AS u(i)),
+    firsts AS (
+        SELECT doc_id, block, MIN(pos) AS fpos
+        FROM occ GROUP BY doc_id, block),
+    rebuilt AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+               string_agg(block, ' ' ORDER BY fpos) AS kept_text
+        FROM firsts GROUP BY doc_id)
+    SELECT m.doc_id, CAST(m.nb AS BIGINT) AS n_blocks,
+           COALESCE(r.n_kept, 0) AS n_kept,
+           md5(trim(concat_ws(' ', COALESCE(r.kept_text, ''),
+                array_to_string(list_slice(m.t, m.nb*4 + 1, m.n_tok),
+                                ' ')))) AS clean_md5
+    FROM meta m LEFT JOIN rebuilt r USING (doc_id)
+    """,
+    survey_ref="self-repetition rewrite (north star: intra-doc dedup)",
+)
+def q91_self_repetition_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repeated-block removal
+    (operators.dedup.remove_self_repeated_blocks): each document keeps
+    the FIRST occurrence of every 4-word block of itself — the rewrite
+    fix for the self-repetition q44's Gopher metrics only measure
+    (looped templates, pagination, generation degeneration). Every
+    doc_id % 5 == 0 document is doubled to certify the removal path.
+    The whole operator is a pure map (one F.aggregate fold per row,
+    zero exchanges) — the q68 corpus-level rewrite needs its three
+    keyed shuffles; a document deduped against itself needs none."""
+    from candia_spark.operators.dedup import remove_self_repeated_blocks
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    aug = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat_ws(" ", F.col("text"), F.col("text")),
+        ).otherwise(F.col("text")),
+    )
+    return remove_self_repeated_blocks(aug, block_words=4).select(
+        "doc_id",
+        "n_blocks",
+        "n_kept",
+        F.md5(F.col("clean_text").cast("binary")).alias("clean_md5"),
+    )
+
+
 # --- Driver certification window (verdict r5 #2) -------------------------
 # The per-round driver correctness artifact certifies the FIRST 50
 # registry entries, and queries()/oracle_sql() preserve this dict's
@@ -4848,6 +4914,10 @@ _DRIVER_WINDOW_TAIL = [
     # (same operator, same oracle semantics), so it stays driver-covered
     # through q81. Back r10:
     "q71_containment_pairs",
+    # q91's seat: q54's incremental state contract stays certified each
+    # round by the compaction-equivalence pytest (delta-append == rebuild)
+    # and the streaming incremental-dedup batch-parity pytest. Back r10:
+    "q54_incremental_dedup",
 ]
 for _name in _DRIVER_WINDOW_TAIL:
     QUERY_REGISTRY[_name] = QUERY_REGISTRY.pop(_name)

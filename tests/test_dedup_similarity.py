@@ -479,6 +479,40 @@ def test_decontaminate_flags_overlap_only(spark):
     assert {r["doc_id"] for r in strict.collect()} == {0}
 
 
+def test_remove_self_repeated_blocks_pure_map(spark):
+    """First occurrence of each block kept in order, repeats dropped,
+    trailing partial block always kept; docs shorter than one block pass
+    through untouched — and the plan has ZERO exchanges (pure map)."""
+    from candia_spark.operators.dedup import remove_self_repeated_blocks
+
+    docs = spark.createDataFrame(
+        [
+            # blocks (bw=2): "a b", "c d", "a b", "c d" + trailing "e"
+            (1, "a b c d a b c d e"),
+            # self-repeat NOT block-aligned: "a b","b a" distinct, kept
+            (2, "a b b a"),
+            (3, "x"),  # shorter than one block: 0 blocks, text kept
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: (r["n_blocks"], r["n_kept"], r["clean_text"])
+        for r in remove_self_repeated_blocks(docs, block_words=2).collect()
+    }
+    assert out == {
+        1: (4, 2, "a b c d e"),
+        2: (2, 2, "a b b a"),
+        3: (0, 0, "x"),
+    }
+    plan = (
+        remove_self_repeated_blocks(docs, block_words=2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+
+
 def test_canonical_docs_keep_policy_and_tiebreak(spark):
     """Per component: keep the highest-quality member (default token
     count), ties to smallest id; singletons keep themselves; custom
