@@ -248,6 +248,14 @@ def run_textfilters(spark, out_dir: str, runs: int) -> dict:
     n_pairs = pairs.count()
     split_sec = ss.timed(lambda: cluster_safe_split(docs, pairs), runs)
 
+    # q91's pure-map self-repetition rewrite: zero exchanges, so wall
+    # must track the scan — flat per-doc cost is the claim
+    from candia_spark.operators.dedup import remove_self_repeated_blocks
+
+    selfrep_sec = ss.timed(
+        lambda: remove_self_repeated_blocks(docs, block_words=4), runs
+    )
+
     return {
         "n_docs": n_docs,
         "bigram_assoc_sec": bigram_sec,
@@ -258,6 +266,8 @@ def run_textfilters(spark, out_dir: str, runs: int) -> dict:
         "contaminated_docs": spans_rows,
         "n_pairs": n_pairs,
         "cluster_safe_split_sec": split_sec,
+        "selfrep_rewrite_sec": selfrep_sec,
+        "selfrep_us_per_doc": round(selfrep_sec * 1e6 / n_docs, 1),
     }
 
 
