@@ -490,3 +490,88 @@ def test_winnowing_matches_reference_implementation(spark, docs):
             min(hs[j : j + w]) for j in range(max(len(hs) - w + 1, 1))
         }
         assert got.get(i, set()) == expect
+
+
+# --- round-9 operators: fuzz against python references --------------------
+
+token_strategy = st.text(alphabet="abcd", min_size=1, max_size=2)
+doc_strategy = st.lists(token_strategy, min_size=0, max_size=24)
+
+
+def _py_selfrep(toks: list[str], bw: int) -> tuple[int, int, str]:
+    nb = len(toks) // bw
+    blocks = [" ".join(toks[i * bw : (i + 1) * bw]) for i in range(nb)]
+    kept, seen = [], set()
+    for b in blocks:
+        if b not in seen:
+            seen.add(b)
+            kept.append(b)
+    tail = " ".join(toks[nb * bw :])
+    clean = " ".join(x for x in (" ".join(kept), tail) if x)
+    return nb, len(kept), clean
+
+
+@given(st.lists(doc_strategy, min_size=1, max_size=6),
+       st.integers(min_value=1, max_value=4))
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_self_repeated_blocks_matches_reference(spark, docs, bw):
+    """remove_self_repeated_blocks == an independent first-occurrence
+    fold, for any tokenization and block width (repetition-rich alphabet
+    so the removal branch fires often)."""
+    from candia_spark.operators.dedup import remove_self_repeated_blocks
+
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(docs)],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: (r["n_blocks"], r["n_kept"], r["clean_text"])
+        for r in remove_self_repeated_blocks(df, block_words=bw).collect()
+    }
+    # NB: Spark split("", " ") == [""], one empty token — mirror that
+    want = {
+        i: _py_selfrep(" ".join(toks).split(" "), bw)
+        for i, toks in enumerate(docs)
+    }
+    assert got == want
+
+
+@given(
+    st.lists(
+        st.lists(st.integers(min_value=0, max_value=30), min_size=0,
+                 max_size=10, unique=True),
+        min_size=1, max_size=4,
+    ),
+    st.integers(min_value=1, max_value=10),
+    st.integers(min_value=1, max_value=8),
+)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_borda_fuse_matches_reference(spark, lists, depth, out_k):
+    """borda_fuse == an independent python Borda fold for arbitrary
+    ranked lists (ids ranked by list position, rank starts at 1)."""
+    from collections import defaultdict
+
+    from candia_spark.operators.retrieval import borda_fuse
+
+    dfs = [
+        spark.createDataFrame(
+            [(doc, r + 1) for r, doc in enumerate(ids)] or [(None, None)],
+            "doc_id int, rank int",
+        ).filter("doc_id is not null")
+        for ids in lists
+    ]
+    got = {
+        r["doc_id"]: (r["fused_points"], r["n_lists"], r["fused_rank"])
+        for r in borda_fuse(dfs, depth=depth, out_k=out_k).collect()
+    }
+    pts, nl = defaultdict(int), defaultdict(int)
+    for ids in lists:
+        for r, doc in enumerate(ids):
+            if r + 1 <= depth:
+                pts[doc] += depth - r
+                nl[doc] += 1
+    order = sorted(pts, key=lambda d: (-pts[d], d))[:out_k]
+    want = {d: (pts[d], nl[d], i + 1) for i, d in enumerate(order)}
+    assert got == want
