@@ -575,3 +575,138 @@ def test_borda_fuse_matches_reference(spark, lists, depth, out_k):
     order = sorted(pts, key=lambda d: (-pts[d], d))[:out_k]
     want = {d: (pts[d], nl[d], i + 1) for i, d in enumerate(order)}
     assert got == want
+
+
+@given(st.lists(doc_strategy, min_size=2, max_size=8))
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_contamination_spans_matches_reference(spark, docs):
+    """contamination_spans == an independent covered-position union:
+    every corpus doc sharing a 3-gram with the benchmark slice reports
+    the exact count of distinct covered token positions and the
+    cross-multiplied >=20% heavy flag."""
+    from candia_spark.operators.dedup import contamination_spans
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    bench = df.filter("doc_id % 2 = 0")
+    corpus = df.filter("doc_id % 2 = 1")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_contaminated"], r["heavy"])
+        for r in contamination_spans(corpus, bench, n=3).collect()
+    }
+    def toks_of(i):
+        return " ".join(docs[i]).split(" ")  # Spark split semantics
+    bset = set()
+    for i in range(0, len(docs), 2):
+        t = toks_of(i)
+        bset |= {tuple(t[j:j+3]) for j in range(len(t) - 2)}
+    want = {}
+    for i in range(1, len(docs), 2):
+        t = toks_of(i)
+        cov = set()
+        for j in range(len(t) - 2):
+            if tuple(t[j:j+3]) in bset:
+                cov |= {j, j + 1, j + 2}
+        if cov:
+            heavy = 1 if len(cov) * 5 >= len(t) else 0
+            want[i] = (len(t), len(cov), heavy)
+    assert got == want
+
+
+@given(st.lists(doc_strategy, min_size=1, max_size=6))
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_bigram_assoc_matches_reference(spark, docs):
+    """bigram_assoc == an independent integer PMI-proxy fold (bits =
+    bit_length of exact counts; incoherent flag by cross-multiplied
+    corpus-mean compare)."""
+    from collections import Counter
+
+    from candia_spark.operators.curation import bigram_assoc
+
+    rows = [(i, "A", " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, source string, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_pairs"], r["total_assoc"], r["incoherent"])
+        for r in bigram_assoc(df).collect()
+    }
+    toks = {i: " ".join(d).lower().split(" ") for i, d in enumerate(docs)}
+    toks = {i: [t for t in ts if t] for i, ts in toks.items()}
+    uni = Counter(t for ts in toks.values() for t in ts)
+    big = Counter(
+        (ts[j], ts[j+1]) for ts in toks.values() for j in range(len(ts)-1)
+    )
+    per = {}
+    for i, ts in toks.items():
+        prs = [(ts[j], ts[j+1]) for j in range(len(ts) - 1)]
+        if not prs:
+            continue
+        assoc = sum(
+            2 * big[p].bit_length()
+            - uni[p[0]].bit_length() - uni[p[1]].bit_length()
+            for p in prs
+        )
+        per[i] = (len(prs), assoc)
+    c_pairs = sum(v[0] for v in per.values())
+    c_assoc = sum(v[1] for v in per.values())
+    want = {
+        i: (n, a, 1 if a * c_pairs < c_assoc * n else 0)
+        for i, (n, a) in per.items()
+    }
+    assert got == want
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(min_value=0, max_value=25),
+                  st.integers(min_value=0, max_value=25)),
+        min_size=0, max_size=10,
+    ),
+    st.integers(min_value=1, max_value=9),
+)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_cluster_safe_split_matches_reference(spark, edges, train_lt):
+    """cluster_safe_split == an independent union-find + audit for any
+    pair graph over the 0..25 corpus and any train fraction."""
+    from candia_spark.operators.curation import cluster_safe_split
+
+    edges = [(a, b) for a, b in edges if a != b]
+    docs = spark.createDataFrame([(i,) for i in range(26)], ["doc_id"])
+    pairs = spark.createDataFrame(
+        edges or [(None, None)], "id_a int, id_b int"
+    ).filter("id_a is not null")
+    got = {
+        r["split"]: (r["n_docs"], r["n_clusters"], r["n_moved"],
+                     r["n_leaky_clusters"])
+        for r in cluster_safe_split(
+            docs, pairs, mod=10, train_lt=train_lt
+        ).collect()
+    }
+    parent = list(range(26))
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    members = {}
+    for i in range(26):
+        members.setdefault(min(j for j in range(26) if find(j) == find(i)),
+                           []).append(i)
+    want = {}
+    for rep, ms in members.items():
+        split = "train" if rep % 10 < train_lt else "val"
+        d = want.setdefault(split, [0, 0, 0, 0])
+        nt = sum(1 for m in ms if m % 10 < train_lt)
+        d[0] += len(ms)
+        d[1] += 1
+        d[2] += (len(ms) - nt) if split == "train" else nt
+        d[3] += 1 if 0 < nt < len(ms) else 0
+    assert got == {k: tuple(v) for k, v in want.items()}
