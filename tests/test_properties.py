@@ -710,3 +710,97 @@ def test_cluster_safe_split_matches_reference(spark, edges, train_lt):
         d[2] += (len(ms) - nt) if split == "train" else nt
         d[3] += 1 if 0 < nt < len(ms) else 0
     assert got == {k: tuple(v) for k, v in want.items()}
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(min_value=0, max_value=15),
+                  st.integers(min_value=0, max_value=15)),
+        min_size=0, max_size=8,
+    ),
+    st.lists(st.integers(min_value=0, max_value=6), min_size=16,
+             max_size=16),
+)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_canonical_docs_matches_reference(spark, edges, lens):
+    """canonical_docs == union-find + keep-longest (min-id ties) for any
+    pair graph and token-length assignment over a 16-doc corpus."""
+    from candia_spark.operators.dedup import canonical_docs
+
+    edges = [(a, b) for a, b in edges if a != b]
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * lens[i])) for i in range(16)],
+        ["doc_id", "text"],
+    )
+    pairs = spark.createDataFrame(
+        edges or [(None, None)], "id_a int, id_b int"
+    ).filter("id_a is not null")
+    got = {
+        r["rep"]: (r["keep_id"], r["n_members"], r["best_quality"])
+        for r in canonical_docs(docs, pairs).collect()
+    }
+    # canonical_docs tokenizes with tokens_col (empties FILTERED, the
+    # _TOKS_SQL convention): an empty text counts zero tokens
+    q = {i: lens[i] for i in range(16)}
+    parent = list(range(16))
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comps = {}
+    for i in range(16):
+        comps.setdefault(find(i), []).append(i)
+    want = {}
+    for ms in comps.values():
+        rep = min(ms)
+        best = max(q[m] for m in ms)
+        keep = min(m for m in ms if q[m] == best)
+        want[rep] = (keep, len(ms), best)
+    assert got == want
+
+
+@given(st.integers(min_value=2, max_value=4),
+       st.lists(st.integers(min_value=0, max_value=3), min_size=6,
+                max_size=12))
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_cluster_purity_consistent_with_assignment(spark, k, labels):
+    """cluster_purity's contingency layer agrees with kmeans_assign's
+    own output joined to the labels (majority by count, ties to the
+    smallest label) — pins the agg on top of the already-fuzzed
+    k-means."""
+    from collections import Counter
+
+    from candia_spark.operators.clustering import cluster_purity, kmeans_assign
+
+    rows = [
+        (i, [float(i % 5), float((i * 7) % 11)], labels[i])
+        for i in range(len(labels))
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    )
+    got = {
+        r["cluster"]: (r["cluster_size"], r["majority_label"],
+                       r["n_majority"])
+        for r in cluster_purity(df, k=k, iters=2).collect()
+    }
+    assign = {
+        r["vec_id"]: r["cluster"]
+        for r in kmeans_assign(df, k=k, iters=2).collect()
+    }
+    per = {}
+    for vid, cl in assign.items():
+        per.setdefault(cl, Counter())[labels[vid]] += 1
+    want = {}
+    for cl, cnt in per.items():
+        best_n = max(cnt.values())
+        best_lab = min(l for l, n in cnt.items() if n == best_n)
+        want[cl] = (sum(cnt.values()), best_lab, best_n)
+    assert got == want
