@@ -1415,6 +1415,15 @@ def contamination_spans(
     needed. The position expansion is exact coverage, not an
     approximation: overlapping collisions count each token once
     (count(DISTINCT position))."""
+    if n <= 0:
+        raise ValueError(f"n must be positive, got {n}")
+    if heavy_den <= 0 or heavy_num < 0:
+        # heavy_den=0 would not divide-by-zero (the gate cross-multiplies)
+        # but it silently turns the flag into a constant — refuse instead
+        raise ValueError(
+            f"heavy threshold must be >= 0 with a positive denominator, "
+            f"got {heavy_num}/{heavy_den}"
+        )
     tdf = corpus.select(F.col(id_col), tokens_col(text_col).alias("__t"))
     sh = tdf.select(
         F.col(id_col),

@@ -508,3 +508,13 @@ def test_unigram_rarity_broadcast_path_has_no_scoring_exchange(spark):
     # localCheckpoint scan
     tail_plan = plan.split("ExistingRDD")[0]
     assert "Exchange hashpartitioning" not in tail_plan
+
+
+def test_cluster_safe_split_rejects_degenerate_split(spark):
+    from candia_spark.operators.curation import cluster_safe_split
+
+    docs = spark.createDataFrame([(1,), (2,)], ["doc_id"])
+    pairs = spark.createDataFrame([(1, 2)], ["id_a", "id_b"])
+    for mod, lt in ((0, 0), (10, 11), (10, -1)):
+        with pytest.raises(ValueError, match="train_lt"):
+            cluster_safe_split(docs, pairs, mod=mod, train_lt=lt)

@@ -914,3 +914,23 @@ def test_compact_corpus_state_matches_rebuild(spark, tmp_path):
         probe, None, threshold=0.6, corpus_bands=fb, corpus_sets=fs
     ).collect()))
     assert got == want and len(got) >= 3
+
+
+def test_contamination_spans_rejects_bad_params(spark):
+    from candia_spark.operators.dedup import contamination_spans
+
+    d = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="positive"):
+        contamination_spans(d, d, n=0)
+    with pytest.raises(ValueError, match="denominator"):
+        contamination_spans(d, d, heavy_den=0)
+    with pytest.raises(ValueError, match="denominator"):
+        contamination_spans(d, d, heavy_num=-1)
+
+
+def test_remove_self_repeated_blocks_rejects_bad_block_words(spark):
+    from candia_spark.operators.dedup import remove_self_repeated_blocks
+
+    d = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="positive"):
+        remove_self_repeated_blocks(d, block_words=0)
