@@ -275,6 +275,44 @@ def test_authority_fallback_guard_costs_zero_extra_jobs(spark):
     assert (jf4 - jf2) == (js4 - js2)  # guard rides for free
 
 
+def test_authority_upfront_margins_fire_no_scalar_agg_actions(spark, monkeypatch):
+    """Verdict r9 wrong #1 / next #1: the upfront overflow-margin stats
+    (edge count, max weight, max out-weight sum, node count) must ride
+    the e/ed/n materialization passes as Observation metrics in eager
+    mode — NOT separate `.agg().collect()` / `.count()` driver jobs.
+    Pinned at the API level: no DataFrame.collect or DataFrame.count may
+    run inside the call (weighted + seeded, the maximal-guard path).
+    The result is collected only after the patch is lifted."""
+    from pyspark.sql import DataFrame
+    from pyspark.sql import functions as F
+
+    edges = spark.createDataFrame(
+        [(0, 1, 3), (1, 2, 2), (0, 2, 5), (2, 0, 1)],
+        "src bigint, dst bigint, w bigint",
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(4)], "doc_id bigint")
+    seeds = spark.createDataFrame([(0,)], "doc_id bigint")
+    calls = {"collect": 0, "count": 0}
+    real_collect, real_count = DataFrame.collect, DataFrame.count
+
+    def spy_collect(self):
+        calls["collect"] += 1
+        return real_collect(self)
+
+    def spy_count(self):
+        calls["count"] += 1
+        return real_count(self)
+
+    monkeypatch.setattr(DataFrame, "collect", spy_collect)
+    monkeypatch.setattr(DataFrame, "count", spy_count)
+    out = authority_scores(
+        edges, nodes, iters=2, weight_col="w", seeds=seeds
+    )
+    assert calls == {"collect": 0, "count": 0}
+    monkeypatch.undo()
+    assert out.count() == 4  # and the guarded run still produces rows
+
+
 def test_personalized_authority_seed_restart(spark):
     """Seeded mode (q82): initial AND restart mass land only on seeds.
     Triangle {0,1,2} + isolated 9, seeds={0}, one iteration, by hand:
