@@ -665,11 +665,12 @@ def cluster_safe_split(
     (8-byte corpus rows, AQE broadcasts the component side when small);
     the audit is two keyed aggregations, the second over the
     cluster-sized table with a 2-value key."""
-    if mod <= 0 or not (0 <= train_lt <= mod):
-        # train_lt outside [0, mod] silently yields an all-train or
-        # all-val "split" — refuse instead of auditing a non-split
+    if mod <= 0 or not (0 < train_lt < mod):
+        # train_lt of 0 or mod yields exactly the all-val/all-train
+        # "non-split" this guard exists to refuse (advice r9 #1) — both
+        # sides must be able to receive mass
         raise ValueError(
-            f"need mod > 0 and 0 <= train_lt <= mod, got {train_lt}/{mod}"
+            f"need mod > 0 and 0 < train_lt < mod, got {train_lt}/{mod}"
         )
     from candia_spark.operators.dedup import connected_components
 

@@ -2235,9 +2235,12 @@ def winnow_fingerprints(
 
 # Telemetry from the most recent winnow_fingerprint_pairs call on this
 # driver (the LAST_JACCARD_TELEMETRY pattern): {"calls": monotone
-# counter, "fp_rows": capped-index row count, "hot_fps": fingerprints
-# dropped by the df cap} — bench.py attributes it per query so the
-# official artifact shows the index density and whether the cap bit.
+# counter, "fp_rows": capped-index row count — ALWAYS an int, -1 as the
+# "not counted" sentinel on cap-free calls (which stay action-free in
+# the builder path; advice r9 #4 — a None here broke arithmetic
+# consumers), "hot_fps": fingerprints dropped by the df cap} — bench.py
+# attributes it per query so the official artifact shows the index
+# density and whether the cap bit.
 LAST_WINNOW_TELEMETRY: dict = {}
 
 
@@ -2303,13 +2306,15 @@ def winnow_fingerprint_pairs(
     # fp_rows is telemetry-only: count it only when a cap was requested
     # (the cap path already ran census jobs, so one more scalar agg over
     # the materialized index is marginal); cap-free calls stay
-    # action-free in the builder path (advice r8 #5) — fp_rows=None.
+    # action-free in the builder path (advice r8 #5) — fp_rows=-1, the
+    # int sentinel, so arithmetic consumers never see a None
+    # (advice r9 #4).
     LAST_WINNOW_TELEMETRY.update(
         calls=LAST_WINNOW_TELEMETRY.get("calls", 0) + 1,
         fp_rows=(
             fp.count()
             if (max_fp_df is not None or max_fp_frac is not None)
-            else None
+            else -1
         ),
         hot_fps=n_hot,
     )

@@ -193,6 +193,11 @@ def nn_parafac(
     """
     if backend not in ("numpy", "torch"):
         raise ValueError(f"backend must be 'numpy' or 'torch', got {backend!r}")
+    if max_iter < 1:
+        # the two backends disagree on max_iter=0 (numpy would NameError
+        # on the unset err, torch would silently report rsq=1.0/iters=0)
+        # — refuse the degenerate input before dispatch (advice r9 #5)
+        raise ValueError(f"max_iter must be >= 1, got {max_iter}")
     ndim = tensor.ndim
     rng = np.random.default_rng(seed)
     factors = [

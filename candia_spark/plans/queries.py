@@ -4671,7 +4671,13 @@ def q89_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroid assignment aggregates a k x |labels| table."""
     from candia_spark.operators.clustering import cluster_purity
 
-    return cluster_purity(_t(spark, sf_dir, "embeddings"))
+    # majority_label keeps the label column's own type since the r10
+    # string-label fix — cast to bigint here so the gated schema matches
+    # the oracle's CAST(label AS BIGINT)
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "label", F.col("label").cast("bigint")
+    )
+    return cluster_purity(emb)
 
 
 def _q90_oracle() -> str:

@@ -425,7 +425,16 @@ def build_library(
     scan_link = os.path.join(lib_dir, "comet.mzXML")
     target = os.path.abspath(mzxml)
     if os.path.lexists(scan_link):
-        if os.path.islink(scan_link) and os.readlink(scan_link) != target:
+        if not os.path.islink(scan_link):
+            # a pre-existing REGULAR file (e.g. a copy left by an older
+            # run or a tool that copies instead of linking) would be
+            # silently served as the scan data even when it holds the
+            # WRONG spectra — replace it with a link to the true target
+            # so the non-symlink case cannot serve stale scans
+            # (advice r9 #3)
+            os.remove(scan_link)
+            os.symlink(target, scan_link)
+        elif os.readlink(scan_link) != target:
             os.remove(scan_link)
             os.symlink(target, scan_link)
     else:

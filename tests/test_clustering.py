@@ -442,3 +442,30 @@ def test_cluster_purity_majority_and_tiebreak(spark):
     small = next(v for v in out.values() if v[0] == 2)
     assert big == (3, 7, 2)
     assert small == (2, 3, 1)
+
+
+def test_cluster_purity_string_labels(spark):
+    """Verdict r9 wrong #4: string label columns used to silently null
+    out in the negated-bigint tie-break and pick a wrong majority. The
+    struct-min tie-break keeps the label's own type: majority by count,
+    ties to the lexicographically smallest label."""
+    from candia_spark.operators.clustering import cluster_purity
+
+    rows = [
+        # blob A (ids 0,2,4): labels web,web,books -> majority web (2)
+        (0, [1.0, 0.0], "web"),
+        (2, [0.9, 0.1], "web"),
+        (4, [1.1, -0.1], "books"),
+        # blob B (ids 1,3): labels code,arxiv -> 1-1 tie -> min "arxiv"
+        (1, [-1.0, 0.0], "code"),
+        (3, [-0.9, 0.2], "arxiv"),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label string"
+    )
+    out = {
+        r["cluster_size"]: (r["majority_label"], r["n_majority"])
+        for r in cluster_purity(df, k=2, iters=2).collect()
+    }
+    assert out[3] == ("web", 2)
+    assert out[2] == ("arxiv", 1)

@@ -515,6 +515,8 @@ def test_cluster_safe_split_rejects_degenerate_split(spark):
 
     docs = spark.createDataFrame([(1,), (2,)], ["doc_id"])
     pairs = spark.createDataFrame([(1, 2)], ["id_a", "id_b"])
-    for mod, lt in ((0, 0), (10, 11), (10, -1)):
+    # (10, 0) and (10, 10) are the exact all-val/all-train non-splits
+    # the guard's comment promises to refuse (advice r9 #1)
+    for mod, lt in ((0, 0), (10, 11), (10, -1), (10, 0), (10, 10)):
         with pytest.raises(ValueError, match="train_lt"):
             cluster_safe_split(docs, pairs, mod=mod, train_lt=lt)

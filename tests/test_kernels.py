@@ -244,6 +244,12 @@ def test_nn_parafac_backend_validation_and_gate():
     if not _torch_available():
         with pytest.raises(ImportError, match="backend='numpy'"):
             nn_parafac(tensor, rank=2, backend="torch")
+    # advice r9 #5: max_iter=0 made the backends DISAGREE (numpy
+    # NameError vs torch silently returning rsq=1.0) — now refused
+    # before dispatch, for either backend
+    for backend in ("numpy", "torch"):
+        with pytest.raises(ValueError, match="max_iter"):
+            nn_parafac(tensor, rank=2, max_iter=0, backend=backend)
 
 
 @pytest.mark.skipif(not _torch_available(), reason="torch not installed")

@@ -432,3 +432,14 @@ def test_build_library_scan_link_repointed(fake_tpp_chain, tmp_path, monkeypatch
     build_library(lib_dir, str(mzxml), "db.fasta", str(windows), out,
                   overrides=fake_tpp_chain)
     assert os.readlink(os.path.join(lib_dir, "comet.mzXML")) == str(mzxml)
+    # advice r9 #3: a pre-existing REGULAR file (a stale copy, not a
+    # link) used to fall through to a no-op and silently serve wrong
+    # spectra — it must be replaced with a link to the true target
+    scan_path = os.path.join(lib_dir, "comet.mzXML")
+    os.remove(scan_path)
+    with open(scan_path, "w") as fh:
+        fh.write("<mzXML>stale copied scan data</mzXML>")
+    build_library(lib_dir, str(mzxml), "db.fasta", str(windows), out,
+                  overrides=fake_tpp_chain)
+    assert os.path.islink(scan_path)
+    assert os.readlink(scan_path) == str(mzxml)
