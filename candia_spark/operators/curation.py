@@ -718,6 +718,7 @@ def bigram_assoc(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    broadcast_unigrams: bool = True,
 ) -> DataFrame:
     """Bigram-coherence scoring — the word-salad detector that
     complements ``unigram_rarity``: a document of individually common
@@ -736,15 +737,21 @@ def bigram_assoc(
     positive, so the inequality is division-free and sign-safe for the
     negative scores).
 
-    Scale shape: the unigram census collapses to one broadcast map row
-    (vocabulary-sized, the q84/bm25 device) so word costs are a pure
-    map; the ONLY corpus-scale shuffle in scoring is the pair-census
-    join on (a, b) — bigram vocabulary is unbounded by Heaps' law, so
-    it shuffle-joins rather than broadcasts, with map-side partial
-    aggregation on the census side and AQE free to broadcast it when a
-    real corpus's bigram table turns out small. The per-doc aggregation
-    then carries 32-byte rows. No UDF anywhere; bin/length/element_at
-    are all codegen expressions."""
+    Scale shape: with ``broadcast_unigrams`` (default) the unigram
+    census collapses to one broadcast map row (vocabulary-sized, the
+    q84/bm25 device) so word costs are a pure map — fine to ~1e6 types;
+    for an open-vocabulary 100 TB corpus pass
+    ``broadcast_unigrams=False`` (advice r9 #2, mirroring
+    unigram_rarity's ``broadcast_vocab``) and word costs come from two
+    shuffle joins of the pair table against the unigram census (on a,
+    then on b) — linear, AQE free to broadcast a small census. Either
+    way the ONLY unavoidable corpus-scale shuffle in scoring is the
+    pair-census join on (a, b) — bigram vocabulary is unbounded by
+    Heaps' law, so it shuffle-joins rather than broadcasts, with
+    map-side partial aggregation on the census side and AQE free to
+    broadcast it when a real corpus's bigram table turns out small. The
+    per-doc aggregation then carries 32-byte rows. No UDF anywhere;
+    bin/length/element_at are all codegen expressions."""
     from candia_spark.operators.dedup import _materialize
 
     bits = lambda c: F.length(F.bin(c)).cast("bigint")  # noqa: E731
@@ -765,28 +772,48 @@ def bigram_assoc(
         .groupBy("tok")
         .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
     )
-    freq_row = uni.agg(
-        F.map_from_entries(
-            F.collect_list(F.struct(F.col("tok"), bits(F.col("cnt")).alias("bits")))
-        ).alias("freq")
-    )
     big = pr.groupBy("a", "b").agg(
         bits(F.count(F.lit(1))).alias("bits_ab")
     )
-    scored = (
-        pr.join(big, ["a", "b"])
-        .join(F.broadcast(freq_row))
-        .groupBy(id_col)
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
-            F.sum(
-                F.lit(2) * F.col("bits_ab")
-                - F.element_at("freq", F.col("a"))
-                - F.element_at("freq", F.col("b"))
-            )
-            .cast("bigint")
-            .alias("total_assoc"),
+    if broadcast_unigrams:
+        freq_row = uni.agg(
+            F.map_from_entries(
+                F.collect_list(
+                    F.struct(F.col("tok"), bits(F.col("cnt")).alias("bits"))
+                )
+            ).alias("freq")
         )
+        costed = pr.join(big, ["a", "b"]).join(F.broadcast(freq_row))
+        assoc = (
+            F.lit(2) * F.col("bits_ab")
+            - F.element_at("freq", F.col("a"))
+            - F.element_at("freq", F.col("b"))
+        )
+    else:
+        # open-vocab path: no single-row map agg anywhere — the word
+        # costs ride two keyed joins against the unigram census
+        ub = uni.select("tok", bits(F.col("cnt")).alias("bits"))
+        costed = (
+            pr.join(big, ["a", "b"])
+            .join(
+                ub.select(
+                    F.col("tok").alias("a"), F.col("bits").alias("bits_a")
+                ),
+                "a",
+            )
+            .join(
+                ub.select(
+                    F.col("tok").alias("b"), F.col("bits").alias("bits_b")
+                ),
+                "b",
+            )
+        )
+        assoc = (
+            F.lit(2) * F.col("bits_ab") - F.col("bits_a") - F.col("bits_b")
+        )
+    scored = costed.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum(assoc).cast("bigint").alias("total_assoc"),
     )
     scored = _materialize(scored)
     corpus = scored.agg(

@@ -1929,6 +1929,7 @@ def remove_self_repeated_blocks(
     block_words: int = 16,
     text_col: str = "text",
     id_col: str = "doc_id",
+    engine: str = "auto",
 ) -> DataFrame:
     """INTRA-document repeated-block removal — the fix for what q44's
     Gopher repetition metrics only measure: a document that repeats its
@@ -1941,46 +1942,128 @@ def remove_self_repeated_blocks(
     clean_text = first occurrences + trailing partial block in original
     order.
 
-    Scale shape — the whole operator is a PURE MAP, zero exchanges: the
-    per-doc blocks array folds left under ``F.aggregate``, appending a
-    block iff it has not been seen in THIS document (the accumulator is
-    the kept-block list, bounded by the doc's distinct blocks). Nothing
-    shuffles, nothing aggregates across rows; at 100 TB this is an
-    embarrassingly parallel rewrite scan, which is exactly why the
-    intra-doc scope deserves its own operator instead of a scope flag on
-    the shuffle-based corpus path. Per-row cost is O(blocks x distinct
-    blocks) string compares — bounded by doc length, not corpus size."""
+    Scale shape — the whole operator is a PURE MAP, zero exchanges,
+    under EITHER engine. Nothing shuffles, nothing aggregates across
+    rows; at 100 TB this is an embarrassingly parallel rewrite scan,
+    which is exactly why the intra-doc scope deserves its own operator
+    instead of a scope flag on the shuffle-based corpus path.
+
+    ``engine`` picks the per-row implementation (verdict r9 wrong #3):
+
+    - ``"sql"`` — the zero-Python ``F.aggregate`` fold, appending a
+      block iff ``F.exists`` finds no copy in the kept accumulator.
+      Whole-stage-codegen friendly and UDF-free, but inherently
+      O(blocks²) per document: Catalyst folds copy the immutable
+      accumulator on every append, and a map-typed accumulator does
+      NOT fix that — runtime MapData is array-backed, so
+      ``map_contains_key`` is itself a linear scan and ``map_concat``
+      an O(n) copy (measured: 46.9 s map-fold vs 43.2 s exists-fold on
+      32 x 50k-token docs; SCALING_r10 selfrep_long leg). Right for
+      normal web documents (a few hundred blocks).
+    - ``"arrow"`` — an Arrow-batched pandas UDF holding a Python
+      first-occurrence set per document: genuinely O(blocks), the only
+      linear device available, because a hash set needs mutable state
+      expressions can't express. Right for pathological long documents
+      (a 1M-token doc is ~62k blocks → ~2e9 string compares under the
+      fold, milliseconds under the set).
+    - ``"auto"`` (default) — a filter-split union: documents with fewer
+      than 256 blocks (where the fold's quadratic term is still
+      trivial — sub-ms/doc) take the SQL fold, longer documents take
+      the Arrow path. Both legs agree
+      exactly (property-fuzzed), so the split is invisible in results.
+      (A union, not a per-row ``when``: Catalyst extracts Python UDFs
+      into an ArrowEvalPython node that runs for EVERY row, so a
+      conditional expression would pay the Python round-trip even for
+      the short docs. The union's two branches each scan the source
+      with the length predicate pushed down; still zero exchanges.)
+    """
     if block_words <= 0:
         raise ValueError(f"block_words must be positive, got {block_words}")
+    if engine not in ("auto", "sql", "arrow"):
+        raise ValueError(
+            f"engine must be 'auto', 'sql' or 'arrow', got {engine!r}"
+        )
     toks = F.split(F.col(text_col), " ")
     n_tok = F.size(toks)
     nb = F.floor(n_tok / block_words).cast("int")
-    blocks = F.when(
-        nb > 0,
-        F.transform(
-            F.sequence(F.lit(0), nb - 1),
-            lambda i: F.array_join(
-                F.slice(toks, i * block_words + 1, block_words), " "
+
+    def _sql_result() -> Column:
+        blocks = F.when(
+            nb > 0,
+            F.transform(
+                F.sequence(F.lit(0), nb - 1),
+                lambda i: F.array_join(
+                    F.slice(toks, i * block_words + 1, block_words), " "
+                ),
             ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    kept = F.aggregate(
-        blocks,
-        F.array().cast("array<string>"),
-        lambda acc, b: F.when(
-            F.exists(acc, lambda x: x == b), acc
-        ).otherwise(F.concat(acc, F.array(b))),
-    )
-    remainder = F.array_join(
-        F.slice(toks, nb * block_words + 1, n_tok - nb * block_words), " "
-    )
-    return df.select(
-        F.col(id_col),
-        nb.cast("bigint").alias("n_blocks"),
-        F.size(kept).cast("bigint").alias("n_kept"),
-        F.trim(
-            F.concat_ws(" ", F.array_join(kept, " "), remainder)
-        ).alias("clean_text"),
+        ).otherwise(F.array().cast("array<string>"))
+        kept = F.aggregate(
+            blocks,
+            F.array().cast("array<string>"),
+            lambda acc, b: F.when(
+                F.exists(acc, lambda x: x == b), acc
+            ).otherwise(F.concat(acc, F.array(b))),
+        )
+        remainder = F.array_join(
+            F.slice(toks, nb * block_words + 1, n_tok - nb * block_words),
+            " ",
+        )
+        return F.struct(
+            nb.cast("bigint").alias("n_blocks"),
+            F.size(kept).cast("bigint").alias("n_kept"),
+            F.trim(
+                F.concat_ws(" ", F.array_join(kept, " "), remainder)
+            ).alias("clean_text"),
+        )
+
+    def _arrow_result() -> Column:
+        import pandas as pd  # noqa: F401 (signature types)
+
+        @F.pandas_udf(
+            "struct<n_blocks:bigint,n_kept:bigint,clean_text:string>"
+        )
+        def rewrite(texts):
+            out_nb, out_nk, out_ct = [], [], []
+            for text in texts:
+                t = ("" if text is None else text).split(" ")
+                n = len(t) // block_words
+                seen: set = set()
+                kept_blocks = []
+                for i in range(n):
+                    b = " ".join(t[i * block_words : (i + 1) * block_words])
+                    if b not in seen:
+                        seen.add(b)
+                        kept_blocks.append(b)
+                rem = " ".join(t[n * block_words :])
+                clean = (" ".join(kept_blocks) + " " + rem).strip()
+                out_nb.append(n)
+                out_nk.append(len(kept_blocks))
+                out_ct.append(clean)
+            import pandas as pd
+
+            return pd.DataFrame(
+                {"n_blocks": out_nb, "n_kept": out_nk, "clean_text": out_ct}
+            )
+
+        return rewrite(F.col(text_col))
+
+    def _project(res: Column, src: DataFrame) -> DataFrame:
+        return src.select(
+            F.col(id_col),
+            res["n_blocks"].alias("n_blocks"),
+            res["n_kept"].alias("n_kept"),
+            res["clean_text"].alias("clean_text"),
+        )
+
+    if engine == "sql":
+        return _project(_sql_result(), df)
+    if engine == "arrow":
+        return _project(_arrow_result(), df)
+    # auto: filter-split union — the fold's quadratic term is trivial
+    # below ~256 blocks; beyond that the Arrow set wins by orders
+    cut = 256 * block_words
+    return _project(_sql_result(), df.filter(n_tok < cut)).unionAll(
+        _project(_arrow_result(), df.filter(n_tok >= cut))
     )
 
 

@@ -471,6 +471,15 @@ def test_bigram_assoc_bits_exact(spark):
     # corpus: c_pairs=4, c_assoc=-3. incoherent iff assoc*4 < -3*n_pairs:
     # doc1 -8 < -9 no; doc2 -4 < -3 yes
     assert out == {1: (3, -2, 0), 2: (1, -1, 1)}
+    # the open-vocab shuffle-join path (advice r9 #2) is semantically
+    # identical to the broadcast-map default
+    out2 = {
+        r["doc_id"]: (r["n_pairs"], r["total_assoc"], r["incoherent"])
+        for r in bigram_assoc(
+            _docs(spark, rows), broadcast_unigrams=False
+        ).collect()
+    }
+    assert out2 == out
 
 
 def test_cluster_safe_split_audit_counts(spark):

@@ -246,6 +246,30 @@ def test_q86_bigram_assoc_unigram_side_broadcasts(spark):
     assert "BroadcastNestedLoopJoin" in tail or "BroadcastHashJoin" in tail
 
 
+def test_bigram_assoc_open_vocab_has_no_map_agg(spark, monkeypatch):
+    """Advice r9 #2: broadcast_unigrams=False must not collapse the
+    unigram census into a single map row anywhere in the plan — the
+    word costs ride keyed joins instead, so an open-vocabulary corpus
+    never funnels its vocabulary through one driver-sized row.
+    _materialize is patched to identity so the full scoring plan
+    (normally cut by the localCheckpoint) is visible."""
+    from candia_spark.operators import dedup
+    from candia_spark.operators.curation import bigram_assoc
+
+    monkeypatch.setattr(dedup, "_materialize", lambda df, eager=True: df)
+    rows = [(i, "A", "tok a b c d e") for i in range(1, 8)]
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, source string, text string"
+    )
+    plan = optimized_of(bigram_assoc(df, broadcast_unigrams=False))
+    assert "map_from_entries" not in plan
+    assert "collect_list" not in plan
+    # sanity: the same patched lens DOES see the map agg on the default
+    # path — the device the fallback exists to avoid
+    plan_default = optimized_of(bigram_assoc(df))
+    assert "map_from_entries" in plan_default
+
+
 def test_q87_cluster_safe_split_labeling_join_is_narrow(spark):
     """The member-labeling join carries bare ids only: no text column in
     any exchange (8-byte corpus rows), and the audit is two keyed

@@ -525,16 +525,20 @@ def test_self_repeated_blocks_matches_reference(spark, docs, bw):
         [(i, " ".join(toks)) for i, toks in enumerate(docs)],
         ["doc_id", "text"],
     )
-    got = {
-        r["doc_id"]: (r["n_blocks"], r["n_kept"], r["clean_text"])
-        for r in remove_self_repeated_blocks(df, block_words=bw).collect()
-    }
     # NB: Spark split("", " ") == [""], one empty token — mirror that
     want = {
         i: _py_selfrep(" ".join(toks).split(" "), bw)
         for i, toks in enumerate(docs)
     }
-    assert got == want
+    # both engines must match the reference (auto is their composition)
+    for engine in ("sql", "arrow"):
+        got = {
+            r["doc_id"]: (r["n_blocks"], r["n_kept"], r["clean_text"])
+            for r in remove_self_repeated_blocks(
+                df, block_words=bw, engine=engine
+            ).collect()
+        }
+        assert got == want, engine
 
 
 @given(
