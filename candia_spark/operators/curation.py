@@ -630,6 +630,117 @@ def bpe_merge_pairs(
     )
 
 
+def bpe_train(
+    df: DataFrame,
+    rounds: int = 5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Multi-round byte-pair-encoding trainer — Sennrich et al. 2016's
+    actual loop, graduating :func:`bpe_merge_pairs` (one round's
+    candidate table, q83) into the tokenizer-induction capability a
+    data pipeline runs: per round, census the adjacent symbol pairs
+    over the vocabulary (weighted by word frequency), merge the most
+    frequent pair everywhere, repeat on the rewritten vocabulary.
+
+    Output: the merge TRAJECTORY — one row per round, (merge_round,
+    lhs, rhs, merged, weight), ordered by merge_round; ties in the
+    argmax break to the lexicographically smallest (lhs, rhs) so the
+    whole trajectory is engine-exact (the q57/q73 unrolled-trajectory
+    certification device — the oracle unrolls the same rounds as CTEs).
+    Stops early if a round has no pairs left.
+
+    Representation: each vocabulary word is a symbol SEQUENCE encoded
+    as a single string — every symbol wrapped in single spaces, so
+    symbols are joined by DOUBLE spaces (' a  b  c '; word characters
+    never contain spaces, the tokenizer splits on them). The merge of
+    (l, r) is then one literal ``replace(sym_str, ' l  r ', ' lr ')``
+    — left-to-right, non-overlapping, exactly BPE's greedy merge
+    semantics, in pure codegen (no UDF); adjacent merge sites share no
+    characters in this encoding, so replace() consumes them all in one
+    pass ('a a a a' -> 'aa aa', not 'aa a a'). Initial symbols are the
+    word's characters via the q83 substr device (code-point exact in
+    both engines).
+
+    Scale shape: the corpus is touched ONCE (the word-frequency census,
+    one shuffle with map-side partial agg). Every round after that runs
+    on the materialized VOCABULARY table — Heaps-law sized, orders
+    smaller than the corpus: one pair-census aggregation + one
+    TakeOrdered(1) argmax (collected to the driver, the k-means
+    trajectory device: the merge must become a literal in the next
+    round's replace) + one pure-map rewrite, re-materialized per round
+    (the _materialize doctrine: without the cut, round i replays every
+    earlier round's rewrite from lineage). Per-round cost therefore
+    tracks |vocab|, not the corpus — measured in SCALING_r10
+    (bpe_rounds leg). Weights are bounded by corpus character count
+    (~1e14 at 100 TB, far inside bigint)."""
+    from candia_spark.operators.dedup import _materialize
+
+    if rounds <= 0:
+        raise ValueError(f"rounds must be positive, got {rounds}")
+    spark = df.sparkSession
+    # corpus pass: word census; 1-char words carry no pair ever and
+    # never change (symbols merge only within a word) — drop them
+    words = (
+        df.select(F.explode(tokens(text_col)).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .filter(F.length("word") >= 2)
+    )
+    # ' a  b  c ' — each character space-wrapped (the replace-merge
+    # encoding above); substr is code-point indexed in both engines
+    chars = F.expr(
+        "transform(sequence(1, length(word)), i -> substr(word, i, 1))"
+    )
+    vocab = _materialize(
+        words.select(
+            F.concat(
+                F.lit(" "), F.array_join(chars, "  "), F.lit(" ")
+            ).alias("sym_str"),
+            "cnt",
+        )
+    )
+    merges: list[tuple] = []
+    for rnd in range(1, rounds + 1):
+        syms = F.split(F.trim(F.col("sym_str")), "  ")
+        m = F.greatest(F.size(syms) - 1, F.lit(0))
+        census = (
+            vocab.select(
+                F.explode(
+                    F.zip_with(
+                        F.slice(syms, F.lit(1), m),
+                        F.slice(syms, F.lit(2), m),
+                        lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+                    )
+                ).alias("p"),
+                "cnt",
+            )
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("cnt").cast("bigint").alias("weight"))
+        )
+        best = (
+            census.orderBy(F.col("weight").desc(), "l", "r").limit(1).collect()
+        )
+        if not best:
+            break  # vocabulary fully merged — nothing left to count
+        l, r, w = best[0]["l"], best[0]["r"], int(best[0]["weight"])
+        merges.append((rnd, l, r, l + r, w))
+        vocab = _materialize(
+            vocab.select(
+                F.replace(
+                    F.col("sym_str"),
+                    F.lit(f" {l}  {r} "),
+                    F.lit(f" {l}{r} "),
+                ).alias("sym_str"),
+                "cnt",
+            )
+        )
+    return spark.createDataFrame(
+        merges,
+        "merge_round bigint, lhs string, rhs string, merged string, "
+        "weight bigint",
+    )
+
+
 def cluster_safe_split(
     df: DataFrame,
     pairs: DataFrame,

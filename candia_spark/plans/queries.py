@@ -4774,6 +4774,73 @@ def q90_hybrid_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return borda_fuse([bm_ranked, cos_ranked], depth=15, out_k=10)
 
 
+def _q92_oracle(rounds: int = 6) -> str:
+    """Unrolled-CTE BPE trajectory (the q57/q73 trajectory device): one
+    (pairs-census, argmax, merge-rewrite) CTE triple per round, all AS
+    MATERIALIZED — v{i} and b{i} are each referenced twice and DuckDB
+    inlines multi-referenced CTEs by default, which would re-run every
+    earlier round per reference (the q73 temp-spill lesson)."""
+    chars = (
+        "[substr(word, CAST(i AS INTEGER), 1) "
+        "for i in range(1, length(word) + 1)]"
+    )
+    parts = [
+        f"""WITH wf AS MATERIALIZED (
+    SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM (SELECT unnest({_TOKS_SQL}) AS word FROM documents)
+    GROUP BY word HAVING length(word) >= 2),
+v0 AS MATERIALIZED (
+    SELECT ' ' || array_to_string({chars}, '  ') || ' ' AS sym_str, cnt
+    FROM wf)"""
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f""",
+p{i} AS MATERIALIZED (
+    SELECT pr['l'] AS l, pr['r'] AS r, CAST(SUM(cnt) AS BIGINT) AS weight
+    FROM (
+        SELECT unnest([{{'l': s[CAST(j AS INTEGER)],
+                         'r': s[CAST(j AS INTEGER) + 1]}}
+                       for j in range(1, len(s))]) AS pr,
+               cnt
+        FROM (SELECT string_split(trim(sym_str), '  ') AS s, cnt
+              FROM v{i - 1}))
+    GROUP BY 1, 2),
+b{i} AS MATERIALIZED (
+    SELECT l, r, weight FROM p{i} ORDER BY weight DESC, l, r LIMIT 1),
+v{i} AS MATERIALIZED (
+    SELECT replace(sym_str, ' ' || b.l || '  ' || b.r || ' ',
+                   ' ' || b.l || b.r || ' ') AS sym_str, cnt
+    FROM v{i - 1}, b{i} b)"""
+        )
+    sel = "\nUNION ALL\n".join(
+        f"SELECT CAST({i} AS BIGINT) AS merge_round, l AS lhs, r AS rhs, "
+        f"l || r AS merged, weight FROM b{i}"
+        for i in range(1, rounds + 1)
+    )
+    return "\n".join(parts) + "\n" + sel
+
+
+@register(
+    "q92_bpe_train",
+    oracle=_q92_oracle(6),
+    survey_ref="tokenizer induction: multi-round BPE trainer "
+    "(north star; Sennrich et al. 2016 loop)",
+)
+def q92_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-round BPE trainer (operators.curation.bpe_train): six
+    rounds of census -> argmax -> merge-everywhere over the documents
+    vocabulary — Sennrich et al. 2016's actual training loop, certified
+    as a full merge TRAJECTORY against the unrolled-CTE oracle (any
+    wrong merge in round i corrupts every later round's census, so the
+    gate is self-strengthening, the q57/q73 device). The corpus is
+    touched once (the word census); each round then costs one
+    vocabulary-sized aggregation + TakeOrdered(1) + pure-map rewrite."""
+    from candia_spark.operators.curation import bpe_train
+
+    return bpe_train(_t(spark, sf_dir, "documents"), rounds=6)
+
+
 @register(
     "q91_self_repetition_rewrite",
     # every doc_id % 5 == 0 doc is doubled (text || ' ' || text) so the
@@ -4845,85 +4912,68 @@ def q91_self_repetition_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
 # registry entries, and queries()/oracle_sql() preserve this dict's
 # insertion order, so this tail list IS the rotation schedule (verdict
 # r7 next #6: every query's driver-grade certification stays <= 2 rounds
-# old). Round-8 rotation: the 31 queries below — ALL driver-certified
-# green in CORRECTNESS_r07 (rows 1-50 of that artifact) — move to the
-# tail. Round-9 rotation (verdict r8 next #1): the 31 queries the r8
-# rotation parked in the tail (q01, q06, q23-q25, q28, q30-q38, q42,
-# q43, q51-q53, q55, q56, q58-q62, q64-q67 — driver-certified r07, the
-# oldest certifications in the registry) come back INSIDE the window,
-# alongside the 19 r8-certified queries that stay in: the four whose
-# code or oracle changed THIS round (q72 oracle cap mirror, q73/q77
-# authority guards, q81 min_hits) and the heaviest pipeline families
-# (q26/q27 jaccard+LSH, q49/q50 corpus dedup + forced-distributed CC,
-# q54 incremental dedup, q57/q63 k-means, q68-q71, q76, q78-q80). The
-# 31 parked below are all r8-driver-certified trivia/stable rows, back
-# in at r10. Every tail entry stays re-certified locally each round by
-# plans/compare.py compare_all at three scales
-# (CORRECTNESS_local_r{N}.json). Registry contents unchanged — order
-# only.
+# old). Round-10 rotation (verdict r9 next #7): the 41 rows the r8/r9
+# rotations parked — all driver-certified r8 or earlier, the oldest
+# certifications in the registry — come back INSIDE the window
+# (q02-q22, q26/q27, q29, q39-q41, q44-q48, q54, q57, q68-q71,
+# q74-q76, q79). Staying in with them: the EIGHT r9-certified queries
+# whose operator code changed THIS round and therefore need fresh
+# driver-grade certification — q72 (winnow telemetry sentinel), q73/
+# q77/q82 (authority margin stats now ride Observations on the
+# materialization passes), q86 (bigram_assoc broadcast_unigrams knob),
+# q87 (cluster_safe_split degenerate-split guard), q89 (cluster_purity
+# struct-min label tie-break), q91 (self-repetition engine knob +
+# Arrow leg) — plus the new q92 (multi-round BPE trainer; new queries
+# always certify driver-grade in their first round). The 42 parked
+# below are the remaining r9-driver-certified rows, all UNCHANGED this
+# round; q83's one-round BPE census machinery additionally stays
+# driver-covered through q92, which generalizes it. Every tail entry
+# stays re-certified locally each round by plans/compare.py
+# compare_all at three scales (CORRECTNESS_local_r{N}.json). Registry
+# contents unchanged — order only.
 _DRIVER_WINDOW_TAIL = [
-    "q02_interval_join",
-    "q03_window_adjust",
-    "q04_time_buckets",
-    "q05_groupwise_argmax",
-    "q07_model_spectrum_index",
-    "q08_histogram_cutoff",
-    "q09_band_join",
-    "q10_anti_join",
-    "q11_semi_join",
-    "q12_star_join_revenue",
-    "q13_conditional_fraction",
-    "q14_cv_per_group",
-    "q15_count_distinct_argmax",
-    "q16_median",
-    "q17_union_align",
-    "q18_interval_anti_join",
-    "q19_scalar_functions",
-    "q20_greedy_ppm_partition",
-    "q21_scan_cycles",
-    "q22_asof_join",
-    "q29_fingerprint",
-    "q39_nearest_value",
-    "q40_heavy_hitters",
-    "q41_fragment_ions",
-    "q44_repetition_metrics",
-    "q45_decontaminate",
-    "q46_stratified_sample",
-    "q47_redact_pii",
-    "q48_rollup_pricing",
-    "q74_decile_split_audit",
-    "q75_temperature_sample",
-    "q76_corpus_diff",
-    # Round-9 additions q83/q84 enter the WINDOW (new queries always
-    # certify driver-grade in their first round); the two seats they
-    # displace are r8-driver-certified, unchanged-this-round stable
-    # rows, parked here until the r10 rotation:
-    "q69_bm25_topk",
-    "q79_cross_source_dup_matrix",
-    # Round-9 additions q85-q87 also enter the WINDOW; the three seats
-    # they displace are r8-driver-certified, unchanged-this-round rows
-    # whose machinery stays driver-covered inside the window — q26/q27's
-    # shingle-index + jaccard-verify + banded-LSH path through q49 (which
-    # composes them) and q71/q81, q70's broadcast-vocab census through
-    # q84's rarity scoring. Back in at r10:
-    "q26_ngram_jaccard",
-    "q27_minhash_lsh",
-    "q70_ngram_novelty",
-    # q88's seat: q68's rewrite machinery stays driver-covered through
-    # q78 (the rolling loop composes remove_duplicate_blocks). Back r10:
-    "q68_remove_dup_blocks",
-    # q89's seat: q57's min-id k-means trajectory stays driver-covered
-    # through q63 (farthest-seeded, the harder path) and q89 itself
-    # (which recomputes the full assign3 chain). Back r10:
-    "q57_kmeans_clusters",
-    # q90's seat: q71's exact containment path IS q81's verify stage
-    # (same operator, same oracle semantics), so it stays driver-covered
-    # through q81. Back r10:
-    "q71_containment_pairs",
-    # q91's seat: q54's incremental state contract stays certified each
-    # round by the compaction-equivalence pytest (delta-append == rebuild)
-    # and the streaming incremental-dedup batch-parity pytest. Back r10:
-    "q54_incremental_dedup",
+    "q01_pricing_summary",
+    "q06_two_level_count_filter",
+    "q23_parafac_decompose",
+    "q24_time_mode_peaks",
+    "q25_dedup_exact",
+    "q28_simhash_dups",
+    "q30_cosine_topk",
+    "q31_cosine_lsh",
+    "q32_lang_id",
+    "q33_quality_score",
+    "q34_token_counts",
+    "q35_multimodal_metadata",
+    "q36_multimodal_features",
+    "q37_sessionize",
+    "q38_cosine_ivf",
+    "q42_embedding_dups",
+    "q43_dedup_components",
+    "q49_dedup_corpus",
+    "q50_dedup_components_distributed",
+    "q51_sequence_packing",
+    "q52_top_tfidf_terms",
+    "q53_source_cap",
+    "q55_substring_dups",
+    "q56_normalized_dedup",
+    "q58_semantic_closest_pairs",
+    "q59_cluster_balanced_sample",
+    "q60_kmeans_hierarchical",
+    "q61_quality_percentiles",
+    "q62_curate_corpus",
+    "q63_kmeans_farthest_seeded",
+    "q64_cluster_knn_graph",
+    "q65_chunk_documents",
+    "q66_mixture_sample",
+    "q67_knn_multiprobe",
+    "q78_incremental_block_dedup",
+    "q80_compacted_block_census",
+    "q81_containment_witness_lsh",
+    "q83_bpe_merge_pairs",
+    "q84_rarity_tail",
+    "q85_contamination_spans",
+    "q88_canonical_docs",
+    "q90_hybrid_fusion",
 ]
 for _name in _DRIVER_WINDOW_TAIL:
     QUERY_REGISTRY[_name] = QUERY_REGISTRY.pop(_name)

@@ -482,6 +482,27 @@ def test_bigram_assoc_bits_exact(spark):
     assert out2 == out
 
 
+def test_bpe_train_trajectory_by_hand(spark):
+    """Sennrich's loop on a corpus small enough to run by hand:
+    words aaab(x2), ab(x1). Round 1: (a,a)=4 beats (a,b)=3 -> merge
+    'aa' ('aaa' greedy-merges to [aa, a], NOT [aa, aa]). Round 2:
+    (a,b)=3 (aaab's tail pair + ab) -> 'ab'. Round 3: (aa,ab)=2 ->
+    'aaab'. Round 4: no pairs left -> early stop after 3 rows."""
+    from candia_spark.operators.curation import bpe_train
+
+    df = spark.createDataFrame(
+        [(1, "aaab aaab"), (2, "ab")], "doc_id bigint, text string"
+    )
+    got = [tuple(r) for r in bpe_train(df, rounds=5).collect()]
+    assert got == [
+        (1, "a", "a", "aa", 4),
+        (2, "a", "b", "ab", 3),
+        (3, "aa", "ab", "aaab", 2),
+    ]
+    with pytest.raises(ValueError, match="rounds"):
+        bpe_train(df, rounds=0)
+
+
 def test_cluster_safe_split_audit_counts(spark):
     """Members are assigned by their component representative's hash;
     the audit counts re-homed members and the clusters naive splitting

@@ -618,6 +618,70 @@ def test_contamination_spans_matches_reference(spark, docs):
     assert got == want
 
 
+def _py_bpe(docs: list[list[str]], rounds: int):
+    """Independent BPE trainer: dict/Counter census, greedy left-to-right
+    non-overlapping merge, ties to the lexicographically smallest pair."""
+    from collections import Counter
+
+    wf = Counter(w for toks in docs for w in toks if w)
+    vocab = [
+        (list(w), c) for w, c in wf.items() if len(w) >= 2
+    ]  # symbol list per distinct word
+    merges = []
+    for rnd in range(1, rounds + 1):
+        census: Counter = Counter()
+        for syms, c in vocab:
+            for i in range(len(syms) - 1):
+                census[(syms[i], syms[i + 1])] += c
+        if not census:
+            break
+        (left, right), w = min(
+            census.items(), key=lambda kv: (-kv[1], kv[0])
+        )
+        merges.append((rnd, left, right, left + right, w))
+        new_vocab = []
+        for syms, c in vocab:
+            out, i = [], 0
+            while i < len(syms):
+                if (
+                    i + 1 < len(syms)
+                    and syms[i] == left
+                    and syms[i + 1] == right
+                ):
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab.append((out, c))
+        vocab = new_vocab
+    return merges
+
+
+bpe_word = st.text(alphabet="ab", min_size=1, max_size=6)
+
+
+@given(st.lists(st.lists(bpe_word, min_size=0, max_size=10),
+                min_size=1, max_size=5),
+       st.integers(min_value=1, max_value=4))
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_bpe_train_matches_reference(spark, docs, rounds):
+    """bpe_train == an independent Counter-based Sennrich loop for any
+    tiny two-letter corpus and round count: same merges, same order,
+    same weights, same tie-breaks, same early stop. The two-letter
+    alphabet makes pair ties and repeated merges (aa+aa etc.) common —
+    exactly the paths where a wrong greedy rewrite or tie-break shows."""
+    from candia_spark.operators.curation import bpe_train
+
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(docs)],
+        ["doc_id", "text"],
+    )
+    got = [tuple(r) for r in bpe_train(df, rounds=rounds).collect()]
+    assert got == _py_bpe(docs, rounds)
+
+
 @given(st.lists(doc_strategy, min_size=1, max_size=6))
 @settings(max_examples=8, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
