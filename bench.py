@@ -96,6 +96,18 @@ def main() -> None:
             spark.range(200).selectExpr("id as doc_id"),
             iters=1,
         ).count()
+        # the CC family (q43/q50/q87/q88-class star contraction) JITs
+        # its own iterative min-agg + self-join shapes; without this the
+        # first collapsing query in a single-run driver bench carries
+        # ~2s of codegen (verdict r9 next #8 — q43 swung 1.5->3.6s with
+        # cc_rounds=0 and no code change on its path)
+        from candia_spark.operators.dedup import connected_components
+
+        connected_components(
+            spark.range(200).selectExpr(
+                "id as id_a", "(id + 1) % 200 as id_b"
+            )
+        ).count()
     except Exception:
         pass
 
