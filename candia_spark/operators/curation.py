@@ -741,6 +741,148 @@ def bpe_train(
     )
 
 
+def bpe_encode(
+    df: DataFrame,
+    merges: DataFrame | list,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply a trained BPE merge list (:func:`bpe_train`'s trajectory)
+    to every document — the other half of tokenizer induction, and the
+    honest replacement for whitespace/regex token COUNTING in a data
+    pipeline's budget audits: per word, start from characters, apply
+    each merge in trajectory order (greedy left-to-right, the same
+    replace-on-wrapped-symbols device as training), and count the
+    resulting symbols. Output one row per document: (id, n_words,
+    n_tokens) — n_tokens under the induced tokenizer; empty documents
+    kept with zeros.
+
+    ``merges`` is the bpe_train output DataFrame (collected here — it
+    is ``rounds`` rows of driver data, never corpus data) or an already
+    -collected list of (lhs, rhs) pairs in merge order.
+
+    Scale shape: segmentation runs on the DISTINCT-WORD table
+    (vocabulary-sized, Heaps-law small) as a pure map — one replace()
+    per merge, chained in a single projection, no UDF; the only
+    corpus-scale work is the explode + join of document tokens against
+    the segmented vocabulary on ``word`` (AQE broadcasts the vocab side
+    when it fits) and the per-doc aggregation. Unlike training, NO
+    per-round driver action exists here — the merge list is already a
+    literal."""
+    if isinstance(merges, DataFrame):
+        merges = [
+            (r["lhs"], r["rhs"])
+            for r in merges.orderBy("merge_round").collect()
+        ]
+    words = (
+        df.select(F.explode(tokens(text_col)).alias("word")).distinct()
+    )
+    chars = F.expr(
+        "transform(sequence(1, length(word)), i -> substr(word, i, 1))"
+    )
+    sym = F.concat(F.lit(" "), F.array_join(chars, "  "), F.lit(" "))
+    for l, r in merges:
+        sym = F.replace(sym, F.lit(f" {l}  {r} "), F.lit(f" {l}{r} "))
+    seg = words.select(
+        "word",
+        F.size(F.split(F.trim(sym), "  ")).cast("bigint").alias("n_sym"),
+    )
+    doc_tokens = df.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("word")
+    )
+    agg = (
+        doc_tokens.join(seg, "word")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum("n_sym").cast("bigint").alias("n_tokens"),
+        )
+    )
+    return df.select(F.col(id_col)).join(agg, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce("n_words", F.lit(0)).cast("bigint").alias("n_words"),
+        F.coalesce("n_tokens", F.lit(0)).cast("bigint").alias("n_tokens"),
+    )
+
+
+def dsir_select(
+    df: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023: Data Selection for
+    Language Models via Importance Resampling), integer-exact: score
+    every corpus document by how much more its vocabulary looks like a
+    TARGET domain than like the corpus itself, and flag the documents
+    an importance-selection pass would keep. The published method
+    weighs docs by Σ log p_target(feature) − log p_source(feature);
+    the engine-exact stand-in prices each token at
+    ``bits(count_target(tok)) − bits(count_source(tok))`` with
+    bits(x) = length(bin(x)) — the same floor-log2 device as
+    unigram_rarity/bigram_assoc (monotone in count, no libm), with
+    tokens ABSENT from the target census priced at 0 target bits (the
+    strongest available "not my domain" penalty that needs no
+    smoothing constant).
+
+    Output per non-empty document: (id, n_tokens, score_bits, selected)
+    where selected = 1 iff the doc's mean per-token score is ABOVE the
+    corpus mean — cross-multiplied in decimal(38,0)
+    (``score·Σn > Σscore·n``), division-free and sign-safe (scores can
+    be negative), the unigram_rarity flag device with the inequality
+    flipped (rarity flags the tail to drop; DSIR selects the head to
+    keep).
+
+    Scale shape: two token-level censuses (corpus and target, each one
+    shuffle with map-side partial agg), then scoring is one shuffle
+    join of exploded corpus tokens against the corpus census LEFT
+    JOINED with the (typically much smaller, AQE-broadcastable) target
+    census, and one per-doc aggregation carrying 24-byte rows. The
+    corpus-mean flag broadcasts a 1-row aggregate against the
+    materialized per-doc table."""
+    from candia_spark.operators.dedup import _materialize
+
+    bits = lambda c: F.length(F.bin(c)).cast("bigint")  # noqa: E731
+    toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
+    src = toks.groupBy("tok").agg(
+        bits(F.count(F.lit(1))).alias("src_bits")
+    )
+    tgt = (
+        target.select(F.explode(tokens(text_col)).alias("tok"))
+        .groupBy("tok")
+        .agg(bits(F.count(F.lit(1))).alias("tgt_bits"))
+    )
+    costs = src.join(tgt, "tok", "left").select(
+        "tok",
+        (F.coalesce("tgt_bits", F.lit(0)) - F.col("src_bits")).alias(
+            "tok_score"
+        ),
+    )
+    scored = _materialize(
+        toks.join(costs, "tok")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum("tok_score").cast("bigint").alias("score_bits"),
+        )
+    )
+    corpus = scored.agg(
+        F.sum("n_tokens").cast("decimal(38,0)").alias("c_toks"),
+        F.sum("score_bits").cast("decimal(38,0)").alias("c_bits"),
+    )
+    return scored.join(F.broadcast(corpus)).select(
+        F.col(id_col),
+        "n_tokens",
+        "score_bits",
+        (
+            F.col("score_bits").cast("decimal(38,0)") * F.col("c_toks")
+            > F.col("c_bits") * F.col("n_tokens").cast("decimal(38,0)")
+        )
+        .cast("bigint")
+        .alias("selected"),
+    )
+
+
 def cluster_safe_split(
     df: DataFrame,
     pairs: DataFrame,

@@ -4774,23 +4774,33 @@ def q90_hybrid_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return borda_fuse([bm_ranked, cos_ranked], depth=15, out_k=10)
 
 
-def _q92_oracle(rounds: int = 6) -> str:
+def _bpe_cte_chain(rounds: int, carry_word: bool = False) -> str:
     """Unrolled-CTE BPE trajectory (the q57/q73 trajectory device): one
     (pairs-census, argmax, merge-rewrite) CTE triple per round, all AS
     MATERIALIZED — v{i} and b{i} are each referenced twice and DuckDB
     inlines multi-referenced CTEs by default, which would re-run every
-    earlier round per reference (the q73 temp-spill lesson)."""
+    earlier round per reference (the q73 temp-spill lesson).
+
+    ``carry_word=False`` (q92, training): the vocab census drops 1-char
+    words (they never carry a pair) and the v tables carry only
+    (sym_str, cnt). ``carry_word=True`` (q93, encoding): the word rides
+    every v table so v{rounds} IS the word -> segmentation map, and the
+    1-char filter is dropped (those words segment to themselves; they
+    contribute zero pairs, so the merge trajectory is IDENTICAL either
+    way)."""
     chars = (
         "[substr(word, CAST(i AS INTEGER), 1) "
         "for i in range(1, length(word) + 1)]"
     )
+    w = "word, " if carry_word else ""
+    having = "" if carry_word else "HAVING length(word) >= 2"
     parts = [
         f"""WITH wf AS MATERIALIZED (
     SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt
     FROM (SELECT unnest({_TOKS_SQL}) AS word FROM documents)
-    GROUP BY word HAVING length(word) >= 2),
+    GROUP BY word {having}),
 v0 AS MATERIALIZED (
-    SELECT ' ' || array_to_string({chars}, '  ') || ' ' AS sym_str, cnt
+    SELECT {w}' ' || array_to_string({chars}, '  ') || ' ' AS sym_str, cnt
     FROM wf)"""
     ]
     for i in range(1, rounds + 1):
@@ -4809,16 +4819,115 @@ p{i} AS MATERIALIZED (
 b{i} AS MATERIALIZED (
     SELECT l, r, weight FROM p{i} ORDER BY weight DESC, l, r LIMIT 1),
 v{i} AS MATERIALIZED (
-    SELECT replace(sym_str, ' ' || b.l || '  ' || b.r || ' ',
+    SELECT {w}replace(sym_str, ' ' || b.l || '  ' || b.r || ' ',
                    ' ' || b.l || b.r || ' ') AS sym_str, cnt
     FROM v{i - 1}, b{i} b)"""
         )
+    return "\n".join(parts)
+
+
+def _q92_oracle(rounds: int = 6) -> str:
     sel = "\nUNION ALL\n".join(
         f"SELECT CAST({i} AS BIGINT) AS merge_round, l AS lhs, r AS rhs, "
         f"l || r AS merged, weight FROM b{i}"
         for i in range(1, rounds + 1)
     )
-    return "\n".join(parts) + "\n" + sel
+    return _bpe_cte_chain(rounds) + "\n" + sel
+
+
+def _q93_oracle(rounds: int = 6) -> str:
+    """The encode oracle: the same unrolled trajectory, word carried
+    through every rewrite, so v{rounds} is the segmentation map; token
+    counts are one join of exploded document tokens against it."""
+    return (
+        _bpe_cte_chain(rounds, carry_word=True)
+        + f""",
+seg AS MATERIALIZED (
+    SELECT word,
+           CAST(len(string_split(trim(sym_str), '  ')) AS BIGINT) AS n_sym
+    FROM v{rounds}),
+dt AS (SELECT doc_id, unnest({_TOKS_SQL}) AS word FROM documents),
+agg AS (
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(n_sym) AS BIGINT) AS n_tokens
+    FROM dt JOIN seg USING (word) GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(COALESCE(a.n_words, 0) AS BIGINT) AS n_words,
+       CAST(COALESCE(a.n_tokens, 0) AS BIGINT) AS n_tokens
+FROM documents d LEFT JOIN agg a USING (doc_id)"""
+    )
+
+
+@register(
+    "q93_bpe_encode",
+    oracle=_q93_oracle(6),
+    survey_ref="tokenizer induction: BPE encoder / induced-tokenizer "
+    "token counting (north star)",
+)
+def q93_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE encoder (operators.curation.bpe_encode): train 6 merges on
+    the documents corpus (q92's trajectory), then tokenize every
+    document under the induced tokenizer and report per-doc word and
+    token counts — the budget statistic a data pipeline audits mixtures
+    with. Segmentation is a pure map over the distinct-word table (one
+    chained replace per merge); the only corpus-scale work is the
+    token-vocabulary join and the per-doc aggregation."""
+    from candia_spark.operators.curation import bpe_encode, bpe_train
+
+    docs = _t(spark, sf_dir, "documents")
+    return bpe_encode(docs, bpe_train(docs, rounds=6))
+
+
+_DSIR_TARGET_SOURCES = ("src0", "src1", "src2", "src3", "src4")
+
+
+@register(
+    "q94_dsir_select",
+    oracle="""
+    WITH toks AS MATERIALIZED (
+        SELECT doc_id, unnest({toks}) AS tok FROM documents
+    ), src AS (
+        SELECT tok, CAST(length(bin(COUNT(*))) AS BIGINT) AS src_bits
+        FROM toks GROUP BY tok
+    ), tgt AS (
+        SELECT tok, CAST(length(bin(COUNT(*))) AS BIGINT) AS tgt_bits
+        FROM (SELECT unnest({toks}) AS tok FROM documents
+              WHERE source IN ('src0', 'src1', 'src2', 'src3', 'src4'))
+        GROUP BY tok
+    ), costs AS (
+        SELECT s.tok, COALESCE(t.tgt_bits, 0) - s.src_bits AS tok_score
+        FROM src s LEFT JOIN tgt t USING (tok)
+    ), scored AS MATERIALIZED (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(SUM(tok_score) AS BIGINT) AS score_bits
+        FROM toks JOIN costs USING (tok) GROUP BY doc_id
+    ), corpus AS (
+        SELECT CAST(SUM(n_tokens) AS HUGEINT) AS c_toks,
+               CAST(SUM(score_bits) AS HUGEINT) AS c_bits
+        FROM scored
+    )
+    SELECT doc_id, n_tokens, score_bits,
+           CAST(CAST(score_bits AS HUGEINT) * c_toks
+                > c_bits * CAST(n_tokens AS HUGEINT) AS BIGINT) AS selected
+    FROM scored, corpus
+    """.replace("{toks}", _TOKS_SQL),
+    survey_ref="DSIR-style importance selection (Xie et al. 2023, "
+    "north star: data selection)",
+)
+def q94_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance selection (operators.curation.dsir_select):
+    score every document by how much more its vocabulary matches the
+    src0-src4 target slice than the corpus at large — per token,
+    bits(target count) - bits(corpus count), the integer log2 proxy —
+    and flag the above-corpus-mean docs an importance-resampling pass
+    keeps. Division-free (decimal cross-multiplied flag, the q84
+    device with the inequality flipped: rarity drops the tail, DSIR
+    keeps the head)."""
+    from candia_spark.operators.curation import dsir_select
+
+    docs = _t(spark, sf_dir, "documents")
+    target = docs.filter(F.col("source").isin(*_DSIR_TARGET_SOURCES))
+    return dsir_select(docs, target)
 
 
 @register(
@@ -4974,6 +5083,14 @@ _DRIVER_WINDOW_TAIL = [
     "q85_contamination_spans",
     "q88_canonical_docs",
     "q90_hybrid_fusion",
+    # q93's seat (BPE encoder): q57's min-id k-means trajectory stays
+    # driver-covered through q89, which recomputes the full assign3
+    # chain inside the window. Back in at r11:
+    "q57_kmeans_clusters",
+    # q94's seat (DSIR selection): q74's mod-split decile arithmetic is
+    # exactly q87's cluster-split assignment device, driver-covered
+    # through q87 inside the window. Back in at r11:
+    "q74_decile_split_audit",
 ]
 for _name in _DRIVER_WINDOW_TAIL:
     QUERY_REGISTRY[_name] = QUERY_REGISTRY.pop(_name)

@@ -503,6 +503,65 @@ def test_bpe_train_trajectory_by_hand(spark):
         bpe_train(df, rounds=0)
 
 
+def test_bpe_encode_counts_by_hand(spark):
+    """Encoding under the hand-trained trajectory of
+    test_bpe_train_trajectory_by_hand (merges aa, ab, aaab in order):
+    'aaab' segments to 1 symbol, 'ab' to 1, 'aa' (unseen as a word but
+    built from seen chars) to 1 via the aa merge, 'ba' to 2 (no merge
+    matches b-then-a), 'x' to 1 (single char, never merges), '' -> 0s."""
+    from candia_spark.operators.curation import bpe_encode, bpe_train
+
+    train = spark.createDataFrame(
+        [(1, "aaab aaab"), (2, "ab")], "doc_id bigint, text string"
+    )
+    merges = bpe_train(train, rounds=5)
+    docs = spark.createDataFrame(
+        [
+            (10, "aaab ab aaab"),
+            (11, "aa ba x"),
+            (12, ""),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {
+        r["doc_id"]: (r["n_words"], r["n_tokens"])
+        for r in bpe_encode(docs, merges).collect()
+    }
+    assert out == {10: (3, 3), 11: (3, 4), 12: (0, 0)}
+    # list form of merges behaves identically
+    out2 = {
+        r["doc_id"]: (r["n_words"], r["n_tokens"])
+        for r in bpe_encode(
+            docs, [("a", "a"), ("a", "b"), ("aa", "ab")]
+        ).collect()
+    }
+    assert out2 == out
+
+
+def test_dsir_select_by_hand(spark):
+    """Token scores: bits(target cnt) - bits(corpus cnt); docs above the
+    corpus-mean per-token score are selected. Corpus: 'aa aa bb' x2
+    words... constructed so target-heavy doc 1 scores above the mean
+    and target-absent doc 2 below."""
+    from candia_spark.operators.curation import dsir_select
+
+    docs = spark.createDataFrame(
+        [(1, "aa aa"), (2, "bb bb"), (3, "aa bb")],
+        "doc_id bigint, text string",
+    )
+    target = docs.filter("doc_id = 1")  # target vocab: aa (cnt 2, bits 2)
+    out = {
+        r["doc_id"]: (r["n_tokens"], r["score_bits"], r["selected"])
+        for r in dsir_select(docs, target).collect()
+    }
+    # corpus counts: aa=3 (bits 2), bb=3 (bits 2); target: aa=2 (bits 2)
+    # tok_score: aa = 2-2 = 0; bb = 0-2 = -2
+    # doc1: n=2 sum 0; doc2: n=2 sum -4; doc3: n=2 sum -2
+    # corpus: c_toks=6, c_bits=-6 -> selected iff score*6 > -6*n:
+    # doc1 0 > -12 yes; doc2 -24 > -12 no; doc3 -12 > -12 no
+    assert out == {1: (2, 0, 1), 2: (2, -4, 0), 3: (2, -2, 0)}
+
+
 def test_cluster_safe_split_audit_counts(spark):
     """Members are assigned by their component representative's hash;
     the audit counts re-homed members and the clusters naive splitting

@@ -682,6 +682,95 @@ def test_bpe_train_matches_reference(spark, docs, rounds):
     assert got == _py_bpe(docs, rounds)
 
 
+@given(st.lists(st.lists(bpe_word, min_size=0, max_size=10),
+                min_size=1, max_size=5),
+       st.integers(min_value=1, max_value=3))
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_bpe_encode_matches_reference(spark, docs, rounds):
+    """bpe_encode == training with _py_bpe then applying the merges in
+    order (greedy left-to-right) to every word and counting symbols."""
+    from candia_spark.operators.curation import bpe_encode, bpe_train
+
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(docs)],
+        ["doc_id", "text"],
+    )
+    merges = [(m[1], m[2]) for m in _py_bpe(docs, rounds)]
+
+    def seg_count(word: str) -> int:
+        syms = list(word)
+        for left, right in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if (
+                    i + 1 < len(syms)
+                    and syms[i] == left
+                    and syms[i + 1] == right
+                ):
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return len(syms)
+
+    want = {
+        i: (len([t for t in toks if t]),
+            sum(seg_count(t) for t in toks if t))
+        for i, toks in enumerate(docs)
+    }
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_tokens"])
+        for r in bpe_encode(df, bpe_train(df, rounds=rounds)).collect()
+    }
+    assert got == want
+
+
+@given(st.lists(doc_strategy, min_size=2, max_size=6))
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_dsir_select_matches_reference(spark, docs):
+    """dsir_select == an independent Counter fold: per token
+    bits(target cnt, 0 if absent) - bits(corpus cnt), per-doc sums,
+    above-corpus-mean selection by exact cross-multiplication. Target =
+    the even-indexed documents."""
+    from collections import Counter
+
+    from candia_spark.operators.curation import dsir_select
+
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(docs)],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["score_bits"], r["selected"])
+        for r in dsir_select(df, df.filter("doc_id % 2 = 0")).collect()
+    }
+    bits = lambda c: len(bin(c)) - 2  # noqa: E731 — matches length(bin(x))
+    src = Counter(t for toks in docs for t in toks if t)
+    tgt = Counter(
+        t for i, toks in enumerate(docs) if i % 2 == 0 for t in toks if t
+    )
+    per = {}
+    for i, toks in enumerate(docs):
+        ts = [t for t in toks if t]
+        if not ts:
+            continue
+        score = sum(
+            (bits(tgt[t]) if t in tgt else 0) - bits(src[t]) for t in ts
+        )
+        per[i] = (len(ts), score)
+    c_toks = sum(n for n, _ in per.values())
+    c_bits = sum(s for _, s in per.values())
+    want = {
+        i: (n, s, 1 if s * c_toks > c_bits * n else 0)
+        for i, (n, s) in per.items()
+    }
+    assert got == want
+
+
 @given(st.lists(doc_strategy, min_size=1, max_size=6))
 @settings(max_examples=8, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
