@@ -86,7 +86,7 @@ def _pool_corpus(spark, n_docs: int, novel_token: bool):
 
 
 def run_bpe(spark, n_docs: int, runs: int) -> dict:
-    from candia_spark.operators.curation import bpe_train, tokens
+    from candia_spark.operators.curation import bpe_encode, bpe_train, tokens
 
     out: dict = {"n_docs": n_docs}
     for fam, novel in (("fixed_vocab", False), ("growing_vocab", True)):
@@ -100,11 +100,21 @@ def run_bpe(spark, n_docs: int, runs: int) -> dict:
         t1 = ss.timed(lambda d=docs: bpe_train(d, rounds=1), runs)
         t6 = ss.timed(lambda d=docs: bpe_train(d, rounds=6), runs)
         per_round_ms = round((t6 - t1) * 1000 / 5, 1)
+        # encode under the trained merges: claim is one vocab-sized
+        # segmentation map + one corpus-scale word join -> linear with
+        # falling per-doc cost
+        merges = [
+            (r["lhs"], r["rhs"])
+            for r in bpe_train(docs, rounds=6).orderBy("merge_round").collect()
+        ]
+        enc = ss.timed(lambda d=docs: bpe_encode(d, merges), runs)
         out[fam] = {
             "vocab_rows": int(vocab_rows),
             "rounds1_sec": t1,
             "rounds6_sec": t6,
             "marginal_per_round_ms": per_round_ms,
+            "encode_sec": enc,
+            "encode_us_per_doc": round(enc * 1e6 / n_docs, 1),
         }
     return out
 
