@@ -388,6 +388,124 @@ def cosine_dup_pairs(
     )
 
 
+def mmr_select(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 8,
+    shortlist: int = 40,
+    lam: tuple[int, int] = (1, 2),
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Maximal Marginal Relevance selection (Carbonell & Goldstein 1998)
+    — the diversity reranker every retrieval-augmented pipeline runs on
+    its shortlist: greedily pick ``k`` items maximizing
+    ``λ·relevance − (1−λ)·max-similarity-to-already-selected``, so the
+    result covers the query's neighborhood instead of returning ``k``
+    near-copies of the top hit (which, on a near-dup-ridden training
+    corpus, is exactly what plain top-k returns).
+
+    Output: (query_id, vec_id, mmr_rank), rank 1..k per query; rank 1
+    is the pure-relevance argmax; ties always break to the smallest id.
+    ``lam`` is an integer fraction (num, den) and the greedy compares
+    the division-free score ``num·rel − (den−num)·maxsim`` — same
+    ordering, no division.
+
+    Scale shape — the standard rerank-the-shortlist contract: the
+    corpus pays ONE distributed pass (the exact top-``shortlist``
+    cosine scan, :func:`cosine_topk_bruteforce`: broadcast queries,
+    no corpus shuffle); the pairwise similarity matrix is computed
+    among shortlist members only (Q·shortlist² rows, broadcast-joined)
+    and the greedy itself runs on the driver over those few collected
+    rows — selection is inherently sequential (each pick changes every
+    remaining score), and at ≤ a few thousand shortlist entries a
+    driver loop over COLLECTED SCORES (not documents) is the honest
+    plan; there is nothing left to distribute. All similarities are
+    rounded to ``round_digits`` first (the q30 device), so the whole
+    greedy trajectory — float comparisons included — is engine-exact
+    and an unrolled-CTE oracle can gate it (q95)."""
+    num, den = lam
+    if not (0 < den and 0 <= num <= den):
+        raise ValueError(f"lam must satisfy 0 <= num <= den, got {lam}")
+    if not (1 <= k <= shortlist):
+        raise ValueError(
+            f"need 1 <= k <= shortlist, got k={k}, shortlist={shortlist}"
+        )
+    sl = cosine_topk_bruteforce(
+        corpus, queries, k=shortlist, vec_col=vec_col, id_col=id_col,
+        query_id_col=query_id_col, round_digits=round_digits,
+    ).select(query_id_col, id_col, "cosine")
+    # pairwise similarities among each query's shortlist members: the
+    # shortlist ids rejoin the corpus for their vectors, then a per-query
+    # id_a < id_b self-join — Q * shortlist^2 / 2 rows, broadcast-sized
+    emb = corpus.select(
+        F.col(id_col), F.col(vec_col).alias("__v"),
+        _norm(F.col(vec_col)).alias("__n"),
+    )
+    se = sl.join(emb, id_col).select(
+        query_id_col, F.col(id_col), "__v", "__n"
+    )
+    a = se.select(
+        query_id_col, F.col(id_col).alias("__ia"),
+        F.col("__v").alias("__va"), F.col("__n").alias("__na"),
+    )
+    b = se.select(
+        query_id_col, F.col(id_col).alias("__ib"),
+        F.col("__v").alias("__vb"), F.col("__n").alias("__nb"),
+    )
+    sims = (
+        a.join(b, query_id_col)
+        .filter(F.col("__ia") < F.col("__ib"))
+        .select(
+            query_id_col, "__ia", "__ib",
+            F.round(
+                _dot(F.col("__va"), F.col("__vb"))
+                / (F.col("__na") * F.col("__nb")),
+                round_digits,
+            ).cast("double").alias("__sim"),
+        )
+    )
+    rel_rows = sl.collect()
+    sim_rows = sims.collect()
+    rel: dict = {}
+    for r in rel_rows:
+        rel.setdefault(r[query_id_col], {})[r[id_col]] = r["cosine"]
+    simmap: dict = {}
+    for r in sim_rows:
+        qd = simmap.setdefault(r[query_id_col], {})
+        qd[(r["__ia"], r["__ib"])] = r["__sim"]
+
+    def _sim(qd, x, y):
+        return qd[(x, y)] if x < y else qd[(y, x)]
+
+    out = []
+    for qid, cand in rel.items():
+        qd = simmap.get(qid, {})
+        # round 1: pure relevance, ties to smallest id
+        first = max(cand.items(), key=lambda kv: (kv[1], -kv[0]))[0]
+        selected = [first]
+        out.append((qid, first, 1))
+        remaining = set(cand) - {first}
+        for rank in range(2, k + 1):
+            if not remaining:
+                break
+            best_v, best_score = None, None
+            for v in sorted(remaining):
+                maxsim = max(_sim(qd, v, s) for s in selected)
+                score = num * cand[v] - (den - num) * maxsim
+                if best_score is None or score > best_score:
+                    best_v, best_score = v, score
+            selected.append(best_v)
+            remaining.discard(best_v)
+            out.append((qid, best_v, rank))
+    return corpus.sparkSession.createDataFrame(
+        out,
+        f"{query_id_col} bigint, {id_col} bigint, mmr_rank bigint",
+    )
+
+
 def cosine_topk_bruteforce_heap(
     corpus: DataFrame,
     queries: DataFrame,

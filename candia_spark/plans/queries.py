@@ -4878,6 +4878,98 @@ def q93_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_encode(docs, bpe_train(docs, rounds=6))
 
 
+def _q95_oracle(
+    k: int = 8, shortlist: int = 40, num: int = 1, den: int = 2
+) -> str:
+    """Unrolled greedy-MMR oracle (the q57/q92 trajectory device):
+    relevance and pairwise-sim tables first (the q30 ROUND(...,6)
+    cosine), then one (score, argmax, selected-set) CTE triple per
+    round. Everything multi-referenced is AS MATERIALIZED."""
+    head = f"""WITH qv AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+qn AS (
+    SELECT SQRT(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS qnorm
+    FROM qv, UNNEST(embedding) AS u(x)),
+cn AS MATERIALIZED (
+    SELECT vec_id, SQRT(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS cnorm
+    FROM embeddings, UNNEST(embedding) AS u(x) GROUP BY vec_id),
+dots AS (
+    SELECT c.vec_id,
+           SUM(CAST(q.embedding[i] AS DOUBLE)
+               * CAST(c.embedding[i] AS DOUBLE)) AS dot
+    FROM qv q JOIN embeddings c ON TRUE,
+         UNNEST(generate_series(1, len(q.embedding))) AS u(i)
+    GROUP BY 1),
+sl AS MATERIALIZED (
+    SELECT d.vec_id,
+           CAST(ROUND(d.dot / (qn.qnorm * cn.cnorm), 6) AS DOUBLE) AS cosine
+    FROM dots d JOIN cn ON cn.vec_id = d.vec_id CROSS JOIN qn
+    ORDER BY cosine DESC, d.vec_id ASC LIMIT {shortlist}),
+pe AS MATERIALIZED (
+    SELECT e.vec_id, e.embedding, cn.cnorm
+    FROM embeddings e JOIN sl USING (vec_id) JOIN cn USING (vec_id)),
+sims AS MATERIALIZED (
+    SELECT a.vec_id AS ia, b.vec_id AS ib,
+           CAST(ROUND(SUM(CAST(a.embedding[i] AS DOUBLE)
+                          * CAST(b.embedding[i] AS DOUBLE))
+                      / (ANY_VALUE(a.cnorm) * ANY_VALUE(b.cnorm)), 6)
+                AS DOUBLE) AS sim
+    FROM pe a JOIN pe b ON a.vec_id < b.vec_id,
+         UNNEST(generate_series(1, len(a.embedding))) AS u(i)
+    GROUP BY 1, 2),
+s1 AS MATERIALIZED (
+    SELECT vec_id FROM sl ORDER BY cosine DESC, vec_id ASC LIMIT 1),
+sel1 AS MATERIALIZED (SELECT vec_id FROM s1)"""
+    parts = [head]
+    for i in range(2, k + 1):
+        parts.append(f""",
+r{i} AS (
+    SELECT r.vec_id,
+           {num} * r.cosine - {den - num} * (
+               SELECT MAX(s.sim) FROM sims s
+               WHERE (s.ia = r.vec_id
+                      AND s.ib IN (SELECT vec_id FROM sel{i - 1}))
+                  OR (s.ib = r.vec_id
+                      AND s.ia IN (SELECT vec_id FROM sel{i - 1}))
+           ) AS score
+    FROM sl r
+    WHERE r.vec_id NOT IN (SELECT vec_id FROM sel{i - 1})),
+s{i} AS MATERIALIZED (
+    SELECT vec_id FROM r{i} ORDER BY score DESC, vec_id ASC LIMIT 1),
+sel{i} AS MATERIALIZED (
+    SELECT vec_id FROM sel{i - 1} UNION ALL SELECT vec_id FROM s{i})"""
+        )
+    sel = "\nUNION ALL\n".join(
+        f"SELECT CAST(0 AS BIGINT) AS query_id, vec_id, "
+        f"CAST({i} AS BIGINT) AS mmr_rank FROM s{i}"
+        for i in range(1, k + 1)
+    )
+    return "\n".join(parts) + "\n" + sel
+
+
+@register(
+    "q95_mmr_rerank",
+    oracle=_q95_oracle(8, 40, 1, 2),
+    survey_ref="MMR diversity reranking (Carbonell & Goldstein 1998, "
+    "north star: retrieval)",
+)
+def q95_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-Marginal-Relevance rerank
+    (operators.similarity.mmr_select): the exact cosine top-40
+    shortlist for query vec 0, greedily reranked to 8 picks maximizing
+    relevance minus max-similarity-to-selected at λ=1/2 — the diversity
+    pass that stops a near-dup-ridden corpus answering every retrieval
+    with k copies of one document. The whole greedy trajectory
+    (ROUND(...,6) floats included) is gated by an unrolled-CTE oracle:
+    a wrong pick in round i corrupts every later round."""
+    from candia_spark.operators.similarity import mmr_select
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return mmr_select(emb, queries_df, k=8, shortlist=40, lam=(1, 2))
+
+
 _DSIR_TARGET_SOURCES = ("src0", "src1", "src2", "src3", "src4")
 
 
@@ -5091,6 +5183,12 @@ _DRIVER_WINDOW_TAIL = [
     # exactly q87's cluster-split assignment device, driver-covered
     # through q87 inside the window. Back in at r11:
     "q74_decile_split_audit",
+    # q95's seat (MMR rerank): q20's greedy ppm partitioner stays
+    # certified each round by its reference-golden pytest plus the
+    # 200-example property fuzz against the rule-by-rule python
+    # reference (the strongest non-driver evidence in the suite).
+    # Back in at r11:
+    "q20_greedy_ppm_partition",
 ]
 for _name in _DRIVER_WINDOW_TAIL:
     QUERY_REGISTRY[_name] = QUERY_REGISTRY.pop(_name)

@@ -969,3 +969,55 @@ def test_remove_self_repeated_blocks_rejects_bad_block_words(spark):
     d = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
     with pytest.raises(ValueError, match="positive"):
         remove_self_repeated_blocks(d, block_words=0)
+
+
+def test_mmr_select_diversifies_near_dup_shortlist(spark):
+    """MMR's defining behavior on a near-dup-ridden shortlist: plain
+    top-3 for query [1,0] returns the exact match and its near-copy
+    before the off-axis vector; MMR at lam=1/2 picks the exact match,
+    then the OFF-AXIS vector (the near-copy's similarity to pick 1
+    erases its relevance edge), then the near-copy. Rank 1 is always
+    the pure-relevance argmax."""
+    from candia_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        mmr_select,
+    )
+
+    # query [1,0] NOT itself in the corpus (when it is, every round-2
+    # score at lam=1/2 is exactly rel - rel = 0 — a degenerate all-tie)
+    rows = [
+        (1, [0.95, 0.31]),   # best hit
+        (2, [0.94, 0.34]),   # near-dup of it (sim ~0.9996)
+        (3, [0.6, -0.8]),    # genuinely different direction (rel 0.6)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    queries = spark.createDataFrame(
+        [(100, [1.0, 0.0])], "query_id bigint, embedding array<float>"
+    )
+    plain = [
+        r["vec_id"]
+        for r in cosine_topk_bruteforce(emb, queries, k=3)
+        .orderBy("rank").collect()
+    ]
+    assert plain == [1, 2, 3]  # top-k returns the near-copy second
+    # round 2 scores: near-copy 0.9404 - 0.9996 = -0.059; off-axis
+    # 0.6 - 0.322 = +0.278 -> the different vector wins
+    mmr = [
+        r["vec_id"]
+        for r in mmr_select(emb, queries, k=3, shortlist=3)
+        .orderBy("mmr_rank").collect()
+    ]
+    assert mmr == [1, 3, 2]  # MMR surfaces the different vector first
+
+
+def test_mmr_select_validation(spark):
+    from candia_spark.operators.similarity import mmr_select
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "vec_id bigint, embedding array<float>"
+    )
+    q = emb.select(F.col("vec_id").alias("query_id"), "embedding")
+    with pytest.raises(ValueError, match="lam"):
+        mmr_select(emb, q, lam=(3, 2))
+    with pytest.raises(ValueError, match="shortlist"):
+        mmr_select(emb, q, k=10, shortlist=5)
