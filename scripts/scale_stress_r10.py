@@ -187,6 +187,55 @@ def run_bigram_openvocab(spark, n_docs: int, runs: int) -> dict:
     }
 
 
+def run_dsir(spark, n_docs: int, runs: int) -> dict:
+    """DSIR selection at x10/x25/x50 open-vocab docs; the target slice
+    is every 20th document (fixed FRACTION, so the target census grows
+    too — the worst case for the left join). Claim: two token censuses
+    + one scoring join + one per-doc agg = linear, falling per-doc."""
+    from candia_spark.operators.curation import dsir_select
+
+    docs = ss_materialize(_pool_corpus(spark, n_docs, novel_token=True))
+    target = docs.filter(F.col("doc_id") % 20 == 0)
+    sec = ss.timed(lambda: dsir_select(docs, target), runs)
+    return {
+        "n_docs": n_docs,
+        "dsir_sec": sec,
+        "dsir_us_per_doc": round(sec * 1e6 / n_docs, 1),
+    }
+
+
+def run_mmr(spark, n_vecs: int, runs: int) -> dict:
+    """MMR rerank at x10/x25/x50 synthetic vectors (dim 16,
+    deterministic integer-mix coordinates): the corpus pays ONE exact
+    top-40 cosine pass; the pairwise-sim stage and driver greedy are
+    bounded by the shortlist, so wall must track the corpus scan."""
+    from candia_spark.operators.similarity import mmr_select
+
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(15)),
+        lambda j: (
+            ((F.col("id") * 31 + j * 17) % 97).cast("float") / F.lit(97.0)
+            + F.lit(0.01)
+        ).cast("float"),
+    )
+    emb = ss_materialize(
+        spark.range(n_vecs).select(
+            F.col("id").alias("vec_id"), vec.alias("embedding")
+        )
+    )
+    queries = emb.filter("vec_id = 0").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    sec = ss.timed(
+        lambda: mmr_select(emb, queries, k=8, shortlist=40), runs
+    )
+    return {
+        "n_vecs": n_vecs,
+        "mmr_sec": sec,
+        "mmr_us_per_vec": round(sec * 1e6 / n_vecs, 2),
+    }
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sizes", type=int, nargs="+", default=[10, 25, 50])
@@ -198,8 +247,8 @@ def main() -> int:
     ap.add_argument("--out", default=os.path.join(REPO, "SCALING_r10.json"))
     ap.add_argument(
         "--only", nargs="+",
-        default=["bpe", "selfrep_long", "bigram_openvocab"],
-        choices=["bpe", "selfrep_long", "bigram_openvocab"],
+        default=["bpe", "selfrep_long", "bigram_openvocab", "dsir", "mmr"],
+        choices=["bpe", "selfrep_long", "bigram_openvocab", "dsir", "mmr"],
     )
     args = ap.parse_args()
 
@@ -257,6 +306,31 @@ def main() -> int:
             report["bigram_openvocab"].append(entry)
             print(json.dumps({"progress": f"bigram x{k}", **entry}),
                   flush=True)
+
+    if "dsir" in args.only:
+        from candia_spark.operators.curation import dsir_select
+
+        warm = _pool_corpus(spark, 100, True)
+        dsir_select(warm, warm.filter("doc_id % 20 = 0")).count()
+        report["dsir"] = []
+        for k in args.sizes:
+            ss.reclaim()
+            entry = run_dsir(spark, BASE_DOCS * k, args.runs)
+            entry["multiplier"] = k
+            report["dsir"].append(entry)
+            print(json.dumps({"progress": f"dsir x{k}", **entry}), flush=True)
+
+    if "mmr" in args.only:
+        from candia_spark.operators.similarity import mmr_select
+
+        run_mmr(spark, 500, 1)  # family warmup
+        report["mmr"] = []
+        for k in args.sizes:
+            ss.reclaim()
+            entry = run_mmr(spark, 20_000 * k, args.runs)
+            entry["multiplier"] = k
+            report["mmr"].append(entry)
+            print(json.dumps({"progress": f"mmr x{k}", **entry}), flush=True)
 
     report["generated_at"] = time.strftime("%Y-%m-%dT%H:%M:%S")
     with open(args.out, "w") as fh:
