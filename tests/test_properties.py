@@ -961,3 +961,66 @@ def test_cluster_purity_consistent_with_assignment(spark, k, labels):
         best_lab = min(l for l, n in cnt.items() if n == best_n)
         want[cl] = (sum(cnt.values()), best_lab, best_n)
     assert got == want
+
+
+@given(
+    st.lists(
+        st.lists(st.integers(min_value=-3, max_value=3),
+                 min_size=3, max_size=3),
+        min_size=2, max_size=12,
+    ),
+    st.integers(min_value=1, max_value=5),
+)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_mmr_select_matches_reference(spark, vecs, k):
+    """mmr_select == an independent numpy pipeline (cosines rounded to
+    6 digits, shortlist cut with id-asc ties, greedy num*rel -
+    (den-num)*maxsim with ties to the smallest id) for any small
+    integer-coordinate vector set. Small discrete coordinates make
+    exact ties COMMON — the paths where the Spark-side shortlist window
+    and the driver greedy could silently disagree with the oracle."""
+    from candia_spark.operators.similarity import mmr_select
+
+    vecs = [v for v in vecs if any(x != 0 for x in v)]
+    if len(vecs) < 2:
+        return
+    k = min(k, len(vecs))
+    q = [1.0, 0.5, -0.25]
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id bigint, embedding array<float>",
+    )
+    queries = spark.createDataFrame(
+        [(99, q)], "query_id bigint, embedding array<float>"
+    )
+    shortlist = len(vecs)
+    got = [
+        r["vec_id"]
+        for r in mmr_select(emb, queries, k=k, shortlist=shortlist)
+        .orderBy("mmr_rank").collect()
+    ]
+
+    def cos(a, b):
+        a, b = np.asarray(a, float), np.asarray(b, float)
+        return round(float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b))), 6)
+
+    rel = {i: cos(v, q) for i, v in enumerate(vecs)}
+    sims = {
+        (i, j): cos(vecs[i], vecs[j])
+        for i in range(len(vecs)) for j in range(i + 1, len(vecs))
+    }
+    first = max(rel.items(), key=lambda kv: (kv[1], -kv[0]))[0]
+    sel, remaining = [first], set(rel) - {first}
+    for _ in range(2, k + 1):
+        if not remaining:
+            break
+        best, best_score = None, None
+        for v in sorted(remaining):
+            ms = max(sims[(min(v, s), max(v, s))] for s in sel)
+            score = 1 * rel[v] - 1 * ms
+            if best_score is None or score > best_score:
+                best, best_score = v, score
+        sel.append(best)
+        remaining.discard(best)
+    assert got == sel
