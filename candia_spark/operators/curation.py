@@ -883,6 +883,93 @@ def dsir_select(
     )
 
 
+def dsir_reference_costs(
+    reference: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+) -> tuple[DataFrame, int, int]:
+    """Freeze :func:`dsir_select`'s model from a REFERENCE corpus
+    snapshot: returns (costs, c_toks, c_bits) where ``costs`` is the
+    (tok, tok_score) table — bits(target count) − bits(reference
+    count), absent-from-target priced 0 — and the totals are the
+    reference's own Σ n_tokens / Σ score_bits, i.e. the fixed
+    above-the-reference-mean selection threshold. This is what makes
+    DSIR STREAMABLE: batch dsir_select thresholds against the mean of
+    the batch being scored, which depends on how arrivals are split
+    into micro-batches; scoring each arrival against a frozen snapshot
+    (the standard production shape — the selection model is trained
+    once, applied to the firehose) makes every document's verdict a
+    pure function of its own row, so stream output ≡ batch output
+    row-for-row (the contamination_stream stance)."""
+    from candia_spark.operators.dedup import _materialize
+
+    bits = lambda c: F.length(F.bin(c)).cast("bigint")  # noqa: E731
+    toks = reference.select(F.explode(tokens(text_col)).alias("tok"))
+    src = toks.groupBy("tok").agg(bits(F.count(F.lit(1))).alias("src_bits"))
+    tgt = (
+        target.select(F.explode(tokens(text_col)).alias("tok"))
+        .groupBy("tok")
+        .agg(bits(F.count(F.lit(1))).alias("tgt_bits"))
+    )
+    costs = _materialize(
+        src.join(tgt, "tok", "left").select(
+            "tok",
+            (F.coalesce("tgt_bits", F.lit(0)) - F.col("src_bits")).alias(
+                "tok_score"
+            ),
+        )
+    )
+    row = (
+        reference.select(F.explode(tokens(text_col)).alias("tok"))
+        .join(costs, "tok")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("tok_score").cast("bigint").alias("s"),
+        )
+        .collect()[0]
+    )
+    return costs, int(row["n"] or 0), int(row["s"] or 0)
+
+
+def dsir_score_fixed(
+    df: DataFrame,
+    costs: DataFrame,
+    c_toks: int,
+    c_bits: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Score documents against a FROZEN DSIR model (the
+    :func:`dsir_reference_costs` output): same (id, n_tokens,
+    score_bits, selected) contract as :func:`dsir_select`, but the
+    selection threshold is the reference's fixed mean, and tokens the
+    reference never saw cost 0 (no evidence either way). Every row's
+    verdict depends only on that row + the broadcast-sized model, so
+    this is the micro-batch leg of the streaming gate."""
+    toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
+    scored = (
+        toks.join(costs, "tok", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum(F.coalesce("tok_score", F.lit(0)))
+            .cast("bigint")
+            .alias("score_bits"),
+        )
+    )
+    ct = F.lit(int(c_toks)).cast("decimal(38,0)")
+    cb = F.lit(int(c_bits)).cast("decimal(38,0)")
+    return scored.select(
+        F.col(id_col),
+        "n_tokens",
+        "score_bits",
+        (F.col("score_bits").cast("decimal(38,0)") * ct
+         > cb * F.col("n_tokens").cast("decimal(38,0)"))
+        .cast("bigint")
+        .alias("selected"),
+    )
+
+
 def cluster_safe_split(
     df: DataFrame,
     pairs: DataFrame,

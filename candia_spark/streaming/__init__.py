@@ -466,6 +466,74 @@ def contamination_stream(
     q.awaitTermination()
 
 
+def write_dsir_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    out_path: str,
+    *,
+    costs: DataFrame,
+    c_toks: int,
+    c_bits: int,
+) -> None:
+    """Idempotent per-micro-batch sink for :func:`dsir_stream` (the
+    :func:`write_contamination_batch` stance): the batch's DSIR scores
+    land under ``_batch_id=<batch_id>`` via dynamic partition
+    overwrite, so an at-least-once replay of a deterministic batch
+    rewrites its own partition instead of duplicating rows."""
+    from candia_spark.operators.curation import dsir_score_fixed
+
+    out = dsir_score_fixed(batch_df, costs, c_toks, c_bits)
+    (
+        out.withColumn("_batch_id", F.lit(int(batch_id)))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("_batch_id")
+        .parquet(out_path)
+    )
+
+
+def dsir_stream(
+    docs_stream: DataFrame,
+    costs: DataFrame,
+    c_toks: int,
+    c_bits: int,
+    out_path: str,
+    checkpoint_dir: str,
+) -> None:
+    """Streaming DSIR quality gate: every arriving micro-batch of
+    documents is scored against a FROZEN importance model
+    (:func:`candia_spark.operators.curation.dsir_reference_costs` —
+    the standard production shape: the selection model is trained once
+    on a reference snapshot, then applied to the firehose) and the
+    per-doc verdicts land under the ``_batch_id`` exactly-once
+    discipline.
+
+    Composes under ``foreachBatch`` with the contamination guard's
+    strong parity property: the frozen threshold makes every document's
+    (n_tokens, score_bits, selected) a pure function of its own row
+    plus the broadcast-sized model — batch dsir_select's
+    own-batch-mean threshold would instead change with the micro-batch
+    split — so the union of per-trigger outputs equals one batch run
+    over the concatenated arrivals (pinned in tests/test_streaming.py).
+
+    ``availableNow`` drains pending input then stops (backfill
+    trigger); swap for a processing-time trigger on a live source."""
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        write_dsir_batch(
+            batch_df, batch_id, out_path,
+            costs=costs, c_toks=c_toks, c_bits=c_bits,
+        )
+
+    q = (
+        docs_stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def run_available_now(
     stream_df: DataFrame,
     query_name: str,

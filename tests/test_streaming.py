@@ -558,3 +558,78 @@ def test_stream_then_compact_then_stream_closed_loop(spark, tmp_path):
             ).collect())
     )
     assert got2 == want2
+
+
+def test_dsir_stream_matches_batch_and_absorbs_replay(spark, tmp_path):
+    """Streaming DSIR gate (round 10): per micro-batch scoring against a
+    FROZEN importance model equals one batch run over all arrivals
+    (the frozen reference-mean threshold makes every doc's verdict a
+    pure function of its own row — batch dsir_select's own-batch-mean
+    would change with the split), tokens the reference never saw cost
+    0, and the _batch_id dynamic-overwrite sink absorbs an
+    at-least-once replay."""
+    import json
+
+    from candia_spark.operators.curation import (
+        dsir_reference_costs,
+        dsir_score_fixed,
+    )
+    from candia_spark.streaming import dsir_stream, write_dsir_batch
+
+    reference = spark.createDataFrame(
+        [(100, "aa aa bb"), (101, "bb cc")], ["doc_id", "text"]
+    )
+    target = reference.filter("doc_id = 100")
+    costs, c_toks, c_bits = dsir_reference_costs(reference, target)
+    # reference censuses: aa=2(b2) bb=2(b2) cc=1(b1); target: aa=2(b2)
+    # bb=1(b1) -> tok_score aa=0, bb=-1, cc=-1; ref totals n=5, s=-3
+    assert (c_toks, c_bits) == (5, -3)
+
+    files = [
+        [(1, "aa aa aa"), (2, "cc cc")],
+        [(3, "aa zz bb"), (4, "bb bb cc")],  # zz unseen -> costs 0
+    ]
+    in_dir = tmp_path / "dsir_arrivals"
+    in_dir.mkdir()
+    for i, rows in enumerate(files):
+        with open(in_dir / f"batch{i}.jsonl", "w") as f:
+            for doc_id, text in rows:
+                f.write(json.dumps({"doc_id": doc_id, "text": text}) + "\n")
+
+    stream = (
+        spark.readStream.schema("doc_id LONG, text STRING")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(in_dir))
+    )
+    out_path = str(tmp_path / "dsir_out")
+    dsir_stream(stream, costs, c_toks, c_bits, out_path,
+                str(tmp_path / "dsir_ckpt"))
+
+    out = spark.read.parquet(out_path)
+    streamed = sorted(map(tuple, out.drop("_batch_id").collect()))
+    all_docs = spark.createDataFrame(
+        [r for rows in files for r in rows], "doc_id long, text string"
+    )
+    batch = sorted(
+        map(tuple, dsir_score_fixed(all_docs, costs, c_toks, c_bits).collect())
+    )
+    assert streamed == batch
+    # by hand: selected iff score*5 > -3*n. doc1 (3 aa): 0*5 > -9 yes;
+    # doc2 (2 cc): -10 > -6 no; doc3 (aa zz bb): -1*5 > -9 yes;
+    # doc4 (bb bb cc): -15 > -9 no
+    by_id = {r[0]: (r[1], r[2], r[3]) for r in batch}
+    assert by_id == {1: (3, 0, 1), 2: (2, -2, 0),
+                     3: (3, -1, 1), 4: (3, -3, 0)}
+    # at-least-once replay rewrites its own partition, not dupes.
+    # Recover which batch id produced doc 1's row first (file->batch
+    # order is a same-mtime tie, NOT filename order) and re-deliver
+    # THAT batch under the same id.
+    file0_batch_id = (
+        out.where(out["doc_id"] == 1).select("_batch_id").collect()[0][0]
+    )
+    replay = spark.createDataFrame(files[0], "doc_id long, text string")
+    write_dsir_batch(replay, file0_batch_id, out_path,
+                     costs=costs, c_toks=c_toks, c_bits=c_bits)
+    again = sorted(map(tuple,
+                       spark.read.parquet(out_path).drop("_batch_id").collect()))
+    assert again == batch
