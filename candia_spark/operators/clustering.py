@@ -764,7 +764,12 @@ def cluster_purity(
     orderable label type works and ``majority_label`` keeps the input
     column's type. String labels order by binary collation — the same
     order DuckDB's default collation gives, so the oracle gate holds
-    for strings too.
+    for strings too. Rows with a NULL label are EXCLUDED from the audit
+    (both cluster_size and the majority count run over labeled rows
+    only): a NULL can't be a "majority ground-truth label", and the two
+    engines order NULLs differently in a count tie (Spark's struct-min
+    puts NULL smallest, DuckDB's ORDER BY puts it last — ADVICE r10),
+    so keeping them would make the answer engine-dependent.
 
     Scale shape: rides kmeans_assign's broadcast-centroid map; the
     contingency table is one (cluster, label) keyed agg whose output is
@@ -775,7 +780,12 @@ def cluster_purity(
         df, k=k, iters=iters, scale=scale, vec_col=vec_col, id_col=id_col
     )
     cont = (
-        assign.join(df.select(F.col(id_col), F.col(label_col)), id_col)
+        assign.join(
+            df.select(F.col(id_col), F.col(label_col)).filter(
+                F.col(label_col).isNotNull()
+            ),
+            id_col,
+        )
         .groupBy("cluster", label_col)
         .agg(F.count(F.lit(1)).cast("bigint").alias("__n"))
     )

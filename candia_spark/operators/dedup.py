@@ -1983,7 +1983,11 @@ def remove_self_repeated_blocks(
         raise ValueError(
             f"engine must be 'auto', 'sql' or 'arrow', got {engine!r}"
         )
-    toks = F.split(F.col(text_col), " ")
+    # NULL text behaves as '' in ALL engines (the Arrow leg already
+    # coalesced; without this the SQL fold emits NULL counters and —
+    # worse — the auto split's size(split(NULL)) routing predicate is
+    # NULL on both sides, silently dropping the row from BOTH legs)
+    toks = F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
     n_tok = F.size(toks)
     nb = F.floor(n_tok / block_words).cast("int")
 

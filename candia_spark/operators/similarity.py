@@ -388,6 +388,36 @@ def cosine_dup_pairs(
     )
 
 
+def _mmr_greedy(cand: dict, qd: dict, k: int, num: int, den: int) -> list:
+    """The MMR greedy itself, shared verbatim by both engines of
+    :func:`mmr_select` so their trajectories are bit-identical:
+    ``cand`` maps id -> relevance (rounded double), ``qd`` maps
+    ``(min_id, max_id)`` -> pairwise similarity (rounded double).
+    Returns ``[(id, rank)]``, rank 1..k; rank 1 is the pure-relevance
+    argmax; every tie breaks to the smallest id. All inputs are doubles
+    that were rounded IN SPARK, so python/numpy/DuckDB replay the float
+    comparisons identically (the q95 device)."""
+    first = max(cand.items(), key=lambda kv: (kv[1], -kv[0]))[0]
+    picks = [(first, 1)]
+    selected = [first]
+    remaining = set(cand) - {first}
+    for rank in range(2, k + 1):
+        if not remaining:
+            break
+        best_v, best_score = None, None
+        for v in sorted(remaining):
+            maxsim = max(
+                qd[(v, s)] if v < s else qd[(s, v)] for s in selected
+            )
+            score = num * cand[v] - (den - num) * maxsim
+            if best_score is None or score > best_score:
+                best_v, best_score = v, score
+        selected.append(best_v)
+        remaining.discard(best_v)
+        picks.append((best_v, rank))
+    return picks
+
+
 def mmr_select(
     corpus: DataFrame,
     queries: DataFrame,
@@ -398,6 +428,7 @@ def mmr_select(
     id_col: str = "vec_id",
     query_id_col: str = "query_id",
     round_digits: int = 6,
+    engine: str = "driver",
 ) -> DataFrame:
     """Maximal Marginal Relevance selection (Carbonell & Goldstein 1998)
     — the diversity reranker every retrieval-augmented pipeline runs on
@@ -417,21 +448,44 @@ def mmr_select(
     corpus pays ONE distributed pass (the exact top-``shortlist``
     cosine scan, :func:`cosine_topk_bruteforce`: broadcast queries,
     no corpus shuffle); the pairwise similarity matrix is computed
-    among shortlist members only (Q·shortlist² rows, broadcast-joined)
-    and the greedy itself runs on the driver over those few collected
-    rows — selection is inherently sequential (each pick changes every
-    remaining score), and at ≤ a few thousand shortlist entries a
-    driver loop over COLLECTED SCORES (not documents) is the honest
-    plan; there is nothing left to distribute. All similarities are
-    rounded to ``round_digits`` first (the q30 device), so the whole
-    greedy trajectory — float comparisons included — is engine-exact
-    and an unrolled-CTE oracle can gate it (q95)."""
+    among shortlist members only (Q·shortlist² rows, broadcast-joined).
+    The greedy itself is sequential PER QUERY (each pick changes every
+    remaining score) but embarrassingly parallel ACROSS queries, and
+    ``engine`` picks where it runs:
+
+    - ``"driver"`` — collect the scores (not documents) and loop on the
+      driver. Honest for ≤ a few thousand shortlist entries; a 10⁵-query
+      batch at shortlist=40 would collect ~8·10⁷ rows and serialize
+      10⁵ greedy loops on one core.
+    - ``"grouped"`` — the scale path: the same score rows stay
+      distributed, ``groupBy(query_id).applyInPandas`` runs the
+      IDENTICAL greedy (:func:`_mmr_greedy`, shared code object) per
+      query group, and no node ever holds more than one query's
+      shortlist. Selected whenever the query batch is large.
+
+    Both engines replay the same float trajectory: all similarities are
+    rounded to ``round_digits`` IN SPARK first (the q30 device), and
+    python/pandas float64 arithmetic on identical doubles is identical,
+    so the whole greedy — float comparisons included — is engine-exact
+    and an unrolled-CTE oracle can gate either leg (q95; the
+    equivalence pytest pins driver ≡ grouped on the full trajectory).
+
+    Zero-norm embeddings have no cosine and fail LOUDLY (ADVICE r10 —
+    the greedy used to crash on a bare None): under ANSI (this
+    session's default) the norm division throws DIVIDE_BY_ZERO in the
+    shortlist scan itself; under non-ANSI it yields NULL, and both
+    engines then raise a descriptive ``ValueError`` before the greedy
+    runs — the oracle data is assumed non-degenerate either way."""
     num, den = lam
     if not (0 < den and 0 <= num <= den):
         raise ValueError(f"lam must satisfy 0 <= num <= den, got {lam}")
     if not (1 <= k <= shortlist):
         raise ValueError(
             f"need 1 <= k <= shortlist, got k={k}, shortlist={shortlist}"
+        )
+    if engine not in ("driver", "grouped"):
+        raise ValueError(
+            f"engine must be 'driver' or 'grouped', got {engine!r}"
         )
     sl = cosine_topk_bruteforce(
         corpus, queries, k=shortlist, vec_col=vec_col, id_col=id_col,
@@ -467,43 +521,85 @@ def mmr_select(
             ).cast("double").alias("__sim"),
         )
     )
+    out_schema = f"{query_id_col} bigint, {id_col} bigint, mmr_rank bigint"
+    degenerate = (
+        "mmr_select: zero-norm embedding in the shortlist produced a "
+        "NULL similarity (query_id=%s) — drop zero-norm vectors from "
+        "the corpus/queries before reranking"
+    )
+
+    if engine == "grouped":
+        # the same score rows, kept distributed: relevance rows ride
+        # with __ib = -1 (ids are the join keys of real vectors; -1 is
+        # the kind sentinel, never a similarity endpoint), so the whole
+        # per-query state is one int64/double pandas frame — no
+        # null-widened float columns to corrupt large ids
+        rel_part = sl.select(
+            F.col(query_id_col).alias("__qid"),
+            F.col(id_col).alias("__ia"),
+            F.lit(-1).cast("bigint").alias("__ib"),
+            F.col("cosine").alias("__val"),
+        )
+        sim_part = sims.select(
+            F.col(query_id_col).alias("__qid"),
+            "__ia",
+            "__ib",
+            F.col("__sim").alias("__val"),
+        )
+
+        def _per_query(pdf):
+            import pandas as pd
+
+            qid = int(pdf["__qid"].iloc[0])
+            if pdf["__val"].isna().any():
+                raise ValueError(degenerate % qid)
+            cand, qd = {}, {}
+            for ia, ib, val in zip(
+                pdf["__ia"], pdf["__ib"], pdf["__val"]
+            ):
+                if ib == -1:
+                    cand[int(ia)] = float(val)
+                else:
+                    qd[(int(ia), int(ib))] = float(val)
+            picks = _mmr_greedy(cand, qd, k, num, den)
+            return pd.DataFrame(
+                {
+                    "__qid": [qid] * len(picks),
+                    "__id": [p[0] for p in picks],
+                    "__rank": [p[1] for p in picks],
+                }
+            )
+
+        return (
+            rel_part.unionByName(sim_part)
+            .groupBy("__qid")
+            .applyInPandas(_per_query, "__qid long, __id long, __rank long")
+            .select(
+                F.col("__qid").alias(query_id_col),
+                F.col("__id").alias(id_col),
+                F.col("__rank").alias("mmr_rank"),
+            )
+        )
+
     rel_rows = sl.collect()
     sim_rows = sims.collect()
     rel: dict = {}
     for r in rel_rows:
+        if r["cosine"] is None:
+            raise ValueError(degenerate % r[query_id_col])
         rel.setdefault(r[query_id_col], {})[r[id_col]] = r["cosine"]
     simmap: dict = {}
     for r in sim_rows:
+        if r["__sim"] is None:
+            raise ValueError(degenerate % r[query_id_col])
         qd = simmap.setdefault(r[query_id_col], {})
         qd[(r["__ia"], r["__ib"])] = r["__sim"]
 
-    def _sim(qd, x, y):
-        return qd[(x, y)] if x < y else qd[(y, x)]
-
     out = []
     for qid, cand in rel.items():
-        qd = simmap.get(qid, {})
-        # round 1: pure relevance, ties to smallest id
-        first = max(cand.items(), key=lambda kv: (kv[1], -kv[0]))[0]
-        selected = [first]
-        out.append((qid, first, 1))
-        remaining = set(cand) - {first}
-        for rank in range(2, k + 1):
-            if not remaining:
-                break
-            best_v, best_score = None, None
-            for v in sorted(remaining):
-                maxsim = max(_sim(qd, v, s) for s in selected)
-                score = num * cand[v] - (den - num) * maxsim
-                if best_score is None or score > best_score:
-                    best_v, best_score = v, score
-            selected.append(best_v)
-            remaining.discard(best_v)
-            out.append((qid, best_v, rank))
-    return corpus.sparkSession.createDataFrame(
-        out,
-        f"{query_id_col} bigint, {id_col} bigint, mmr_rank bigint",
-    )
+        for vid, rank in _mmr_greedy(cand, simmap.get(qid, {}), k, num, den):
+            out.append((qid, vid, rank))
+    return corpus.sparkSession.createDataFrame(out, out_schema)
 
 
 def cosine_topk_bruteforce_heap(

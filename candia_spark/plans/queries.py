@@ -4642,7 +4642,8 @@ def q88_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         _kmeans_ctes()
         + """,
     lab AS (
-        SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings),
+        SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings
+        WHERE label IS NOT NULL),
     cont AS (
         SELECT a.cluster, l.label, CAST(COUNT(*) AS BIGINT) AS n
         FROM assign3 a JOIN lab l USING (vec_id)
@@ -4960,14 +4961,20 @@ def q95_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass that stops a near-dup-ridden corpus answering every retrieval
     with k copies of one document. The whole greedy trajectory
     (ROUND(...,6) floats included) is gated by an unrolled-CTE oracle:
-    a wrong pick in round i corrupts every later round."""
+    a wrong pick in round i corrupts every later round. Runs the
+    GROUPED engine (r11): the greedy executes inside
+    groupBy(query_id).applyInPandas — nothing query-batch-sized is ever
+    collected — and the driver≡grouped trajectory equivalence is
+    additionally pytest-pinned."""
     from candia_spark.operators.similarity import mmr_select
 
     emb = _t(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") == 0).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return mmr_select(emb, queries_df, k=8, shortlist=40, lam=(1, 2))
+    return mmr_select(
+        emb, queries_df, k=8, shortlist=40, lam=(1, 2), engine="grouped"
+    )
 
 
 _DSIR_TARGET_SOURCES = ("src0", "src1", "src2", "src3", "src4")

@@ -469,3 +469,29 @@ def test_cluster_purity_string_labels(spark):
     }
     assert out[3] == ("web", 2)
     assert out[2] == ("arxiv", 1)
+
+def test_cluster_purity_null_labels_excluded(spark):
+    """ADVICE r10: a count tie involving a NULL label diverges across
+    engines (Spark's struct-min orders NULL smallest, DuckDB's ORDER BY
+    puts it last), so NULL-labeled rows are excluded from the audit —
+    cluster_size and the majority both run over labeled rows only, and
+    an all-NULL cluster disappears from the output entirely."""
+    from candia_spark.operators.clustering import cluster_purity
+
+    rows = [
+        # blob A (ids 0,2,4): labels web,NULL,web -> size 2, majority web
+        (0, [1.0, 0.0], "web"),
+        (2, [0.9, 0.1], None),
+        (4, [1.1, -0.1], "web"),
+        # blob B (ids 1,3): both NULL -> cluster absent from the audit
+        (1, [-1.0, 0.0], None),
+        (3, [-0.9, 0.2], None),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label string"
+    )
+    out = [
+        (r["cluster_size"], r["majority_label"], r["n_majority"])
+        for r in cluster_purity(df, k=2, iters=2).collect()
+    ]
+    assert out == [(2, "web", 2)]

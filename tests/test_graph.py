@@ -282,8 +282,12 @@ def test_authority_upfront_margins_fire_no_scalar_agg_actions(spark, monkeypatch
     mode — NOT separate `.agg().collect()` / `.count()` driver jobs.
     Pinned at the API level: no DataFrame.collect or DataFrame.count may
     run inside the call (weighted + seeded, the maximal-guard path).
-    The result is collected only after the patch is lifted."""
-    from pyspark.sql import DataFrame
+    The result is collected only after the patch is lifted. NB (r11):
+    patch the CONCRETE DataFrame class — the abstract pyspark.sql
+    .DataFrame parent's collect/count are overridden by the classic
+    subclass, so the original parent-class patch was vacuously green;
+    the liveness assertion at the end proves the spy observes real
+    calls."""
     from pyspark.sql import functions as F
 
     edges = spark.createDataFrame(
@@ -292,8 +296,9 @@ def test_authority_upfront_margins_fire_no_scalar_agg_actions(spark, monkeypatch
     )
     nodes = spark.createDataFrame([(i,) for i in range(4)], "doc_id bigint")
     seeds = spark.createDataFrame([(0,)], "doc_id bigint")
+    cls = type(edges)
     calls = {"collect": 0, "count": 0}
-    real_collect, real_count = DataFrame.collect, DataFrame.count
+    real_collect, real_count = cls.collect, cls.count
 
     def spy_collect(self):
         calls["collect"] += 1
@@ -303,12 +308,14 @@ def test_authority_upfront_margins_fire_no_scalar_agg_actions(spark, monkeypatch
         calls["count"] += 1
         return real_count(self)
 
-    monkeypatch.setattr(DataFrame, "collect", spy_collect)
-    monkeypatch.setattr(DataFrame, "count", spy_count)
+    monkeypatch.setattr(cls, "collect", spy_collect)
+    monkeypatch.setattr(cls, "count", spy_count)
     out = authority_scores(
         edges, nodes, iters=2, weight_col="w", seeds=seeds
     )
     assert calls == {"collect": 0, "count": 0}
+    assert nodes.count() == 4  # spy liveness: a real count IS observed
+    assert calls == {"collect": 0, "count": 1}
     monkeypatch.undo()
     assert out.count() == 4  # and the guarded run still produces rows
 
