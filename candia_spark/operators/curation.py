@@ -634,6 +634,8 @@ def bpe_train(
     df: DataFrame,
     rounds: int = 5,
     text_col: str = "text",
+    engine: str = "auto",
+    local_budget_bytes: int = 256 * 2**20,
 ) -> DataFrame:
     """Multi-round byte-pair-encoding trainer — Sennrich et al. 2016's
     actual loop, graduating :func:`bpe_merge_pairs` (one round's
@@ -663,20 +665,44 @@ def bpe_train(
 
     Scale shape: the corpus is touched ONCE (the word-frequency census,
     one shuffle with map-side partial agg). Every round after that runs
-    on the materialized VOCABULARY table — Heaps-law sized, orders
-    smaller than the corpus: one pair-census aggregation + one
-    TakeOrdered(1) argmax (collected to the driver, the k-means
-    trajectory device: the merge must become a literal in the next
-    round's replace) + one pure-map rewrite, re-materialized per round
-    (the _materialize doctrine: without the cut, round i replays every
-    earlier round's rewrite from lineage). Per-round cost therefore
-    tracks |vocab|, not the corpus — measured in SCALING_r10
-    (bpe_rounds leg). Weights are bounded by corpus character count
-    (~1e14 at 100 TB, far inside bigint)."""
+    on the VOCABULARY — Heaps-law sized, orders smaller than the
+    corpus — and ``engine`` picks where those rounds run:
+
+    - ``"distributed"`` — per round one pair-census aggregation + one
+      TakeOrdered(1) argmax (collected to the driver, the k-means
+      trajectory device: the merge must become a literal in the next
+      round's replace) + one pure-map rewrite, re-materialized per
+      round (the _materialize doctrine: without the cut, round i
+      replays every earlier round's rewrite from lineage). Per-round
+      cost tracks |vocab|, not the corpus (SCALING_r10 bpe leg) — but
+      it is floored by Spark job-scheduling latency (~230 ms/round),
+      which at a production 30k-50k-merge vocabulary is days of pure
+      scheduling (verdict r10 #2).
+    - ``"local"`` — collect the vocabulary ONCE after the corpus
+      census and run every merge round in-process with an incremental
+      pair census (Sennrich's reference structure: only words
+      containing the merged pair are rewritten, and only their pair
+      counts move). Identical trajectory — same census arithmetic,
+      same (weight desc, l asc, r asc) argmax, same greedy
+      left-to-right rewrite — pinned by the distributed≡local
+      equivalence pytest and the shared property fuzz.
+    - ``"auto"`` (default) — one tiny aggregate on the materialized
+      vocab (row count + total sym_str bytes) routes: local when the
+      census fits ``local_budget_bytes`` (it essentially always does —
+      even a 100 TB corpus's ~1e8-word vocab is a few GB of short
+      strings, and the budget is per-DRIVER, tunable), distributed
+      otherwise.
+
+    Weights are bounded by corpus character count (~1e14 at 100 TB,
+    far inside bigint)."""
     from candia_spark.operators.dedup import _materialize
 
     if rounds <= 0:
         raise ValueError(f"rounds must be positive, got {rounds}")
+    if engine not in ("auto", "local", "distributed"):
+        raise ValueError(
+            f"engine must be 'auto', 'local' or 'distributed', got {engine!r}"
+        )
     spark = df.sparkSession
     # corpus pass: word census; 1-char words carry no pair ever and
     # never change (symbols merge only within a word) — drop them
@@ -699,6 +725,27 @@ def bpe_train(
             "cnt",
         )
     )
+    out_schema = (
+        "merge_round bigint, lhs string, rhs string, merged string, "
+        "weight bigint"
+    )
+    use_local = engine == "local"
+    if engine == "auto":
+        stats = vocab.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.sum(F.length("sym_str")), F.lit(0)).alias("chars"),
+        ).collect()[0]
+        # sym_str is ascii-wrapped word chars; budget in (utf8) bytes is
+        # conservatively chars*4 — the census dict is the same order
+        use_local = int(stats["chars"]) * 4 <= local_budget_bytes
+    if use_local:
+        return spark.createDataFrame(
+            _bpe_train_local(
+                [(r["sym_str"], int(r["cnt"])) for r in vocab.collect()],
+                rounds,
+            ),
+            out_schema,
+        )
     merges: list[tuple] = []
     for rnd in range(1, rounds + 1):
         syms = F.split(F.trim(F.col("sym_str")), "  ")
@@ -734,11 +781,75 @@ def bpe_train(
                 "cnt",
             )
         )
-    return spark.createDataFrame(
-        merges,
-        "merge_round bigint, lhs string, rhs string, merged string, "
-        "weight bigint",
-    )
+    return spark.createDataFrame(merges, out_schema)
+
+
+def _bpe_train_local(
+    vocab_rows: list[tuple[str, int]], rounds: int
+) -> list[tuple]:
+    """In-process merge loop for :func:`bpe_train` engine='local': the
+    collected (sym_str, cnt) vocabulary, ``rounds`` rounds of
+    argmax-and-merge with an INCREMENTAL pair census — per round only
+    the words containing the merged pair are touched, so 30k-50k
+    production merge rounds cost milliseconds each instead of a Spark
+    job apiece. Trajectory-identical to the distributed loop:
+
+    - the census is the same Σcnt over adjacent symbol pairs;
+    - the argmax tie-break (weight desc, l asc, r asc) is python tuple
+      ``min`` on ``(-w, l, r)`` — python str comparison is code-point
+      order, which equals Spark's UTF8 binary order (UTF-8 byte order
+      preserves code-point order);
+    - the rewrite is the same greedy left-to-right non-overlapping
+      merge the wrapped-string replace() performs.
+    """
+    from collections import defaultdict
+
+    words: list[tuple[list[str], int]] = [
+        (s.strip().split("  "), c) for s, c in vocab_rows
+    ]
+    census: dict = defaultdict(int)
+    postings: dict = defaultdict(set)
+
+    def _add(idx: int) -> None:
+        syms, cnt = words[idx]
+        for a, b in zip(syms, syms[1:]):
+            census[(a, b)] += cnt
+            postings[(a, b)].add(idx)
+
+    def _remove(idx: int) -> None:
+        syms, cnt = words[idx]
+        for a, b in zip(syms, syms[1:]):
+            p = (a, b)
+            census[p] -= cnt
+            if census[p] == 0:
+                del census[p]
+                del postings[p]
+            else:
+                postings[p].discard(idx)
+
+    for idx in range(len(words)):
+        _add(idx)
+
+    merges: list[tuple] = []
+    for rnd in range(1, rounds + 1):
+        if not census:
+            break  # vocabulary fully merged — nothing left to count
+        (l, r), w = min(census.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((rnd, l, r, l + r, int(w)))
+        for idx in sorted(postings[(l, r)]):
+            _remove(idx)
+            syms, cnt = words[idx]
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            words[idx] = (out, cnt)
+            _add(idx)
+    return merges
 
 
 def bpe_encode(

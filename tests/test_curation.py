@@ -501,6 +501,74 @@ def test_bpe_train_trajectory_by_hand(spark):
     ]
     with pytest.raises(ValueError, match="rounds"):
         bpe_train(df, rounds=0)
+    with pytest.raises(ValueError, match="engine"):
+        bpe_train(df, engine="gpu")
+
+
+def test_bpe_train_local_equals_distributed(spark):
+    """Verdict r10 next #2: the driver-local merge loop (vocab collected
+    once, incremental pair census) returns the IDENTICAL trajectory to
+    the per-round distributed loop — here over 10 rounds on a corpus
+    with shared prefixes/suffixes so merges cascade (merged symbols
+    themselves merge again), plus the auto-routing contract: a tiny
+    vocab routes local, budget 0 forces distributed, and all three
+    agree."""
+    from candia_spark.operators.curation import bpe_train
+
+    df = spark.createDataFrame(
+        [
+            (1, "international internal interval"),
+            (2, "internal note notebook"),
+            (3, "interval international notebook note"),
+        ],
+        "doc_id bigint, text string",
+    )
+    legs = {
+        engine: [
+            tuple(r)
+            for r in bpe_train(df, rounds=10, engine=engine).collect()
+        ]
+        for engine in ("distributed", "local", "auto")
+    }
+    assert legs["local"] == legs["distributed"]
+    assert legs["auto"] == legs["distributed"]
+    assert len(legs["local"]) == 10  # enough pair mass for all rounds
+    # budget 0 can't fit any vocab -> auto falls back to distributed
+    forced = [
+        tuple(r)
+        for r in bpe_train(
+            df, rounds=10, engine="auto", local_budget_bytes=0
+        ).collect()
+    ]
+    assert forced == legs["distributed"]
+
+
+def test_bpe_train_local_runs_no_per_round_jobs(spark, monkeypatch):
+    """The local engine's point (verdict r10 #2: ~10^5 sequential Spark
+    jobs of scheduling overhead for a production vocab): after the one
+    corpus census, merge rounds run in-process — DataFrame.collect fires
+    exactly once (the vocab collect), not once per round. NB: patch the
+    CONCRETE DataFrame class (type(df)) — the abstract pyspark.sql
+    .DataFrame parent's collect is overridden by the classic subclass,
+    so patching the parent is inert."""
+    from candia_spark.operators.curation import bpe_train
+
+    df = spark.createDataFrame(
+        [(1, "aaab aaab ab abab baba")], "doc_id bigint, text string"
+    )
+    cls = type(df)
+    calls = {"collect": 0}
+    real_collect = cls.collect
+
+    def spy_collect(self):
+        calls["collect"] += 1
+        return real_collect(self)
+
+    monkeypatch.setattr(cls, "collect", spy_collect)
+    out = bpe_train(df, rounds=8, engine="local")
+    assert calls["collect"] == 1
+    monkeypatch.undo()
+    assert out.count() >= 3
 
 
 def test_bpe_encode_counts_by_hand(spark):

@@ -518,20 +518,25 @@ def _py_selfrep(toks: list[str], bw: int) -> tuple[int, int, str]:
 def test_self_repeated_blocks_matches_reference(spark, docs, bw):
     """remove_self_repeated_blocks == an independent first-occurrence
     fold, for any tokenization and block width (repetition-rich alphabet
-    so the removal branch fires often)."""
+    so the removal branch fires often). Every example also carries one
+    NULL-text row — ADVICE r10: NULL must behave as '' in all three
+    engines and never fall out of the auto split."""
     from candia_spark.operators.dedup import remove_self_repeated_blocks
 
     df = spark.createDataFrame(
-        [(i, " ".join(toks)) for i, toks in enumerate(docs)],
-        ["doc_id", "text"],
+        [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+        + [(len(docs), None)],
+        "doc_id bigint, text string",
     )
     # NB: Spark split("", " ") == [""], one empty token — mirror that
     want = {
         i: _py_selfrep(" ".join(toks).split(" "), bw)
         for i, toks in enumerate(docs)
     }
-    # both engines must match the reference (auto is their composition)
-    for engine in ("sql", "arrow"):
+    want[len(docs)] = _py_selfrep("".split(" "), bw)
+    # all three engines must match the reference (auto's filter-split
+    # must route every row — including the NULL-text one — to a leg)
+    for engine in ("sql", "arrow", "auto"):
         got = {
             r["doc_id"]: (r["n_blocks"], r["n_kept"], r["clean_text"])
             for r in remove_self_repeated_blocks(
@@ -671,15 +676,23 @@ def test_bpe_train_matches_reference(spark, docs, rounds):
     tiny two-letter corpus and round count: same merges, same order,
     same weights, same tie-breaks, same early stop. The two-letter
     alphabet makes pair ties and repeated merges (aa+aa etc.) common —
-    exactly the paths where a wrong greedy rewrite or tie-break shows."""
+    exactly the paths where a wrong greedy rewrite or tie-break shows.
+    BOTH engines (r11: the collected-vocab incremental-census local
+    loop, and the per-round distributed loop) must match the same
+    reference — which also pins their mutual equivalence."""
     from candia_spark.operators.curation import bpe_train
 
     df = spark.createDataFrame(
         [(i, " ".join(toks)) for i, toks in enumerate(docs)],
         ["doc_id", "text"],
     )
-    got = [tuple(r) for r in bpe_train(df, rounds=rounds).collect()]
-    assert got == _py_bpe(docs, rounds)
+    want = _py_bpe(docs, rounds)
+    for engine in ("local", "distributed"):
+        got = [
+            tuple(r)
+            for r in bpe_train(df, rounds=rounds, engine=engine).collect()
+        ]
+        assert got == want, engine
 
 
 @given(st.lists(st.lists(bpe_word, min_size=0, max_size=10),
@@ -995,11 +1008,17 @@ def test_mmr_select_matches_reference(spark, vecs, k):
         [(99, q)], "query_id bigint, embedding array<float>"
     )
     shortlist = len(vecs)
-    got = [
-        r["vec_id"]
-        for r in mmr_select(emb, queries, k=k, shortlist=shortlist)
-        .orderBy("mmr_rank").collect()
-    ]
+    got_by_engine = {
+        engine: [
+            r["vec_id"]
+            for r in mmr_select(
+                emb, queries, k=k, shortlist=shortlist, engine=engine
+            ).orderBy("mmr_rank").collect()
+        ]
+        for engine in ("driver", "grouped")
+    }
+    got = got_by_engine["driver"]
+    assert got_by_engine["grouped"] == got  # exact trajectory parity
 
     def cos(a, b):
         a, b = np.asarray(a, float), np.asarray(b, float)
