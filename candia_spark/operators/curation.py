@@ -916,11 +916,49 @@ def bpe_encode(
     )
 
 
+def _dsir_features(text_col: str, ngram: int, buckets: int | None):
+    """Feature column for the DSIR family: an array of per-document
+    features — unigram tokens (``ngram=1``, Xie et al.'s baseline) or
+    adjacent-bigram strings (``ngram=2``, the paper's actual hashed
+    n-gram model: the importance weights see word ORDER, so reordered
+    word salad stops scoring like target-domain prose). With
+    ``buckets`` set, each feature is hashed to a bucket id — the
+    fastText/DSIR hashing trick that caps the model at a fixed size
+    regardless of vocabulary growth. The hash is the cross-engine md5
+    device (q28/q87): first 15 hex chars -> 60-bit nonnegative int ->
+    ``% buckets``, bit-identical in Spark and DuckDB (xxhash64 would be
+    Spark-only and ungateable)."""
+    if ngram not in (1, 2):
+        raise ValueError(f"ngram must be 1 or 2, got {ngram}")
+    if buckets is not None and buckets <= 0:
+        raise ValueError(f"buckets must be positive, got {buckets}")
+    toks = tokens(text_col)
+    if ngram == 1:
+        feats = toks
+    else:
+        m = F.greatest(F.size(toks) - 1, F.lit(0))
+        feats = F.zip_with(
+            F.slice(toks, F.lit(1), m),
+            F.slice(toks, F.lit(2), m),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    if buckets is None:
+        return feats
+    return F.transform(
+        feats,
+        lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10)
+        .cast("bigint")
+        % buckets,
+    )
+
+
 def dsir_select(
     df: DataFrame,
     target: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    ngram: int = 1,
+    buckets: int | None = None,
 ) -> DataFrame:
     """DSIR-style data selection (Xie et al. 2023: Data Selection for
     Language Models via Importance Resampling), integer-exact: score
@@ -937,29 +975,41 @@ def dsir_select(
     smoothing constant).
 
     Output per non-empty document: (id, n_tokens, score_bits, selected)
-    where selected = 1 iff the doc's mean per-token score is ABOVE the
-    corpus mean — cross-multiplied in decimal(38,0)
+    where selected = 1 iff the doc's mean per-feature score is ABOVE
+    the corpus mean — cross-multiplied in decimal(38,0)
     (``score·Σn > Σscore·n``), division-free and sign-safe (scores can
     be negative), the unigram_rarity flag device with the inequality
     flipped (rarity flags the tail to drop; DSIR selects the head to
     keep).
 
-    Scale shape: two token-level censuses (corpus and target, each one
-    shuffle with map-side partial agg), then scoring is one shuffle
-    join of exploded corpus tokens against the corpus census LEFT
-    JOINED with the (typically much smaller, AQE-broadcastable) target
-    census, and one per-doc aggregation carrying 24-byte rows. The
-    corpus-mean flag broadcasts a 1-row aggregate against the
+    Features (r11, verdict next #3): ``ngram=1`` scores unigram tokens
+    (the prior default, unchanged); ``ngram=2`` scores adjacent
+    bigrams — Xie et al.'s published model uses hashed n-gram
+    features precisely so the importance weights see word order — and
+    ``buckets`` hashes features into a fixed-size table via the
+    cross-engine md5 device (:func:`_dsir_features`). ``n_tokens``
+    then counts FEATURES (a doc with fewer than ``ngram`` tokens has
+    none and drops from the output, same as an empty doc under
+    unigrams).
+
+    Scale shape: two feature-level censuses (corpus and target, each
+    one shuffle with map-side partial agg; hashing caps the census at
+    ``buckets`` rows regardless of vocabulary), then scoring is one
+    shuffle join of exploded corpus features against the corpus census
+    LEFT JOINED with the (typically much smaller, AQE-broadcastable)
+    target census, and one per-doc aggregation carrying 24-byte rows.
+    The corpus-mean flag broadcasts a 1-row aggregate against the
     materialized per-doc table."""
     from candia_spark.operators.dedup import _materialize
 
     bits = lambda c: F.length(F.bin(c)).cast("bigint")  # noqa: E731
-    toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
+    feats = _dsir_features(text_col, ngram, buckets)
+    toks = df.select(F.col(id_col), F.explode(feats).alias("tok"))
     src = toks.groupBy("tok").agg(
         bits(F.count(F.lit(1))).alias("src_bits")
     )
     tgt = (
-        target.select(F.explode(tokens(text_col)).alias("tok"))
+        target.select(F.explode(feats).alias("tok"))
         .groupBy("tok")
         .agg(bits(F.count(F.lit(1))).alias("tgt_bits"))
     )
@@ -998,6 +1048,8 @@ def dsir_reference_costs(
     reference: DataFrame,
     target: DataFrame,
     text_col: str = "text",
+    ngram: int = 1,
+    buckets: int | None = None,
 ) -> tuple[DataFrame, int, int]:
     """Freeze :func:`dsir_select`'s model from a REFERENCE corpus
     snapshot: returns (costs, c_toks, c_bits) where ``costs`` is the
@@ -1011,14 +1063,17 @@ def dsir_reference_costs(
     (the standard production shape — the selection model is trained
     once, applied to the firehose) makes every document's verdict a
     pure function of its own row, so stream output ≡ batch output
-    row-for-row (the contamination_stream stance)."""
+    row-for-row (the contamination_stream stance). ``ngram``/``buckets``
+    freeze the same hashed-n-gram feature space as
+    :func:`dsir_select` — the scorer must be handed matching values."""
     from candia_spark.operators.dedup import _materialize
 
     bits = lambda c: F.length(F.bin(c)).cast("bigint")  # noqa: E731
-    toks = reference.select(F.explode(tokens(text_col)).alias("tok"))
+    feats = _dsir_features(text_col, ngram, buckets)
+    toks = reference.select(F.explode(feats).alias("tok"))
     src = toks.groupBy("tok").agg(bits(F.count(F.lit(1))).alias("src_bits"))
     tgt = (
-        target.select(F.explode(tokens(text_col)).alias("tok"))
+        target.select(F.explode(feats).alias("tok"))
         .groupBy("tok")
         .agg(bits(F.count(F.lit(1))).alias("tgt_bits"))
     )
@@ -1031,7 +1086,7 @@ def dsir_reference_costs(
         )
     )
     row = (
-        reference.select(F.explode(tokens(text_col)).alias("tok"))
+        reference.select(F.explode(feats).alias("tok"))
         .join(costs, "tok")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n"),
@@ -1049,15 +1104,22 @@ def dsir_score_fixed(
     c_bits: int,
     text_col: str = "text",
     id_col: str = "doc_id",
+    ngram: int = 1,
+    buckets: int | None = None,
 ) -> DataFrame:
     """Score documents against a FROZEN DSIR model (the
     :func:`dsir_reference_costs` output): same (id, n_tokens,
     score_bits, selected) contract as :func:`dsir_select`, but the
-    selection threshold is the reference's fixed mean, and tokens the
+    selection threshold is the reference's fixed mean, and features the
     reference never saw cost 0 (no evidence either way). Every row's
     verdict depends only on that row + the broadcast-sized model, so
-    this is the micro-batch leg of the streaming gate."""
-    toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
+    this is the micro-batch leg of the streaming gate.
+    ``ngram``/``buckets`` MUST match the values the model was frozen
+    with (the costs table's key lives in that feature space)."""
+    toks = df.select(
+        F.col(id_col),
+        F.explode(_dsir_features(text_col, ngram, buckets)).alias("tok"),
+    )
     scored = (
         toks.join(costs, "tok", "left")
         .groupBy(id_col)

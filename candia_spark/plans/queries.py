@@ -5030,6 +5030,68 @@ def q94_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q96_dsir_hashed_bigrams",
+    # q94's census->costs->score->flag chain, but the feature space is
+    # hashed adjacent BIGRAMS: md5 first-15-hex-chars -> 60-bit int ->
+    # % 65536 (the q28/q87 cross-engine hash device) — so the
+    # importance model sees word order through a fixed-size table
+    oracle="""
+    WITH tk AS MATERIALIZED (
+        SELECT doc_id, source, {toks} AS t FROM documents
+    ), feats AS MATERIALIZED (
+        SELECT doc_id, source,
+               CAST('0x' || substr(md5(t[i] || ' ' || t[i + 1]), 1, 15)
+                    AS BIGINT) % 65536 AS tok
+        FROM tk,
+             unnest(CASE WHEN len(t) >= 2 THEN generate_series(1, len(t) - 1)
+                         ELSE [] END) AS u(i)
+    ), src AS (
+        SELECT tok, CAST(length(bin(COUNT(*))) AS BIGINT) AS src_bits
+        FROM feats GROUP BY tok
+    ), tgt AS (
+        SELECT tok, CAST(length(bin(COUNT(*))) AS BIGINT) AS tgt_bits
+        FROM feats WHERE source IN ('src0', 'src1', 'src2', 'src3', 'src4')
+        GROUP BY tok
+    ), costs AS (
+        SELECT s.tok, COALESCE(g.tgt_bits, 0) - s.src_bits AS tok_score
+        FROM src s LEFT JOIN tgt g USING (tok)
+    ), scored AS MATERIALIZED (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(SUM(tok_score) AS BIGINT) AS score_bits
+        FROM feats JOIN costs USING (tok) GROUP BY doc_id
+    ), corpus AS (
+        SELECT CAST(SUM(n_tokens) AS HUGEINT) AS c_toks,
+               CAST(SUM(score_bits) AS HUGEINT) AS c_bits
+        FROM scored
+    )
+    SELECT doc_id, n_tokens, score_bits,
+           CAST(CAST(score_bits AS HUGEINT) * c_toks
+                > c_bits * CAST(n_tokens AS HUGEINT) AS BIGINT) AS selected
+    FROM scored, corpus
+    """.replace("{toks}", _TOKS_SQL),
+    survey_ref="DSIR hashed-bigram importance selection (Xie et al. "
+    "2023's actual feature space; north star: data selection)",
+)
+def q96_dsir_hashed_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR selection over HASHED BIGRAM features
+    (operators.curation.dsir_select with ngram=2, buckets=2^16): the
+    published method's real feature space — adjacent word pairs hashed
+    into a fixed-size table — so the importance model sees word order
+    (reordered word salad stops scoring like target prose) and the
+    model size is capped at ``buckets`` regardless of vocabulary
+    growth. Same integer bits-proxy scoring and division-free
+    above-corpus-mean flag as q94; the hash is the md5->60-bit->%
+    device both engines compute bit-identically. n_tokens counts
+    bigram features; docs with fewer than 2 tokens drop (no
+    features)."""
+    from candia_spark.operators.curation import dsir_select
+
+    docs = _t(spark, sf_dir, "documents")
+    target = docs.filter(F.col("source").isin(*_DSIR_TARGET_SOURCES))
+    return dsir_select(docs, target, ngram=2, buckets=65536)
+
+
+@register(
     "q92_bpe_train",
     oracle=_q92_oracle(6),
     survey_ref="tokenizer induction: multi-round BPE trainer "

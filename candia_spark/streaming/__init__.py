@@ -474,15 +474,21 @@ def write_dsir_batch(
     costs: DataFrame,
     c_toks: int,
     c_bits: int,
+    ngram: int = 1,
+    buckets: int | None = None,
 ) -> None:
     """Idempotent per-micro-batch sink for :func:`dsir_stream` (the
     :func:`write_contamination_batch` stance): the batch's DSIR scores
     land under ``_batch_id=<batch_id>`` via dynamic partition
     overwrite, so an at-least-once replay of a deterministic batch
-    rewrites its own partition instead of duplicating rows."""
+    rewrites its own partition instead of duplicating rows.
+    ``ngram``/``buckets`` select the frozen model's feature space and
+    must match what ``dsir_reference_costs`` was called with."""
     from candia_spark.operators.curation import dsir_score_fixed
 
-    out = dsir_score_fixed(batch_df, costs, c_toks, c_bits)
+    out = dsir_score_fixed(
+        batch_df, costs, c_toks, c_bits, ngram=ngram, buckets=buckets
+    )
     (
         out.withColumn("_batch_id", F.lit(int(batch_id)))
         .write.mode("overwrite")
@@ -499,6 +505,8 @@ def dsir_stream(
     c_bits: int,
     out_path: str,
     checkpoint_dir: str,
+    ngram: int = 1,
+    buckets: int | None = None,
 ) -> None:
     """Streaming DSIR quality gate: every arriving micro-batch of
     documents is scored against a FROZEN importance model
@@ -523,6 +531,7 @@ def dsir_stream(
         write_dsir_batch(
             batch_df, batch_id, out_path,
             costs=costs, c_toks=c_toks, c_bits=c_bits,
+            ngram=ngram, buckets=buckets,
         )
 
     q = (

@@ -677,3 +677,12 @@ def test_cluster_safe_split_rejects_degenerate_split(spark):
     for mod, lt in ((0, 0), (10, 11), (10, -1), (10, 0), (10, 10)):
         with pytest.raises(ValueError, match="train_lt"):
             cluster_safe_split(docs, pairs, mod=mod, train_lt=lt)
+
+def test_dsir_features_validation(spark):
+    from candia_spark.operators.curation import dsir_select
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id bigint, text string")
+    with pytest.raises(ValueError, match="ngram"):
+        dsir_select(df, df, ngram=3)
+    with pytest.raises(ValueError, match="buckets"):
+        dsir_select(df, df, ngram=2, buckets=0)

@@ -784,6 +784,63 @@ def test_dsir_select_matches_reference(spark, docs):
     assert got == want
 
 
+@given(st.lists(doc_strategy, min_size=2, max_size=6))
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_dsir_hashed_bigrams_matches_reference(spark, docs):
+    """dsir_select with ngram=2/buckets (r11) == the same Counter fold
+    over HASHED BIGRAM features: feature = md5(a+' '+b) first-15-hex ->
+    int % buckets (the cross-engine device, recomputed independently
+    with hashlib here). buckets=16 forces hash COLLISIONS — the census
+    must sum collided features together exactly as the hash table
+    model says, and docs with <2 tokens must drop (no features)."""
+    import hashlib
+    from collections import Counter
+
+    from candia_spark.operators.curation import dsir_select
+
+    B = 16
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(docs)],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["score_bits"], r["selected"])
+        for r in dsir_select(
+            df, df.filter("doc_id % 2 = 0"), ngram=2, buckets=B
+        ).collect()
+    }
+
+    def feats(toks):
+        ts = [t for t in toks if t]
+        return [
+            int(hashlib.md5(f"{a} {b}".encode()).hexdigest()[:15], 16) % B
+            for a, b in zip(ts, ts[1:])
+        ]
+
+    bits = lambda c: len(bin(c)) - 2  # noqa: E731
+    src = Counter(f for toks in docs for f in feats(toks))
+    tgt = Counter(
+        f for i, toks in enumerate(docs) if i % 2 == 0 for f in feats(toks)
+    )
+    per = {}
+    for i, toks in enumerate(docs):
+        fs = feats(toks)
+        if not fs:
+            continue
+        score = sum(
+            (bits(tgt[f]) if f in tgt else 0) - bits(src[f]) for f in fs
+        )
+        per[i] = (len(fs), score)
+    c_toks = sum(n for n, _ in per.values())
+    c_bits = sum(s for _, s in per.values())
+    want = {
+        i: (n, s, 1 if s * c_toks > c_bits * n else 0)
+        for i, (n, s) in per.items()
+    }
+    assert got == want
+
+
 @given(st.lists(doc_strategy, min_size=1, max_size=6))
 @settings(max_examples=8, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])

@@ -633,3 +633,60 @@ def test_dsir_stream_matches_batch_and_absorbs_replay(spark, tmp_path):
     again = sorted(map(tuple,
                        spark.read.parquet(out_path).drop("_batch_id").collect()))
     assert again == batch
+
+def test_dsir_stream_hashed_bigram_features(spark, tmp_path):
+    """The streaming DSIR gate parameterized over the r11 hashed-bigram
+    feature space (verdict r10 next #3): freeze the model with
+    ngram=2/buckets, score the firehose with the SAME parameters, and
+    the per-trigger union still equals one batch run over all arrivals
+    — word-order now matters (a reordered word salad scores differently
+    from the target-like original), which unigram features cannot see."""
+    import json
+
+    from candia_spark.operators.curation import (
+        dsir_reference_costs,
+        dsir_score_fixed,
+    )
+    from candia_spark.streaming import dsir_stream
+
+    kw = dict(ngram=2, buckets=64)
+    reference = spark.createDataFrame(
+        [(100, "the cat sat"), (101, "sat cat the"), (102, "dog ran far")],
+        ["doc_id", "text"],
+    )
+    target = reference.filter("doc_id = 100")  # 'the cat' / 'cat sat'
+    costs, c_toks, c_bits = dsir_reference_costs(reference, target, **kw)
+
+    files = [
+        [(1, "the cat sat"), (2, "sat cat the")],   # same BAG of words
+        [(3, "dog ran far"), (4, "the cat sat sat cat the")],
+    ]
+    in_dir = tmp_path / "dsir_bg_arrivals"
+    in_dir.mkdir()
+    for i, rows in enumerate(files):
+        with open(in_dir / f"batch{i}.jsonl", "w") as f:
+            for doc_id, text in rows:
+                f.write(json.dumps({"doc_id": doc_id, "text": text}) + "\n")
+
+    stream = (
+        spark.readStream.schema("doc_id LONG, text STRING")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(in_dir))
+    )
+    out_path = str(tmp_path / "dsir_bg_out")
+    dsir_stream(stream, costs, c_toks, c_bits, out_path,
+                str(tmp_path / "dsir_bg_ckpt"), **kw)
+
+    streamed = sorted(map(tuple, spark.read.parquet(out_path)
+                          .drop("_batch_id").collect()))
+    all_docs = spark.createDataFrame(
+        [r for rows in files for r in rows], "doc_id long, text string"
+    )
+    batch = sorted(map(tuple, dsir_score_fixed(
+        all_docs, costs, c_toks, c_bits, **kw).collect()))
+    assert streamed == batch
+    by_id = {r[0]: (r[1], r[2], r[3]) for r in batch}
+    # word order is visible: doc 1 repeats the target's exact bigrams,
+    # doc 2 is the same unigram bag reordered — different score
+    assert by_id[1][1] != by_id[2][1]
+    assert by_id[1][2] == 1 and by_id[2][2] == 0  # target-like doc kept
