@@ -1143,6 +1143,123 @@ def dsir_score_fixed(
     )
 
 
+def quality_classifier_weights(
+    pos: DataFrame,
+    neg: DataFrame,
+    text_col: str = "text",
+    ngram: int = 1,
+    buckets: int | None = None,
+) -> DataFrame:
+    """Train a fastText-style LINEAR quality model from labeled
+    corpora — the classifier stage every production pipeline runs
+    (GPT-3/LLaMA's "looks like WebText/Wikipedia" logistic filter):
+    one census over the positive (high-quality) corpus, one over the
+    negative, and each feature's weight is the integer log-odds proxy
+    ``bits(count_pos) − bits(count_neg)`` (bits = floor-log2+1 via
+    length(bin(x)), the dsir/rarity device; features absent from a side
+    price that side 0 bits). Multinomial-NB training instead of SGD, so
+    the weights are EXACT integers and the downstream keep/drop gate is
+    engine-exactly recomputable — the published pipelines' logistic
+    weights differ run-to-run anyway; what they ship is "a broadcast
+    linear scorer", which this is.
+
+    Output: (tok, weight) — the broadcast-sized model for
+    :func:`quality_classifier_score`. ``ngram``/``buckets`` pick the
+    same hashed feature space as the DSIR family
+    (:func:`_dsir_features`); with ``buckets`` set the model is at most
+    ``buckets`` rows no matter how big the training corpora are.
+
+    Scale shape: two feature censuses (one shuffle each, map-side
+    partial agg) + one feature-keyed full outer join of two
+    model-sized tables. Nothing corpus-sized survives the censuses."""
+    bits = lambda c: F.length(F.bin(c)).cast("bigint")  # noqa: E731
+    feats = _dsir_features(text_col, ngram, buckets)
+    p = (
+        pos.select(F.explode(feats).alias("tok"))
+        .groupBy("tok")
+        .agg(bits(F.count(F.lit(1))).alias("pos_bits"))
+    )
+    n = (
+        neg.select(F.explode(feats).alias("tok"))
+        .groupBy("tok")
+        .agg(bits(F.count(F.lit(1))).alias("neg_bits"))
+    )
+    return p.join(n, "tok", "full").select(
+        "tok",
+        (
+            F.coalesce("pos_bits", F.lit(0)) - F.coalesce("neg_bits", F.lit(0))
+        ).alias("weight"),
+    )
+
+
+def quality_classifier_score(
+    df: DataFrame,
+    weights: DataFrame,
+    threshold: tuple[int, int] = (0, 1),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 1,
+    buckets: int | None = None,
+) -> DataFrame:
+    """Score every document with a broadcast linear quality model (the
+    :func:`quality_classifier_weights` output, or any (tok, weight)
+    integer table) and flag the keepers — the quality-classifier
+    pipeline stage itself (verdict r10 next #5). Per document:
+    ``score_w = Σ weight(feature)`` over its feature OCCURRENCES
+    (term frequency implicit in the sum), unseen features weigh 0, and
+    ``keep = 1`` iff the per-feature mean clears ``threshold`` =
+    (num, den): ``score_w·den > num·n_tokens``, cross-multiplied in
+    decimal(38,0) — division-free, sign-safe (weights can be negative),
+    the dsir_score_fixed device with an explicit frozen threshold.
+
+    Output one row per INPUT document: (id, n_tokens, score_w, keep);
+    featureless docs (empty text, or fewer than ``ngram`` tokens) keep
+    zeros and keep=0 — a production gate must emit a verdict for every
+    arrival, so nothing is dropped here (unlike dsir_select's
+    non-empty-only contract).
+
+    The verdict is a pure function of the row + the broadcast model +
+    the frozen threshold, so this operator IS the micro-batch leg of
+    its streaming twin (:func:`candia_spark.streaming.quality_stream`)
+    — stream ≡ batch row-for-row, the dsir-gate stance.
+
+    Scale shape: explode features, ONE broadcast-hash join against the
+    model (explicitly broadcast — it is bounded by ``buckets`` or the
+    training vocabulary), one per-doc aggregation, and a left join back
+    to the id spine for the featureless rows. No corpus-sized shuffle
+    except the per-doc agg's own key."""
+    num, den = threshold
+    if den <= 0:
+        raise ValueError(f"threshold denominator must be positive, got {den}")
+    toks = df.select(
+        F.col(id_col),
+        F.explode(_dsir_features(text_col, ngram, buckets)).alias("tok"),
+    )
+    scored = (
+        toks.join(F.broadcast(weights), "tok", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum(F.coalesce("weight", F.lit(0)))
+            .cast("bigint")
+            .alias("score_w"),
+        )
+    )
+    nd = F.lit(int(num)).cast("decimal(38,0)")
+    dd = F.lit(int(den)).cast("decimal(38,0)")
+    return df.select(F.col(id_col)).join(scored, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce("n_tokens", F.lit(0)).cast("bigint").alias("n_tokens"),
+        F.coalesce("score_w", F.lit(0)).cast("bigint").alias("score_w"),
+        (
+            F.coalesce("score_w", F.lit(0)).cast("decimal(38,0)") * dd
+            > nd * F.coalesce("n_tokens", F.lit(0)).cast("decimal(38,0)")
+        )
+        .cast("bigint")
+        .alias("keep"),
+    )
+
+
 def cluster_safe_split(
     df: DataFrame,
     pairs: DataFrame,

@@ -5092,6 +5092,70 @@ def q96_dsir_hashed_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q97_quality_classifier",
+    # NB-trained integer log-odds weights over hashed unigram features
+    # (4096 buckets -> forced collisions, summed identically by both
+    # engines), then the broadcast linear scorer + frozen 1/2 threshold
+    oracle="""
+    WITH feats AS MATERIALIZED (
+        SELECT doc_id, source,
+               CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) % 4096 AS tok
+        FROM (SELECT doc_id, source, unnest({toks}) AS tok FROM documents)
+    ), p AS (
+        SELECT tok, CAST(length(bin(COUNT(*))) AS BIGINT) AS pos_bits
+        FROM feats WHERE source IN ('src0', 'src1', 'src2', 'src3', 'src4')
+        GROUP BY tok
+    ), n AS (
+        SELECT tok, CAST(length(bin(COUNT(*))) AS BIGINT) AS neg_bits
+        FROM feats
+        WHERE source NOT IN ('src0', 'src1', 'src2', 'src3', 'src4')
+        GROUP BY tok
+    ), w AS (
+        SELECT tok,
+               COALESCE(pos_bits, 0) - COALESCE(neg_bits, 0) AS weight
+        FROM p FULL JOIN n USING (tok)
+    ), agg AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(SUM(COALESCE(weight, 0)) AS BIGINT) AS score_w
+        FROM feats LEFT JOIN w USING (tok) GROUP BY doc_id
+    )
+    SELECT d.doc_id, COALESCE(a.n_tokens, 0) AS n_tokens,
+           COALESCE(a.score_w, 0) AS score_w,
+           CAST(CAST(COALESCE(a.score_w, 0) AS HUGEINT) * 2
+                > CAST(1 AS HUGEINT) * CAST(COALESCE(a.n_tokens, 0)
+                                            AS HUGEINT) AS BIGINT) AS keep
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+    """.replace("{toks}", _TOKS_SQL),
+    survey_ref="quality-classifier scoring: broadcast linear model, "
+    "hashed features, frozen keep threshold (north star; verdict r10 "
+    "next #5)",
+)
+def q97_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-classifier gate
+    (operators.curation.quality_classifier_weights + _score): train a
+    fastText-style broadcast linear model — integer log-odds weights
+    bits(count_pos)−bits(count_neg) over 4096 hashed unigram features,
+    positives = the src0-src4 slice, negatives = the rest — then score
+    EVERY document (Σ weight per feature occurrence, bigint) and keep
+    those whose per-feature mean clears the frozen 1/2 threshold by
+    exact decimal cross-multiply. The scorer's verdict is a pure
+    function of row + broadcast model + threshold, so its streaming
+    twin (quality_stream) is batch-identical by construction."""
+    from candia_spark.operators.curation import (
+        quality_classifier_score,
+        quality_classifier_weights,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pos = docs.filter(F.col("source").isin(*_DSIR_TARGET_SOURCES))
+    neg = docs.filter(~F.col("source").isin(*_DSIR_TARGET_SOURCES))
+    w = quality_classifier_weights(pos, neg, buckets=4096)
+    return quality_classifier_score(
+        docs, w, threshold=(1, 2), buckets=4096
+    )
+
+
+@register(
     "q92_bpe_train",
     oracle=_q92_oracle(6),
     survey_ref="tokenizer induction: multi-round BPE trainer "
@@ -5182,25 +5246,20 @@ def q91_self_repetition_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
 # registry entries, and queries()/oracle_sql() preserve this dict's
 # insertion order, so this tail list IS the rotation schedule (verdict
 # r7 next #6: every query's driver-grade certification stays <= 2 rounds
-# old). Round-10 rotation (verdict r9 next #7): the 41 rows the r8/r9
-# rotations parked — all driver-certified r8 or earlier, the oldest
-# certifications in the registry — come back INSIDE the window
-# (q02-q22, q26/q27, q29, q39-q41, q44-q48, q54, q57, q68-q71,
-# q74-q76, q79). Staying in with them: the EIGHT r9-certified queries
-# whose operator code changed THIS round and therefore need fresh
-# driver-grade certification — q72 (winnow telemetry sentinel), q73/
-# q77/q82 (authority margin stats now ride Observations on the
-# materialization passes), q86 (bigram_assoc broadcast_unigrams knob),
-# q87 (cluster_safe_split degenerate-split guard), q89 (cluster_purity
-# struct-min label tie-break), q91 (self-repetition engine knob +
-# Arrow leg) — plus the new q92 (multi-round BPE trainer; new queries
-# always certify driver-grade in their first round). The 42 parked
-# below are the remaining r9-driver-certified rows, all UNCHANGED this
-# round; q83's one-round BPE census machinery additionally stays
-# driver-covered through q92, which generalizes it. Every tail entry
-# stays re-certified locally each round by plans/compare.py
-# compare_all at three scales (CORRECTNESS_local_r{N}.json). Registry
-# contents unchanged — order only.
+# old). Round-11 rotation: the r10 window (the 41 oldest-certification
+# rows brought back in r10 + the r10-changed eight + q92-q95) carries
+# over, minus two seats for the new q96 (DSIR hashed bigrams) and q97
+# (quality classifier) — parked rows and their covers are annotated
+# inline at the tail's end. Rows whose operator code changed THIS
+# round all sit in-window for fresh driver-grade certification: q89
+# (cluster_purity null-label filter), q91 (null-text auto routing),
+# q92 (bpe_train local engine — the auto path now runs the in-process
+# merge loop), q94 (dsir feature-space signature), q95 (mmr grouped
+# engine, now the certified leg), q96/q97 (new queries always certify
+# driver-grade in their first round). Every tail entry stays
+# re-certified locally each round by plans/compare.py compare_all at
+# three scales (CORRECTNESS_local_r{N}.json). Registry contents
+# unchanged — order only.
 _DRIVER_WINDOW_TAIL = [
     "q01_pricing_summary",
     "q06_two_level_count_filter",
@@ -5258,6 +5317,22 @@ _DRIVER_WINDOW_TAIL = [
     # reference (the strongest non-driver evidence in the suite).
     # Back in at r11:
     "q20_greedy_ppm_partition",
+    # --- r11 rotation: q96 (DSIR hashed bigrams) and q97 (quality
+    # classifier) take the two new seats; every row whose operator code
+    # changed this round stays in-window (q89 null-label filter, q91
+    # null-text routing, q92 local BPE engine, q94 feature-space
+    # signature, q95 grouped engine, plus the new pair). Parked:
+    # q97's seat: q29's canonical normalize+md5-digest machinery stays
+    # driver-covered through q47 (regex-normalized rewrite gated by
+    # clean_md5, in-window) and the md5-digest device additionally
+    # rides q26/q27's oracle and q97's hashed features.
+    "q29_fingerprint",
+    # q96's seat: q75's cross-engine sampling primitive (the md5-prefix
+    # rule) stays driver-covered through q46_stratified_sample
+    # (in-window, same primitive); the sqrt-temperature weight
+    # arithmetic is pinned by its by-hand pytest
+    # (test_text_multimodal/test_retrieval sampling suites).
+    "q75_temperature_sample",
 ]
 for _name in _DRIVER_WINDOW_TAIL:
     QUERY_REGISTRY[_name] = QUERY_REGISTRY.pop(_name)

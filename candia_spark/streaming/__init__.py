@@ -543,6 +543,79 @@ def dsir_stream(
     q.awaitTermination()
 
 
+def write_quality_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    out_path: str,
+    *,
+    weights: DataFrame,
+    threshold: tuple[int, int] = (0, 1),
+    ngram: int = 1,
+    buckets: int | None = None,
+) -> None:
+    """Idempotent per-micro-batch sink for :func:`quality_stream` (the
+    dsir/contamination stance): the batch's quality verdicts land under
+    ``_batch_id=<batch_id>`` via dynamic partition overwrite, so an
+    at-least-once replay of a deterministic batch rewrites its own
+    partition instead of duplicating rows. ``threshold``/``ngram``/
+    ``buckets`` are the frozen model's parameters and must match what
+    the weights were trained with."""
+    from candia_spark.operators.curation import quality_classifier_score
+
+    out = quality_classifier_score(
+        batch_df, weights, threshold=threshold, ngram=ngram, buckets=buckets
+    )
+    (
+        out.withColumn("_batch_id", F.lit(int(batch_id)))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("_batch_id")
+        .parquet(out_path)
+    )
+
+
+def quality_stream(
+    docs_stream: DataFrame,
+    weights: DataFrame,
+    out_path: str,
+    checkpoint_dir: str,
+    threshold: tuple[int, int] = (0, 1),
+    ngram: int = 1,
+    buckets: int | None = None,
+) -> None:
+    """Streaming quality-classifier gate: every arriving micro-batch of
+    documents is scored against a FROZEN broadcast linear model
+    (:func:`candia_spark.operators.curation.quality_classifier_weights`
+    — trained once on labeled snapshots, applied to the firehose) with
+    a FIXED keep threshold, and the per-doc verdicts land under the
+    ``_batch_id`` exactly-once discipline.
+
+    The frozen weights + explicit integer threshold make every
+    document's (n_tokens, score_w, keep) a pure function of its own
+    row plus the broadcast-sized model — no batch-dependent statistic
+    anywhere — so the union of per-trigger outputs equals one batch
+    run over the concatenated arrivals row-for-row (pinned in
+    tests/test_streaming.py, the dsir-gate stance).
+
+    ``availableNow`` drains pending input then stops (backfill
+    trigger); swap for a processing-time trigger on a live source."""
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        write_quality_batch(
+            batch_df, batch_id, out_path,
+            weights=weights, threshold=threshold,
+            ngram=ngram, buckets=buckets,
+        )
+
+    q = (
+        docs_stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def run_available_now(
     stream_df: DataFrame,
     query_name: str,

@@ -686,3 +686,67 @@ def test_dsir_features_validation(spark):
         dsir_select(df, df, ngram=3)
     with pytest.raises(ValueError, match="buckets"):
         dsir_select(df, df, ngram=2, buckets=0)
+
+def test_quality_classifier_weights_and_score_by_hand(spark):
+    """NB-trained integer log-odds weights + the broadcast linear
+    scorer, small enough to check by hand: pos census good=2,fine=1 and
+    neg census bad=2,good=1 give weights good=+1, fine=+1, bad=-2;
+    scoring with threshold 1/2 keeps the doc whose per-token mean
+    clears it, flags the bad and unseen-token docs 0, and emits a
+    verdict (zeros) even for the EMPTY doc — a gate must answer for
+    every arrival."""
+    from candia_spark.operators.curation import (
+        quality_classifier_score,
+        quality_classifier_weights,
+    )
+
+    pos = spark.createDataFrame(
+        [(1, "good good fine")], "doc_id bigint, text string"
+    )
+    neg = spark.createDataFrame(
+        [(2, "bad bad good")], "doc_id bigint, text string"
+    )
+    w = {
+        r["tok"]: r["weight"]
+        for r in quality_classifier_weights(pos, neg).collect()
+    }
+    assert w == {"good": 1, "fine": 1, "bad": -2}
+    docs = spark.createDataFrame(
+        [(1, "good fine"), (2, "bad bad"), (3, ""), (4, "zz unseen")],
+        "doc_id bigint, text string",
+    )
+    out = {
+        r["doc_id"]: (r["n_tokens"], r["score_w"], r["keep"])
+        for r in quality_classifier_score(
+            docs, quality_classifier_weights(pos, neg), threshold=(1, 2)
+        ).collect()
+    }
+    assert out == {
+        1: (2, 2, 1),    # mean 1 > 1/2
+        2: (2, -4, 0),   # negative weights flow through exactly
+        3: (0, 0, 0),    # empty doc: verdict emitted, not dropped
+        4: (2, 0, 0),    # unseen tokens weigh 0; 0*2 > 1*2 is false
+    }
+    with pytest.raises(ValueError, match="denominator"):
+        quality_classifier_score(docs, pos, threshold=(1, 0))
+
+
+def test_quality_classifier_model_join_broadcasts(spark):
+    """Scale contract: the model side of the scoring join must
+    broadcast (the weights table is bounded by buckets / training
+    vocabulary) — a corpus-wide shuffle on the feature key is the
+    anti-pattern the broadcast model exists to avoid."""
+    from candia_spark.operators.curation import (
+        quality_classifier_score,
+        quality_classifier_weights,
+    )
+
+    pos = spark.createDataFrame(
+        [(1, "good fine")], "doc_id bigint, text string"
+    )
+    neg = spark.createDataFrame([(2, "bad")], "doc_id bigint, text string")
+    w = quality_classifier_weights(pos, neg, buckets=64)
+    plan = _plan_of(
+        quality_classifier_score(pos.unionByName(neg), w, buckets=64)
+    )
+    assert "BroadcastHashJoin" in plan, plan

@@ -690,3 +690,71 @@ def test_dsir_stream_hashed_bigram_features(spark, tmp_path):
     # doc 2 is the same unigram bag reordered — different score
     assert by_id[1][1] != by_id[2][1]
     assert by_id[1][2] == 1 and by_id[2][2] == 0  # target-like doc kept
+
+def test_quality_stream_matches_batch_and_absorbs_replay(spark, tmp_path):
+    """Streaming quality-classifier gate (r11, verdict r10 next #5):
+    per micro-batch scoring against a FROZEN broadcast linear model and
+    a FIXED integer threshold equals one batch run over all arrivals
+    (every doc's verdict is a pure function of its own row + the
+    model), and the _batch_id dynamic-overwrite sink absorbs an
+    at-least-once replay."""
+    import json
+
+    from candia_spark.operators.curation import (
+        quality_classifier_score,
+        quality_classifier_weights,
+    )
+    from candia_spark.streaming import quality_stream, write_quality_batch
+
+    pos = spark.createDataFrame(
+        [(100, "good good fine")], "doc_id bigint, text string"
+    )
+    neg = spark.createDataFrame(
+        [(101, "bad bad good")], "doc_id bigint, text string"
+    )
+    weights = quality_classifier_weights(pos, neg)
+    # frozen model: good=+1, fine=+1, bad=-2 (pinned in test_curation)
+
+    files = [
+        [(1, "good fine good"), (2, "bad bad")],
+        [(3, "zz good"), (4, "")],  # unseen token; empty doc
+    ]
+    in_dir = tmp_path / "quality_arrivals"
+    in_dir.mkdir()
+    for i, rows in enumerate(files):
+        with open(in_dir / f"batch{i}.jsonl", "w") as f:
+            for doc_id, text in rows:
+                f.write(json.dumps({"doc_id": doc_id, "text": text}) + "\n")
+
+    stream = (
+        spark.readStream.schema("doc_id LONG, text STRING")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(in_dir))
+    )
+    out_path = str(tmp_path / "quality_out")
+    quality_stream(stream, weights, out_path,
+                   str(tmp_path / "quality_ckpt"), threshold=(1, 2))
+
+    out = spark.read.parquet(out_path)
+    streamed = sorted(map(tuple, out.drop("_batch_id").collect()))
+    all_docs = spark.createDataFrame(
+        [r for rows in files for r in rows], "doc_id long, text string"
+    )
+    batch = sorted(map(tuple, quality_classifier_score(
+        all_docs, weights, threshold=(1, 2)).collect()))
+    assert streamed == batch
+    by_id = {r[0]: (r[1], r[2], r[3]) for r in batch}
+    # by hand at threshold 1/2: doc1 score 3/3 -> 6 > 3 keep; doc2
+    # -4 -> drop; doc3 (zz=0, good=1) 2 > 2 false -> drop; doc4 empty
+    assert by_id == {1: (3, 3, 1), 2: (2, -4, 0),
+                     3: (2, 1, 0), 4: (0, 0, 0)}
+    # replay absorption: re-deliver file 0's rows under their batch id
+    file0_batch_id = (
+        out.where(out["doc_id"] == 1).select("_batch_id").collect()[0][0]
+    )
+    replay = spark.createDataFrame(files[0], "doc_id long, text string")
+    write_quality_batch(replay, file0_batch_id, out_path,
+                        weights=weights, threshold=(1, 2))
+    again = sorted(map(tuple,
+                       spark.read.parquet(out_path).drop("_batch_id").collect()))
+    assert again == batch
