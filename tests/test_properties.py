@@ -1100,3 +1100,52 @@ def test_mmr_select_matches_reference(spark, vecs, k):
         sel.append(best)
         remaining.discard(best)
     assert got == sel
+
+@given(st.lists(doc_strategy, min_size=2, max_size=6),
+       st.integers(min_value=0, max_value=3))
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_quality_classifier_matches_reference(spark, docs, num):
+    """quality_classifier_weights + _score == an independent Counter
+    fold: weight = bits(pos cnt) - bits(neg cnt) (0 for an absent
+    side), per-doc occurrence-weighted sums, keep by exact
+    cross-multiplication against a fuzzed num/2 threshold. Pos = the
+    even-indexed documents, neg = the rest; EVERY doc gets a verdict,
+    empty docs score zeros."""
+    from collections import Counter
+
+    from candia_spark.operators.curation import (
+        quality_classifier_score,
+        quality_classifier_weights,
+    )
+
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(docs)],
+        ["doc_id", "text"],
+    )
+    pos_df = df.filter("doc_id % 2 = 0")
+    neg_df = df.filter("doc_id % 2 = 1")
+    w_df = quality_classifier_weights(pos_df, neg_df)
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["score_w"], r["keep"])
+        for r in quality_classifier_score(
+            df, w_df, threshold=(num, 2)
+        ).collect()
+    }
+    bits = lambda c: len(bin(c)) - 2  # noqa: E731
+    pos = Counter(
+        t for i, toks in enumerate(docs) if i % 2 == 0 for t in toks if t
+    )
+    neg = Counter(
+        t for i, toks in enumerate(docs) if i % 2 == 1 for t in toks if t
+    )
+    weight = {
+        t: (bits(pos[t]) if t in pos else 0) - (bits(neg[t]) if t in neg else 0)
+        for t in set(pos) | set(neg)
+    }
+    want = {}
+    for i, toks in enumerate(docs):
+        ts = [t for t in toks if t]
+        s = sum(weight.get(t, 0) for t in ts)
+        want[i] = (len(ts), s, 1 if s * 2 > num * len(ts) else 0)
+    assert got == want
