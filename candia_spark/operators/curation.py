@@ -1275,6 +1275,98 @@ def quality_classifier_score(
     )
 
 
+def strip_boilerplate_lines(
+    df: DataFrame,
+    max_frac: tuple[int, int] = (1, 2),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    min_docs: int = 2,
+    sep: str = "\n",
+) -> DataFrame:
+    """Domain-scoped boilerplate LINE removal — the CCNet/RefinedWeb
+    cleanup stage between raw extraction and dedup: a line that appears
+    in at least ``max_frac`` = (num, den) of its ``group_col``'s
+    documents (and in at least ``min_docs`` of them — the small-group
+    guard) is site furniture (header, nav, cookie banner, copyright
+    footer), not content, and is stripped from every document of that
+    group. Lines are compared exactly within their group; each
+    document's surviving lines keep their original order.
+
+    Output one row per input document: (id, group, n_lines, n_kept,
+    clean_text) — clean_text is the kept lines re-joined with ``sep``
+    ('' when every line was boilerplate); NULL text behaves as ''
+    (the r11 null-text doctrine). The boilerplate test is
+    ``line_docs·den >= num·group_docs`` in bigint (counts are document
+    counts, far inside 2^63 even at 100 TB) — division-free, so the
+    whole rewrite is engine-exactly recomputable and an md5 of
+    clean_text can gate it (q98).
+
+    Scale shape: three keyed shuffles, all linear — the (group, line)
+    census with exact countDistinct(doc), the line-keyed join of
+    exploded lines against that census (each left row matches exactly
+    ONE census row, so a viral boilerplate line skews but never
+    expands; AQE splits the skew), and the per-doc ordered rebuild
+    (array_sort over collect_list of (pos, line) structs — bounded by
+    single-document size). The per-group doc census is group-sized and
+    explicitly broadcast. Nothing all-pairs anywhere."""
+    import re
+
+    num, den = max_frac
+    if den <= 0 or num < 0:
+        raise ValueError(f"max_frac must be (num>=0, den>0), got {max_frac}")
+    if min_docs < 1:
+        raise ValueError(f"min_docs must be >= 1, got {min_docs}")
+    pat = re.escape(sep)
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    lines = df.select(
+        F.col(id_col),
+        F.col(group_col).alias("__grp"),
+        F.posexplode(F.split(text, pat)).alias("__pos", "__line"),
+    )
+    gdocs = (
+        df.groupBy(F.col(group_col).alias("__grp"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__grp_docs"))
+    )
+    census = (
+        lines.groupBy("__grp", "__line")
+        .agg(F.count_distinct(F.col(id_col)).cast("bigint").alias("__line_docs"))
+    )
+    boiler = (
+        F.col("__line_docs") * F.lit(int(den))
+        >= F.lit(int(num)) * F.col("__grp_docs")
+    ) & (F.col("__line_docs") >= F.lit(int(min_docs)))
+    kept = (
+        lines.join(census, ["__grp", "__line"])
+        .join(F.broadcast(gdocs), "__grp")
+        .filter(~boiler)
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("__pos", "__line"))
+                ),
+                lambda s: s["__line"],
+            ),
+            sep,
+        ).alias("clean_text"),
+    )
+    spine = df.select(
+        F.col(id_col),
+        F.col(group_col).alias("group"),
+        F.size(F.split(text, pat)).cast("bigint").alias("n_lines"),
+    )
+    return spine.join(rebuilt, id_col, "left").select(
+        F.col(id_col),
+        "group",
+        "n_lines",
+        F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+    )
+
+
 def cluster_safe_split(
     df: DataFrame,
     pairs: DataFrame,

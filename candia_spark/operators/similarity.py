@@ -429,6 +429,7 @@ def mmr_select(
     query_id_col: str = "query_id",
     round_digits: int = 6,
     engine: str = "driver",
+    topk_engine: str = "window",
 ) -> DataFrame:
     """Maximal Marginal Relevance selection (Carbonell & Goldstein 1998)
     — the diversity reranker every retrieval-augmented pipeline runs on
@@ -470,6 +471,18 @@ def mmr_select(
     and an unrolled-CTE oracle can gate either leg (q95; the
     equivalence pytest pins driver ≡ grouped on the full trajectory).
 
+    ``topk_engine`` picks how the shortlist itself is computed —
+    ``"window"`` is :func:`cosine_topk_bruteforce` (per-query window
+    rank over Q·N score rows: simple, but the Q·N shuffle is the
+    documented killer for large query batches), ``"heap"`` is
+    :func:`cosine_topk_bruteforce_heap` (per-partition vectorized
+    numpy top-k, only Q·k·P candidate rows reach the final window).
+    The two produce the IDENTICAL shortlist set under the
+    (cosine desc, id asc) contract (pytest-pinned set-equality), so
+    the downstream greedy is unaffected; ``engine="grouped",
+    topk_engine="heap"`` is the full scale configuration — no Q·N
+    shuffle anywhere and nothing query-batch-sized on the driver.
+
     Zero-norm embeddings have no cosine and fail LOUDLY (ADVICE r10 —
     the greedy used to crash on a bare None): under ANSI (this
     session's default) the norm division throws DIVIDE_BY_ZERO in the
@@ -487,7 +500,16 @@ def mmr_select(
         raise ValueError(
             f"engine must be 'driver' or 'grouped', got {engine!r}"
         )
-    sl = cosine_topk_bruteforce(
+    if topk_engine not in ("window", "heap"):
+        raise ValueError(
+            f"topk_engine must be 'window' or 'heap', got {topk_engine!r}"
+        )
+    topk = (
+        cosine_topk_bruteforce
+        if topk_engine == "window"
+        else cosine_topk_bruteforce_heap
+    )
+    sl = topk(
         corpus, queries, k=shortlist, vec_col=vec_col, id_col=id_col,
         query_id_col=query_id_col, round_digits=round_digits,
     ).select(query_id_col, id_col, "cosine")

@@ -5156,6 +5156,86 @@ def q97_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q98_boilerplate_lines",
+    # the documents table has no newlines, so the query PLANTS the line
+    # structure (the q91 augmentation device): a per-source header and
+    # a global footer on every doc (within-source df = 100% -> both
+    # stripped), a 'promo banner' on doc_id % 3 == 0 docs (~1/3 < the
+    # 1/2 threshold -> kept), and the original text as the body line
+    oracle="""
+    WITH aug AS MATERIALIZED (
+        SELECT doc_id, source,
+               'site header ' || source || chr(10) || text ||
+               CASE WHEN doc_id % 3 = 0
+                    THEN chr(10) || 'promo banner' ELSE '' END ||
+               chr(10) || 'copyright footer' AS text
+        FROM documents
+    ), ln AS MATERIALIZED (
+        SELECT doc_id, source, i AS pos, l[i] AS line
+        FROM (SELECT doc_id, source,
+                     string_split(text, chr(10)) AS l FROM aug),
+             unnest(generate_series(1, len(l))) AS u(i)
+    ), gdocs AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM aug GROUP BY source
+    ), census AS (
+        SELECT source, line,
+               CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS line_docs
+        FROM ln GROUP BY source, line
+    ), kept AS (
+        SELECT l.doc_id, l.pos, l.line
+        FROM ln l JOIN census c USING (source, line)
+                  JOIN gdocs g USING (source)
+        WHERE NOT (c.line_docs * 2 >= 1 * g.n_docs AND c.line_docs >= 2)
+    ), rebuilt AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+               string_agg(line, chr(10) ORDER BY pos) AS clean
+        FROM kept GROUP BY doc_id
+    )
+    SELECT a.doc_id,
+           CAST(len(string_split(a.text, chr(10))) AS BIGINT) AS n_lines,
+           COALESCE(r.n_kept, 0) AS n_kept,
+           md5(COALESCE(r.clean, '')) AS clean_md5
+    FROM aug a LEFT JOIN rebuilt r USING (doc_id)
+    """,
+    survey_ref="boilerplate line removal (CCNet/RefinedWeb site-"
+    "furniture stripping; north star: extraction cleanup)",
+)
+def q98_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-scoped boilerplate line removal
+    (operators.curation.strip_boilerplate_lines): lines appearing in
+    >= 1/2 of a source's documents (and in >= 2 of them) are site
+    furniture and are stripped from every document of that source,
+    surviving lines keep their order. The query plants a per-source
+    header + global footer (stripped) and a 1-in-3 promo line (below
+    threshold, kept) around each document's real text; md5(clean_text)
+    hash-gates every rebuilt document, so a single mis-kept or
+    mis-ordered line anywhere fails the gate."""
+    from candia_spark.operators.curation import strip_boilerplate_lines
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    aug = docs.withColumn(
+        "text",
+        F.concat(
+            F.lit("site header "), F.col("source"), F.lit("\n"),
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0, F.lit("\npromo banner")
+            ).otherwise(F.lit("")),
+            F.lit("\ncopyright footer"),
+        ),
+    )
+    return strip_boilerplate_lines(
+        aug, max_frac=(1, 2), min_docs=2
+    ).select(
+        "doc_id",
+        "n_lines",
+        "n_kept",
+        F.md5(F.col("clean_text").cast("binary")).alias("clean_md5"),
+    )
+
+
+@register(
     "q92_bpe_train",
     oracle=_q92_oracle(6),
     survey_ref="tokenizer induction: multi-round BPE trainer "
@@ -5333,6 +5413,12 @@ _DRIVER_WINDOW_TAIL = [
     # arithmetic is pinned by its by-hand pytest
     # (test_text_multimodal/test_retrieval sampling suites).
     "q75_temperature_sample",
+    # q98's seat (boilerplate line removal): q39's nearest-value argmin
+    # is the struct-min argmin device that stays in-window through
+    # q05's groupwise argmax and q89's majority tie-break; q39 has
+    # been driver-certified every round since r4 and keeps its
+    # three-scale local certification.
+    "q39_nearest_value",
 ]
 for _name in _DRIVER_WINDOW_TAIL:
     QUERY_REGISTRY[_name] = QUERY_REGISTRY.pop(_name)

@@ -31,8 +31,14 @@
   the full corpus at x10/x25/x50. Claim: two censuses + one broadcast
   model join + one per-doc agg = linear, falling per-doc.
 
+- ``boilerplate`` (r11 new operator): strip_boilerplate_lines over
+  the q98-shaped corpus (per-source header + unique body + 1-in-3
+  promo + global footer) at x10/x25/x50. Claim: three linear keyed
+  shuffles -> linear wall, falling per-doc; the viral furniture lines
+  skew the probe join's key but never expand it.
+
 Usage: python scripts/scale_stress_r11.py [--sizes 10 25 50] [--runs 2]
-       [--only mmr_grouped bpe_local dsir_bigram quality]
+       [--only mmr_grouped bpe_local dsir_bigram quality boilerplate]
 
 Partial ``--only`` runs MERGE into SCALING_r11.json instead of
 clobbering (the r9 harness convention).
@@ -230,6 +236,41 @@ def run_dsir_bigram(spark, n_docs: int, runs: int) -> dict:
     }
 
 
+def run_boilerplate(spark, n_docs: int, runs: int) -> dict:
+    """Boilerplate line removal at x10/x25/x50: docs spread over 20
+    sources, each doc = per-source header + unique body + 1-in-3 promo
+    + global footer (the q98 shape). Claim: three linear keyed shuffles
+    -> linear wall with falling per-doc cost; the viral header/footer
+    lines (df = 100% of their source) skew the probe join's key but
+    never expand it (one census row per key)."""
+    from candia_spark.operators.curation import strip_boilerplate_lines
+
+    body = _pool_corpus(spark, n_docs, novel_token=True)
+    docs = ss_materialize(
+        body.select(
+            "doc_id",
+            F.concat(F.lit("src"), (F.col("doc_id") % 20).cast("string"))
+            .alias("source"),
+            F.concat(
+                F.lit("site header "),
+                (F.col("doc_id") % 20).cast("string"),
+                F.lit("\n"),
+                F.col("text"),
+                F.when(
+                    F.col("doc_id") % 3 == 0, F.lit("\npromo banner")
+                ).otherwise(F.lit("")),
+                F.lit("\ncopyright footer"),
+            ).alias("text"),
+        )
+    )
+    sec = ss.timed(lambda: strip_boilerplate_lines(docs), runs)
+    return {
+        "n_docs": n_docs,
+        "boilerplate_sec": sec,
+        "boilerplate_us_per_doc": round(sec * 1e6 / n_docs, 1),
+    }
+
+
 def run_quality(spark, n_docs: int, runs: int) -> dict:
     from candia_spark.operators.curation import (
         quality_classifier_score,
@@ -261,8 +302,10 @@ def main() -> int:
     ap.add_argument("--out", default=os.path.join(REPO, "SCALING_r11.json"))
     ap.add_argument(
         "--only", nargs="+",
-        default=["mmr_grouped", "bpe_local", "dsir_bigram", "quality"],
-        choices=["mmr_grouped", "bpe_local", "dsir_bigram", "quality"],
+        default=["mmr_grouped", "bpe_local", "dsir_bigram", "quality",
+                 "boilerplate"],
+        choices=["mmr_grouped", "bpe_local", "dsir_bigram", "quality",
+                 "boilerplate"],
     )
     args = ap.parse_args()
 
@@ -349,6 +392,22 @@ def main() -> int:
             entry["multiplier"] = k
             report["quality"].append(entry)
             print(json.dumps({"progress": f"quality x{k}", **entry}),
+                  flush=True)
+
+    if "boilerplate" in args.only:
+        from candia_spark.operators.curation import strip_boilerplate_lines
+
+        warm = _pool_corpus(spark, 100, True).select(
+            "doc_id", F.lit("s").alias("source"), "text"
+        )
+        strip_boilerplate_lines(warm).count()
+        report["boilerplate"] = []
+        for k in args.sizes:
+            ss.reclaim()
+            entry = run_boilerplate(spark, BASE_DOCS * k, args.runs)
+            entry["multiplier"] = k
+            report["boilerplate"].append(entry)
+            print(json.dumps({"progress": f"boilerplate x{k}", **entry}),
                   flush=True)
 
     with open(args.out, "w") as fh:

@@ -750,3 +750,68 @@ def test_quality_classifier_model_join_broadcasts(spark):
         quality_classifier_score(pos.unionByName(neg), w, buckets=64)
     )
     assert "BroadcastHashJoin" in plan, plan
+
+def test_strip_boilerplate_lines_by_hand(spark):
+    """CCNet/RefinedWeb site-furniture stripping, checkable by hand:
+    within source A (4 docs) the header appears in 4/4 docs (>= 1/2,
+    stripped) and the promo in 2/4 (>= 1/2 AND >= min_docs=2,
+    stripped); the body lines are unique (kept — min_docs protects
+    them twice over); source B has ONE doc, whose header would be 1/1
+    but min_docs=2 keeps it (the small-group guard). Order of
+    surviving lines is preserved; NULL text behaves as ''."""
+    from candia_spark.operators.curation import strip_boilerplate_lines
+
+    rows = [
+        (1, "A", "head\nbody one\npromo\ntail one"),
+        (2, "A", "head\nbody two\npromo"),
+        (3, "A", "head\nbody three"),
+        (4, "A", "head\nbody four"),
+        (5, "B", "head\nlonely body"),
+        (6, "B", None),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, source string, text string"
+    )
+    out = {
+        r["doc_id"]: (r["n_lines"], r["n_kept"], r["clean_text"])
+        for r in strip_boilerplate_lines(df).collect()
+    }
+    assert out[1] == (4, 2, "body one\ntail one")
+    assert out[2] == (3, 1, "body two")
+    assert out[3] == (2, 1, "body three")
+    assert out[4] == (2, 1, "body four")
+    # group B: 1 doc -> nothing reaches min_docs=2, all lines kept
+    assert out[5] == (2, 2, "head\nlonely body")
+    # NULL text == '' == one empty line; B has 2 docs but '' appears in
+    # only one of them -> kept
+    assert out[6] == (1, 1, "")
+    with pytest.raises(ValueError, match="max_frac"):
+        strip_boilerplate_lines(df, max_frac=(1, 0))
+    with pytest.raises(ValueError, match="min_docs"):
+        strip_boilerplate_lines(df, min_docs=0)
+
+
+def test_strip_boilerplate_lines_all_boiler_and_broadcast(spark):
+    """A document whose every line is group-furniture comes back with
+    clean_text '' (not a dropped row), and the group-census side of
+    the plan broadcasts (plan pin: the per-group doc counts must never
+    shuffle corpus-sized data)."""
+    from candia_spark.operators.curation import strip_boilerplate_lines
+
+    rows = [
+        (1, "A", "same\nsame2"),
+        (2, "A", "same\nsame2"),
+        (3, "A", "same\nsame2\nextra"),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, source string, text string"
+    )
+    out = {
+        r["doc_id"]: (r["n_lines"], r["n_kept"], r["clean_text"])
+        for r in strip_boilerplate_lines(df).collect()
+    }
+    assert out[1] == (2, 0, "")
+    assert out[2] == (2, 0, "")
+    assert out[3] == (3, 1, "extra")
+    plan = _plan_of(strip_boilerplate_lines(df))
+    assert "BroadcastHashJoin" in plan, plan

@@ -1053,13 +1053,25 @@ def test_mmr_select_grouped_matches_driver(spark):
     want = sorted(
         tuple(r) for r in mmr_select(emb, queries, **kw).collect()
     )
-    got = sorted(
-        tuple(r)
-        for r in mmr_select(emb, queries, engine="grouped", **kw).collect()
-    )
-    assert got == want
+    # every engine x shortlist-scan combination replays the identical
+    # trajectory (heap topk is set-equal to the window topk by its own
+    # pytest; grouped shares the greedy code object with driver):
+    # grouped+heap is the full scale configuration — no Q*N shuffle
+    # anywhere and nothing query-batch-sized on the driver
+    for engine in ("driver", "grouped"):
+        for topk_engine in ("window", "heap"):
+            got = sorted(
+                tuple(r)
+                for r in mmr_select(
+                    emb, queries, engine=engine,
+                    topk_engine=topk_engine, **kw
+                ).collect()
+            )
+            assert got == want, (engine, topk_engine)
     with pytest.raises(ValueError, match="engine"):
         mmr_select(emb, queries, engine="numpy")
+    with pytest.raises(ValueError, match="topk_engine"):
+        mmr_select(emb, queries, topk_engine="ivf")
 
 
 def test_mmr_select_grouped_no_driver_collect(spark, monkeypatch):

@@ -1149,3 +1149,52 @@ def test_quality_classifier_matches_reference(spark, docs, num):
         s = sum(weight.get(t, 0) for t in ts)
         want[i] = (len(ts), s, 1 if s * 2 > num * len(ts) else 0)
     assert got == want
+
+line_strategy = st.sampled_from(["aa", "bb", "cc", "dd x", ""])
+
+
+@given(st.lists(st.lists(line_strategy, min_size=1, max_size=5),
+                min_size=2, max_size=8),
+       st.integers(min_value=1, max_value=3))
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_strip_boilerplate_lines_matches_reference(spark, docs, min_docs):
+    """strip_boilerplate_lines == an independent per-group fold (line ->
+    distinct-doc count; strip iff count*den >= num*group_docs and count
+    >= min_docs; survivors keep order). A 5-line pool forces heavy
+    sharing, docs alternate between two groups, and empty lines are in
+    the pool — the de-dup census must count DOCS, not occurrences
+    (duplicate lines within one doc)."""
+    from candia_spark.operators.curation import strip_boilerplate_lines
+
+    rows = [
+        (i, "g" + str(i % 2), "\n".join(lines))
+        for i, lines in enumerate(docs)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, source string, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_lines"], r["n_kept"], r["clean_text"])
+        for r in strip_boilerplate_lines(
+            df, max_frac=(1, 2), min_docs=min_docs
+        ).collect()
+    }
+    by_group: dict = {}
+    for i, lines in enumerate(docs):
+        by_group.setdefault("g" + str(i % 2), []).append((i, lines))
+    want = {}
+    for grp, members in by_group.items():
+        n_docs = len(members)
+        df_count: dict = {}
+        for _, lines in members:
+            for line in set(lines):
+                df_count[line] = df_count.get(line, 0) + 1
+        for i, lines in members:
+            kept = [
+                ln for ln in lines
+                if not (df_count[ln] * 2 >= 1 * n_docs
+                        and df_count[ln] >= min_docs)
+            ]
+            want[i] = (len(lines), len(kept), "\n".join(kept))
+    assert got == want
