@@ -131,6 +131,18 @@ def run_mmr_grouped(spark, emb, n_queries: int, runs: int) -> dict:
         )
         out[f"{engine}_sec"] = sec
         out[f"{engine}_us_per_query"] = round(sec * 1e6 / n_queries, 1)
+    # the full scale configuration: grouped greedy + heap shortlist —
+    # the per-partition numpy top-k replaces the Q*N-row window shuffle
+    # with Q*k*P candidate rows, the documented killer at large Q
+    sec = ss.timed(
+        lambda: mmr_select(
+            emb, queries, k=8, shortlist=40,
+            engine="grouped", topk_engine="heap",
+        ),
+        runs,
+    )
+    out["grouped_heap_sec"] = sec
+    out["grouped_heap_us_per_query"] = round(sec * 1e6 / n_queries, 1)
     return out
 
 

@@ -342,3 +342,53 @@ def test_incremental_state_path_has_no_corpus_aggregation(spark, tmp_path):
     # distinct, each partial+final => 6 aggregate nodes ceiling; anything
     # above means per-batch corpus re-aggregation crept back in
     assert agg_count(state) <= 6
+
+def test_q96_dsir_bigram_plan_stays_jvm_side(spark):
+    """The hashed-bigram DSIR chain (q96) must plan with zero Python
+    nodes and no cartesian products: feature extraction is a zip_with +
+    md5/conv transform inside codegen, the censuses are keyed
+    aggregations, and the scoring join is a keyed shuffle join."""
+    from candia_spark.operators.curation import dsir_select
+
+    docs = load_table(spark, SF, "documents")
+    target = docs.filter(F.col("source") == "src0")
+    plan = plan_of(dsir_select(docs, target, ngram=2, buckets=65536))
+    assert "Python" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q97_quality_scorer_plan_shape(spark):
+    """The quality-classifier scorer (q97): the model side of the
+    scoring join broadcasts (it is bounded by buckets), and the whole
+    train+score chain is JVM-side with no cartesian products."""
+    from candia_spark.operators.curation import (
+        quality_classifier_score,
+        quality_classifier_weights,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    pos = docs.filter(F.col("source") == "src0")
+    neg = docs.filter(F.col("source") != "src0")
+    w = quality_classifier_weights(pos, neg, buckets=4096)
+    plan = plan_of(quality_classifier_score(docs, w, buckets=4096))
+    assert "BroadcastHashJoin" in plan
+    assert "Python" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q98_boilerplate_plan_shape(spark):
+    """Boilerplate line removal (q98): the per-group doc census
+    broadcasts, everything is JVM-side, no cartesian products, and the
+    rebuild's collect_list aggregation is keyed on the doc id (no
+    single-partition window — a global sort would serialize the corpus
+    at 100 TB)."""
+    from candia_spark.operators.curation import strip_boilerplate_lines
+
+    docs = load_table(spark, SF, "documents").withColumn(
+        "text", F.concat(F.lit("h\n"), F.col("text"), F.lit("\nf"))
+    )
+    plan = plan_of(strip_boilerplate_lines(docs))
+    assert "BroadcastHashJoin" in plan
+    assert "Python" not in plan
+    assert "CartesianProduct" not in plan
+    assert "SinglePartition" not in plan
