@@ -1283,6 +1283,7 @@ def strip_boilerplate_lines(
     group_col: str = "source",
     min_docs: int = 2,
     sep: str = "\n",
+    normalize: bool = False,
 ) -> DataFrame:
     """Domain-scoped boilerplate LINE removal — the CCNet/RefinedWeb
     cleanup stage between raw extraction and dedup: a line that appears
@@ -1290,8 +1291,12 @@ def strip_boilerplate_lines(
     documents (and in at least ``min_docs`` of them — the small-group
     guard) is site furniture (header, nav, cookie banner, copyright
     footer), not content, and is stripped from every document of that
-    group. Lines are compared exactly within their group; each
-    document's surviving lines keep their original order.
+    group. Lines are compared exactly within their group — or, with
+    ``normalize=True``, modulo casing/punctuation/whitespace (the q56
+    ``normalize_text`` chain applied to the census KEY only; CCNet
+    dedupes normalized lines because furniture mutates its markup
+    between pages), while every SURVIVING line keeps its original
+    bytes and order.
 
     Output one row per input document: (id, group, n_lines, n_kept,
     clean_text) — clean_text is the kept lines re-joined with ``sep``
@@ -1324,12 +1329,21 @@ def strip_boilerplate_lines(
         F.col(group_col).alias("__grp"),
         F.posexplode(F.split(text, pat)).alias("__pos", "__line"),
     )
+    if normalize:
+        from candia_spark.functions.text import normalize_text
+
+        # the census KEY is the normalized line; the original line
+        # rides along for the rebuild (sep chars can't survive
+        # normalization, so a normalized key never spans lines)
+        lines = lines.withColumn("__key", normalize_text("__line"))
+    else:
+        lines = lines.withColumn("__key", F.col("__line"))
     gdocs = (
         df.groupBy(F.col(group_col).alias("__grp"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("__grp_docs"))
     )
     census = (
-        lines.groupBy("__grp", "__line")
+        lines.groupBy("__grp", "__key")
         .agg(F.count_distinct(F.col(id_col)).cast("bigint").alias("__line_docs"))
     )
     boiler = (
@@ -1337,7 +1351,7 @@ def strip_boilerplate_lines(
         >= F.lit(int(num)) * F.col("__grp_docs")
     ) & (F.col("__line_docs") >= F.lit(int(min_docs)))
     kept = (
-        lines.join(census, ["__grp", "__line"])
+        lines.join(census, ["__grp", "__key"])
         .join(F.broadcast(gdocs), "__grp")
         .filter(~boiler)
     )

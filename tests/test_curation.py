@@ -815,3 +815,58 @@ def test_strip_boilerplate_lines_all_boiler_and_broadcast(spark):
     assert out[3] == (3, 1, "extra")
     plan = _plan_of(strip_boilerplate_lines(df))
     assert "BroadcastHashJoin" in plan, plan
+
+def test_strip_boilerplate_lines_normalized_matching(spark):
+    """normalize=True (CCNet's actual behavior — furniture mutates its
+    markup between pages): 'HEAD!', 'head' and '  head  ' census as ONE
+    line within the group and cross the 1/2 threshold together, while
+    each SURVIVING line keeps its original bytes. Exact mode treats
+    them as three distinct below-threshold lines and keeps all."""
+    from candia_spark.operators.curation import strip_boilerplate_lines
+
+    rows = [
+        (1, "A", "HEAD!\nbody one"),
+        (2, "A", "head\nbody two"),
+        (3, "A", "  head  \nbody three"),
+        (4, "A", "no furniture here"),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, source string, text string"
+    )
+    norm = {
+        r["doc_id"]: r["clean_text"]
+        for r in strip_boilerplate_lines(df, normalize=True).collect()
+    }
+    assert norm == {
+        1: "body one", 2: "body two", 3: "body three",
+        4: "no furniture here",
+    }
+    exact = {
+        r["doc_id"]: r["clean_text"]
+        for r in strip_boilerplate_lines(df, normalize=False).collect()
+    }
+    # exact mode: the three header variants are distinct (df=1 each)
+    assert exact[1] == "HEAD!\nbody one"
+    assert exact[2] == "head\nbody two"
+    assert exact[3] == "  head  \nbody three"
+
+def test_bpe_train_local_heap_tie_stress(spark):
+    """50-round local==distributed equivalence on a two-letter corpus
+    where pair weights tie CONSTANTLY and counts oscillate (merge,
+    re-add, re-merge) — the exact traffic that exercises the lazy
+    heap's stale-entry discard and its (-w, l, r) tie order. Any heap
+    bookkeeping error shows as a trajectory divergence within a few
+    rounds (each wrong merge corrupts every later census)."""
+    from candia_spark.operators.curation import bpe_train
+
+    words = ["ab", "ba", "aab", "abb", "bab", "aba", "bba", "baab",
+             "abab", "baba", "aabb", "bbaa"]
+    rows = [(i, " ".join(words[(i + j) % len(words)] for j in range(6)))
+            for i in range(24)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    local = [tuple(r) for r in
+             bpe_train(df, rounds=50, engine="local").collect()]
+    dist = [tuple(r) for r in
+            bpe_train(df, rounds=50, engine="distributed").collect()]
+    assert local == dist
+    assert len(local) >= 10  # real merge traffic, not an early dry-out
