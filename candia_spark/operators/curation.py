@@ -1381,6 +1381,62 @@ def strip_boilerplate_lines(
     )
 
 
+def quality_budget_fill(
+    scored: DataFrame,
+    budget_tokens: int,
+    score_col: str = "score_w",
+    tokens_col: str = "n_tokens",
+    shard_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Token-budget quality fill — the selection stage that assembles a
+    FIXED-SIZE training mix from a scored corpus: within each shard,
+    rank documents by quality (``score_col`` desc, ties to the
+    smallest id) and keep the ranked PREFIX whose cumulative token
+    count stays within ``budget_tokens`` — "take the best documents
+    until the budget is spent", the greedy every budgeted-mix recipe
+    (quality-filtered CommonCrawl + budget per source) actually runs.
+    Prefix semantics exactly: the first document whose tokens would
+    overflow the budget is dropped AND nothing after it is considered
+    (no knapsack backfill — the output is a rank-prefix, so the kept
+    set is trivially reproducible and auditable from the ranking
+    alone).
+
+    Input is an already-scored table (e.g.
+    :func:`quality_classifier_score`'s output joined back to its
+    shard column). Output one row per input doc: (id, shard, n_tokens,
+    score, fill_rank, cum_tokens, kept) — all bigint, engine-exactly
+    recomputable (the ranking's tie-break is total, the running sum is
+    integer).
+
+    Scale shape: ONE shuffle — the window partitioned by ``shard_col``
+    (the pack_sequences posture: shards are the parallelism unit, no
+    global order ever exists in the plan; skew is bounded by the
+    largest single shard). Everything else is a pure map over the
+    window output."""
+    if budget_tokens <= 0:
+        raise ValueError(
+            f"budget_tokens must be positive, got {budget_tokens}"
+        )
+    w = Window.partitionBy(shard_col).orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
+    )
+    cum = (
+        F.sum(F.col(tokens_col))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("bigint")
+    )
+    return scored.select(
+        F.col(id_col),
+        F.col(shard_col).alias("shard"),
+        F.col(tokens_col).cast("bigint").alias("n_tokens"),
+        F.col(score_col).cast("bigint").alias("score"),
+        F.row_number().over(w).cast("bigint").alias("fill_rank"),
+        cum.alias("cum_tokens"),
+        (cum <= F.lit(int(budget_tokens))).cast("bigint").alias("kept"),
+    )
+
+
 def cluster_safe_split(
     df: DataFrame,
     pairs: DataFrame,

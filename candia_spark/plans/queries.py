@@ -5156,6 +5156,80 @@ def q97_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q99_quality_budget_fill",
+    # q97's hashed-feature NB scorer feeding the per-source greedy
+    # prefix fill: rank by (score_w desc, doc_id), running token sum
+    # with an explicit ROWS frame (RANGE would pool peers), keep while
+    # cum <= 1000
+    oracle="""
+    WITH feats AS MATERIALIZED (
+        SELECT doc_id, source,
+               CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) % 4096 AS tok
+        FROM (SELECT doc_id, source, unnest({toks}) AS tok FROM documents)
+    ), p AS (
+        SELECT tok, CAST(length(bin(COUNT(*))) AS BIGINT) AS pos_bits
+        FROM feats WHERE source IN ('src0', 'src1', 'src2', 'src3', 'src4')
+        GROUP BY tok
+    ), n AS (
+        SELECT tok, CAST(length(bin(COUNT(*))) AS BIGINT) AS neg_bits
+        FROM feats
+        WHERE source NOT IN ('src0', 'src1', 'src2', 'src3', 'src4')
+        GROUP BY tok
+    ), w AS (
+        SELECT tok,
+               COALESCE(pos_bits, 0) - COALESCE(neg_bits, 0) AS weight
+        FROM p FULL JOIN n USING (tok)
+    ), agg AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(SUM(COALESCE(weight, 0)) AS BIGINT) AS score_w
+        FROM feats LEFT JOIN w USING (tok) GROUP BY doc_id
+    ), scored AS (
+        SELECT d.doc_id, d.source AS shard,
+               COALESCE(a.n_tokens, 0) AS n_tokens,
+               COALESCE(a.score_w, 0) AS score
+        FROM documents d LEFT JOIN agg a USING (doc_id)
+    )
+    SELECT doc_id, shard, n_tokens, score,
+           CAST(ROW_NUMBER() OVER wsh AS BIGINT) AS fill_rank,
+           CAST(SUM(n_tokens) OVER (wsh ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS BIGINT) AS cum_tokens,
+           CAST(SUM(n_tokens) OVER (wsh ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) <= 1000
+                AS BIGINT) AS kept
+    FROM scored
+    WINDOW wsh AS (PARTITION BY shard ORDER BY score DESC, doc_id ASC)
+    """.replace("{toks}", _TOKS_SQL),
+    survey_ref="token-budget quality fill (greedy prefix mix assembly; "
+    "north star: budgeted data mixes)",
+)
+def q99_quality_budget_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budgeted mix assembly (operators.curation.quality_budget_fill
+    fed by quality_classifier_score): score every document with q97's
+    hashed-feature NB linear model, then per source keep the
+    best-scored prefix whose running token count stays within a
+    1000-token budget — "take the best until the budget is spent", the
+    greedy a quality-filtered budgeted mix actually runs. One
+    shard-keyed window, prefix semantics (the overflowing doc and
+    everything after it are dropped), every output column bigint, the
+    whole ranking + running sum engine-exact via the total
+    (score desc, id) tie-break."""
+    from candia_spark.operators.curation import (
+        quality_budget_fill,
+        quality_classifier_score,
+        quality_classifier_weights,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pos = docs.filter(F.col("source").isin(*_DSIR_TARGET_SOURCES))
+    neg = docs.filter(~F.col("source").isin(*_DSIR_TARGET_SOURCES))
+    w = quality_classifier_weights(pos, neg, buckets=4096)
+    scored = quality_classifier_score(
+        docs, w, threshold=(1, 2), buckets=4096
+    ).join(docs.select("doc_id", "source"), "doc_id")
+    return quality_budget_fill(scored, budget_tokens=1000)
+
+
+@register(
     "q98_boilerplate_lines",
     # the documents table has no newlines, so the query PLANTS the line
     # structure (the q91 augmentation device): a per-source header and
@@ -5419,6 +5493,11 @@ _DRIVER_WINDOW_TAIL = [
     # been driver-certified every round since r4 and keeps its
     # three-scale local certification.
     "q39_nearest_value",
+    # q99's seat (token-budget quality fill): q40's census-argmax
+    # heavy-hitter machinery stays in-window through q15 (count-
+    # distinct + argmax) and q52 (tf-idf census + per-doc argmax);
+    # driver-certified every round since r4.
+    "q40_heavy_hitters",
 ]
 for _name in _DRIVER_WINDOW_TAIL:
     QUERY_REGISTRY[_name] = QUERY_REGISTRY.pop(_name)

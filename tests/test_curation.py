@@ -870,3 +870,50 @@ def test_bpe_train_local_heap_tie_stress(spark):
             bpe_train(df, rounds=50, engine="distributed").collect()]
     assert local == dist
     assert len(local) >= 10  # real merge traffic, not an early dry-out
+
+def test_quality_budget_fill_prefix_semantics(spark):
+    """Greedy prefix fill by hand: shard A ranked by (score desc, id)
+    is ids 3(40tok),1(30),4(50),2(10); budget 80 keeps 3 and 1
+    (cum 40,70), doc 4 overflows (cum 120) and doc 2 — though it WOULD
+    fit (cum 80 if backfilled) — is dropped too: the kept set is a
+    RANK PREFIX, not a knapsack. Shards fill independently."""
+    from candia_spark.operators.curation import quality_budget_fill
+
+    rows = [
+        (1, "A", 30, 9),
+        (2, "A", 10, 1),
+        (3, "A", 40, 12),
+        (4, "A", 50, 5),
+        (9, "B", 70, 2),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, source string, n_tokens bigint, score_w bigint"
+    )
+    out = {
+        r["doc_id"]: (r["fill_rank"], r["cum_tokens"], r["kept"])
+        for r in quality_budget_fill(df, budget_tokens=80).collect()
+    }
+    assert out == {
+        3: (1, 40, 1),
+        1: (2, 70, 1),
+        4: (3, 120, 0),   # overflows
+        2: (4, 130, 0),   # would fit alone — prefix semantics drop it
+        9: (1, 70, 1),    # shard B has its own budget
+    }
+    with pytest.raises(ValueError, match="budget_tokens"):
+        quality_budget_fill(df, budget_tokens=0)
+
+
+def test_quality_budget_fill_no_global_order(spark, sf_smoke):
+    """Scale contract (the pack_sequences posture): the fill must never
+    plan a single-partition window — shards are the parallelism unit."""
+    from candia_spark.operators.curation import quality_budget_fill
+    from candia_spark.tables import load_table
+
+    docs = load_table(spark, sf_smoke, "documents").select(
+        "doc_id", "source",
+        F.length("text").cast("bigint").alias("n_tokens"),
+        (F.col("doc_id") % 7).cast("bigint").alias("score_w"),
+    )
+    plan = _plan_of(quality_budget_fill(docs, budget_tokens=500))
+    assert "SinglePartition" not in plan, plan
