@@ -37,8 +37,13 @@
   shuffles -> linear wall, falling per-doc; the viral furniture lines
   skew the probe join's key but never expand it.
 
+- ``budget_fill`` (r11 new operator): quality_budget_fill over 20
+  shards at x10/x25/x50. Claim: ONE shard-keyed window -> linear wall,
+  falling per-doc (the pack_sequences posture).
+
 Usage: python scripts/scale_stress_r11.py [--sizes 10 25 50] [--runs 2]
-       [--only mmr_grouped bpe_local dsir_bigram quality boilerplate]
+       [--only mmr_grouped bpe_local dsir_bigram quality boilerplate
+        budget_fill]
 
 Partial ``--only`` runs MERGE into SCALING_r11.json instead of
 clobbering (the r9 harness convention).
@@ -283,6 +288,35 @@ def run_boilerplate(spark, n_docs: int, runs: int) -> dict:
     }
 
 
+def run_budget_fill(spark, n_docs: int, runs: int) -> dict:
+    """Token-budget quality fill at x10/x25/x50: synthetic scored docs
+    over 20 shards, budget sized to keep ~1/4 of each shard. Claim: ONE
+    shard-keyed window -> linear wall, falling per-doc cost (the
+    pack_sequences posture — no global order in the plan)."""
+    from candia_spark.operators.curation import quality_budget_fill
+
+    docs = ss_materialize(
+        spark.range(n_docs).select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("s"), (F.col("id") % 20).cast("string"))
+            .alias("source"),
+            (F.col("id") % 97 + 40).cast("bigint").alias("n_tokens"),
+            ((F.col("id") * 31) % 1009).cast("bigint").alias("score_w"),
+        )
+    )
+    per_shard = n_docs // 20
+    budget = per_shard * 88 // 4  # mean ~88 tokens/doc, keep ~1/4
+    sec = ss.timed(
+        lambda: quality_budget_fill(docs, budget_tokens=budget), runs
+    )
+    return {
+        "n_docs": n_docs,
+        "budget_tokens": budget,
+        "fill_sec": sec,
+        "fill_us_per_doc": round(sec * 1e6 / n_docs, 1),
+    }
+
+
 def run_quality(spark, n_docs: int, runs: int) -> dict:
     from candia_spark.operators.curation import (
         quality_classifier_score,
@@ -315,9 +349,9 @@ def main() -> int:
     ap.add_argument(
         "--only", nargs="+",
         default=["mmr_grouped", "bpe_local", "dsir_bigram", "quality",
-                 "boilerplate"],
+                 "boilerplate", "budget_fill"],
         choices=["mmr_grouped", "bpe_local", "dsir_bigram", "quality",
-                 "boilerplate"],
+                 "boilerplate", "budget_fill"],
     )
     args = ap.parse_args()
 
@@ -420,6 +454,23 @@ def main() -> int:
             entry["multiplier"] = k
             report["boilerplate"].append(entry)
             print(json.dumps({"progress": f"boilerplate x{k}", **entry}),
+                  flush=True)
+
+    if "budget_fill" in args.only:
+        from candia_spark.operators.curation import quality_budget_fill
+
+        warm = spark.range(100).selectExpr(
+            "id as doc_id", "'s' as source",
+            "cast(50 as bigint) as n_tokens", "id as score_w",
+        )
+        quality_budget_fill(warm, budget_tokens=500).count()
+        report["budget_fill"] = []
+        for k in args.sizes:
+            ss.reclaim()
+            entry = run_budget_fill(spark, BASE_DOCS * k, args.runs)
+            entry["multiplier"] = k
+            report["budget_fill"].append(entry)
+            print(json.dumps({"progress": f"budget_fill x{k}", **entry}),
                   flush=True)
 
     with open(args.out, "w") as fh:
