@@ -1301,7 +1301,9 @@ def strip_boilerplate_lines(
     Output one row per input document: (id, group, n_lines, n_kept,
     clean_text) — clean_text is the kept lines re-joined with ``sep``
     ('' when every line was boilerplate); NULL text behaves as ''
-    (the r11 null-text doctrine). The boilerplate test is
+    (the r11 null-text doctrine), and a NULL ``group_col`` is its own
+    group (null-safe join keys, so NULL-source docs census among
+    themselves instead of silently losing every line — ADVICE r11). The boilerplate test is
     ``line_docs·den >= num·group_docs`` in bigint (counts are document
     counts, far inside 2^63 even at 100 TB) — division-free, so the
     whole rewrite is engine-exactly recomputable and an md5 of
@@ -1350,9 +1352,21 @@ def strip_boilerplate_lines(
         F.col("__line_docs") * F.lit(int(den))
         >= F.lit(int(num)) * F.col("__grp_docs")
     ) & (F.col("__line_docs") >= F.lit(int(min_docs)))
+    # NULL-group docs are a group of their own (ADVICE r11: a plain
+    # equi-join on a NULL key matched nothing, so their every line
+    # dropped and the doc came back EMPTY — the same silent-null class
+    # as the r11 null-text fix). groupBy already treats NULL as one
+    # group; the joins must agree, so both ride null-safe equality
+    # (<=>, still a plain hash-partitionable equi-key for Catalyst).
+    census_r = census.withColumnsRenamed({"__grp": "__cgrp", "__key": "__ckey"})
+    gdocs_r = gdocs.withColumnsRenamed({"__grp": "__ggrp"})
     kept = (
-        lines.join(census, ["__grp", "__key"])
-        .join(F.broadcast(gdocs), "__grp")
+        lines.join(
+            census_r,
+            F.col("__grp").eqNullSafe(F.col("__cgrp"))
+            & (F.col("__key") == F.col("__ckey")),
+        )
+        .join(F.broadcast(gdocs_r), F.col("__grp").eqNullSafe(F.col("__ggrp")))
         .filter(~boiler)
     )
     rebuilt = kept.groupBy(id_col).agg(
@@ -1418,18 +1432,35 @@ def quality_budget_fill(
         raise ValueError(
             f"budget_tokens must be positive, got {budget_tokens}"
         )
+    # prefix semantics REQUIRE a monotone running sum, i.e. nonnegative
+    # token counts (a negative count would let kept=1 rows reappear
+    # after an overflow — ADVICE r11). tokens_col is caller-supplied,
+    # so the precondition is enforced in-plan: the checked expression
+    # raises on the first negative row with zero extra passes.
+    tok = F.when(
+        F.col(tokens_col).cast("bigint") < 0,
+        F.raise_error(
+            F.format_string(
+                "quality_budget_fill: negative %s (doc %s) — token "
+                "counts must be >= 0 for the kept set to be a rank "
+                "prefix",
+                F.lit(tokens_col),
+                F.col(id_col).cast("string"),
+            )
+        ).cast("bigint"),
+    ).otherwise(F.col(tokens_col).cast("bigint"))
     w = Window.partitionBy(shard_col).orderBy(
         F.col(score_col).desc(), F.col(id_col).asc()
     )
     cum = (
-        F.sum(F.col(tokens_col))
+        F.sum(tok)
         .over(w.rowsBetween(Window.unboundedPreceding, 0))
         .cast("bigint")
     )
     return scored.select(
         F.col(id_col),
         F.col(shard_col).alias("shard"),
-        F.col(tokens_col).cast("bigint").alias("n_tokens"),
+        tok.alias("n_tokens"),
         F.col(score_col).cast("bigint").alias("score"),
         F.row_number().over(w).cast("bigint").alias("fill_rank"),
         cum.alias("cum_tokens"),

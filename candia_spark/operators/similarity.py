@@ -555,7 +555,13 @@ def mmr_select(
         # with __ib = -1 (ids are the join keys of real vectors; -1 is
         # the kind sentinel, never a similarity endpoint), so the whole
         # per-query state is one int64/double pandas frame — no
-        # null-widened float columns to corrupt large ids
+        # null-widened float columns to corrupt large ids. The sentinel
+        # reserves the negative id space: a shortlist containing a
+        # negative vec_id would make a similarity row's min-id
+        # indistinguishable from a relevance row, so the per-query UDF
+        # validates min(id) >= 0 and fails LOUDLY (ADVICE r11 — the
+        # driver engine has no sentinel and accepts any int64 id; the
+        # restriction is grouped-only and checked, not assumed)
         rel_part = sl.select(
             F.col(query_id_col).alias("__qid"),
             F.col(id_col).alias("__ia"),
@@ -575,6 +581,14 @@ def mmr_select(
             qid = int(pdf["__qid"].iloc[0])
             if pdf["__val"].isna().any():
                 raise ValueError(degenerate % qid)
+            if (pdf["__ia"] < 0).any():
+                raise ValueError(
+                    "mmr_select(engine='grouped'): negative vec_id in "
+                    f"the shortlist of query_id={qid} — the grouped "
+                    "engine reserves id=-1 as its relevance-row "
+                    "sentinel; use engine='driver' for corpora with "
+                    "negative ids"
+                )
             cand, qd = {}, {}
             for ia, ib, val in zip(
                 pdf["__ia"], pdf["__ib"], pdf["__val"]
@@ -646,13 +660,28 @@ def cosine_topk_bruteforce_heap(
     window ranks Q*k*P candidate rows instead of Q*N.
 
     Output and rounding contract match cosine_topk_bruteforce exactly;
-    the pytest pins set-equality of the two paths.
+    the pytest pins set-equality of the two paths. Zero-norm vectors
+    fail LOUDLY on either side (ADVICE r11 — the numpy normalization
+    used to propagate NaN scores that silently DROPPED the row from
+    the candidate cut, diverging from the window engine's ANSI
+    DIVIDE_BY_ZERO and the mmr engines' descriptive ValueError):
+    a zero-norm query raises here on the driver, a zero-norm corpus
+    vector raises inside the Arrow batch before any score is emitted.
     """
+    zero_norm = (
+        "cosine_topk_bruteforce_heap: zero-norm %s vector (id=%s) has "
+        "no cosine — drop zero-norm vectors before searching (same "
+        "contract as mmr_select and the ANSI window engine)"
+    )
     sess = corpus.sparkSession
     qrows = queries.select(query_id_col, vec_col).collect()
     q_ids = np.array([r[query_id_col] for r in qrows], dtype=np.int64)
     qm = np.array([list(r[vec_col]) for r in qrows], dtype=np.float64)
-    qn = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+    qnorm = np.linalg.norm(qm, axis=1, keepdims=True)
+    if (qnorm == 0).any():
+        bad = int(q_ids[np.nonzero(qnorm[:, 0] == 0)[0][0]])
+        raise ValueError(zero_norm % ("query", bad))
+    qn = qm / qnorm
     bc = sess.sparkContext.broadcast((q_ids, qn))
 
     schema = (
@@ -668,7 +697,11 @@ def cosine_topk_bruteforce_heap(
                 continue
             cid = pdf[id_col].to_numpy(dtype=np.int64)
             cm = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
-            cm = cm / np.linalg.norm(cm, axis=1, keepdims=True)
+            cnorm = np.linalg.norm(cm, axis=1, keepdims=True)
+            if (cnorm == 0).any():
+                bad = int(cid[np.nonzero(cnorm[:, 0] == 0)[0][0]])
+                raise ValueError(zero_norm % ("corpus", bad))
+            cm = cm / cnorm
             scores = np.round(qmat @ cm.T, round_digits)  # Q x B
             b = scores.shape[1]
             keff = min(k, b)

@@ -917,3 +917,41 @@ def test_quality_budget_fill_no_global_order(spark, sf_smoke):
     )
     plan = _plan_of(quality_budget_fill(docs, budget_tokens=500))
     assert "SinglePartition" not in plan, plan
+
+def test_strip_boilerplate_null_group_is_its_own_group(spark):
+    """ADVICE r11: a NULL group_col used to lose EVERY line (equi-join
+    on a NULL key matches nothing -> n_kept=0, clean_text=''). NULL is
+    now its own group via null-safe join keys: boilerplate shared by
+    the NULL-group docs strips, their unique content survives, and
+    other groups are unaffected."""
+    from candia_spark.operators.curation import strip_boilerplate_lines
+
+    rows = [
+        (1, None, "subscribe now\nalpha unique"),
+        (2, None, "subscribe now\nbeta unique"),
+        (3, "web", "subscribe now\ngamma unique"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string, text string")
+    out = {
+        r.doc_id: r
+        for r in strip_boilerplate_lines(df, max_frac=(1, 2)).collect()
+    }
+    # NULL group: 'subscribe now' hits 2/2 docs -> stripped; content kept
+    assert out[1].clean_text == "alpha unique" and out[1].n_kept == 1
+    assert out[2].clean_text == "beta unique" and out[2].group is None
+    # the 'web' group has one doc; min_docs=2 keeps both its lines
+    assert out[3].n_kept == 2 and "gamma unique" in out[3].clean_text
+
+
+def test_quality_budget_fill_negative_tokens_raises(spark):
+    """ADVICE r11: prefix semantics require a monotone running sum, so
+    a negative caller-supplied token count must fail loudly instead of
+    letting kept=1 rows reappear after an overflow."""
+    from candia_spark.operators.curation import quality_budget_fill
+
+    scored = spark.createDataFrame(
+        [(1, "a", 10, 5), (2, "a", -3, 4)],
+        "doc_id bigint, source string, n_tokens bigint, score_w bigint",
+    )
+    with pytest.raises(Exception, match="negative n_tokens"):
+        quality_budget_fill(scored, budget_tokens=100).collect()

@@ -1128,3 +1128,49 @@ def test_mmr_select_zero_norm_raises(spark):
         mmr_select(emb, queries, k=2, shortlist=3)
     with pytest.raises(Exception, match="DIVIDE_BY_ZERO|zero-norm"):
         mmr_select(emb, queries, k=2, shortlist=3, engine="grouped").collect()
+
+def test_cosine_topk_heap_zero_norm_raises(spark):
+    """ADVICE r11: the heap path's numpy normalization used to turn a
+    zero-norm corpus vector into NaN scores that silently DROPPED the
+    row from the per-partition cut — a third behavior next to the
+    window engine's ANSI DIVIDE_BY_ZERO and the mmr engines'
+    ValueError. Both sides now fail loudly with the shared zero-norm
+    message, and the set-equality contract with the window engine is
+    restored by making both paths refuse the same degenerate input."""
+    from candia_spark.operators.similarity import cosine_topk_bruteforce_heap
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.5, 0.5]), (2, [0.0, 0.0])],
+        "vec_id bigint, embedding array<float>",
+    )
+    queries = spark.createDataFrame(
+        [(9, [1.0, 1.0])], "query_id bigint, embedding array<float>"
+    )
+    with pytest.raises(Exception, match="zero-norm corpus vector \\(id=2\\)"):
+        cosine_topk_bruteforce_heap(emb, queries, k=2).collect()
+    bad_q = spark.createDataFrame(
+        [(9, [0.0, 0.0])], "query_id bigint, embedding array<float>"
+    )
+    good = emb.filter(F.col("vec_id") < 2)
+    with pytest.raises(ValueError, match="zero-norm query vector \\(id=9\\)"):
+        cosine_topk_bruteforce_heap(good, bad_q, k=2)
+
+
+def test_mmr_grouped_negative_id_raises(spark):
+    """ADVICE r11: engine='grouped' reserves id=-1 as the relevance-row
+    sentinel, so a negative shortlist id must raise the descriptive
+    guard instead of silently misreading score rows; engine='driver'
+    has no sentinel and handles the same corpus fine."""
+    from candia_spark.operators.similarity import mmr_select
+
+    emb = spark.createDataFrame(
+        [(-1, [1.0, 0.0]), (2, [0.5, 0.5]), (3, [0.0, 1.0])],
+        "vec_id bigint, embedding array<float>",
+    )
+    queries = spark.createDataFrame(
+        [(9, [1.0, 1.0])], "query_id bigint, embedding array<float>"
+    )
+    with pytest.raises(Exception, match="negative vec_id in the shortlist"):
+        mmr_select(emb, queries, k=2, shortlist=3, engine="grouped").collect()
+    out = mmr_select(emb, queries, k=2, shortlist=3, engine="driver").collect()
+    assert len(out) == 2 and {r.vec_id for r in out} <= {-1, 2, 3}
