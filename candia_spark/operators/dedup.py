@@ -2436,3 +2436,122 @@ def winnow_fingerprint_pairs(
         )
     )
     return out.filter(F.col("overlap") >= threshold)
+
+
+def exact_substring_dedup(
+    df: DataFrame,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-substring cross-document dedup REWRITE (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better",
+    ExactSubstr) — the removal stage :func:`substring_duplication` only
+    PROFILES: every token whose neighborhood is verbatim-shared with an
+    EARLIER document is deleted, keeping the global first occurrence of
+    each duplicated span (verdict r11 next #1).
+
+    Semantics, token-granular and total-order exact: documents split on
+    single spaces (the lossless block-family tokenization — rejoining
+    with ' ' reproduces the original bytes); every k-token gram at every
+    offset is censused; the gram's OWNER is the smallest doc_id
+    containing it; in any other document, all k tokens under the gram
+    are covered and removed. A token survives iff NO cross-duplicated
+    gram covers it, so partial overlaps, adjacent spans, and spans
+    crossing block boundaries all resolve exactly — the failure modes
+    of the block-aligned C4 rewrite (:func:`remove_duplicate_blocks`),
+    which only removes whole aligned blocks. Matching below k tokens is
+    noise by the paper's threshold argument; intra-document repeats stay
+    (the owner keeps ALL its occurrences — self-repetition is
+    :func:`remove_self_repeated_blocks`' job). NULL text behaves as ''
+    (r11 doctrine).
+
+    Output one row per input document: (id, n_tokens, n_kept,
+    clean_text) — kept tokens rejoined with ' ', '' when everything was
+    duplicated. Every step is integer/digest arithmetic, so a DuckDB
+    oracle recomputes the rewrite value-exactly and an md5 gates it
+    (q100).
+
+    Scale shape — deliberately NOT the pair path: anchoring candidate
+    doc PAIRS (winnow/MinHash) and verifying per pair goes quadratic in
+    exactly the corpora this operator targets (a span shared by m
+    documents is m²/2 pairs but only m census rows here). This plan is
+    linear end-to-end: one materialized corpus tokenize feeding both the
+    gram explode and the rebuild spine; gram occurrences travel as
+    (id, pos, 16-byte md5) — never text; the owner census is ONE keyed
+    shuffle with map-side partial min; the census join expands nothing
+    (each occurrence matches exactly one owner row); only DUPLICATED
+    occurrences explode their k covered positions (k·dup_mass, the
+    quantity being removed); the anti join and ordered rebuild are keyed
+    on (id, pos)/(id) — the boilerplate-rebuild device, bounded by
+    single-document size. A corpus-wide hot gram (boilerplate shared by
+    10⁶ docs) is 10⁶ census probe rows — skewed but linear, and AQE
+    splits the skew; no cap is needed because nothing is quadratic in
+    df. Suffix arrays find variable-length matches on one machine; at
+    cluster scale the fixed-k gram census is the distributed-exact
+    equivalent (any shared run of >= k tokens is caught — a run of
+    length L >= k is covered by L-k+1 grams, all duplicated)."""
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    toks = F.split(text, " ")
+    base = _materialize(
+        df.select(
+            F.col(id_col),
+            toks.alias("__toks"),
+            F.size(toks).cast("bigint").alias("__n_tok"),
+        )
+    )
+    # gram digests via the zip_with shingle build (measured ~3x over
+    # per-element slice); sep ' ' makes each gram the literal original
+    # substring, and the slice-length form needs no negative-sequence
+    # guard (m = 0 for docs shorter than k tokens)
+    t = F.col("__toks")
+    m = F.greatest(F.size(t) - (k - 1), F.lit(0))
+    acc = F.slice(t, 1, m)
+    for j in range(1, k):
+        acc = F.zip_with(
+            acc, F.slice(t, j + 1, m), lambda x, y: F.concat(x, F.lit(" "), y)
+        )
+    occ = base.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(acc, lambda s: F.md5(s.cast("binary")))
+        ).alias("__pos", "__g"),
+    )
+    owners = occ.groupBy("__g").agg(F.min(id_col).alias("__owner"))
+    dup = (
+        occ.join(owners, "__g")
+        .filter(F.col("__owner") < F.col(id_col))
+        .select(F.col(id_col), "__pos")
+    )
+    covered = dup.select(
+        F.col(id_col),
+        F.explode(
+            F.sequence(F.col("__pos"), F.col("__pos") + (k - 1))
+        ).alias("__tpos"),
+    )
+    tok_spine = base.select(
+        F.col(id_col), F.posexplode("__toks").alias("__tpos", "__tok")
+    )
+    # anti join tolerates duplicate right rows, so covered skips the
+    # distinct() a join-based filter would force
+    kept = tok_spine.join(covered, [id_col, "__tpos"], "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__tpos", "__tok"))),
+                lambda s: s["__tok"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    return base.select(
+        F.col(id_col), F.col("__n_tok").alias("n_tokens")
+    ).join(rebuilt, id_col, "left").select(
+        F.col(id_col),
+        "n_tokens",
+        F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+    )

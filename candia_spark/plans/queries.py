@@ -5395,6 +5395,86 @@ def q91_self_repetition_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q100_exact_substring_rewrite",
+    # the planted 11-token phrase (the q91/q98 augmentation device)
+    # certifies mid-document span removal on every %4==1 doc except the
+    # smallest (the owner keeps it); the corpus's natural exact-dup
+    # docs certify the full-wipe path; md5(clean_text) gates every
+    # rebuilt document byte-for-byte
+    oracle="""
+    WITH aug AS MATERIALIZED (
+        SELECT doc_id,
+               CASE WHEN doc_id % 4 = 1
+                    THEN text || ' shared boilerplate sentence planted'
+                         || ' verbatim across documents for exact'
+                         || ' substring dedup'
+                    ELSE text END AS text
+        FROM documents),
+    base AS MATERIALIZED (
+        SELECT doc_id, string_split(text, ' ') AS t,
+               len(string_split(text, ' ')) AS n FROM aug),
+    occ AS MATERIALIZED (
+        SELECT doc_id, i AS pos,
+               md5(array_to_string(list_slice(t, i + 1, i + 8), ' ')) AS g
+        FROM base, unnest(CASE WHEN n >= 8 THEN generate_series(0, n - 8)
+                               ELSE [] END) AS u(i)),
+    own AS (SELECT g, MIN(doc_id) AS owner FROM occ GROUP BY g),
+    dup AS (SELECT o.doc_id, o.pos FROM occ o JOIN own USING (g)
+            WHERE own.owner < o.doc_id),
+    cov AS (SELECT DISTINCT doc_id, pos + j AS tpos
+            FROM dup, unnest(generate_series(0, 7)) AS v(j)),
+    tok AS (SELECT doc_id, i - 1 AS tpos, t[i] AS tok
+            FROM base, unnest(generate_series(1, n)) AS w(i)),
+    kept AS (SELECT k.doc_id, k.tpos, k.tok FROM tok k
+             ANTI JOIN cov ON k.doc_id = cov.doc_id AND k.tpos = cov.tpos),
+    rebuilt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+                       string_agg(tok, ' ' ORDER BY tpos) AS clean
+                FROM kept GROUP BY doc_id)
+    SELECT b.doc_id, CAST(b.n AS BIGINT) AS n_tokens,
+           COALESCE(r.n_kept, 0) AS n_kept,
+           md5(COALESCE(r.clean, '')) AS clean_md5
+    FROM base b LEFT JOIN rebuilt r USING (doc_id)
+    """,
+    survey_ref="exact-substring cross-doc dedup rewrite (Lee et al. "
+    "2022 ExactSubstr; north star: span-level corpus dedup)",
+)
+def q100_exact_substring_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring cross-document dedup REWRITE
+    (operators.dedup.exact_substring_dedup, verdict r11 next #1): every
+    token covered by an 8-token gram that verbatim-appears in an
+    EARLIER document is deleted; the earliest document keeps each
+    span. The query plants an 11-token boilerplate phrase on every
+    doc_id % 4 == 1 document — the smallest such doc owns it, every
+    other carrier loses exactly those 11 tokens regardless of where
+    they sit — and the corpus's natural exact-duplicate documents
+    certify the full-wipe path. md5(clean_text) hash-gates each
+    rebuilt document, so one mis-kept or mis-dropped token anywhere
+    fails the gate."""
+    from candia_spark.operators.dedup import exact_substring_dedup
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    aug = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(
+                F.col("text"),
+                F.lit(
+                    " shared boilerplate sentence planted verbatim"
+                    " across documents for exact substring dedup"
+                ),
+            ),
+        ).otherwise(F.col("text")),
+    )
+    return exact_substring_dedup(aug, k=8).select(
+        "doc_id",
+        "n_tokens",
+        "n_kept",
+        F.md5(F.col("clean_text").cast("binary")).alias("clean_md5"),
+    )
+
+
 # --- Driver certification window (verdict r5 #2) -------------------------
 # The per-round driver correctness artifact certifies the FIRST 50
 # registry entries, and queries()/oracle_sql() preserve this dict's
@@ -5498,6 +5578,14 @@ _DRIVER_WINDOW_TAIL = [
     # distinct + argmax) and q52 (tf-idf census + per-doc argmax);
     # driver-certified every round since r4.
     "q40_heavy_hitters",
+    # --- r12 rotation: q100 (exact-substring rewrite) takes a new
+    # seat. q100's seat: q44's pure-map per-row HOF repetition census
+    # stays in-window through q91's F.aggregate fold rewrite (the same
+    # zero-exchange device, plan-pinned), and the duplication DOMAIN
+    # q44 only measures is now gated end-to-end by q100's md5-gated
+    # rewrite; q44 has been driver-certified every round since r4 and
+    # keeps its three-scale local certification.
+    "q44_repetition_metrics",
 ]
 for _name in _DRIVER_WINDOW_TAIL:
     QUERY_REGISTRY[_name] = QUERY_REGISTRY.pop(_name)
