@@ -5475,6 +5475,117 @@ def q100_exact_substring_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q101_image_phash_dups",
+    # the image corpus = every doc's text bytes as the stand-in payload
+    # (the q35/q36 device) plus a last-char-flipped twin for every
+    # doc_id % 10 == 0 doc — one byte changed at unchanged length, so
+    # only the final grid cell moves and the twin sits within ~1 bit of
+    # its source (the planted NEAR-dup certifying the verify stage);
+    # natural exact-dup docs certify hamming 0. The oracle recomputes
+    # the ENTIRE pipeline: byte chunking (q36's array_split rule at 72
+    # cells), integer cross-multiplied dHash bits, 32-bit packing,
+    # 16-bit banding, the banded candidate set itself (recall is part
+    # of the gate, the q27 stance), and the bit_count(xor) verify
+    oracle="""
+    WITH img AS MATERIALIZED (
+        SELECT doc_id, encode(text) AS payload FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000,
+               encode(substr(text, 1, length(text) - 1) || '.')
+        FROM documents WHERE doc_id % 10 = 0),
+    b AS MATERIALIZED (
+        SELECT doc_id, octet_length(payload) AS n, hex(payload) AS h
+        FROM img),
+    bytes AS (
+        SELECT doc_id, p,
+               CAST('0x' || substr(h, 2 * p + 1, 2) AS INT) AS v,
+               CASE WHEN p < (n % 72) * ((n // 72) + 1)
+                    THEN p // ((n // 72) + 1)
+                    ELSE (n % 72) + (p - (n % 72) * ((n // 72) + 1))
+                         // (n // 72)
+               END AS cell
+        FROM b, UNNEST(range(0, n)) AS t(p)
+        WHERE n > 0),
+    stats AS (
+        SELECT doc_id, cell, SUM(v) AS s, COUNT(*) AS c
+        FROM bytes GROUP BY doc_id, cell),
+    cells AS MATERIALIZED (
+        SELECT b.doc_id, g.cell, COALESCE(st.s, 0) AS s,
+               COALESCE(st.c, 0) AS c
+        FROM b CROSS JOIN (SELECT UNNEST(range(0, 72)) AS cell) g
+        LEFT JOIN stats st ON st.doc_id = b.doc_id AND st.cell = g.cell),
+    bits AS (
+        SELECT l.doc_id,
+               CAST((l.cell // 9) * 8 + (l.cell % 9) AS BIGINT) AS j,
+               CASE WHEN l.s * r.c > r.s * l.c THEN 1 ELSE 0 END AS bit
+        FROM cells l JOIN cells r
+          ON r.doc_id = l.doc_id AND r.cell = l.cell + 1
+        WHERE l.cell % 9 < 8),
+    sig AS MATERIALIZED (
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN j < 32
+                             THEN bit * (CAST(1 AS BIGINT) << j)
+                             ELSE 0 END) AS BIGINT) AS h_hi,
+               CAST(SUM(CASE WHEN j >= 32
+                             THEN bit * (CAST(1 AS BIGINT) << (j - 32))
+                             ELSE 0 END) AS BIGINT) AS h_lo
+        FROM bits GROUP BY doc_id),
+    bands AS (
+        SELECT doc_id, bidx,
+               CASE bidx WHEN 0 THEN h_hi & 65535
+                         WHEN 1 THEN h_hi >> 16
+                         WHEN 2 THEN h_lo & 65535
+                         ELSE h_lo >> 16 END AS bval
+        FROM sig, UNNEST([0, 1, 2, 3]) AS u(bidx)),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, bb.doc_id AS id_b
+        FROM bands a JOIN bands bb
+          ON a.bidx = bb.bidx AND a.bval = bb.bval
+        WHERE a.doc_id < bb.doc_id)
+    SELECT id_a, id_b, hamming FROM (
+        SELECT c.id_a, c.id_b,
+               CAST(bit_count(xor(sa.h_hi, sb.h_hi))
+                    + bit_count(xor(sa.h_lo, sb.h_lo)) AS BIGINT)
+                   AS hamming
+        FROM cand c
+        JOIN sig sa ON sa.doc_id = c.id_a
+        JOIN sig sb ON sb.doc_id = c.id_b)
+    WHERE hamming <= 6
+    """,
+    survey_ref="perceptual-hash image near-dedup (dHash + Hamming "
+    "banding; north star: LAION-style multimodal dedup)",
+)
+def q101_image_phash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image near-duplicate pairs (verdict r11 next #2:
+    operators.multimodal.dhash64 + phash_near_dups): 64-bit integer
+    dHash over the binary payloads (decode step = the documented
+    deterministic byte-grid stand-in, the q36 stance — the Spark-side
+    plumbing, banding, and verify are the real, gated part), candidates
+    from exact 16-bit band matches (pigeonhole-complete to Hamming 3),
+    verified with exact bit_count(xor) distance <= 6. Every doc's text
+    bytes are the stand-in image; a last-char-flipped twin is planted
+    on every tenth doc to certify the near-miss path (hamming ~1), and
+    natural duplicate docs certify hamming 0."""
+    from candia_spark.operators.multimodal import phash_near_dups
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    base = docs.select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+    twins = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.encode(
+            F.concat(
+                F.col("text").substr(F.lit(1), F.length("text") - 1),
+                F.lit("."),
+            ),
+            "UTF-8",
+        ).alias("payload"),
+    )
+    return phash_near_dups(base.unionByName(twins), max_hamming=6)
+
+
 # --- Driver certification window (verdict r5 #2) -------------------------
 # The per-round driver correctness artifact certifies the FIRST 50
 # registry entries, and queries()/oracle_sql() preserve this dict's
@@ -5586,6 +5697,13 @@ _DRIVER_WINDOW_TAIL = [
     # rewrite; q44 has been driver-certified every round since r4 and
     # keeps its three-scale local certification.
     "q44_repetition_metrics",
+    # q101's seat (image pHash near-dedup): q68's corpus-level block
+    # rewrite stays in-window-covered through q100 — the exact-substring
+    # rewrite runs the SAME census -> first-occurrence ownership ->
+    # ordered-rebuild chain at strictly finer (every-offset) granularity
+    # — plus q91's in-window intra-doc block fold; q68 driver-certified
+    # every round since r7 with its own golden/pytest coverage.
+    "q68_remove_dup_blocks",
 ]
 for _name in _DRIVER_WINDOW_TAIL:
     QUERY_REGISTRY[_name] = QUERY_REGISTRY.pop(_name)

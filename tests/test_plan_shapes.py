@@ -392,3 +392,24 @@ def test_q98_boilerplate_plan_shape(spark):
     assert "Python" not in plan
     assert "CartesianProduct" not in plan
     assert "SinglePartition" not in plan
+
+
+def test_q101_phash_band_join_shape(spark):
+    """Image pHash near-dedup (q101): after the one Arrow hashing pass
+    (cut by _materialize), everything downstream is JVM-side — the
+    candidate stage is a band-keyed equi self-join (never a cartesian
+    product), and the Hamming verify is xor/bit_count expressions, no
+    Python eval anywhere in the post-hash plan."""
+    from candia_spark.operators.multimodal import phash_near_dups
+
+    docs = load_table(spark, SF, "documents")
+    imgs = docs.select("doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
+    plan = plan_of(phash_near_dups(imgs, max_hamming=6))
+    assert "CartesianProduct" not in plan
+    assert "Python" not in plan  # hashing is behind the checkpoint cut
+    # the candidate stage is an equi-join KEYED ON the band column —
+    # broadcast at this scale, shuffled-hash/sort-merge at corpus scale;
+    # either way the key set is [band], never an unkeyed product
+    import re
+
+    assert re.search(r"HashJoin \[band#\d+\], \[band#\d+\]", plan), plan

@@ -227,3 +227,106 @@ def test_custom_decoder_injection(payloads):
     by_id = {r["doc_id"]: r for r in rows}
     assert by_id[1]["features"] == [17.0, 17.0, 17.0]
     assert all(r["modality"] == "audio" for r in rows)
+
+
+def _ref_dhash(payload: bytes) -> int:
+    """Rule-by-rule python reference for multimodal.dhash64."""
+    import numpy as np
+
+    raw = np.frombuffer(payload, dtype=np.uint8)
+    chunks = np.array_split(raw, 72)
+    s = [int(c.sum()) for c in chunks]
+    n = [int(c.size) for c in chunks]
+    h = 0
+    for r in range(8):
+        for c in range(8):
+            a, b = 9 * r + c, 9 * r + c + 1
+            if s[a] * n[b] > s[b] * n[a]:
+                h |= 1 << (8 * r + c)
+    return h
+
+
+def test_dhash64_matches_reference_and_packs_bands(spark):
+    """dhash64 must equal the python reference bit-for-bit, pack the
+    two 32-bit halves and four 16-bit bands consistently, and behave on
+    the documented edges (empty payload -> 0; exact dup -> identical)."""
+    import random
+
+    from candia_spark.operators.multimodal import dhash64
+
+    rng = random.Random(5)
+    payloads = [bytes(rng.randrange(256) for _ in range(rng.randint(0, 300)))
+                for _ in range(12)]
+    payloads += [b"", payloads[0]]  # empty + exact dup
+    rows = [(i, p) for i, p in enumerate(payloads)]
+    df = spark.createDataFrame(rows, "doc_id bigint, payload binary")
+    got = {r.doc_id: r for r in dhash64(df).collect()}
+    for i, p in rows:
+        h = _ref_dhash(p)
+        g = got[i]
+        assert (g.h_hi, g.h_lo) == (h & 0xFFFFFFFF, h >> 32), i
+        for b in range(4):
+            assert g[f"band{b}"] == (h >> (16 * b)) & 0xFFFF, (i, b)
+        assert g.n_bytes == len(p)
+    assert got[len(payloads) - 1].h_hi == got[0].h_hi  # exact dup
+    assert (got[len(payloads) - 2].h_hi, got[len(payloads) - 2].h_lo) == (0, 0)
+
+
+def test_phash_near_dups_banding_recall_and_exact_distances(spark):
+    """The banded candidate generation must be pigeonhole-complete for
+    Hamming <= 3 (4 bands x 16 bits), and every reported distance must
+    equal the brute-force XOR popcount. max_hamming=64 surfaces ALL
+    banded candidates, so the reported set is exactly {banded pairs}
+    with exact distances."""
+    import random
+
+    from candia_spark.operators.multimodal import phash_near_dups
+
+    rng = random.Random(9)
+    payloads = []
+    base = bytes(rng.randrange(256) for _ in range(200))
+    payloads.append(base)
+    # perturbed copies (small byte edits -> small but nonzero distances)
+    for k in (1, 3, 7):
+        b = bytearray(base)
+        for _ in range(k):
+            b[rng.randrange(len(b))] = rng.randrange(256)
+        payloads.append(bytes(b))
+    payloads += [bytes(rng.randrange(256) for _ in range(200))
+                 for _ in range(6)]
+    rows = [(i, p) for i, p in enumerate(payloads)]
+    hashes = {i: _ref_dhash(p) for i, p in rows}
+
+    df = spark.createDataFrame(rows, "doc_id bigint, payload binary")
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in phash_near_dups(df, max_hamming=64).collect()
+    }
+    for i in hashes:
+        for j in hashes:
+            if i >= j:
+                continue
+            d = bin(hashes[i] ^ hashes[j]).count("1")
+            shares_band = any(
+                (hashes[i] >> (16 * b)) & 0xFFFF
+                == (hashes[j] >> (16 * b)) & 0xFFFF
+                for b in range(4)
+            )
+            if d <= 3:
+                assert shares_band and got[(i, j)] == d, (i, j, d)
+            if (i, j) in got:
+                assert got[(i, j)] == d and shares_band, (i, j, d)
+            else:
+                assert not shares_band, (i, j, d)
+
+
+def test_phash_near_dups_band_caps(spark):
+    """The two-cap doctrine applies to hot band values: an absolute
+    max_band_df drops a degenerate corpus-wide band (all-zero payloads)
+    from candidate generation entirely."""
+    from candia_spark.operators.multimodal import phash_near_dups
+
+    rows = [(i, bytes(200)) for i in range(8)]  # identical flat images
+    df = spark.createDataFrame(rows, "doc_id bigint, payload binary")
+    assert phash_near_dups(df, max_hamming=0).count() == 28  # 8C2
+    assert phash_near_dups(df, max_hamming=0, max_band_df=4).count() == 0
