@@ -1760,3 +1760,168 @@ def unigram_rarity(
         .cast("bigint")
         .alias("tail"),
     )
+
+
+def multiclass_classifier_weights(
+    labeled: DataFrame,
+    label_col: str = "label",
+    text_col: str = "text",
+    ngram: int = 1,
+    buckets: int | None = None,
+    min_contrast: int = 0,
+) -> DataFrame:
+    """Train a fastText-style MULTI-CLASS linear model from a labeled
+    corpus (verdict r11 next #3 — the K-class generalization of
+    :func:`quality_classifier_weights`): one census over
+    (label, feature) pairs, a per-class RATE normalization (multinomial
+    NB's log P(tok|c) = log count(tok,c) − log total_c — without it,
+    the largest class out-counts every other on shared vocabulary and
+    wins every argmax, measured on the lang-imbalanced documents
+    table), and a one-vs-rest contrast:
+
+        ``nb(tok, c)     = bits(count(tok, c)) − bits(total_c)``
+        ``weight(tok, c) = K·nb(tok, c) − Σ_c' nb(tok, c')``
+
+    (bits = floor-log2+1 via length(bin(x)), the dsir integer-log
+    device; a class that never saw the token prices bits(count) = 0,
+    i.e. nb = −bits(total_c); weights are zero-sum across classes per
+    token, so a token occurring at the same RATE everywhere is evidence
+    for nothing). Exact integers end to end — the fastText softmax this
+    stands in for differs run-to-run anyway; what ships is "a broadcast
+    linear scorer per class", which this is.
+
+    The model is DENSE over (model vocabulary × labels): the absent
+    (tok, c) rows carry exactly the strongest negative evidence
+    (−bits(total_c)), so the dense cross join is load-bearing, not
+    padding. With ``buckets`` set (the q96/q97 hashed feature space,
+    cross-engine md5 device) the model is at most ``buckets × K`` rows
+    no matter the vocabulary.
+
+    The integer-log proxy quantizes rates to whole bits, so a token
+    whose class rates differ by less than 2× carries ±1-bit noise, and
+    summed over a long document that noise can drown sharp evidence —
+    ``min_contrast`` is the feature-pruning knob every shipped langid
+    runs: tokens whose cross-class nb RANGE (max − min) is below it are
+    dropped from the model entirely (contributing an equal 0 to every
+    class). Sharply class-conditional features — 'der' in German, a
+    domain's boilerplate — have contrast >> 1 and always survive; the
+    sub-bit diffuse differences below the proxy's resolution are
+    exactly what it removes. This trades sub-2× rate sensitivity for
+    engine-exactness and a smaller broadcast model.
+
+    Output: (label, tok, weight) for
+    :func:`multiclass_classifier_predict` — ``ngram``/``buckets`` must
+    match between the two calls.
+
+    Scale shape: one corpus feature census (one shuffle, map-side
+    partial agg), then everything downstream is model-sized — the
+    per-token totals, the K-row label set (broadcast), the 1-row K
+    count (broadcast; no driver action anywhere), and the dense
+    left join. Nothing corpus-sized survives the census."""
+    bits = lambda c: F.length(F.bin(c)).cast("bigint")  # noqa: E731
+    feats = _dsir_features(text_col, ngram, buckets)
+    cen = (
+        labeled.select(
+            F.col(label_col).alias("label"), F.explode(feats).alias("tok")
+        )
+        .groupBy("label", "tok")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("__cnt"),
+            bits(F.count(F.lit(1))).alias("__bits"),
+        )
+    )
+    from candia_spark.operators.dedup import _materialize
+
+    cen = _materialize(cen)  # feeds toks/labels/totals/dense join
+    toks_d = cen.select("tok").distinct()
+    # per-class token totals and their bits (the NB rate normalizer);
+    # S = Σ_c bits(total_c) rides the same model-sized table
+    ltot = cen.groupBy("label").agg(bits(F.sum("__cnt")).alias("__ltot"))
+    sdf = ltot.agg(
+        F.sum("__ltot").alias("__s"),
+        F.count(F.lit(1)).cast("bigint").alias("__k"),
+    )
+    # Σ_c' bits(count(tok, c')) over PRESENT classes; absent classes
+    # contribute bits = 0 by the coalesce below
+    tok_bits = cen.groupBy("tok").agg(F.sum("__bits").alias("__tb"))
+    # weight = K·(bits − ltot) − (tok_bits_sum − S), zero-sum per token
+    dense = (
+        toks_d.join(F.broadcast(ltot))
+        .join(F.broadcast(sdf))
+        .join(tok_bits, "tok")
+        .join(cen.select("label", "tok", "__bits"), ["label", "tok"], "left")
+        .select(
+            "label",
+            "tok",
+            (F.coalesce("__bits", F.lit(0)) - F.col("__ltot")).alias("__nb"),
+            (
+                F.col("__k")
+                * (F.coalesce("__bits", F.lit(0)) - F.col("__ltot"))
+                - (F.col("__tb") - F.col("__s"))
+            ).alias("weight"),
+        )
+    )
+    if min_contrast > 0:
+        w = Window.partitionBy("tok")
+        dense = dense.withColumn(
+            "__rng", F.max("__nb").over(w) - F.min("__nb").over(w)
+        ).filter(F.col("__rng") >= F.lit(int(min_contrast)))
+    return dense.select("label", "tok", "weight")
+
+
+def multiclass_classifier_predict(
+    df: DataFrame,
+    weights: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 1,
+    buckets: int | None = None,
+    fallback: str = "und",
+) -> DataFrame:
+    """Score every document against a broadcast multi-class linear
+    model (:func:`multiclass_classifier_weights` output) and predict
+    the argmax class — the fastText-style language-ID/topic gate
+    production pipelines run (the marker-list heuristic
+    ``functions.text.lang_id_from_distinct`` certifies as q32's frozen
+    fixture; THIS is the trained replacement, verdict r11 next #3).
+
+    Per document and class: ``score(d, c) = Σ weight(tok, c)`` over
+    feature OCCURRENCES; predicted = argmax with the exact total
+    tie-break (score desc, label asc — the cluster_purity struct-min
+    device, engine-identical). Tokens outside the model vocabulary add
+    an equal 0 to every class and cannot move an argmax; documents with
+    NO model features (empty text, or nothing survived hashing) get
+    ``fallback`` with score 0 — every input row gets a verdict (the
+    q97 production-gate stance).
+
+    Output one row per input document: (id, predicted_label,
+    best_score). ``ngram``/``buckets`` must match training.
+
+    Scale shape: explode features, ONE explicitly-broadcast join
+    against the model (bounded by buckets × K), one (id, label)
+    aggregation, one per-id struct-min argmax, and a left join back to
+    the id spine. No corpus-sized shuffle except the per-doc agg's own
+    key."""
+    feats = _dsir_features(text_col, ngram, buckets)
+    toks = df.select(F.col(id_col), F.explode(feats).alias("tok"))
+    scores = (
+        toks.join(F.broadcast(weights), "tok")
+        .groupBy(id_col, "label")
+        .agg(F.sum("weight").cast("bigint").alias("__score"))
+    )
+    best = scores.groupBy(id_col).agg(
+        F.min(
+            F.struct(
+                (-F.col("__score")).alias("__ns"), F.col("label").alias("__l")
+            )
+        ).alias("__b")
+    )
+    return df.select(F.col(id_col)).join(best, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("__b")["__l"], F.lit(fallback)).alias(
+            "predicted_label"
+        ),
+        F.coalesce(-F.col("__b")["__ns"], F.lit(0))
+        .cast("bigint")
+        .alias("best_score"),
+    )

@@ -5586,6 +5586,115 @@ def q101_image_phash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phash_near_dups(base.unionByName(twins), max_hamming=6)
 
 
+@register(
+    "q102_multiclass_langid",
+    # the synthetic corpus's text carries no real language signal (one
+    # shared vocabulary under every lang label), so the class signal is
+    # PLANTED (the q91/q98/q100 augmentation device): three 'langsig'
+    # marker tokens per document. The oracle recomputes the ENTIRE
+    # trained pipeline — hashed features, per-class census, NB rate
+    # normalization, one-vs-rest integer weights, contrast pruning,
+    # broadcast scoring, exact argmax tie-break — value-identically
+    oracle="""
+    WITH aug AS MATERIALIZED (
+        SELECT doc_id, lang,
+               text || ' langsig' || lang || ' langsig' || lang
+                    || ' langsig' || lang AS text
+        FROM documents),
+    feats AS MATERIALIZED (
+        SELECT doc_id, lang,
+               CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) % 4096 AS tok
+        FROM (SELECT doc_id, lang, unnest({toks}) AS tok FROM aug)),
+    cen AS MATERIALIZED (
+        SELECT lang AS label, tok, CAST(COUNT(*) AS BIGINT) AS cnt,
+               CAST(length(bin(COUNT(*))) AS BIGINT) AS b
+        FROM feats GROUP BY lang, tok),
+    ltot AS (
+        SELECT label,
+               CAST(length(bin(CAST(SUM(cnt) AS BIGINT))) AS BIGINT) AS lt
+        FROM cen GROUP BY label),
+    sdf AS (
+        SELECT CAST(SUM(lt) AS BIGINT) AS s,
+               CAST(COUNT(*) AS BIGINT) AS k
+        FROM ltot),
+    tokb AS (
+        SELECT tok, CAST(SUM(b) AS BIGINT) AS tb FROM cen GROUP BY tok),
+    dense AS (
+        SELECT l.label, t.tok,
+               COALESCE(c.b, 0) - l.lt AS nb,
+               sdf.k * (COALESCE(c.b, 0) - l.lt) - (t2.tb - sdf.s)
+                   AS weight
+        FROM (SELECT DISTINCT tok FROM cen) t
+        CROSS JOIN ltot l CROSS JOIN sdf
+        JOIN tokb t2 ON t2.tok = t.tok
+        LEFT JOIN cen c ON c.tok = t.tok AND c.label = l.label),
+    pruned AS (
+        SELECT label, tok, weight FROM (
+            SELECT label, tok, weight,
+                   MAX(nb) OVER (PARTITION BY tok)
+                       - MIN(nb) OVER (PARTITION BY tok) AS rng
+            FROM dense)
+        WHERE rng >= 3),
+    sc AS (
+        SELECT f.doc_id, p.label, CAST(SUM(p.weight) AS BIGINT) AS score
+        FROM feats f JOIN pruned p ON p.tok = f.tok
+        GROUP BY f.doc_id, p.label),
+    best AS (
+        SELECT doc_id, label FROM (
+            SELECT doc_id, label,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id
+                                      ORDER BY score DESC, label ASC)
+                       AS rk
+            FROM sc) WHERE rk = 1),
+    pred AS (
+        SELECT a.doc_id, a.lang, COALESCE(b.label, 'und') AS predicted_lang
+        FROM aug a LEFT JOIN best b USING (doc_id))
+    SELECT lang, predicted_lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM pred GROUP BY lang, predicted_lang
+    """.replace("{toks}", _TOKS_SQL),
+    survey_ref="multi-class hashed-feature classifier / trained langid "
+    "(fastText-style argmax; north star; verdict r11 next #3)",
+)
+def q102_multiclass_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained multi-class language ID
+    (operators.curation.multiclass_classifier_weights + _predict,
+    verdict r11 next #3 — the fastText-style replacement for q32's
+    marker-list heuristic, which stays as the frozen fixture): NB-rate-
+    normalized one-vs-rest integer log-odds weights over 4096 hashed
+    unigram features, contrast-pruned at 3 bits, broadcast linear
+    scoring, exact (score desc, label asc) argmax. The synthetic corpus
+    shares one vocabulary across lang labels, so three per-lang marker
+    tokens are planted per document (the augmentation device) — the
+    trained model must recover a PERFECT diagonal confusion matrix
+    from them, certifying weights, pruning, scoring, and tie-break end
+    to end (any single wrong weight or argmax flips a confusion
+    cell)."""
+    from candia_spark.operators.curation import (
+        multiclass_classifier_predict,
+        multiclass_classifier_weights,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    aug = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" langsig"), F.col("lang"),
+            F.lit(" langsig"), F.col("lang"),
+            F.lit(" langsig"), F.col("lang"),
+        ),
+    )
+    w = multiclass_classifier_weights(
+        aug, label_col="lang", buckets=4096, min_contrast=3
+    )
+    pred = multiclass_classifier_predict(aug, w, buckets=4096)
+    return (
+        pred.join(aug.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang", F.col("predicted_label").alias("predicted_lang"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    )
+
+
 # --- Driver certification window (verdict r5 #2) -------------------------
 # The per-round driver correctness artifact certifies the FIRST 50
 # registry entries, and queries()/oracle_sql() preserve this dict's
@@ -5704,6 +5813,14 @@ _DRIVER_WINDOW_TAIL = [
     # — plus q91's in-window intra-doc block fold; q68 driver-certified
     # every round since r7 with its own golden/pytest coverage.
     "q68_remove_dup_blocks",
+    # q102's seat (multi-class classifier): q54's incremental
+    # near-dedup state machinery stays covered by the delta-append ≡
+    # from-scratch-rebuild equivalence pytests (the r9-accepted
+    # rationale when q54 was first parked) and by the in-window
+    # q26/q27 band+verify chain that produces the same signatures;
+    # the rolling census half additionally rides q78/q80's tail rows,
+    # re-certified locally at three scales every round.
+    "q54_incremental_dedup",
 ]
 for _name in _DRIVER_WINDOW_TAIL:
     QUERY_REGISTRY[_name] = QUERY_REGISTRY.pop(_name)
