@@ -2438,11 +2438,94 @@ def winnow_fingerprint_pairs(
     return out.filter(F.col("overlap") >= threshold)
 
 
+def gram_owner_census(
+    df: DataFrame,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The persistable corpus-side artifact of rolling exact-substring
+    dedup: (gram, owner_id) — every distinct k-token gram digest with
+    its global first-owner doc. Write to parquet once per corpus life
+    (bucket by gram at real scale) and hand it to
+    :func:`exact_substring_dedup` as ``corpus_owners``: each ingestion
+    batch then rewrites against the STORED census without ever
+    re-tokenizing the corpus — the same rolling-ingestion contract as
+    :func:`block_census` / :func:`incremental_corpus_state`."""
+    occ = _gram_occurrences(df, k, text_col, id_col)
+    return occ.groupBy("__g").agg(F.min(id_col).alias("owner_id")).select(
+        F.col("__g").alias("gram"), "owner_id"
+    )
+
+
+def compact_gram_census(
+    corpus_owners: DataFrame,
+    batch_df: DataFrame,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Fold a processed ingestion batch into the persisted
+    :func:`gram_owner_census` — the exact-substring half of the
+    periodic compaction job. Returns the DELTA rows to APPEND: the
+    batch's census-NOVEL grams with their batch-internal first owner.
+    Censused grams produce no delta (the corpus owns them — rolling
+    ownership by ingestion order, the q78 stance), so stored rows are
+    never rewritten and the sink stays append-only; replay idempotence
+    belongs to the sink (key appends by batch id with dynamic partition
+    overwrite, as with :func:`compact_corpus_state`).
+
+    ``stored + delta == gram_owner_census(corpus ∪ batch)`` whenever
+    every corpus id orders before every batch id (pinned in tests);
+    under interleaved ids the compacted census encodes rolling
+    ownership, which is what a pipeline that cannot rewrite shipped
+    documents wants."""
+    batch_census = gram_owner_census(batch_df, k, text_col, id_col)
+    return batch_census.join(
+        corpus_owners.select("gram"), "gram", "left_anti"
+    )
+
+
+def _gram_occurrences(
+    df: DataFrame, k: int, text_col: str, id_col: str
+) -> DataFrame:
+    """Every k-token gram occurrence as (id, __pos, __g md5) — the
+    shared front half of the exact-substring family. Tokenization is
+    the lossless raw single-space split; grams are built with the
+    zip_with shingle device and digested before the explode."""
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    base = df.select(F.col(id_col), F.split(text, " ").alias("__toks"))
+    return base.select(
+        F.col(id_col),
+        F.posexplode(_gram_digest_array(F.col("__toks"), k)).alias(
+            "__pos", "__g"
+        ),
+    )
+
+
+def _gram_digest_array(t: Column, k: int) -> Column:
+    """md5 digests of every k-token gram of a token-array column, sep
+    ' ' (tokens come from a single-space split, so each gram IS the
+    literal original substring). The zip_with build (measured ~3x over
+    per-element slice) with no negative-sequence trap: m = 0 for docs
+    shorter than k tokens."""
+    m = F.greatest(F.size(t) - (k - 1), F.lit(0))
+    acc = F.slice(t, 1, m)
+    for j in range(1, k):
+        acc = F.zip_with(
+            acc, F.slice(t, j + 1, m), lambda x, y: F.concat(x, F.lit(" "), y)
+        )
+    return F.transform(acc, lambda s: F.md5(s.cast("binary")))
+
+
 def exact_substring_dedup(
     df: DataFrame,
     k: int = 8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    corpus_owners: DataFrame | None = None,
 ) -> DataFrame:
     """Exact-substring cross-document dedup REWRITE (Lee et al. 2022,
     "Deduplicating Training Data Makes Language Models Better",
@@ -2471,6 +2554,19 @@ def exact_substring_dedup(
     duplicated. Every step is integer/digest arithmetic, so a DuckDB
     oracle recomputes the rewrite value-exactly and an md5 gates it
     (q100).
+
+    ``corpus_owners`` (a persisted :func:`gram_owner_census`) switches
+    to ROLLING-INGESTION mode: the batch is rewritten against the
+    stored census without re-tokenizing the corpus — censused grams are
+    corpus-owned outright (every batch occurrence covered; ownership by
+    ingestion order, the q78 stance), batch-novel grams use the
+    batch-internal first-owner rule, and
+    :func:`compact_gram_census` then folds the batch's novel grams back
+    into the store as append-only deltas. When every corpus id orders
+    before every batch id, stored + rewrite ≡ the batch slice of a full
+    from-scratch run (pinned in tests). Per-batch cost tracks the
+    BATCH: one batch tokenize + one keyed probe of the stored census
+    (bucket the store by gram at real scale so the probe co-locates).
 
     Scale shape — deliberately NOT the pair path: anchoring candidate
     doc PAIRS (winnow/MinHash) and verifying per pair goes quadratic in
@@ -2502,29 +2598,37 @@ def exact_substring_dedup(
             F.size(toks).cast("bigint").alias("__n_tok"),
         )
     )
-    # gram digests via the zip_with shingle build (measured ~3x over
-    # per-element slice); sep ' ' makes each gram the literal original
-    # substring, and the slice-length form needs no negative-sequence
-    # guard (m = 0 for docs shorter than k tokens)
-    t = F.col("__toks")
-    m = F.greatest(F.size(t) - (k - 1), F.lit(0))
-    acc = F.slice(t, 1, m)
-    for j in range(1, k):
-        acc = F.zip_with(
-            acc, F.slice(t, j + 1, m), lambda x, y: F.concat(x, F.lit(" "), y)
-        )
     occ = base.select(
         F.col(id_col),
-        F.posexplode(
-            F.transform(acc, lambda s: F.md5(s.cast("binary")))
-        ).alias("__pos", "__g"),
+        F.posexplode(_gram_digest_array(F.col("__toks"), k)).alias(
+            "__pos", "__g"
+        ),
     )
     owners = occ.groupBy("__g").agg(F.min(id_col).alias("__owner"))
-    dup = (
-        occ.join(owners, "__g")
-        .filter(F.col("__owner") < F.col(id_col))
-        .select(F.col(id_col), "__pos")
-    )
+    if corpus_owners is None:
+        dup = (
+            occ.join(owners, "__g")
+            .filter(F.col("__owner") < F.col(id_col))
+            .select(F.col(id_col), "__pos")
+        )
+    else:
+        # rolling mode: the stored census owns its grams outright (the
+        # corpus shipped already — ownership by ingestion order, the
+        # q78 stance), so every batch occurrence of a censused gram is
+        # covered; grams novel to the batch fall back to the
+        # batch-internal min-id owner rule
+        stored = corpus_owners.select(
+            F.col("gram").alias("__g"), F.lit(1).alias("__in_corpus")
+        )
+        dup = (
+            occ.join(owners, "__g")
+            .join(stored, "__g", "left")
+            .filter(
+                F.col("__in_corpus").isNotNull()
+                | (F.col("__owner") < F.col(id_col))
+            )
+            .select(F.col(id_col), "__pos")
+        )
     covered = dup.select(
         F.col(id_col),
         F.explode(

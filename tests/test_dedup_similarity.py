@@ -1271,3 +1271,68 @@ def test_exact_substring_dedup_vs_q55_profile_on_planted_spans(spark):
         assert got[d].clean_text == " ".join(
             f"doc{d}tok{j:02d}" for j in range(15)
         ), d
+
+
+def test_exact_substring_rolling_equals_full_rebuild(spark):
+    """Rolling exact-substring dedup: rewriting a batch against the
+    persisted gram_owner_census must equal the batch slice of a full
+    from-scratch run whenever corpus ids order before batch ids; and
+    stored + compact delta must equal the census of the union. The
+    closed compaction loop of the block/near-dup state families, on the
+    gram census."""
+    import random
+
+    from candia_spark.operators.dedup import (
+        compact_gram_census,
+        exact_substring_dedup,
+        gram_owner_census,
+    )
+
+    rng = random.Random(21)
+    vocab = [f"v{i}" for i in range(30)]
+    span = " ".join(rng.choices(vocab, k=10))
+    corpus_rows = []
+    for d in range(12):
+        words = rng.choices(vocab, k=rng.randint(8, 20))
+        text = " ".join(words)
+        if d % 3 == 0:
+            text = text + " " + span
+        corpus_rows.append((d, text))
+    batch_rows = []
+    for d in range(100, 108):
+        words = rng.choices(vocab, k=rng.randint(8, 20))
+        text = " ".join(words)
+        if d % 2 == 0:
+            text = span + " " + text     # corpus-owned span -> covered
+        if d in (103, 105):
+            text = text + " " + batch_rows[0][1] if batch_rows else text
+        batch_rows.append((d, text))
+
+    corpus = spark.createDataFrame(corpus_rows, "doc_id bigint, text string")
+    batch = spark.createDataFrame(batch_rows, "doc_id bigint, text string")
+    k = 5
+
+    census = gram_owner_census(corpus, k=k)
+    rolling = {
+        r.doc_id: (r.n_tokens, r.n_kept, r.clean_text)
+        for r in exact_substring_dedup(batch, k=k, corpus_owners=census).collect()
+    }
+    full = {
+        r.doc_id: (r.n_tokens, r.n_kept, r.clean_text)
+        for r in exact_substring_dedup(
+            corpus.unionByName(batch), k=k
+        ).collect()
+        if r.doc_id >= 100
+    }
+    assert rolling == full
+
+    # compaction closes the loop: stored + delta == census(corpus ∪ batch)
+    delta = compact_gram_census(census, batch, k=k)
+    merged = {
+        (r.gram, r.owner_id) for r in census.unionByName(delta).collect()
+    }
+    rebuilt = {
+        (r.gram, r.owner_id)
+        for r in gram_owner_census(corpus.unionByName(batch), k=k).collect()
+    }
+    assert merged == rebuilt
