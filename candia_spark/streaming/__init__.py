@@ -616,6 +616,78 @@ def quality_stream(
     q.awaitTermination()
 
 
+def write_langid_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    out_path: str,
+    weights: DataFrame,
+    ngram: int = 1,
+    buckets: int | None = None,
+    fallback: str = "und",
+) -> None:
+    """Idempotent per-micro-batch sink for :func:`langid_stream`: the
+    batch's (id, predicted_label, best_score) verdicts land under
+    ``_batch_id=<batch_id>`` via dynamic partition overwrite, so an
+    at-least-once replay of a deterministic batch rewrites its own
+    partition instead of duplicating rows. ``ngram``/``buckets`` must
+    match what the weights were trained with."""
+    from candia_spark.operators.curation import multiclass_classifier_predict
+
+    out = multiclass_classifier_predict(
+        batch_df, weights, ngram=ngram, buckets=buckets, fallback=fallback
+    )
+    (
+        out.withColumn("_batch_id", F.lit(int(batch_id)))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("_batch_id")
+        .parquet(out_path)
+    )
+
+
+def langid_stream(
+    docs_stream: DataFrame,
+    weights: DataFrame,
+    out_path: str,
+    checkpoint_dir: str,
+    ngram: int = 1,
+    buckets: int | None = None,
+    fallback: str = "und",
+) -> None:
+    """Streaming multi-class classifier gate (language ID / topic
+    routing on the firehose): every arriving micro-batch is scored
+    against a FROZEN broadcast multi-class model
+    (:func:`candia_spark.operators.curation.multiclass_classifier_weights`
+    — trained once on labeled snapshots) and the per-doc argmax
+    verdicts land under the ``_batch_id`` exactly-once discipline.
+
+    The frozen dense weights + total (score desc, label asc) tie-break
+    + fixed fallback make every document's (predicted_label,
+    best_score) a pure function of its own row plus the broadcast
+    model — no batch-dependent statistic anywhere — so the union of
+    per-trigger outputs equals one batch run over the concatenated
+    arrivals row-for-row (pinned in tests/test_streaming.py, the
+    dsir/quality-gate stance).
+
+    ``availableNow`` drains pending input then stops (backfill
+    trigger); swap for a processing-time trigger on a live source."""
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        write_langid_batch(
+            batch_df, batch_id, out_path,
+            weights=weights, ngram=ngram, buckets=buckets,
+            fallback=fallback,
+        )
+
+    q = (
+        docs_stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def run_available_now(
     stream_df: DataFrame,
     query_name: str,

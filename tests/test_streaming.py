@@ -758,3 +758,66 @@ def test_quality_stream_matches_batch_and_absorbs_replay(spark, tmp_path):
     again = sorted(map(tuple,
                        spark.read.parquet(out_path).drop("_batch_id").collect()))
     assert again == batch
+
+
+def test_langid_stream_matches_batch_and_absorbs_replay(spark, tmp_path):
+    """Streaming multi-class classifier gate (r12): per micro-batch
+    argmax against a FROZEN dense model equals one batch run over all
+    arrivals (every verdict is a pure function of row + model +
+    fallback), and the _batch_id dynamic-overwrite sink absorbs an
+    at-least-once replay."""
+    import json
+
+    from candia_spark.operators.curation import (
+        multiclass_classifier_predict,
+        multiclass_classifier_weights,
+    )
+    from candia_spark.streaming import langid_stream, write_langid_batch
+
+    labeled = spark.createDataFrame(
+        [("de", "der der und nicht"), ("en", "the the and of"),
+         ("es", "el el la que")],
+        "label string, text string",
+    )
+    weights = multiclass_classifier_weights(labeled, text_col="text")
+
+    files = [
+        [(1, "der und x"), (2, "the of y")],
+        [(3, "el la z"), (4, "")],  # unseen-only tokens; empty doc
+    ]
+    in_dir = tmp_path / "langid_arrivals"
+    in_dir.mkdir()
+    for i, rows in enumerate(files):
+        with open(in_dir / f"batch{i}.jsonl", "w") as f:
+            for doc_id, text in rows:
+                f.write(json.dumps({"doc_id": doc_id, "text": text}) + "\n")
+
+    stream = (
+        spark.readStream.schema("doc_id LONG, text STRING")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(in_dir))
+    )
+    out_path = str(tmp_path / "langid_out")
+    langid_stream(stream, weights, out_path, str(tmp_path / "langid_ckpt"))
+
+    out = spark.read.parquet(out_path)
+    streamed = sorted(map(tuple, out.drop("_batch_id").collect()))
+    all_docs = spark.createDataFrame(
+        [r for rows in files for r in rows], "doc_id long, text string"
+    )
+    batch = sorted(map(tuple, multiclass_classifier_predict(
+        all_docs, weights).collect()))
+    assert streamed == batch
+    preds = {r[0]: r[1] for r in batch}
+    assert preds[1] == "de" and preds[2] == "en" and preds[3] == "es"
+    assert preds[4] == "und"  # empty doc -> fallback verdict
+
+    # replay absorption
+    file0_batch_id = (
+        out.where(out["doc_id"] == 1).select("_batch_id").collect()[0][0]
+    )
+    replay = spark.createDataFrame(files[0], "doc_id long, text string")
+    write_langid_batch(replay, file0_batch_id, out_path, weights=weights)
+    again = sorted(map(tuple,
+                       spark.read.parquet(out_path).drop("_batch_id").collect()))
+    assert again == batch
