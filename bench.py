@@ -121,6 +121,28 @@ def main() -> None:
         ).groupBy("shingle").count().write.format("noop").mode(
             "overwrite"
         ).save()
+        # r12 families: the exact-substring rewrite (gram explode +
+        # anti join + ordered rebuild), the pHash band join
+        # (xor/bit_count + checkpoint-cut Arrow hash), and the
+        # multiclass dense-model algebra each JIT shapes no earlier
+        # warmup touches
+        from candia_spark.operators.curation import (
+            multiclass_classifier_predict,
+            multiclass_classifier_weights,
+        )
+        from candia_spark.operators.dedup import exact_substring_dedup
+        from candia_spark.operators.multimodal import phash_near_dups
+
+        exact_substring_dedup(docs200, k=6).count()
+        phash_near_dups(
+            docs200.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+        ).count()
+        wl = docs200.select(
+            "doc_id", F.lit("a").alias("label"), "text"
+        )
+        multiclass_classifier_predict(
+            wl, multiclass_classifier_weights(wl, label_col="label")
+        ).count()
     except Exception:
         pass
 

@@ -413,3 +413,19 @@ def test_q101_phash_band_join_shape(spark):
     import re
 
     assert re.search(r"HashJoin \[band#\d+\], \[band#\d+\]", plan), plan
+
+
+def test_q100_exact_substring_plan_shape(spark):
+    """Exact-substring rewrite (q100): everything downstream of the one
+    materialized tokenize is JVM-side keyed work — gram-keyed owner
+    census join, (id, pos)-keyed anti join, id-keyed rebuild agg; no
+    cartesian product, no Python eval, no single-partition window
+    anywhere (a global sort would serialize the corpus at 100 TB)."""
+    from candia_spark.operators.dedup import exact_substring_dedup
+
+    docs = load_table(spark, SF, "documents")
+    plan = plan_of(exact_substring_dedup(docs, k=8))
+    assert "CartesianProduct" not in plan
+    assert "Python" not in plan
+    assert "SinglePartition" not in plan
+    assert "LeftAnti" in plan  # covered positions leave via anti join
