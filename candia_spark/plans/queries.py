@@ -5695,6 +5695,95 @@ def q102_multiclass_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q103_rolling_substring_dedup",
+    # rolling-ingestion certification (the q78 stance, on the gram
+    # census): the corpus = the lower half of doc ids, the batch = the
+    # upper half; the batch rewrites against the PERSISTED census only
+    # — corpus-owned grams cover every batch occurrence, batch-novel
+    # grams use the batch-internal first-owner rule. Equals the batch
+    # slice of a full run here (corpus ids order first), which is
+    # exactly what the oracle computes
+    oracle="""
+    WITH split AS (
+        SELECT CAST(MAX(doc_id) // 2 AS BIGINT) AS cut FROM documents),
+    base AS MATERIALIZED (
+        SELECT doc_id, string_split(text, ' ') AS t,
+               len(string_split(text, ' ')) AS n FROM documents),
+    occ AS MATERIALIZED (
+        SELECT doc_id, i AS pos,
+               md5(array_to_string(list_slice(t, i + 1, i + 8), ' ')) AS g
+        FROM base, unnest(CASE WHEN n >= 8 THEN generate_series(0, n - 8)
+                               ELSE [] END) AS u(i)),
+    corpus_census AS (
+        SELECT g FROM occ, split WHERE doc_id <= cut GROUP BY g),
+    batch_occ AS MATERIALIZED (
+        SELECT doc_id, pos, g FROM occ, split WHERE doc_id > cut),
+    batch_own AS (
+        SELECT g, MIN(doc_id) AS owner FROM batch_occ GROUP BY g),
+    dup AS (
+        SELECT o.doc_id, o.pos
+        FROM batch_occ o
+        JOIN batch_own b USING (g)
+        LEFT JOIN corpus_census c USING (g)
+        WHERE c.g IS NOT NULL OR b.owner < o.doc_id),
+    cov AS (SELECT DISTINCT doc_id, pos + j AS tpos
+            FROM dup, unnest(generate_series(0, 7)) AS v(j)),
+    tok AS (
+        SELECT doc_id, i - 1 AS tpos, t[i] AS tok
+        FROM base, split, unnest(generate_series(1, n)) AS w(i)
+        WHERE doc_id > cut),
+    kept AS (SELECT k.doc_id, k.tpos, k.tok FROM tok k
+             ANTI JOIN cov ON k.doc_id = cov.doc_id AND k.tpos = cov.tpos),
+    rebuilt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+                       string_agg(tok, ' ' ORDER BY tpos) AS clean
+                FROM kept GROUP BY doc_id)
+    SELECT b.doc_id, CAST(b.n AS BIGINT) AS n_tokens,
+           COALESCE(r.n_kept, 0) AS n_kept,
+           md5(COALESCE(r.clean, '')) AS clean_md5
+    FROM base b CROSS JOIN split
+    LEFT JOIN rebuilt r ON r.doc_id = b.doc_id
+    WHERE b.doc_id > cut
+    """,
+    survey_ref="rolling exact-substring dedup vs persisted gram census "
+    "(north star: rolling-ingestion span dedup)",
+)
+def q103_rolling_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling exact-substring dedup
+    (operators.dedup.gram_owner_census + exact_substring_dedup
+    corpus_owners mode): the lower-id half of the documents table is
+    the shipped corpus whose gram census is persisted; the upper-id
+    half is the arriving batch, rewritten against the STORED census
+    without re-tokenizing the corpus. Corpus ids order before batch
+    ids here, so the rolling rewrite equals the batch slice of a full
+    from-scratch run — which is what the oracle recomputes, making the
+    rolling path's ownership semantics oracle-gated, not just
+    pytest-pinned. md5(clean_text) gates every rebuilt batch
+    document."""
+    from candia_spark.operators.dedup import (
+        exact_substring_dedup,
+        gram_owner_census,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    # integer division on both sides: CAST(double) rounds in DuckDB but
+    # truncates in Spark, so the cut must never pass through a double
+    cut = docs.agg(F.expr("CAST(max(doc_id) DIV 2 AS BIGINT)").alias("c"))
+    corpus = docs.join(F.broadcast(cut)).filter(
+        F.col("doc_id") <= F.col("c")
+    ).select("doc_id", "text")
+    batch = docs.join(F.broadcast(cut)).filter(
+        F.col("doc_id") > F.col("c")
+    ).select("doc_id", "text")
+    census = gram_owner_census(corpus, k=8)
+    return exact_substring_dedup(batch, k=8, corpus_owners=census).select(
+        "doc_id",
+        "n_tokens",
+        "n_kept",
+        F.md5(F.col("clean_text").cast("binary")).alias("clean_md5"),
+    )
+
+
 # --- Driver certification window (verdict r5 #2) -------------------------
 # The per-round driver correctness artifact certifies the FIRST 50
 # registry entries, and queries()/oracle_sql() preserve this dict's
@@ -5821,6 +5910,14 @@ _DRIVER_WINDOW_TAIL = [
     # the rolling census half additionally rides q78/q80's tail rows,
     # re-certified locally at three scales every round.
     "q54_incremental_dedup",
+    # q103's seat (rolling exact-substring dedup): q13's unimodal-
+    # fraction agg rides pipeline.py's stage chain, which is pinned by
+    # the reference-golden e2e parity suite (test_pipeline /
+    # test_golden_parity — the q20-accepted strongest-non-driver
+    # evidence class); the conditional-fraction aggregation device
+    # itself stays in-window through q14 (CV per group) and q48's
+    # rollup sums. Driver-certified every round since r4.
+    "q13_conditional_fraction",
 ]
 for _name in _DRIVER_WINDOW_TAIL:
     QUERY_REGISTRY[_name] = QUERY_REGISTRY.pop(_name)
