@@ -1820,10 +1820,19 @@ def multiclass_classifier_weights(
     left join. Nothing corpus-sized survives the census."""
     bits = lambda c: F.length(F.bin(c)).cast("bigint")  # noqa: E731
     feats = _dsir_features(text_col, ngram, buckets)
+    # a NULL label would train a NULL class whose argmax tie-break
+    # diverges cross-engine (Spark struct-min orders NULLs smallest,
+    # DuckDB ORDER BY puts them last — the r11 q89 gotcha), so it fails
+    # loudly in-plan instead of silently poisoning the model
+    label = F.when(
+        F.col(label_col).isNull(),
+        F.raise_error(
+            "multiclass_classifier_weights: NULL label in the training "
+            "corpus — filter or impute labels before training"
+        ),
+    ).otherwise(F.col(label_col))
     cen = (
-        labeled.select(
-            F.col(label_col).alias("label"), F.explode(feats).alias("tok")
-        )
+        labeled.select(label.alias("label"), F.explode(feats).alias("tok"))
         .groupBy("label", "tok")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("__cnt"),

@@ -264,7 +264,12 @@ def dhash64(
                 "id", "nb", "hi", "lo", "b0", "b1", "b2", "b3"
             )}
             for i, payload in zip(pdf[id_col], pdf[binary_col]):
-                raw = np.frombuffer(bytes(payload), dtype=np.uint8)
+                # NULL payload behaves as empty (the r11 null-text
+                # doctrine applied to binary: hash 0, never a crash)
+                raw = np.frombuffer(
+                    bytes(payload) if payload is not None else b"",
+                    dtype=np.uint8,
+                )
                 chunks = np.array_split(raw, 72)
                 # python ints: exact cross-multiplied mean comparisons
                 s = [int(c.sum()) for c in chunks]

@@ -1037,3 +1037,16 @@ def test_multiclass_contrast_pruning_drops_uniform_tokens(spark):
     assert {r.tok for r in pruned.select("tok").distinct().collect()} == {
         "marker_a", "marker_b"
     }
+
+
+def test_multiclass_null_label_raises(spark):
+    """A NULL training label would train a NULL class whose argmax
+    tie-break diverges cross-engine (the r11 struct-min NULL gotcha) —
+    training fails loudly in-plan instead."""
+    from candia_spark.operators.curation import multiclass_classifier_weights
+
+    df = spark.createDataFrame(
+        [("a", "x y"), (None, "y z")], "label string, text string"
+    )
+    with pytest.raises(Exception, match="NULL label"):
+        multiclass_classifier_weights(df, text_col="text").collect()

@@ -330,3 +330,15 @@ def test_phash_near_dups_band_caps(spark):
     df = spark.createDataFrame(rows, "doc_id bigint, payload binary")
     assert phash_near_dups(df, max_hamming=0).count() == 28  # 8C2
     assert phash_near_dups(df, max_hamming=0, max_band_df=4).count() == 0
+
+
+def test_dhash64_null_payload_is_empty(spark):
+    """A NULL binary payload hashes like an empty one (the null-text
+    doctrine applied to binary) instead of crashing the Arrow batch."""
+    from candia_spark.operators.multimodal import dhash64
+
+    df = spark.createDataFrame(
+        [(1, None), (2, b"")], "doc_id bigint, payload binary"
+    )
+    got = {r.doc_id: (r.n_bytes, r.h_hi, r.h_lo) for r in dhash64(df).collect()}
+    assert got[1] == (0, 0, 0) and got[2] == (0, 0, 0)
