@@ -399,3 +399,104 @@ def phash_near_dups(
         )
         .filter(F.col("hamming") <= F.lit(int(max_hamming)))
     )
+
+
+def incremental_phash_dups(
+    batch: DataFrame,
+    stored_signatures: DataFrame,
+    max_hamming: int = 6,
+    binary_col: str = "payload",
+    id_col: str = "doc_id",
+    max_band_df: int | None = None,
+    max_band_frac: float | None = None,
+) -> DataFrame:
+    """Rolling-ingestion image near-dedup: the arriving batch's pHash
+    pairs against (persisted corpus signatures ∪ the batch itself) —
+    the :func:`candia_spark.operators.dedup.incremental_near_dups`
+    contract on the perceptual-hash family. Returns every verified
+    pair with AT LEAST ONE batch side (batch-vs-corpus and
+    batch-vs-batch; corpus-internal pairs were found when those images
+    arrived), (id_a, id_b, hamming), id_a < id_b — exactly the
+    batch-involving slice of a full :func:`phash_near_dups` run over
+    corpus ∪ batch (pinned in tests), while the corpus pays nothing
+    but a band-keyed probe of its STORED signature table (persist
+    :func:`dhash64` output once per corpus life; bucket by band at
+    real scale). Appending the batch's signature rows to the store
+    closes the rolling loop — signatures are pure per-row functions,
+    so compaction is a plain append, no delta logic needed.
+
+    Candidate mass tracks the BATCH: Σ over band values of
+    df_store × df_batch — the same banded-birthday shape as the full
+    scan with one side batch-sized; the two-cap knobs apply to the
+    combined band census as in :func:`phash_near_dups`."""
+    if not (0 <= max_hamming <= 64):
+        raise ValueError(f"max_hamming must be in [0, 64], got {max_hamming}")
+    from candia_spark.operators.dedup import _cap_hot_keys, _materialize
+
+    sig_batch = _materialize(
+        dhash64(batch, binary_col=binary_col, id_col=id_col)
+    )
+    allsig = stored_signatures.select(sig_batch.columns).unionByName(
+        sig_batch
+    )
+
+    def melt(sig: DataFrame) -> DataFrame:
+        return sig.select(
+            F.col(id_col),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band_idx"),
+                            F.col(f"band{b}").alias("band_val"),
+                        )
+                        for b in range(4)
+                    ]
+                )
+            ).alias("__b"),
+        ).select(
+            F.col(id_col),
+            F.concat_ws(
+                ":",
+                F.col("__b.band_idx").cast("string"),
+                F.col("__b.band_val").cast("string"),
+            ).alias("band"),
+        )
+
+    left = melt(allsig)
+    left, _ = _cap_hot_keys(left, "band", id_col, max_band_df, max_band_frac)
+    right = melt(sig_batch).withColumnRenamed(id_col, "__bid")
+    cands = (
+        left.join(right, "band")
+        .filter(F.col(id_col) != F.col("__bid"))
+        .select(
+            F.least(id_col, "__bid").alias("id_a"),
+            F.greatest(id_col, "__bid").alias("id_b"),
+        )
+        .distinct()
+    )
+    a = allsig.select(
+        F.col(id_col).alias("id_a"),
+        F.col("h_hi").alias("__hia"),
+        F.col("h_lo").alias("__loa"),
+    )
+    b = allsig.select(
+        F.col(id_col).alias("id_b"),
+        F.col("h_hi").alias("__hib"),
+        F.col("h_lo").alias("__lob"),
+    )
+    return (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.bit_count(F.col("__hia").bitwiseXOR(F.col("__hib")))
+                + F.bit_count(F.col("__loa").bitwiseXOR(F.col("__lob")))
+            )
+            .cast("bigint")
+            .alias("hamming"),
+        )
+        .filter(F.col("hamming") <= F.lit(int(max_hamming)))
+    )

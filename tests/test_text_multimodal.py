@@ -342,3 +342,49 @@ def test_dhash64_null_payload_is_empty(spark):
     )
     got = {r.doc_id: (r.n_bytes, r.h_hi, r.h_lo) for r in dhash64(df).collect()}
     assert got[1] == (0, 0, 0) and got[2] == (0, 0, 0)
+
+
+def test_incremental_phash_equals_batch_slice_of_full_run(spark):
+    """Rolling image near-dedup: the batch paired against (stored
+    signatures ∪ batch) must equal exactly the batch-involving slice
+    of a full phash_near_dups run over corpus ∪ batch — corpus-internal
+    pairs excluded (found at their own arrival time), batch-vs-corpus
+    and batch-vs-batch included."""
+    import random
+
+    from candia_spark.operators.multimodal import (
+        dhash64,
+        incremental_phash_dups,
+        phash_near_dups,
+    )
+
+    rng = random.Random(17)
+
+    def payload():
+        return bytes(rng.randrange(256) for _ in range(150))
+
+    corpus_rows = [(i, payload()) for i in range(10)]
+    corpus_rows.append((10, corpus_rows[0][1]))  # corpus-internal dup
+    batch_rows = [(100 + i, payload()) for i in range(6)]
+    batch_rows.append((106, corpus_rows[3][1]))  # batch-vs-corpus dup
+    batch_rows.append((107, batch_rows[0][1]))   # batch-vs-batch dup
+
+    corpus = spark.createDataFrame(corpus_rows, "doc_id bigint, payload binary")
+    batch = spark.createDataFrame(batch_rows, "doc_id bigint, payload binary")
+
+    stored = dhash64(corpus)
+    inc = {
+        (r.id_a, r.id_b): r.hamming
+        for r in incremental_phash_dups(batch, stored, max_hamming=8).collect()
+    }
+    batch_ids = {r[0] for r in batch_rows}
+    full = {
+        (r.id_a, r.id_b): r.hamming
+        for r in phash_near_dups(
+            corpus.unionByName(batch), max_hamming=8
+        ).collect()
+        if r.id_a in batch_ids or r.id_b in batch_ids
+    }
+    assert inc == full
+    assert (3, 106) in inc and (100, 107) in inc  # the planted pairs
+    assert (0, 10) not in inc  # corpus-internal pair excluded
