@@ -18,6 +18,10 @@
   the quadratic tail is a NUMBER, not a surprise — and the two-cap
   knobs (pytest'd) bound degenerate corpora.
 
+- ``rolling_substring``: a FIXED 2,000-doc batch rewritten against a
+  persisted gram census of a GROWING corpus. Claim: per-batch cost
+  tracks the batch (the docstring contract, measured).
+
 - ``multiclass`` (verdict r11 next #3): multiclass_classifier_weights
   + _predict at x10/x25/x50, 5 planted classes, buckets=4096,
   min_contrast=3. Claim: one corpus census + model-sized algebra +
@@ -155,6 +159,47 @@ def run_phash(spark, n_docs: int, runs: int) -> dict:
     return out
 
 
+def run_rolling_substring(spark, corpus_docs: int, runs: int) -> dict:
+    """Rolling exact-substring dedup: a FIXED 2,000-doc batch rewritten
+    against a persisted gram census of a GROWING corpus (x10/x25/x50).
+    Claim: per-batch cost tracks the batch — the batch pays its own
+    tokenize + a gram-keyed probe whose batch side is fixed;
+    the only corpus-driven term is the stored census scan, so wall time
+    grows far slower than the corpus (measured, not argued — the
+    docstring's contract)."""
+    from candia_spark.operators.dedup import (
+        exact_substring_dedup,
+        gram_owner_census,
+    )
+
+    # census must GROW with the corpus (unique-token docs; the pool
+    # corpus saturates at 40 sentences' grams), while a fixed pool
+    # slice guarantees the batch's grams are census-covered so the
+    # removal path runs at full batch mass every time
+    corpus = _unique_corpus(spark, corpus_docs).unionByName(
+        _pool_corpus(spark, 2_000).select(
+            (F.col("doc_id") + 20_000_000).alias("doc_id"), "text"
+        )
+    )
+    census = ss_materialize(gram_owner_census(corpus, k=6))
+    batch = ss_materialize(
+        _pool_corpus(spark, 2_000).select(
+            (F.col("doc_id") + 10_000_000).alias("doc_id"), "text"
+        )
+    )
+    sec = ss.timed(
+        lambda: exact_substring_dedup(batch, k=6, corpus_owners=census),
+        runs,
+    )
+    return {
+        "corpus_docs": corpus_docs,
+        "batch_docs": 2_000,
+        "census_rows": census.count(),
+        "rolling_sec": sec,
+        "rolling_us_per_batch_doc": round(sec * 1e6 / 2_000, 1),
+    }
+
+
 def run_multiclass(spark, n_docs: int, runs: int) -> dict:
     from candia_spark.operators.curation import (
         multiclass_classifier_predict,
@@ -197,8 +242,10 @@ def main() -> int:
     ap.add_argument("--out", default=os.path.join(REPO, "SCALING_r12.json"))
     ap.add_argument(
         "--only", nargs="+",
-        default=["exact_substring", "phash", "multiclass"],
-        choices=["exact_substring", "phash", "multiclass"],
+        default=["exact_substring", "phash", "multiclass",
+                 "rolling_substring"],
+        choices=["exact_substring", "phash", "multiclass",
+                 "rolling_substring"],
     )
     args = ap.parse_args()
 
@@ -240,8 +287,10 @@ def main() -> int:
         "exact_substring": run_exact_substring,
         "phash": run_phash,
         "multiclass": run_multiclass,
+        "rolling_substring": run_rolling_substring,
     }
-    for key in ("exact_substring", "phash", "multiclass"):
+    for key in ("exact_substring", "phash", "multiclass",
+                "rolling_substring"):
         if key not in args.only:
             continue
         report[key] = []
