@@ -222,3 +222,50 @@ def redact_pii(text_col: str = "text") -> Column:
     t = F.col(text_col)
     t = F.regexp_replace(t, EMAIL_REGEX, "<EMAIL>")
     return F.regexp_replace(t, PHONE_REGEX, "<PHONE>")
+
+
+# URL canonicalization — the RefinedWeb/FineWeb dedup-by-URL stage.
+# Deliberately backreference-free: Spark (Java regex) spells group
+# replacements "$1" while DuckDB (RE2) spells them "\\1", so a gated
+# canonicalizer may never use one — each rule is a plain replace, and
+# scheme/host casing is handled by extract-and-rebuild instead of a
+# grouped rewrite.
+_TRACKING = "(utm_[^=&#]*|gclid|fbclid)"
+
+
+def canonical_url(url_col) -> Column:
+    """Canonical form of a URL column: scheme and host lowercased
+    (path/query stay case-sensitive), #fragment dropped, tracking
+    parameters (utm_*, gclid, fbclid) removed with separators healed,
+    trailing slash stripped. Pure regexp chain — codegen'd, no UDF —
+    and every rule is engine-exactly recomputable (q104)."""
+    u = F.col(url_col) if isinstance(url_col, str) else url_col
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    host = F.lower(F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    rest = F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$", 1)
+    # no scheme -> leave the value as-is apart from the generic rules
+    rebuilt = F.when(
+        scheme != "", F.concat(scheme, F.lit("://"), host, rest)
+    ).otherwise(u)
+    c = F.regexp_replace(rebuilt, r"#.*", "")
+    c = F.regexp_replace(c, "&" + _TRACKING + "=[^&#]*", "")
+    c = F.regexp_replace(c, r"\?" + _TRACKING + "=[^&#]*&", "?")
+    c = F.regexp_replace(c, r"\?" + _TRACKING + "=[^&#]*$", "")
+    return F.regexp_replace(c, "/$", "")
+
+
+def url_host(url_col) -> Column:
+    """Lowercased host (no port) of a URL column."""
+    u = F.col(url_col) if isinstance(url_col, str) else url_col
+    return F.lower(
+        F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]*)", 1)
+    )
+
+
+def url_registered_domain(url_col) -> Column:
+    """Naive registered domain: the last two dot-labels of the host
+    ('a.b.example.com' -> 'example.com'). A production deployment swaps
+    this for a public-suffix-list lookup (a broadcast join against the
+    PSL table — same plan shape); the two-label rule keeps the gated
+    path dependency-free and engine-exact."""
+    return F.regexp_extract(url_host(url_col), r"([^.]+\.[^.]+)$", 1)

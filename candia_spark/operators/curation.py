@@ -1934,3 +1934,39 @@ def multiclass_classifier_predict(
         .cast("bigint")
         .alias("best_score"),
     )
+
+
+def url_dedup(
+    df: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """URL-level dedup — the RefinedWeb/FineWeb pipeline's FIRST dedup
+    stage (cheaper than any content pass: two crawls of the same page
+    share a canonical URL long before they share normalized text): one
+    digest-keyed window over :func:`candia_spark.functions.text.canonical_url`
+    elects the smallest-id keeper per canonical URL, exactly the
+    :func:`normalized_exact_dups` contract on the URL column.
+
+    Output one row per input document: (id, canonical_url, domain,
+    group_size, keeper_id, keep). Scale shape: a pure-map regexp chain
+    + ONE canonical-URL-keyed shuffle; nothing else."""
+    from candia_spark.functions.text import (
+        canonical_url,
+        url_registered_domain,
+    )
+
+    c = df.select(
+        F.col(id_col),
+        canonical_url(url_col).alias("canonical_url"),
+        url_registered_domain(url_col).alias("domain"),
+    )
+    w = Window.partitionBy("canonical_url")
+    return c.select(
+        F.col(id_col),
+        "canonical_url",
+        "domain",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("group_size"),
+        F.min(id_col).over(w).cast("bigint").alias("keeper_id"),
+        (F.col(id_col) == F.min(id_col).over(w)).alias("keep"),
+    )

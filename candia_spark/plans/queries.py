@@ -5784,6 +5784,104 @@ def q103_rolling_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q104_url_dedup",
+    # documents carry no URL column, so URLs are PLANTED (the
+    # augmentation device) with every canonicalization rule exercised:
+    # scheme/host casing (%3), tracking params in both separator
+    # positions (%2 / %6), fragments (%5), trailing slash (%7), and
+    # collision groups of two via the shared (id%4, id//8) path — the
+    # oracle replicates the whole backreference-free regexp chain
+    oracle="""
+    WITH aug AS MATERIALIZED (
+        SELECT doc_id,
+               (CASE WHEN doc_id % 3 = 0 THEN 'HTTPS' ELSE 'https' END)
+               || '://'
+               || (CASE WHEN doc_id % 3 = 1 THEN 'WWW.h' ELSE 'www.h' END)
+               || CAST(doc_id % 4 AS VARCHAR) || '.Example.com/Doc/'
+               || CAST(doc_id // 8 AS VARCHAR)
+               || (CASE WHEN doc_id % 2 = 0
+                        THEN '?utm_source=feed'
+                             || (CASE WHEN doc_id % 6 = 0
+                                      THEN '&gclid=g1&x=keep' ELSE '' END)
+                        ELSE '' END)
+               || (CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END)
+               || (CASE WHEN doc_id % 7 = 0 THEN '/' ELSE '' END)
+                   AS url
+        FROM documents),
+    canon AS MATERIALIZED (
+        SELECT doc_id,
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(
+                         lower(regexp_extract(url,
+                             '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+                         || '://'
+                         || lower(regexp_extract(url,
+                             '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1))
+                         || regexp_extract(url,
+                             '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$', 1),
+                         '#.*', '', 'g'),
+                       '&(utm_[^=&#]*|gclid|fbclid)=[^&#]*', '', 'g'),
+                     '\\?(utm_[^=&#]*|gclid|fbclid)=[^&#]*&', '?', 'g'),
+                   '\\?(utm_[^=&#]*|gclid|fbclid)=[^&#]*$', '', 'g'),
+                 '/$', '', 'g') AS canonical_url
+        FROM aug),
+    dom AS (
+        SELECT doc_id, canonical_url,
+               regexp_extract(
+                   regexp_extract(canonical_url,
+                       '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]*)', 1),
+                   '([^.]+\\.[^.]+)$', 1) AS domain
+        FROM canon)
+    SELECT doc_id, canonical_url, domain,
+           CAST(COUNT(*) OVER w AS BIGINT) AS group_size,
+           CAST(MIN(doc_id) OVER w AS BIGINT) AS keeper_id,
+           doc_id = MIN(doc_id) OVER w AS keep
+    FROM dom WINDOW w AS (PARTITION BY canonical_url)
+    """,
+    survey_ref="URL canonicalization + dedup-by-URL (RefinedWeb/FineWeb "
+    "first dedup stage; north star: web-pipeline curation)",
+)
+def q104_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level dedup (functions.text.canonical_url +
+    operators.curation.url_dedup) — the first, cheapest dedup stage of
+    a web pipeline: canonicalize (lowercase scheme/host, drop
+    fragments, strip utm_*/gclid/fbclid with healed separators, strip
+    trailing slash — a backreference-FREE regexp chain, since Java and
+    RE2 spell group replacements differently) and elect the smallest-id
+    keeper per canonical URL. URLs are planted deterministically with
+    every rule exercised and two-doc collision groups; the oracle
+    recomputes the entire chain, so one regex divergence anywhere
+    flips a keep bit and fails the gate."""
+    from candia_spark.operators.curation import url_dedup
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    i = F.col("doc_id")
+    url = F.concat(
+        F.when(i % 3 == 0, F.lit("HTTPS")).otherwise(F.lit("https")),
+        F.lit("://"),
+        F.when(i % 3 == 1, F.lit("WWW.h")).otherwise(F.lit("www.h")),
+        (i % 4).cast("string"),
+        F.lit(".Example.com/Doc/"),
+        F.expr("CAST(doc_id DIV 8 AS STRING)"),
+        F.when(
+            i % 2 == 0,
+            F.concat(
+                F.lit("?utm_source=feed"),
+                F.when(i % 6 == 0, F.lit("&gclid=g1&x=keep")).otherwise(
+                    F.lit("")
+                ),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(i % 5 == 0, F.lit("#frag")).otherwise(F.lit("")),
+        F.when(i % 7 == 0, F.lit("/")).otherwise(F.lit("")),
+    )
+    return url_dedup(d.withColumn("url", url))
+
+
 # --- Driver certification window (verdict r5 #2) -------------------------
 # The per-round driver correctness artifact certifies the FIRST 50
 # registry entries, and queries()/oracle_sql() preserve this dict's
@@ -5918,6 +6016,12 @@ _DRIVER_WINDOW_TAIL = [
     # itself stays in-window through q14 (CV per group) and q48's
     # rollup sums. Driver-certified every round since r4.
     "q13_conditional_fraction",
+    # q104's seat (URL dedup): q17's union-align machinery now rides
+    # IN-WINDOW queries structurally — q101 and q103 both build their
+    # inputs with column-aligned unionByName over planted twins/halves,
+    # so a union regression fails their md5 gates; q17 itself has been
+    # driver-certified every round since r4.
+    "q17_union_align",
 ]
 for _name in _DRIVER_WINDOW_TAIL:
     QUERY_REGISTRY[_name] = QUERY_REGISTRY.pop(_name)

@@ -388,3 +388,48 @@ def test_incremental_phash_equals_batch_slice_of_full_run(spark):
     assert inc == full
     assert (3, 106) in inc and (100, 107) in inc  # the planted pairs
     assert (0, 10) not in inc  # corpus-internal pair excluded
+
+
+def test_canonical_url_rules_by_hand(spark):
+    """Every canonicalization rule on hand cases, including the edges:
+    scheme-less values pass through the generic rules only, consecutive
+    tracking params heal their separators, ports survive in the
+    canonical form but not in url_host, single-label hosts have no
+    registered domain."""
+    from candia_spark.functions.text import (
+        canonical_url,
+        url_host,
+        url_registered_domain,
+    )
+
+    cases = [
+        ("HTTPS://WWW.Ex.COM/Path?a=1#f", "https://www.ex.com/Path?a=1"),
+        ("https://ex.com/?utm_source=x", "https://ex.com"),
+        ("https://ex.com/p?utm_a=1&utm_b=2", "https://ex.com/p"),
+        ("https://ex.com/p?utm_a=1&q=2", "https://ex.com/p?q=2"),
+        ("https://ex.com/p?q=2&gclid=g", "https://ex.com/p?q=2"),
+        ("https://ex.com:8080/p/", "https://ex.com:8080/p"),
+        ("no-scheme/Path/#frag", "no-scheme/Path"),
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(cases)], "i bigint, url string"
+    )
+    got = {
+        r.i: r.c
+        for r in df.select("i", canonical_url("url").alias("c")).collect()
+    }
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (cases[i][0], got[i])
+
+    hd = df.select(
+        "i", url_host("url").alias("h"), url_registered_domain("url").alias("d")
+    ).collect()
+    by = {r.i: (r.h, r.d) for r in hd}
+    assert by[0] == ("www.ex.com", "ex.com")
+    assert by[5] == ("ex.com", "ex.com")  # port stripped from host
+    assert by[6] == ("", "")              # scheme-less: no host
+
+    single = spark.createDataFrame(
+        [(0, "https://localhost/x")], "i bigint, url string"
+    ).select(url_host("url").alias("h"), url_registered_domain("url").alias("d")).collect()[0]
+    assert (single.h, single.d) == ("localhost", "")
