@@ -1970,3 +1970,92 @@ def url_dedup(
         F.min(id_col).over(w).cast("bigint").alias("keeper_id"),
         (F.col(id_col) == F.min(id_col).over(w)).alias("keep"),
     )
+
+
+def gopher_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 10,
+    max_words: int = 100_000,
+    min_mwl: int = 2,
+    max_mwl: int = 12,
+    max_symbol_per10: int = 1,
+    max_bullet_per10: int = 9,
+    max_ellipsis_per10: int = 3,
+    min_alpha_per5: int = 4,
+    min_stop_hits: int = 2,
+) -> DataFrame:
+    """The Gopher quality-rule bundle (Rae et al. 2021, Table A1 — the
+    repetition half lives in :func:`candia_spark.functions.text`'s q44
+    metrics; this is the document-shape half every web pipeline runs
+    before model-based filtering): word-count bounds, mean-word-length
+    bounds, symbol-to-word ratio ('#' and '...'), bullet-started and
+    ellipsis-ended line fractions, alphabetic-word fraction, and a
+    distinct-stopword floor.
+
+    Every rule is INTEGER-exact and division-free (per-10/per-5
+    cross-multiplied thresholds: e.g. the paper's "<= 90% bullet lines"
+    is ``10·bullet_lines <= 9·n_lines``), so the whole verdict vector
+    is engine-exactly recomputable and gated (q105). Output one row per
+    document: (id, n_words, n_lines, one 0/1 flag per rule, keep =
+    every flag). Scale shape: a PURE MAP over the scan — per-row array
+    HOFs, zero exchanges (the q44 stance)."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    toks = F.filter(F.split(F.lower(t), " "), lambda x: x != "")
+    lines = F.split(t, "\n")
+    n_words = F.size(toks).cast("bigint")
+    n_lines = F.size(lines).cast("bigint")
+    sum_chars = F.aggregate(
+        F.transform(toks, lambda x: F.length(x).cast("bigint")),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    n_hash = F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))
+    n_ell = (
+        F.length(t) - F.length(F.replace(t, F.lit("..."), F.lit("")))
+    ) / F.lit(3)
+    n_symbols = (n_hash + n_ell).cast("bigint")
+    bullets = F.size(
+        F.filter(
+            lines,
+            lambda l: F.substring(l, 1, 1).isin("-", "*", "•"),
+        )
+    ).cast("bigint")
+    ell_lines = F.size(
+        F.filter(
+            lines,
+            lambda l: (F.length(l) >= 3)
+            & (F.substring(l, -3, 3) == "..."),
+        )
+    ).cast("bigint")
+    alpha_words = F.size(
+        F.filter(toks, lambda x: x.rlike("[a-z]"))
+    ).cast("bigint")
+    stop_hits = F.size(
+        F.array_intersect(
+            F.array_distinct(toks),
+            F.array(*[F.lit(s) for s in ("the", "and", "of", "to", "is")]),
+        )
+    ).cast("bigint")
+    flags = {
+        "r_words": (n_words >= min_words) & (n_words <= max_words),
+        "r_mwl": (sum_chars >= F.lit(int(min_mwl)) * n_words)
+        & (sum_chars <= F.lit(int(max_mwl)) * n_words),
+        "r_symbol": n_symbols * 10 <= F.lit(int(max_symbol_per10)) * n_words,
+        "r_bullet": bullets * 10 <= F.lit(int(max_bullet_per10)) * n_lines,
+        "r_ellipsis": ell_lines * 10
+        <= F.lit(int(max_ellipsis_per10)) * n_lines,
+        "r_alpha": alpha_words * 5 >= F.lit(int(min_alpha_per5)) * n_words,
+        "r_stop": stop_hits >= F.lit(int(min_stop_hits)),
+    }
+    keep = None
+    for c in flags.values():
+        keep = c if keep is None else (keep & c)
+    return df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        n_lines.alias("n_lines"),
+        *[v.cast("bigint").alias(k) for k, v in flags.items()],
+        keep.cast("bigint").alias("keep"),
+    )

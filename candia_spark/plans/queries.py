@@ -5882,6 +5882,109 @@ def q104_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return url_dedup(d.withColumn("url", url))
 
 
+@register(
+    "q105_gopher_rules",
+    # the synthetic docs are single-line and symbol-free, so the line
+    # and symbol rules are exercised by planting (the q98 device):
+    # bullet headers on %6==0, a trailing ellipsis line on %8==0, and
+    # a '##' prefix on %9==0; word/mwl/alpha/stopword rules fire on
+    # the natural text
+    oracle="""
+    WITH aug AS MATERIALIZED (
+        SELECT doc_id,
+               (CASE WHEN doc_id % 6 = 0
+                     THEN '- bullet one' || chr(10) || '- bullet two'
+                          || chr(10) ELSE '' END)
+               || (CASE WHEN doc_id % 9 = 0 THEN '## ' ELSE '' END)
+               || text
+               || (CASE WHEN doc_id % 8 = 0
+                        THEN chr(10) || 'this trails off...'
+                        ELSE '' END) AS text
+        FROM documents),
+    m AS (
+        SELECT doc_id,
+               {toks} AS toks,
+               string_split(text, chr(10)) AS lines,
+               CAST(length(text)
+                    - length(replace(text, '#', '')) AS BIGINT)
+               + CAST((length(text)
+                    - length(replace(text, '...', ''))) // 3 AS BIGINT)
+                   AS n_symbols
+        FROM aug),
+    c AS (
+        SELECT doc_id,
+               CAST(len(toks) AS BIGINT) AS n_words,
+               CAST(len(lines) AS BIGINT) AS n_lines,
+               CAST(list_sum(list_transform(toks, x -> length(x)))
+                    AS BIGINT) AS sum_chars,
+               n_symbols,
+               CAST(len(list_filter(lines,
+                    l -> substr(l, 1, 1) = '-' OR substr(l, 1, 1) = '*'
+                         OR substr(l, 1, 1) = '•')) AS BIGINT) AS bullets,
+               CAST(len(list_filter(lines,
+                    l -> length(l) >= 3
+                         AND substr(l, length(l) - 2, 3) = '...'))
+                    AS BIGINT) AS ell_lines,
+               CAST(len(list_filter(toks,
+                    x -> regexp_matches(x, '[a-z]'))) AS BIGINT)
+                   AS alpha_words,
+               CAST(len(list_intersect(list_distinct(toks),
+                    ['the', 'and', 'of', 'to', 'is'])) AS BIGINT)
+                   AS stop_hits
+        FROM m),
+    f AS (
+        SELECT doc_id, n_words, n_lines,
+               CAST(n_words >= 10 AND n_words <= 100000 AS BIGINT)
+                   AS r_words,
+               CAST(COALESCE(sum_chars, 0) >= 2 * n_words
+                    AND COALESCE(sum_chars, 0) <= 12 * n_words AS BIGINT)
+                   AS r_mwl,
+               CAST(n_symbols * 10 <= 1 * n_words AS BIGINT) AS r_symbol,
+               CAST(bullets * 10 <= 9 * n_lines AS BIGINT) AS r_bullet,
+               CAST(ell_lines * 10 <= 3 * n_lines AS BIGINT) AS r_ellipsis,
+               CAST(alpha_words * 5 >= 4 * n_words AS BIGINT) AS r_alpha,
+               CAST(stop_hits >= 2 AS BIGINT) AS r_stop
+        FROM c)
+    SELECT doc_id, n_words, n_lines, r_words, r_mwl, r_symbol, r_bullet,
+           r_ellipsis, r_alpha, r_stop,
+           CAST(r_words = 1 AND r_mwl = 1 AND r_symbol = 1 AND r_bullet = 1
+                AND r_ellipsis = 1 AND r_alpha = 1 AND r_stop = 1
+                AS BIGINT) AS keep
+    FROM f
+    """.replace("{toks}", _TOKS_SQL),
+    survey_ref="Gopher quality-rule bundle (Rae et al. 2021 document-"
+    "shape filters; north star: rule-based quality gating)",
+)
+def q105_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher document-shape rule bundle
+    (operators.curation.gopher_rules): word-count and mean-word-length
+    bounds, symbol-to-word ratio, bullet-line and ellipsis-line
+    fractions, alphabetic-word fraction, distinct-stopword floor —
+    every rule integer-exact and division-free, the whole verdict
+    vector a pure map over the scan (zero exchanges). Bullet headers,
+    a trailing-ellipsis line, and '##' symbols are planted on doc_id
+    subsets so every rule fires both ways; the oracle recomputes all
+    seven flags plus the conjunction per document."""
+    from candia_spark.operators.curation import gopher_rules
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    i = F.col("doc_id")
+    aug = docs.withColumn(
+        "text",
+        F.concat(
+            F.when(
+                i % 6 == 0, F.lit("- bullet one\n- bullet two\n")
+            ).otherwise(F.lit("")),
+            F.when(i % 9 == 0, F.lit("## ")).otherwise(F.lit("")),
+            F.col("text"),
+            F.when(i % 8 == 0, F.lit("\nthis trails off...")).otherwise(
+                F.lit("")
+            ),
+        ),
+    )
+    return gopher_rules(aug)
+
+
 # --- Driver certification window (verdict r5 #2) -------------------------
 # The per-round driver correctness artifact certifies the FIRST 50
 # registry entries, and queries()/oracle_sql() preserve this dict's
@@ -6022,6 +6125,12 @@ _DRIVER_WINDOW_TAIL = [
     # so a union regression fails their md5 gates; q17 itself has been
     # driver-certified every round since r4.
     "q17_union_align",
+    # q105's seat (Gopher rule bundle): q16's exact-median device is
+    # the census-cumulative exact-percentile machinery that stays
+    # in-window through q61's score-percentile chain (the same
+    # inverted-CDF percentile definition over an exact census);
+    # driver-certified every round since r4.
+    "q16_median",
 ]
 for _name in _DRIVER_WINDOW_TAIL:
     QUERY_REGISTRY[_name] = QUERY_REGISTRY.pop(_name)

@@ -1050,3 +1050,46 @@ def test_multiclass_null_label_raises(spark):
     )
     with pytest.raises(Exception, match="NULL label"):
         multiclass_classifier_weights(df, text_col="text").collect()
+
+
+def test_gopher_rules_by_hand(spark):
+    """Each Gopher rule on a hand fixture: all-pass prose, too-short,
+    bullet-heavy but under the 90% line, ellipsis-heavy fail, symbol
+    fail, NULL text as empty."""
+    from candia_spark.operators.curation import gopher_rules
+
+    rows = [
+        (1, "the quick brown fox is one of the good docs and it has "
+            "plenty of words to pass"),
+        (2, "short doc"),
+        (3, "- b1\n- b2\n- b3\nthe only real line is this one of and to"),
+        (4, "the line ends with dots...\nanother one here...\n"
+            "the third is fine and of to"),
+        (5, "### ## # the of and to is " + "w " * 20),
+        (6, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r.doc_id: r for r in gopher_rules(df, min_words=5).collect()}
+    assert out[1].keep == 1
+    assert (out[2].r_words, out[2].r_stop, out[2].keep) == (0, 0, 0)
+    # 3 bullet lines of 4 = 7.5/10 <= 9/10 -> passes the bullet rule
+    assert (out[3].r_bullet, out[3].keep) == (1, 1)
+    # 2 ellipsis-ended lines of 3 > 3/10, and 2 '...' symbols / 13 words
+    assert (out[4].r_ellipsis, out[4].r_symbol, out[4].keep) == (0, 0, 0)
+    assert (out[5].r_symbol, out[5].keep) == (0, 0)
+    assert (out[6].n_words, out[6].keep) == (0, 0)  # NULL text -> empty
+
+
+def test_gopher_rules_is_pure_map(spark, sf_smoke):
+    """Scale contract (the q44 stance): the whole rule bundle is a map
+    over the scan — no exchange, no Python, no join anywhere."""
+    from candia_spark.operators.curation import gopher_rules
+    from candia_spark.tables import load_table
+
+    plan = _plan_of(gopher_rules(load_table(spark, sf_smoke, "documents")))
+    # load_table's single-row-group fan-out (round-robin) is the input's
+    # repartition, not the operator's; the operator itself adds NO keyed
+    # exchange, no Python, no join
+    assert "Exchange hashpartitioning" not in plan
+    assert "Python" not in plan
+    assert "Join" not in plan
