@@ -2659,3 +2659,67 @@ def exact_substring_dedup(
         F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
         F.coalesce("clean_text", F.lit("")).alias("clean_text"),
     )
+
+
+def decontaminate_fuzzy(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    threshold: float = 0.7,
+    num_hashes: int = 32,
+    bands: int = 16,
+    n: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """NEAR-duplicate eval-set decontamination — the third leg of the
+    decontamination family: :func:`decontaminate` flags exact shared
+    n-grams (q45), :func:`contamination_spans` measures exact span
+    coverage (q85), and this catches the contamination both miss — a
+    lightly paraphrased or reformatted copy of a benchmark item whose
+    n-gram JACCARD to the eval doc clears ``threshold`` without any
+    long exact run (the GPT-3 appendix-C motivation; Dolma/FineWeb run
+    exactly this fuzzy pass).
+
+    Pure composition: candidates and exact verification are
+    :func:`incremental_near_dups` with the BENCHMARK as the "corpus"
+    side (bipartite banded minhash — corpus-vs-bench bands only, never
+    corpus x corpus; LSH recall at the verify threshold is part of any
+    oracle gate over this operator, the q27/q54 stance). The output is
+    decontamination-shaped: one row per CONTAMINATED corpus document,
+    (id, n_bench_matches, max_jaccard, worst_bench_id) — worst = the
+    argmax-jaccard benchmark item, ties to the smallest bench id (the
+    struct-max device), giving the audit trail a drop-list needs.
+
+    Scale shape: inherits incremental_near_dups' — per-corpus-doc cost
+    scales with collision mass against the (typically tiny, fully
+    broadcastable) benchmark band table; the final per-doc agg is keyed
+    on the corpus id."""
+    pairs = incremental_near_dups(
+        corpus,
+        benchmark,
+        threshold=threshold,
+        num_hashes=num_hashes,
+        bands=bands,
+        n=n,
+        text_col=text_col,
+        id_col=id_col,
+    )
+    worst = F.max(
+        F.struct(
+            F.col("jaccard").alias("j"),
+            (-F.col("corpus_id")).alias("nb"),
+        )
+    ).alias("__w")
+    return (
+        pairs.groupBy(F.col("new_id").alias(id_col))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bench_matches"),
+            worst,
+        )
+        .select(
+            F.col(id_col),
+            "n_bench_matches",
+            F.col("__w")["j"].cast("double").alias("max_jaccard"),
+            (-F.col("__w")["nb"]).cast("bigint").alias("worst_bench_id"),
+        )
+    )

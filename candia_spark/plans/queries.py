@@ -5985,6 +5985,86 @@ def q105_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gopher_rules(aug)
 
 
+@register(
+    "q106_fuzzy_decontaminate",
+    # benchmark = the %97 slice (the q45 convention); contamination is
+    # PLANTED: each bench doc gets a corpus twin (id + 500000) with its
+    # FIRST token swapped — near-identical bigram sets (J ~ 0.9) but
+    # not exact, the paraphrase class exact-overlap decontamination
+    # misses. The oracle computes cross-set exact Jaccard + the per-doc
+    # argmax audit, so LSH recall at the verify threshold is part of
+    # the gate (the q27/q54 stance)
+    oracle="""
+    WITH bench_docs AS MATERIALIZED (
+        SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0),
+    corpus_docs AS MATERIALIZED (
+        SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0
+        UNION ALL
+        SELECT doc_id + 500000,
+               regexp_replace(text, '^[^ ]+', 'zzplanted')
+        FROM bench_docs),
+    toks AS (
+        SELECT doc_id, 0 AS is_bench,
+               list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+        FROM corpus_docs
+        UNION ALL
+        SELECT doc_id, 1,
+               list_filter(string_split(lower(text), ' '), x -> x <> '')
+        FROM bench_docs),
+    sh AS (
+        SELECT DISTINCT doc_id, is_bench,
+               t[i] || chr(31) || t[i+1] AS shingle
+        FROM toks, UNNEST(generate_series(1, greatest(len(t) - 1, 0)))
+             AS u(i)),
+    sizes AS (SELECT doc_id, is_bench, CAST(COUNT(*) AS BIGINT) AS sz
+              FROM sh GROUP BY doc_id, is_bench),
+    inter AS (
+        SELECT a.doc_id AS cid, b.doc_id AS bid,
+               CAST(COUNT(*) AS BIGINT) AS nc
+        FROM sh a JOIN sh b ON a.shingle = b.shingle
+        WHERE a.is_bench = 0 AND b.is_bench = 1
+        GROUP BY 1, 2),
+    scored AS (
+        SELECT cid, bid, nc,
+               CAST(CAST(nc AS DOUBLE) / (sa.sz + sb.sz - nc) AS DOUBLE)
+                   AS j
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = cid AND sa.is_bench = 0
+        JOIN sizes sb ON sb.doc_id = bid AND sb.is_bench = 1),
+    hits AS (SELECT * FROM scored WHERE j >= 0.7)
+    SELECT cid AS doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bench_matches,
+           CAST(MAX(j) AS DOUBLE) AS max_jaccard,
+           CAST(MIN(CASE WHEN j = mx THEN bid END) AS BIGINT)
+               AS worst_bench_id
+    FROM (SELECT hits.*, MAX(j) OVER (PARTITION BY cid) AS mx FROM hits)
+    GROUP BY cid
+    """,
+    survey_ref="fuzzy (near-dup) eval decontamination — the third leg "
+    "next to exact-overlap q45 and span-coverage q85 (north star)",
+)
+def q106_fuzzy_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy eval-set decontamination
+    (operators.dedup.decontaminate_fuzzy): bipartite banded-minhash
+    candidates corpus-vs-benchmark, exact bigram-Jaccard verify >= 0.7,
+    aggregated to the drop-list shape (n matches, max jaccard, argmax
+    bench item with min-id tie-break). Each %97 bench doc gets a
+    planted corpus twin with its first token swapped — near-identical
+    shingle sets without exactness, the paraphrase class the exact
+    passes (q45/q85) structurally miss."""
+    from candia_spark.operators.dedup import decontaminate_fuzzy
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0).unionByName(
+        bench.select(
+            (F.col("doc_id") + 500000).alias("doc_id"),
+            F.regexp_replace("text", "^[^ ]+", "zzplanted").alias("text"),
+        )
+    )
+    return decontaminate_fuzzy(corpus, bench, threshold=0.7)
+
+
 # --- Driver certification window (verdict r5 #2) -------------------------
 # The per-round driver correctness artifact certifies the FIRST 50
 # registry entries, and queries()/oracle_sql() preserve this dict's
@@ -6131,6 +6211,11 @@ _DRIVER_WINDOW_TAIL = [
     # inverted-CDF percentile definition over an exact census);
     # driver-certified every round since r4.
     "q16_median",
+    # q106's seat (fuzzy decontamination): q21's scan-cycle binning is
+    # pinned by test_sequential_ops' by-hand fixtures, and its
+    # sequence-bucketization device stays in-window through q04's time
+    # buckets; driver-certified every round since r4.
+    "q21_scan_cycles",
 ]
 for _name in _DRIVER_WINDOW_TAIL:
     QUERY_REGISTRY[_name] = QUERY_REGISTRY.pop(_name)

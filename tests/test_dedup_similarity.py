@@ -1336,3 +1336,32 @@ def test_exact_substring_rolling_equals_full_rebuild(spark):
         for r in gram_owner_census(corpus.unionByName(batch), k=k).collect()
     }
     assert merged == rebuilt
+
+
+def test_decontaminate_fuzzy_catches_paraphrase_class(spark):
+    """The fuzzy leg must flag a first-token-swapped benchmark twin
+    (near-identical shingle sets, no exact identity), aggregate to the
+    drop-list shape with the argmax-jaccard bench item (ties to the
+    smallest bench id), and stay silent on unrelated docs."""
+    from candia_spark.operators.dedup import decontaminate_fuzzy
+
+    base = " ".join(f"tok{i}" for i in range(30))
+    bench = spark.createDataFrame(
+        [(100, base), (101, "entirely different benchmark item here "
+                            "with its own vocabulary set")],
+        "doc_id bigint, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "swapped " + " ".join(base.split()[1:])),  # twin of 100
+            (2, "no relation to any benchmark content at all in this"),
+            (3, base),                                      # exact copy
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r for r in decontaminate_fuzzy(
+        corpus, bench, threshold=0.7).collect()}
+    assert set(out) == {1, 3}
+    assert out[3].max_jaccard == 1.0 and out[3].worst_bench_id == 100
+    assert 0.7 <= out[1].max_jaccard < 1.0
+    assert out[1].worst_bench_id == 100 and out[1].n_bench_matches == 1
