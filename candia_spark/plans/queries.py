@@ -6065,6 +6065,68 @@ def q106_fuzzy_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate_fuzzy(corpus, bench, threshold=0.7)
 
 
+@register(
+    "q107_domain_cap",
+    # per-registered-domain contribution caps (the FineWeb anti-
+    # monoculture stage) as a pure composition: planted four-domain
+    # URLs (mixed host casing) -> url_registered_domain -> the q53
+    # md5-ranked deterministic cap, keyed on the extracted domain
+    oracle="""
+    WITH aug AS MATERIALIZED (
+        SELECT doc_id,
+               'https://'
+               || (CASE WHEN doc_id % 3 = 0 THEN 'WWW.Site'
+                        ELSE 'www.site' END)
+               || CAST(doc_id % 4 AS VARCHAR) || '.Com/p/'
+               || CAST(doc_id AS VARCHAR) AS url
+        FROM documents),
+    dom AS (
+        SELECT doc_id,
+               regexp_extract(
+                   lower(regexp_extract(url,
+                       '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]*)', 1)),
+                   '([^.]+\\.[^.]+)$', 1) AS domain
+        FROM aug),
+    ranked AS (
+        SELECT doc_id, domain,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY domain
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC,
+                            doc_id ASC) AS BIGINT) AS src_rank
+        FROM dom)
+    SELECT doc_id, domain, src_rank FROM ranked WHERE src_rank <= 50
+    """,
+    survey_ref="per-domain contribution cap (FineWeb anti-monoculture "
+    "stage; composition of URL domain extraction + deterministic cap)",
+)
+def q107_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain cap (functions.text.url_registered_domain composed
+    with operators.curation.cap_per_source keyed on the extracted
+    domain): bound any one web domain's contribution to 50 documents,
+    chosen by the deterministic md5(id) rank — the FineWeb-style
+    anti-monoculture stage between URL dedup and content dedup. URLs
+    planted over four domains with mixed host casing; the oracle
+    recomputes extraction + ranking + cap exactly."""
+    from candia_spark.functions.text import url_registered_domain
+    from candia_spark.operators.curation import cap_per_source
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    i = F.col("doc_id")
+    url = F.concat(
+        F.lit("https://"),
+        F.when(i % 3 == 0, F.lit("WWW.Site")).otherwise(F.lit("www.site")),
+        (i % 4).cast("string"),
+        F.lit(".Com/p/"),
+        i.cast("string"),
+    )
+    withdom = d.withColumn("url", url).withColumn(
+        "domain", url_registered_domain("url")
+    )
+    return cap_per_source(withdom, cap=50, source_col="domain").select(
+        "doc_id", "domain", "src_rank"
+    )
+
+
 # --- Driver certification window (verdict r5 #2) -------------------------
 # The per-round driver correctness artifact certifies the FIRST 50
 # registry entries, and queries()/oracle_sql() preserve this dict's
@@ -6216,6 +6278,12 @@ _DRIVER_WINDOW_TAIL = [
     # sequence-bucketization device stays in-window through q04's time
     # buckets; driver-certified every round since r4.
     "q21_scan_cycles",
+    # q107's seat (domain cap): q22's as-of join machinery
+    # (operators/asof.py) is pinned by test_sequential_ops' by-hand
+    # fixtures plus the test_properties hypothesis fuzz, and the
+    # tolerance/band join family it certifies (J5) stays in-window
+    # through q09's band join; driver-certified every round since r4.
+    "q22_asof_join",
 ]
 for _name in _DRIVER_WINDOW_TAIL:
     QUERY_REGISTRY[_name] = QUERY_REGISTRY.pop(_name)
