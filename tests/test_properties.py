@@ -1198,3 +1198,122 @@ def test_strip_boilerplate_lines_matches_reference(spark, docs, min_docs):
             ]
             want[i] = (len(lines), len(kept), "\n".join(kept))
     assert got == want
+
+
+# --- URL canonicalization: Spark chain vs a rule-by-rule python ref ------
+
+import re as _re
+
+
+def _ref_canonical_url(u: str) -> str:
+    m = _re.match(r"^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)(.*)$", u)
+    if m and m.group(1):
+        u = m.group(1).lower() + "://" + m.group(2).lower() + m.group(3)
+    u = _re.sub(r"#.*", "", u)
+    u = _re.sub(r"&(utm_[^=&#]*|gclid|fbclid)=[^&#]*", "", u)
+    u = _re.sub(r"\?(utm_[^=&#]*|gclid|fbclid)=[^&#]*&", "?", u)
+    u = _re.sub(r"\?(utm_[^=&#]*|gclid|fbclid)=[^&#]*$", "", u)
+    return _re.sub(r"/$", "", u)
+
+
+_seg = st.text(
+    alphabet="abcdefgzXYZ0129._~-", min_size=0, max_size=6
+)
+_param_key = st.one_of(
+    st.just("utm_source"), st.just("utm_a"), st.just("gclid"),
+    st.just("fbclid"), st.just("q"), st.just("page"), st.just("utmx"),
+)
+_url_strategy = st.builds(
+    lambda scheme, host, segs, params, frag, slash: (
+        scheme + "://" + host + "/" + "/".join(segs)
+        + ("?" + "&".join(f"{k}={v}" for k, v in params) if params else "")
+        + (("#" + frag) if frag is not None else "")
+        + ("/" if slash else "")
+    ),
+    st.sampled_from(["http", "HTTPS", "Ftp"]),
+    st.sampled_from(["Ex.COM", "www.ex.com", "A.b.C.org", "localhost:81"]),
+    st.lists(_seg, min_size=0, max_size=3),
+    st.lists(st.tuples(_param_key, _seg), min_size=0, max_size=4),
+    st.one_of(st.none(), _seg),
+    st.booleans(),
+)
+
+
+@given(st.lists(_url_strategy, min_size=1, max_size=25))
+@settings(
+    max_examples=8, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_canonical_url_matches_python_reference(spark, urls):
+    """functions.text.canonical_url must equal the rule-by-rule python
+    reference on generated URLs covering every rule interaction:
+    mixed-case schemes/hosts, tracking params in every position mix,
+    lookalike keys (utmx), fragments, trailing slashes, ports."""
+    from candia_spark.functions.text import canonical_url
+
+    df = spark.createDataFrame(
+        [(i, u) for i, u in enumerate(urls)], "i bigint, url string"
+    )
+    got = {
+        r.i: r.c
+        for r in df.select("i", canonical_url("url").alias("c")).collect()
+    }
+    for i, u in enumerate(urls):
+        assert got[i] == _ref_canonical_url(u), u
+
+
+def _ref_gopher(text, min_words=5):
+    t = text or ""
+    toks = [x for x in t.lower().split(" ") if x != ""]
+    lines = t.split("\n")
+    n, nl = len(toks), len(lines)
+    sum_chars = sum(len(x) for x in toks)
+    n_symbols = t.count("#") + (len(t) - len(t.replace("...", ""))) // 3
+    bullets = sum(1 for l in lines if l[:1] in ("-", "*", "•"))
+    ell = sum(1 for l in lines if len(l) >= 3 and l[-3:] == "...")
+    alpha = sum(1 for x in toks if _re.search("[a-z]", x))
+    stop = len(set(toks) & {"the", "and", "of", "to", "is"})
+    flags = (
+        int(min_words <= n <= 100_000),
+        int(2 * n <= sum_chars <= 12 * n),
+        int(n_symbols * 10 <= 1 * n),
+        int(bullets * 10 <= 9 * nl),
+        int(ell * 10 <= 3 * nl),
+        int(alpha * 5 >= 4 * n),
+        int(stop >= 2),
+    )
+    return (n, nl) + flags + (int(all(flags)),)
+
+
+_gopher_text = st.lists(
+    st.lists(
+        st.sampled_from(
+            ["the", "and", "of", "to", "is", "w", "zz9", "42", "#", "...",
+             "- x", "longishword", "a.b...", ""]
+        ),
+        min_size=0, max_size=12,
+    ).map(lambda ws: " ".join(ws)),
+    min_size=1, max_size=4,
+).map(lambda ls: "\n".join(ls))
+
+
+@given(st.lists(_gopher_text, min_size=1, max_size=20))
+@settings(
+    max_examples=8, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_gopher_rules_match_python_reference(spark, texts):
+    """operators.curation.gopher_rules must equal the rule-by-rule
+    python reference on generated multi-line texts mixing stopwords,
+    symbols, ellipses, bullet prefixes, and empty lines."""
+    from candia_spark.operators.curation import gopher_rules
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+    )
+    got = {
+        r.doc_id: tuple(r)[1:]
+        for r in gopher_rules(df, min_words=5).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == _ref_gopher(t), repr(t)
