@@ -1956,12 +1956,21 @@ def url_dedup(
         url_registered_domain,
     )
 
+    # a NULL url canonicalizes to NULL, and a window PARTITION BY pools
+    # NULLs — which would collapse every unknown-URL doc into one fake
+    # dup group. Unknown URLs carry no dedup evidence, so each NULL-url
+    # doc keys its own singleton group (an id-salted sentinel that can
+    # never collide with a real URL), mirroring the null-text doctrine.
     c = df.select(
         F.col(id_col),
+        F.coalesce(
+            canonical_url(url_col),
+            F.concat(F.lit("\x00null:"), F.col(id_col).cast("string")),
+        ).alias("__key"),
         canonical_url(url_col).alias("canonical_url"),
         url_registered_domain(url_col).alias("domain"),
     )
-    w = Window.partitionBy("canonical_url")
+    w = Window.partitionBy("__key")
     return c.select(
         F.col(id_col),
         "canonical_url",

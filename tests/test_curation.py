@@ -1093,3 +1093,17 @@ def test_gopher_rules_is_pure_map(spark, sf_smoke):
     assert "Exchange hashpartitioning" not in plan
     assert "Python" not in plan
     assert "Join" not in plan
+
+
+def test_url_dedup_null_urls_are_singletons(spark):
+    """NULL urls carry no dedup evidence — each must be its own
+    singleton keep group instead of pooling into one fake NULL dup
+    group (the window PARTITION BY NULL-pooling footgun)."""
+    from candia_spark.operators.curation import url_dedup
+
+    rows = [(1, None), (2, None), (3, "https://ex.com/a")]
+    df = spark.createDataFrame(rows, "doc_id bigint, url string")
+    out = {r.doc_id: r for r in url_dedup(df).collect()}
+    assert out[1].group_size == 1 and out[1].keep and out[1].canonical_url is None
+    assert out[2].group_size == 1 and out[2].keep
+    assert out[3].keep and out[3].domain == "ex.com"
