@@ -235,6 +235,63 @@ def run_multiclass(spark, n_docs: int, runs: int) -> dict:
     }
 
 
+def run_webcuration(spark, n_docs: int, runs: int) -> dict:
+    """The late-r12 web-curation family at x10/x25/x50: url_dedup
+    (regexp canonicalization + ONE url-keyed window), gopher_rules
+    (pure map, zero keyed exchanges), domain cap (ONE domain-keyed
+    window), and fuzzy decontamination of the corpus against a FIXED
+    97-docs-ish benchmark slice (bipartite banded minhash + exact
+    verify — per-corpus-doc cost, benchmark side constant). Claim: all
+    four linear with flat/falling per-doc cost."""
+    from candia_spark.functions.text import url_registered_domain
+    from candia_spark.operators.curation import (
+        cap_per_source,
+        gopher_rules,
+        url_dedup,
+    )
+    from candia_spark.operators.dedup import decontaminate_fuzzy
+
+    docs = ss_materialize(_pool_corpus(spark, n_docs))
+    urls = ss_materialize(
+        docs.select(
+            "doc_id",
+            F.concat(
+                F.when(F.col("doc_id") % 3 == 0, F.lit("HTTPS://WWW.s"))
+                .otherwise(F.lit("https://www.s")),
+                (F.col("doc_id") % 1000).cast("string"),
+                F.lit(".example.com/p/"),
+                (F.col("doc_id") % 7919).cast("string"),
+                F.when(F.col("doc_id") % 2 == 0,
+                       F.lit("?utm_source=x&q=1")).otherwise(F.lit("?q=1")),
+            ).alias("url"),
+        )
+    )
+    out: dict = {"n_docs": n_docs}
+    sec = ss.timed(lambda: url_dedup(urls), runs)
+    out["url_dedup_sec"] = sec
+    out["url_dedup_us_per_doc"] = round(sec * 1e6 / n_docs, 1)
+    sec = ss.timed(lambda: gopher_rules(docs), runs)
+    out["gopher_sec"] = sec
+    out["gopher_us_per_doc"] = round(sec * 1e6 / n_docs, 1)
+    withdom = urls.withColumn("domain", url_registered_domain("url"))
+    sec = ss.timed(
+        lambda: cap_per_source(withdom, cap=50, source_col="domain"), runs
+    )
+    out["domain_cap_sec"] = sec
+    out["domain_cap_us_per_doc"] = round(sec * 1e6 / n_docs, 1)
+    bench = ss_materialize(
+        _pool_corpus(spark, 100).select(
+            (F.col("doc_id") + 30_000_000).alias("doc_id"), "text"
+        )
+    )
+    sec = ss.timed(
+        lambda: decontaminate_fuzzy(docs, bench, threshold=0.7), runs
+    )
+    out["fuzzy_decon_sec"] = sec
+    out["fuzzy_decon_us_per_doc"] = round(sec * 1e6 / n_docs, 1)
+    return out
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sizes", type=int, nargs="+", default=[10, 25, 50])
@@ -243,9 +300,9 @@ def main() -> int:
     ap.add_argument(
         "--only", nargs="+",
         default=["exact_substring", "phash", "multiclass",
-                 "rolling_substring"],
+                 "rolling_substring", "webcuration"],
         choices=["exact_substring", "phash", "multiclass",
-                 "rolling_substring"],
+                 "rolling_substring", "webcuration"],
     )
     args = ap.parse_args()
 
@@ -288,9 +345,10 @@ def main() -> int:
         "phash": run_phash,
         "multiclass": run_multiclass,
         "rolling_substring": run_rolling_substring,
+        "webcuration": run_webcuration,
     }
     for key in ("exact_substring", "phash", "multiclass",
-                "rolling_substring"):
+                "rolling_substring", "webcuration"):
         if key not in args.only:
             continue
         report[key] = []
