@@ -2068,3 +2068,80 @@ def gopher_rules(
         *[v.cast("bigint").alias(k) for k, v in flags.items()],
         keep.cast("bigint").alias("keep"),
     )
+
+
+def registered_domain_psl(
+    df: DataFrame,
+    psl: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Registered-domain (eTLD+1) extraction against a caller-supplied
+    public-suffix table — the production upgrade of
+    :func:`candia_spark.functions.text.url_registered_domain`'s naive
+    two-label rule (which calls 'b.co.uk' a domain of 'co.uk' sites):
+    ``psl`` is one ``suffix`` string column (e.g. 'com', 'co.uk',
+    'com.au' — load the real PSL file at deployment; tests pin the
+    semantics on a subset). The registered domain is one label more
+    than the LONGEST matching public suffix of the host.
+
+    Semantics: hosts with no matching suffix (IPs, 'localhost',
+    intranet names) and hosts that ARE a bare public suffix yield NULL
+    — they have no registered domain, and pretending otherwise is how
+    per-domain caps end up keying on 'co.uk'.
+
+    Scale shape: each host contributes its last 1..4 label-suffixes as
+    join probes (<= 4 rows per doc, pure map), ONE explicitly-broadcast
+    join against the suffix table (the PSL is ~10k rows), and a per-doc
+    max-length argmax — no corpus-sized shuffle except the per-doc agg.
+
+    Output: (id, host, registered_domain)."""
+    from candia_spark.functions.text import url_host
+
+    hosts = df.select(F.col(id_col), url_host(url_col).alias("host"))
+    labels = F.split(F.col("host"), r"\.")
+    n = F.size(labels)
+    # candidate suffixes: the last k labels, k = 1..min(4, n) — the
+    # WHOLE host included, because the longest-match rule must see that
+    # 'co.uk' itself is a public suffix before the shorter 'uk' match
+    # could wrongly promote 'co' to a domain label; a host whose
+    # longest PSL match consumes every label has no registered domain
+    cands = hosts.select(
+        F.col(id_col),
+        "host",
+        n.alias("__n"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.least(n, F.lit(4))),
+                lambda k: F.struct(
+                    k.alias("k"),
+                    F.array_join(
+                        F.slice(labels, n - k + 1, k), "."
+                    ).alias("suffix"),
+                ),
+            )
+        ).alias("__c"),
+    ).select(
+        F.col(id_col), "host", "__n",
+        F.col("__c")["k"].alias("__k"), F.col("__c")["suffix"].alias("suffix"),
+    )
+    matched = cands.join(F.broadcast(psl.select("suffix")), "suffix")
+    best = matched.groupBy(id_col).agg(F.max("__k").alias("__bk"))
+    dom = (
+        matched.join(best, id_col)
+        .filter((F.col("__k") == F.col("__bk")) & (F.col("__k") < F.col("__n")))
+        .select(
+            F.col(id_col),
+            F.concat(
+                F.element_at(
+                    F.split(F.col("host"), r"\."),
+                    (F.col("__n") - F.col("__k")).cast("int"),
+                ),
+                F.lit("."),
+                F.col("suffix"),
+            ).alias("registered_domain"),
+        )
+    )
+    return hosts.join(dom, id_col, "left").select(
+        F.col(id_col), "host", "registered_domain"
+    )

@@ -1107,3 +1107,31 @@ def test_url_dedup_null_urls_are_singletons(spark):
     assert out[1].group_size == 1 and out[1].keep and out[1].canonical_url is None
     assert out[2].group_size == 1 and out[2].keep
     assert out[3].keep and out[3].domain == "ex.com"
+
+
+def test_registered_domain_psl_longest_match(spark):
+    """PSL-driven eTLD+1: longest matching public suffix wins (seen
+    over its shorter suffixes — 'co.uk' must not promote 'co'),
+    bare-suffix and no-match hosts get NULL, and the suffix table is
+    explicitly broadcast."""
+    from candia_spark.operators.curation import registered_domain_psl
+
+    psl = spark.createDataFrame(
+        [("com",), ("org",), ("co.uk",), ("com.au",), ("uk",)],
+        "suffix string",
+    )
+    rows = [
+        (1, "https://www.example.com/x"),
+        (2, "https://a.b.shop.co.uk/y"),      # 'co.uk' beats 'uk'
+        (3, "https://deep.sub.site.com.au/z"),
+        (4, "https://co.uk/"),                # bare suffix -> NULL
+        (5, "https://localhost/x"),           # no match -> NULL
+        (6, "https://thing.uk/p"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, url string")
+    out = {r.doc_id: r.registered_domain
+           for r in registered_domain_psl(df, psl).collect()}
+    assert out == {1: "example.com", 2: "shop.co.uk", 3: "site.com.au",
+                   4: None, 5: None, 6: "thing.uk"}
+    plan = _plan_of(registered_domain_psl(df, psl))
+    assert "BroadcastHashJoin" in plan
