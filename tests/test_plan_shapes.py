@@ -429,3 +429,24 @@ def test_q100_exact_substring_plan_shape(spark):
     assert "Python" not in plan
     assert "SinglePartition" not in plan
     assert "LeftAnti" in plan  # covered positions leave via anti join
+
+
+def test_q102_multiclass_plan_shape(spark):
+    """Multi-class classifier (q102): the dense model build's cross
+    join is broadcast-sized (BroadcastNestedLoopJoin over the K-row
+    label set — never a CartesianProduct over data), the scoring join
+    against the model is an explicit broadcast hash join, and the
+    whole chain is JVM-side."""
+    from candia_spark.operators.curation import (
+        multiclass_classifier_predict,
+        multiclass_classifier_weights,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    w = multiclass_classifier_weights(
+        docs, label_col="lang", buckets=4096, min_contrast=3
+    )
+    plan = plan_of(multiclass_classifier_predict(docs, w, buckets=4096))
+    assert "CartesianProduct" not in plan
+    assert "Python" not in plan
+    assert "BroadcastHashJoin" in plan
