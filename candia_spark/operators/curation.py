@@ -1958,15 +1958,20 @@ def url_dedup(
 
     # a NULL url canonicalizes to NULL, and a window PARTITION BY pools
     # NULLs — which would collapse every unknown-URL doc into one fake
-    # dup group. Unknown URLs carry no dedup evidence, so each NULL-url
-    # doc keys its own singleton group (an id-salted sentinel that can
-    # never collide with a real URL), mirroring the null-text doctrine.
+    # dup group. The SAME no-evidence class hides behind the empty
+    # string: a fragment-only or tracking-only value ('#x',
+    # '?utm_source=x' with no scheme) canonicalizes to '', and keying
+    # on '' would pool all of those too, dropping all but one doc. So
+    # each NULL-or-empty-canonical doc keys its own singleton group
+    # (an id-salted sentinel that can never collide with a real URL),
+    # mirroring the null-text doctrine.
+    canon = canonical_url(url_col)
     c = df.select(
         F.col(id_col),
-        F.coalesce(
-            canonical_url(url_col),
+        F.when(
+            canon.isNull() | (canon == ""),
             F.concat(F.lit("\x00null:"), F.col(id_col).cast("string")),
-        ).alias("__key"),
+        ).otherwise(canon).alias("__key"),
         canonical_url(url_col).alias("canonical_url"),
         url_registered_domain(url_col).alias("domain"),
     )
@@ -1985,15 +1990,16 @@ def gopher_rules(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    min_words: int = 10,
+    min_words: int = 50,
     max_words: int = 100_000,
-    min_mwl: int = 2,
-    max_mwl: int = 12,
+    min_mwl: int = 3,
+    max_mwl: int = 10,
     max_symbol_per10: int = 1,
     max_bullet_per10: int = 9,
     max_ellipsis_per10: int = 3,
     min_alpha_per5: int = 4,
     min_stop_hits: int = 2,
+    stopwords: tuple = ("the", "be", "to", "of", "and", "that", "have", "with"),
 ) -> DataFrame:
     """The Gopher quality-rule bundle (Rae et al. 2021, Table A1 — the
     repetition half lives in :func:`candia_spark.functions.text`'s q44
@@ -2001,7 +2007,10 @@ def gopher_rules(
     before model-based filtering): word-count bounds, mean-word-length
     bounds, symbol-to-word ratio ('#' and '...'), bullet-started and
     ellipsis-ended line fractions, alphabetic-word fraction, and a
-    distinct-stopword floor.
+    distinct-stopword floor. Defaults ARE the paper's Table A1 values:
+    50..100k words, mean word length 3..10, and >= 2 hits in the
+    8-stopword set (the/be/to/of/and/that/have/with); loosen them per
+    corpus by parameter, not by editing constants.
 
     Every rule is INTEGER-exact and division-free (per-10/per-5
     cross-multiplied thresholds: e.g. the paper's "<= 90% bullet lines"
@@ -2044,7 +2053,7 @@ def gopher_rules(
     stop_hits = F.size(
         F.array_intersect(
             F.array_distinct(toks),
-            F.array(*[F.lit(s) for s in ("the", "and", "of", "to", "is")]),
+            F.array(*[F.lit(s) for s in stopwords]),
         )
     ).cast("bigint")
     flags = {
@@ -2085,23 +2094,54 @@ def registered_domain_psl(
     semantics on a subset). The registered domain is one label more
     than the LONGEST matching public suffix of the host.
 
+    The table must be PRE-EXPANDED to plain suffixes: PSL wildcard
+    ('*.ck') and exception ('!www.ck') rules must be resolved by the
+    loader into the concrete suffixes they denote — rows containing
+    '*' or '!' are rejected loudly here, because silently treating
+    them as literal labels would mis-domain every host under them.
+
     Semantics: hosts with no matching suffix (IPs, 'localhost',
     intranet names) and hosts that ARE a bare public suffix yield NULL
     — they have no registered domain, and pretending otherwise is how
     per-domain caps end up keying on 'co.uk'.
 
-    Scale shape: each host contributes its last 1..4 label-suffixes as
-    join probes (<= 4 rows per doc, pure map), ONE explicitly-broadcast
-    join against the suffix table (the PSL is ~10k rows), and a per-doc
-    max-length argmax — no corpus-sized shuffle except the per-doc agg.
+    Scale shape: each host contributes its last 1..max_k
+    label-suffixes as join probes, where max_k is the deepest suffix
+    in the LOADED table (computed by one scalar agg over the ~10k-row
+    PSL, not hard-coded — the real PSL's private section holds
+    5+-label suffixes like s3.dualstack.<region>.amazonaws.com, and a
+    fixed probe depth would silently longest-match a shorter suffix
+    and return a too-broad domain). Then ONE explicitly-broadcast join
+    against the suffix table and a per-doc max-length argmax — no
+    corpus-sized shuffle except the per-doc agg.
 
     Output: (id, host, registered_domain)."""
     from candia_spark.functions.text import url_host
 
+    # one scalar agg over the (broadcast-sized) suffix table: the probe
+    # depth is the deepest loaded suffix, and unresolved wildcard /
+    # exception rules are rejected before they can mis-match anything
+    max_k, n_bad = psl.agg(
+        F.max(F.size(F.split(F.col("suffix"), r"\."))),
+        F.sum(
+            (
+                F.col("suffix").contains("*") | F.col("suffix").contains("!")
+            ).cast("bigint")
+        ),
+    ).first()
+    if n_bad:
+        raise ValueError(
+            f"registered_domain_psl: {n_bad} PSL rows contain '*' or '!' — "
+            "wildcard/exception rules must be pre-expanded to plain "
+            "suffixes by the loader"
+        )
+    if max_k is None:
+        raise ValueError("registered_domain_psl: empty public-suffix table")
+
     hosts = df.select(F.col(id_col), url_host(url_col).alias("host"))
     labels = F.split(F.col("host"), r"\.")
     n = F.size(labels)
-    # candidate suffixes: the last k labels, k = 1..min(4, n) — the
+    # candidate suffixes: the last k labels, k = 1..min(max_k, n) — the
     # WHOLE host included, because the longest-match rule must see that
     # 'co.uk' itself is a public suffix before the shorter 'uk' match
     # could wrongly promote 'co' to a domain label; a host whose
@@ -2112,7 +2152,7 @@ def registered_domain_psl(
         n.alias("__n"),
         F.explode(
             F.transform(
-                F.sequence(F.lit(1), F.least(n, F.lit(4))),
+                F.sequence(F.lit(1), F.least(n, F.lit(int(max_k)))),
                 lambda k: F.struct(
                     k.alias("k"),
                     F.array_join(

@@ -2704,10 +2704,15 @@ def decontaminate_fuzzy(
         text_col=text_col,
         id_col=id_col,
     )
-    worst = F.max(
+    # argmax-jaccard, ties to the SMALLEST bench id — via min(struct)
+    # with only the jaccard negated: jaccard is a double this operator
+    # computed, so negation is always legal, while the id column is
+    # caller-supplied and may be a string; an order-reversing negation
+    # of the id (the old device) would fail analysis on non-numeric ids
+    worst = F.min(
         F.struct(
-            F.col("jaccard").alias("j"),
-            (-F.col("corpus_id")).alias("nb"),
+            (-F.col("jaccard")).alias("nj"),
+            F.col("corpus_id").alias("b"),
         )
     ).alias("__w")
     return (
@@ -2719,7 +2724,7 @@ def decontaminate_fuzzy(
         .select(
             F.col(id_col),
             "n_bench_matches",
-            F.col("__w")["j"].cast("double").alias("max_jaccard"),
-            (-F.col("__w")["nb"]).cast("bigint").alias("worst_bench_id"),
+            (-F.col("__w")["nj"]).cast("double").alias("max_jaccard"),
+            F.col("__w")["b"].alias("worst_bench_id"),
         )
     )

@@ -5929,15 +5929,16 @@ def q104_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                     x -> regexp_matches(x, '[a-z]'))) AS BIGINT)
                    AS alpha_words,
                CAST(len(list_intersect(list_distinct(toks),
-                    ['the', 'and', 'of', 'to', 'is'])) AS BIGINT)
+                    ['the', 'be', 'to', 'of', 'and',
+                     'that', 'have', 'with'])) AS BIGINT)
                    AS stop_hits
         FROM m),
     f AS (
         SELECT doc_id, n_words, n_lines,
-               CAST(n_words >= 10 AND n_words <= 100000 AS BIGINT)
+               CAST(n_words >= 50 AND n_words <= 100000 AS BIGINT)
                    AS r_words,
-               CAST(COALESCE(sum_chars, 0) >= 2 * n_words
-                    AND COALESCE(sum_chars, 0) <= 12 * n_words AS BIGINT)
+               CAST(COALESCE(sum_chars, 0) >= 3 * n_words
+                    AND COALESCE(sum_chars, 0) <= 10 * n_words AS BIGINT)
                    AS r_mwl,
                CAST(n_symbols * 10 <= 1 * n_words AS BIGINT) AS r_symbol,
                CAST(bullets * 10 <= 9 * n_lines AS BIGINT) AS r_bullet,
@@ -5960,8 +5961,10 @@ def q105_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators.curation.gopher_rules): word-count and mean-word-length
     bounds, symbol-to-word ratio, bullet-line and ellipsis-line
     fractions, alphabetic-word fraction, distinct-stopword floor —
-    every rule integer-exact and division-free, the whole verdict
-    vector a pure map over the scan (zero exchanges). Bullet headers,
+    at the paper's Table A1 defaults (50..100k words, mwl 3..10, the
+    8-stopword set), every rule integer-exact and division-free, the
+    whole verdict vector a pure map over the scan (zero exchanges;
+    r13: defaults aligned to the paper per ADVICE). Bullet headers,
     a trailing-ellipsis line, and '##' symbols are planted on doc_id
     subsets so every rule fires both ways; the oracle recomputes all
     seven flags plus the conjunction per document."""

@@ -1069,7 +1069,14 @@ def test_gopher_rules_by_hand(spark):
         (6, None),
     ]
     df = spark.createDataFrame(rows, "doc_id bigint, text string")
-    out = {r.doc_id: r for r in gopher_rules(df, min_words=5).collect()}
+    # bounds loosened so the bullet/ellipsis/symbol rules are what the
+    # fixture exercises (the '- b1' bullet tokens drag mwl under the
+    # Table A1 floor of 3); the defaults themselves are pinned by
+    # test_gopher_rules_table_a1_defaults
+    out = {
+        r.doc_id: r
+        for r in gopher_rules(df, min_words=5, min_mwl=2).collect()
+    }
     assert out[1].keep == 1
     assert (out[2].r_words, out[2].r_stop, out[2].keep) == (0, 0, 0)
     # 3 bullet lines of 4 = 7.5/10 <= 9/10 -> passes the bullet rule
@@ -1078,6 +1085,35 @@ def test_gopher_rules_by_hand(spark):
     assert (out[4].r_ellipsis, out[4].r_symbol, out[4].keep) == (0, 0, 0)
     assert (out[5].r_symbol, out[5].keep) == (0, 0)
     assert (out[6].n_words, out[6].keep) == (0, 0)  # NULL text -> empty
+
+
+def test_gopher_rules_table_a1_defaults(spark):
+    """The defaults ARE Rae et al. Table A1 (r12 ADVICE): 50..100k
+    words, mean word length 3..10, >= 2 of the 8-stopword set —
+    a 49-word doc fails r_words at defaults, and 'is'/'are' (not in
+    the paper's set) no longer count as stopword hits."""
+    from candia_spark.operators.curation import gopher_rules
+
+    body = "good word " * 23  # 46 words, all alphabetic, mwl 4
+    rows = [
+        (1, body + "the cat has fur"),          # 50 words, the/have? ...
+        (2, body + "the cat"),                  # 48 words -> r_words 0
+        (3, "is is are are was " + "word " * 50),  # no Table-A1 stopword
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r.doc_id: r for r in gopher_rules(df).collect()}
+    assert (out[1].n_words, out[1].r_words) == (50, 1)
+    # 'the' alone is 1 distinct hit -> the 8-set floor of 2 not met
+    assert out[1].r_stop == 0
+    assert (out[2].n_words, out[2].r_words) == (48, 0)
+    assert out[3].r_stop == 0  # is/are/was are NOT in the paper's set
+    out3 = {
+        r.doc_id: r
+        for r in gopher_rules(
+            df, stopwords=("is", "are", "the")
+        ).collect()
+    }
+    assert out3[3].r_stop == 1  # caller-supplied set is honored
 
 
 def test_gopher_rules_is_pure_map(spark, sf_smoke):
@@ -1107,6 +1143,67 @@ def test_url_dedup_null_urls_are_singletons(spark):
     assert out[1].group_size == 1 and out[1].keep and out[1].canonical_url is None
     assert out[2].group_size == 1 and out[2].keep
     assert out[3].keep and out[3].domain == "ex.com"
+
+
+def test_url_dedup_empty_canonical_urls_are_singletons(spark):
+    """URLs that canonicalize to the EMPTY string (fragment-only,
+    tracking-only values with no scheme) carry no dedup evidence
+    either — they must not pool into one fake '' dup group (r12
+    ADVICE: the same footgun class as NULL urls)."""
+    from candia_spark.operators.curation import url_dedup
+
+    rows = [
+        (1, "#fragment-only"),
+        (2, "?utm_source=x"),
+        (3, "#other"),
+        (4, "https://ex.com/a"),
+        (5, "https://ex.com/a#f"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, url string")
+    out = {r.doc_id: r for r in url_dedup(df).collect()}
+    for i in (1, 2, 3):
+        assert out[i].group_size == 1 and out[i].keep, i
+        assert out[i].canonical_url == ""
+    # real URLs still dedup: 4 and 5 share a canonical
+    assert out[4].group_size == 2 and out[4].keep
+    assert out[5].group_size == 2 and not out[5].keep
+
+
+def test_registered_domain_psl_deep_suffixes_and_rejection(spark):
+    """r12 ADVICE: the probe depth must come from the LOADED table —
+    a 5-label private-section suffix (s3.dualstack.<region>.amazonaws
+    .com) must win longest-match over its shorter public tails; and
+    unresolved wildcard/exception rows must be rejected loudly."""
+    import pytest
+    from candia_spark.operators.curation import registered_domain_psl
+
+    psl = spark.createDataFrame(
+        [("com",), ("amazonaws.com",),
+         ("s3.dualstack.ap-northeast-1.amazonaws.com",)],
+        "suffix string",
+    )
+    rows = [
+        (1, "https://bkt.s3.dualstack.ap-northeast-1.amazonaws.com/k"),
+        (2, "https://plain.amazonaws.com/x"),
+        (3, "https://a.example.com/y"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, url string")
+    out = {r.doc_id: r.registered_domain
+           for r in registered_domain_psl(df, psl).collect()}
+    # a hard-coded 4-label probe would have matched only amazonaws.com
+    # and called 'ap-northeast-1.amazonaws.com' the registered domain
+    assert out == {
+        1: "bkt.s3.dualstack.ap-northeast-1.amazonaws.com",
+        2: "plain.amazonaws.com",
+        3: "example.com",
+    }
+    bad = spark.createDataFrame(
+        [("com",), ("*.ck",), ("!www.ck",)], "suffix string"
+    )
+    with pytest.raises(ValueError, match="pre-expanded"):
+        registered_domain_psl(df, bad)
+    with pytest.raises(ValueError, match="empty"):
+        registered_domain_psl(df, psl.filter("suffix IS NULL"))
 
 
 def test_registered_domain_psl_longest_match(spark):

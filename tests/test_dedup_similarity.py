@@ -1365,3 +1365,28 @@ def test_decontaminate_fuzzy_catches_paraphrase_class(spark):
     assert out[3].max_jaccard == 1.0 and out[3].worst_bench_id == 100
     assert 0.7 <= out[1].max_jaccard < 1.0
     assert out[1].worst_bench_id == 100 and out[1].n_bench_matches == 1
+
+
+def test_decontaminate_fuzzy_string_ids(spark):
+    """r12 ADVICE: the argmax-jaccard tie-break must work for ANY
+    orderable id type — string doc ids used to fail analysis on the
+    arithmetic-negation device. Ties go to the lexicographically
+    smallest bench id, and the id's own type is preserved."""
+    from candia_spark.operators.dedup import decontaminate_fuzzy
+
+    base = " ".join(f"tok{i}" for i in range(30))
+    # two IDENTICAL bench items -> a guaranteed jaccard tie at 1.0
+    bench = spark.createDataFrame(
+        [("bench-b", base), ("bench-a", base)], "doc_id string, text string"
+    )
+    corpus = spark.createDataFrame(
+        [("corp-1", base),
+         ("corp-2", "unrelated content with a private vocabulary")],
+        "doc_id string, text string",
+    )
+    out = {r.doc_id: r for r in decontaminate_fuzzy(
+        corpus, bench, threshold=0.7).collect()}
+    assert set(out) == {"corp-1"}
+    r = out["corp-1"]
+    assert r.n_bench_matches == 2 and r.max_jaccard == 1.0
+    assert r.worst_bench_id == "bench-a"  # tie -> smallest, type kept

@@ -1272,10 +1272,13 @@ def _ref_gopher(text, min_words=5):
     bullets = sum(1 for l in lines if l[:1] in ("-", "*", "•"))
     ell = sum(1 for l in lines if len(l) >= 3 and l[-3:] == "...")
     alpha = sum(1 for x in toks if _re.search("[a-z]", x))
-    stop = len(set(toks) & {"the", "and", "of", "to", "is"})
+    stop = len(
+        set(toks)
+        & {"the", "be", "to", "of", "and", "that", "have", "with"}
+    )
     flags = (
         int(min_words <= n <= 100_000),
-        int(2 * n <= sum_chars <= 12 * n),
+        int(3 * n <= sum_chars <= 10 * n),
         int(n_symbols * 10 <= 1 * n),
         int(bullets * 10 <= 9 * nl),
         int(ell * 10 <= 3 * nl),
@@ -1288,7 +1291,8 @@ def _ref_gopher(text, min_words=5):
 _gopher_text = st.lists(
     st.lists(
         st.sampled_from(
-            ["the", "and", "of", "to", "is", "w", "zz9", "42", "#", "...",
+            ["the", "and", "of", "to", "is", "that", "have", "with",
+             "be", "w", "zz9", "42", "#", "...",
              "- x", "longishword", "a.b...", ""]
         ),
         min_size=0, max_size=12,
