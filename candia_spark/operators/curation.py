@@ -2185,3 +2185,145 @@ def registered_domain_psl(
     return hosts.join(dom, id_col, "left").select(
         F.col(id_col), "host", "registered_domain"
     )
+
+
+def perplexity_buckets(
+    df: DataFrame,
+    reference: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str | None = None,
+    engine: str = "rank",
+    broadcast_vocab: bool = True,
+) -> DataFrame:
+    """CCNet's head/middle/tail quality split (Wenzek et al. 2020):
+    score every document under a language model trained on a REFERENCE
+    corpus (CCNet: Wikipedia), then cut each language's documents into
+    three equal buckets by score — 'head' (most reference-like, lowest
+    perplexity) is kept, 'middle' sampled, 'tail' dropped. This is the
+    reference-model sibling of :func:`unigram_rarity` (q84), which
+    scores against the corpus' OWN census and can only flag a global
+    tail; the production filter needs an external reference and the
+    per-language tertile cut.
+
+    Integer-exact scoring: a token costs ``length(bin(ref_count))``
+    bits — the engine-exact log2-frequency proxy (the q84 device) —
+    and out-of-reference tokens cost 0 (never seen = no commonality
+    evidence), so ``total_bits`` is a bigint and the only float is the
+    final mean ``total_bits / n_tokens``, an IEEE division of
+    identical integers that every engine computes bit-identically.
+    Documents with no tokens carry no evidence and are dropped (the
+    dsir contract). Higher mean bits = more reference-like = head.
+
+    ``engine='rank'`` (default, the certified path): within each
+    language, ROW_NUMBER over (score desc, id asc) and bucket =
+    ``(rank-1)*3 DIV lang_count`` — the exact tertile cut, gate-exact
+    but one sort per language partition (a language is one window
+    partition; fine to ~10^8 docs/language, and exactly how the cut is
+    DEFINED). ``engine='approx'``: per-language percentile_approx
+    thresholds (a map-side-combinable agg), broadcast, bucket as a
+    PURE MAP — linear and partition-parallel at any scale, boundary
+    rows may differ from the exact cut (deploy path, not gate path).
+
+    Output one row per scored document: (id, lang, n_tokens,
+    total_bits, bucket)."""
+    from candia_spark.operators.dedup import _materialize
+
+    if engine not in ("rank", "approx"):
+        raise ValueError(f"unknown engine {engine!r}")
+    bits = F.length(F.bin(F.col("cnt"))).cast("bigint")
+    vocab = (
+        reference.select(F.explode(tokens(text_col)).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    lang = (
+        F.col(lang_col) if lang_col is not None else F.lit("all")
+    ).alias("lang")
+    if broadcast_vocab:
+        toks = df.select(F.col(id_col), lang, tokens(text_col).alias("toks"))
+        freq_row = vocab.agg(
+            F.map_from_entries(
+                F.collect_list(F.struct(F.col("tok"), bits.alias("bits")))
+            ).alias("__freq")
+        )
+        scored = (
+            toks.join(F.broadcast(freq_row))
+            .select(
+                F.col(id_col),
+                "lang",
+                F.size("toks").cast("bigint").alias("n_tokens"),
+                F.aggregate(
+                    "toks",
+                    F.lit(0).cast("bigint"),
+                    lambda acc, t: acc
+                    + F.coalesce(
+                        F.try_element_at("__freq", t), F.lit(0).cast("bigint")
+                    ),
+                ).alias("total_bits"),
+            )
+            .filter(F.col("n_tokens") > 0)
+        )
+    else:
+        toks = df.select(
+            F.col(id_col), lang, F.explode(tokens(text_col)).alias("tok")
+        )
+        scored = (
+            toks.join(vocab.select("tok", bits.alias("__bits")), "tok", "left")
+            .groupBy(id_col, "lang")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+                F.sum(F.coalesce("__bits", F.lit(0)))
+                .cast("bigint")
+                .alias("total_bits"),
+            )
+        )
+    score = (F.col("total_bits").cast("double") / F.col("n_tokens")).alias(
+        "__score"
+    )
+
+    def label(ix):
+        return (
+            F.when(ix == 0, F.lit("head"))
+            .when(ix == 1, F.lit("middle"))
+            .otherwise(F.lit("tail"))
+        )
+    if engine == "rank":
+        w = Window.partitionBy("lang").orderBy(
+            F.col("__score").desc(), F.col(id_col).asc()
+        )
+        wc = Window.partitionBy("lang")
+        s = scored.select(F.col(id_col), "lang", "n_tokens", "total_bits", score)
+        ranked = s.select(
+            F.col(id_col),
+            "lang",
+            "n_tokens",
+            "total_bits",
+            ((F.row_number().over(w) - 1) * 3).alias("__r3"),
+            F.count(F.lit(1)).over(wc).alias("__n"),
+        )
+        # INTEGER division — a double `/` then cast would hit the r12
+        # truncate-vs-round divergence class and ~1-ulp boundary risk
+        ix = F.expr("__r3 div __n")
+        return ranked.select(
+            F.col(id_col), "lang", "n_tokens", "total_bits",
+            label(ix).alias("bucket"),
+        )
+    # approx: per-language thresholds, then a pure-map bucket
+    s = _materialize(
+        scored.select(F.col(id_col), "lang", "n_tokens", "total_bits", score)
+    )
+    cuts = s.groupBy("lang").agg(
+        F.percentile_approx("__score", 2.0 / 3.0).alias("__t_head"),
+        F.percentile_approx("__score", 1.0 / 3.0).alias("__t_mid"),
+    )
+    return s.join(F.broadcast(cuts), "lang").select(
+        F.col(id_col),
+        "lang",
+        "n_tokens",
+        "total_bits",
+        F.when(F.col("__score") >= F.col("__t_head"), F.lit("head"))
+        .when(F.col("__score") >= F.col("__t_mid"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )

@@ -2728,3 +2728,106 @@ def decontaminate_fuzzy(
             F.col("__w")["b"].alias("worst_bench_id"),
         )
     )
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n\n",
+    normalize: bool = False,
+) -> DataFrame:
+    """Corpus-wide PARAGRAPH-level exact dedup — the Dolma pipeline's
+    paragraph stage (and C4's sentence-level ancestor): every paragraph
+    that already occurred anywhere earlier in the corpus is removed,
+    keeping only its FIRST occurrence (smallest (doc, position) in the
+    corpus total order). Doc-level dedup misses pages that share 80%
+    boilerplate-free content but differ in one line; q100's k-token
+    gram rewrite removes overlapping SPANS; this is the stage between
+    them — whole-paragraph granularity, which is what Dolma ships
+    because paragraph boundaries make the rewrite safe (no mid-sentence
+    cuts) and the key space small (one census row per distinct
+    paragraph, not per k-gram).
+
+    With ``normalize=True`` the census key is the q56
+    ``normalize_text`` chain (casing/punctuation/whitespace-insensitive
+    matching) while surviving paragraphs keep their original bytes —
+    the strip_boilerplate_lines convention. Paragraphs that are empty
+    (or normalize to empty) carry no dedup evidence and are ALWAYS
+    kept (the null-text/no-evidence doctrine: pooling them would
+    delete every blank separator in the corpus on the evidence of one
+    other blank). A repeated paragraph WITHIN one document is also
+    deduped (its second occurrence is not the first in corpus order).
+
+    Output one row per input document: (id, n_paras, n_kept,
+    clean_text) — kept paragraphs re-joined with ``sep`` in original
+    order, '' when nothing survived; NULL text behaves as ''.
+
+    Scale shape (the q98 shape, all linear): one paragraph-keyed census
+    with MAP-SIDE partial aggregation (groupBy + min(struct) combines
+    before the shuffle — deliberately NOT a window over the key, whose
+    partitions would hold every occurrence of a viral paragraph with no
+    partial reduction), one paragraph-keyed join of exploded paragraphs
+    against that census (each left row matches exactly one census row
+    — skew from a hot paragraph, never expansion; AQE splits it), and
+    one per-doc ordered rebuild bounded by single-document size. Text
+    shuffles twice (census key + join), both keyed — nothing all-pairs,
+    nothing collected."""
+    import re
+
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    paras = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(text, re.escape(sep))).alias("__pos", "__para"),
+    )
+    if normalize:
+        from candia_spark.functions.text import normalize_text
+
+        paras = paras.withColumn("__key", normalize_text("__para"))
+    else:
+        paras = paras.withColumn("__key", F.col("__para"))
+    census = (
+        paras.filter(F.col("__key") != "")
+        .groupBy("__key")
+        .agg(
+            F.min(
+                F.struct(
+                    F.col(id_col).alias("d"), F.col("__pos").alias("p")
+                )
+            ).alias("__owner")
+        )
+    )
+    kept = (
+        paras.join(
+            census.withColumnRenamed("__key", "__ckey"),
+            F.col("__key") == F.col("__ckey"),
+            "left",
+        )
+        .filter(
+            F.col("__owner").isNull()
+            | (
+                (F.col("__owner")["d"] == F.col(id_col))
+                & (F.col("__owner")["p"] == F.col("__pos"))
+            )
+        )
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__para"))),
+                lambda s: s["__para"],
+            ),
+            sep,
+        ).alias("clean_text"),
+    )
+    spine = df.select(
+        F.col(id_col),
+        F.size(F.split(text, re.escape(sep))).cast("bigint").alias("n_paras"),
+    )
+    return spine.join(rebuilt, id_col, "left").select(
+        F.col(id_col),
+        "n_paras",
+        F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+    )

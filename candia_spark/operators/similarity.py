@@ -731,3 +731,110 @@ def cosine_topk_bruteforce_heap(
             query_id_col, id_col, "cosine", F.col("rank").cast("bigint").alias("rank")
         )
     )
+
+
+def quantize_int8(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    scale: int = 127,
+) -> DataFrame:
+    """Unit-normalize and int8-quantize an embedding column:
+    ``q_i = floor(x_i / ||x|| * scale)``, a bigint array in
+    [-scale, scale].
+
+    This is the memory lever of a production vector pipeline: a 64-dim
+    float32 corpus at 10^10 vectors is 2.5 TB of vector payload; int8
+    is 4x smaller on the wire and in every shuffle, and the dot product
+    becomes pure bigint arithmetic (max |dot| = dim * scale^2 ~ 10^6 at
+    64 dims — nowhere near 2^63). Every step is engine-exact: float ->
+    double widening is value-preserving, double division/multiplication
+    of identical inputs is identical IEEE on any engine, and ``floor``
+    is exact — so the quantized vectors (and everything computed from
+    them) are bit-identical cross-engine with NO rounding device
+    needed, unlike the float-cosine paths that must ROUND(…,6) before
+    a gate.
+
+    Zero-norm vectors raise loudly in-plan (the mmr_select contract —
+    ADVICE r11 made silent zero-norm drops a defect class).
+
+    Output: (id, qvec). ``scale`` defaults to 127 (int8 range)."""
+    norm = _norm(F.col(vec_col))
+    safe = F.when(
+        norm == 0.0,
+        F.raise_error(
+            F.format_string(
+                "quantize_int8: zero-norm vector (id %s) — cosine is "
+                "undefined; filter or fix upstream",
+                F.col(id_col).cast("string"),
+            )
+        ).cast("double"),
+    ).otherwise(norm)
+    return df.select(
+        F.col(id_col),
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.floor(x.cast("double") / safe * F.lit(int(scale)))
+            .cast("bigint"),
+        ).alias("qvec"),
+    )
+
+
+def cosine_topk_int8(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    scale: int = 127,
+) -> DataFrame:
+    """Top-k nearest corpus vectors per query under INT8-QUANTIZED
+    cosine: both sides unit-normalized and floor-quantized to
+    [-scale, scale] (:func:`quantize_int8`), similarity = the bigint
+    dot product of the quantized vectors. The approximation error vs
+    true cosine is bounded (each component off by < 1/scale), which is
+    the standard scalar-quantization ANN trade: ~4x less memory and
+    shuffle bandwidth than float32 brute force for a recall hit that
+    scalar int8 keeps tiny — and unlike the float paths, the score is
+    an INTEGER, so ranking, tie-breaks (score desc, id asc), and any
+    downstream gate are exact by construction, no rounding device.
+
+    Output: (query_id, vec_id, score, rank), rank 1..k.
+
+    Scale: queries broadcast x corpus streams (no corpus shuffle); the
+    per-query top-k is a window over Q*N bigint score rows. For large
+    Q compose with the heap device (cosine_topk_bruteforce_heap's
+    per-partition cut applies unchanged to integer scores); for large
+    N, quantization composes with the IVF/LSH bucketing paths — this
+    operator IS the compressed scoring kernel those would call."""
+    q = quantize_int8(queries, vec_col, query_id_col, scale).select(
+        F.col(query_id_col), F.col("qvec").alias("__qq")
+    )
+    c = quantize_int8(corpus, vec_col, id_col, scale).select(
+        F.col(id_col), F.col("qvec").alias("__qc")
+    )
+    scored = F.broadcast(q).crossJoin(c).select(
+        query_id_col,
+        id_col,
+        F.aggregate(
+            F.zip_with(
+                "__qq", "__qc", lambda a, b: a * b
+            ),
+            F.lit(0).cast("bigint"),
+            lambda acc, v: acc + v,
+        ).alias("score"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            query_id_col,
+            id_col,
+            F.col("score").cast("bigint").alias("score"),
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )

@@ -6130,6 +6130,214 @@ def q107_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q108_paragraph_dedup",
+    # documents are single-line, so paragraph structure is PLANTED
+    # (the q98/q105 augmentation device): a shared cookie banner on
+    # %6==0 (cross-doc dup: every copy but the first in corpus order
+    # is removed), a shared newsletter paragraph on %4==0, and the
+    # doc's OWN text repeated on %9==0 (the intra-doc second
+    # occurrence, also removed). concat_ws skips NULLs identically in
+    # both engines, so conditional paragraphs need no empty-string
+    # splices. The oracle recomputes first-occurrence ownership
+    # (min doc, then min pos within that doc) and the ordered rebuild;
+    # md5(clean_text) gates every rewritten document.
+    oracle="""
+    WITH aug AS MATERIALIZED (
+        SELECT doc_id,
+               concat_ws(chr(10) || chr(10),
+                   CASE WHEN doc_id % 6 = 0
+                        THEN 'cookie notice please accept' END,
+                   text,
+                   CASE WHEN doc_id % 4 = 0
+                        THEN 'subscribe to our newsletter today' END,
+                   CASE WHEN doc_id % 9 = 0 THEN text END) AS text
+        FROM documents),
+    pl AS MATERIALIZED (
+        SELECT doc_id, string_split(text, chr(10) || chr(10)) AS ps
+        FROM aug),
+    paras AS MATERIALIZED (
+        SELECT doc_id, i - 1 AS pos, ps[i] AS para
+        FROM pl, UNNEST(generate_series(1, len(ps))) AS u(i)),
+    own1 AS (
+        SELECT para, MIN(doc_id) AS od
+        FROM paras WHERE para <> '' GROUP BY para),
+    own AS MATERIALIZED (
+        SELECT p.para, o.od, MIN(p.pos) AS op
+        FROM paras p JOIN own1 o ON p.para = o.para AND p.doc_id = o.od
+        GROUP BY p.para, o.od),
+    kept AS (
+        SELECT p.doc_id, p.pos, p.para
+        FROM paras p LEFT JOIN own o ON p.para = o.para
+        WHERE o.para IS NULL OR (p.doc_id = o.od AND p.pos = o.op)),
+    reb AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+               string_agg(para, chr(10) || chr(10) ORDER BY pos) AS clean
+        FROM kept GROUP BY doc_id)
+    SELECT l.doc_id, CAST(len(l.ps) AS BIGINT) AS n_paras,
+           COALESCE(r.n_kept, 0) AS n_kept,
+           md5(COALESCE(r.clean, '')) AS clean_md5
+    FROM pl l LEFT JOIN reb r USING (doc_id)
+    """,
+    survey_ref="paragraph-level exact dedup (Dolma's paragraph stage / "
+    "C4's sentence ancestor; north star: corpus-wide first-occurrence "
+    "rewrite at paragraph granularity)",
+)
+def q108_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide paragraph dedup (operators.dedup.paragraph_dedup):
+    every paragraph keeps only its first occurrence in (doc, position)
+    corpus order — the Dolma pipeline's paragraph stage, sitting
+    between doc-level dedup (q25/q56) and q100's k-token-span rewrite.
+    Paragraph structure is planted (shared banners cross-doc, the
+    doc's own text repeated intra-doc); md5(clean_text) hash-gates
+    every rebuilt document, so one mis-owned or mis-ordered paragraph
+    anywhere fails the gate. Scale shape: the q98 three-linear-keyed-
+    shuffles shape — map-side-combined census, one census join, one
+    per-doc ordered rebuild."""
+    from candia_spark.operators.dedup import paragraph_dedup
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    i = F.col("doc_id")
+    aug = docs.withColumn(
+        "text",
+        F.concat_ws(
+            "\n\n",
+            F.when(i % 6 == 0, F.lit("cookie notice please accept")),
+            F.col("text"),
+            F.when(i % 4 == 0, F.lit("subscribe to our newsletter today")),
+            F.when(i % 9 == 0, F.col("text")),
+        ),
+    )
+    return paragraph_dedup(aug).select(
+        "doc_id",
+        "n_paras",
+        "n_kept",
+        F.md5(F.col("clean_text").cast("binary")).alias("clean_md5"),
+    )
+
+
+@register(
+    "q109_perplexity_buckets",
+    # reference = the %97 document slice (the q45/q106 convention —
+    # CCNet's Wikipedia stand-in); corpus = everything else. lang is a
+    # planted mod-3 partition label (a real pipeline feeds q102's
+    # langid verdicts; the bucketing is per-partition either way).
+    # Token costs are the q84 integer bits(count) device against the
+    # REFERENCE census, OOV costs 0; the only float is the final mean
+    # bits/token, an IEEE division of identical bigints, and the
+    # tertile cut is a ROW_NUMBER + integer-DIV device — no percentile
+    # function, no rounding, anywhere.
+    oracle="""
+    WITH ref AS MATERIALIZED (
+        SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0),
+    vocab AS MATERIALIZED (
+        SELECT tok, CAST(length(bin(COUNT(*))) AS BIGINT) AS bits
+        FROM (SELECT unnest({toks}) AS tok FROM ref) GROUP BY tok),
+    corp AS MATERIALIZED (
+        SELECT doc_id,
+               CASE CAST(doc_id % 3 AS INTEGER)
+                    WHEN 0 THEN 'en' WHEN 1 THEN 'de' ELSE 'fr' END AS lang,
+               {toks} AS t
+        FROM documents WHERE doc_id % 97 <> 0),
+    toks AS (SELECT doc_id, lang, unnest(t) AS tok FROM corp),
+    scored AS MATERIALIZED (
+        SELECT t.doc_id, t.lang,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(SUM(COALESCE(v.bits, 0)) AS BIGINT) AS total_bits
+        FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
+        GROUP BY t.doc_id, t.lang),
+    ranked AS (
+        SELECT doc_id, lang, n_tokens, total_bits,
+               (ROW_NUMBER() OVER (PARTITION BY lang
+                    ORDER BY CAST(total_bits AS DOUBLE) / n_tokens DESC,
+                             doc_id ASC) - 1) * 3 AS r3,
+               COUNT(*) OVER (PARTITION BY lang) AS n
+        FROM scored WHERE n_tokens > 0)
+    SELECT doc_id, lang, n_tokens, total_bits,
+           CASE r3 // n WHEN 0 THEN 'head' WHEN 1 THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM ranked
+    """.replace("{toks}", _TOKS_SQL),
+    survey_ref="CCNet perplexity head/middle/tail split (Wenzek et al. "
+    "2020 reference-LM bucketing; north star: model-based quality "
+    "partitioning)",
+)
+def q109_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail quality bucketing
+    (operators.curation.perplexity_buckets, engine='rank' — the exact
+    certified cut; engine='approx' is the linear deploy path): score
+    every corpus document under the REFERENCE slice's integer-bits
+    unigram model (the q84 device pointed at an external reference,
+    OOV = 0 bits) and cut each language into exact tertiles by mean
+    bits-per-token via ROW_NUMBER + integer DIV. The oracle recomputes
+    census, scoring, and the per-language rank cut; one swapped rank
+    anywhere flips a bucket label and fails the gate."""
+    from candia_spark.operators.curation import perplexity_buckets
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    i = F.col("doc_id")
+    ref = docs.filter(i % 97 == 0)
+    corpus = docs.filter(i % 97 != 0).withColumn(
+        "lang",
+        F.when(i % 3 == 0, F.lit("en"))
+        .when(i % 3 == 1, F.lit("de"))
+        .otherwise(F.lit("fr")),
+    )
+    return perplexity_buckets(corpus, ref, lang_col="lang")
+
+
+@register(
+    "q110_int8_topk",
+    # int8 scalar quantization (the production ANN memory lever): both
+    # sides unit-normalized in double, floor-quantized to [-127, 127]
+    # bigints, scored by the INTEGER dot product — float -> double
+    # widening, IEEE division, and floor are engine-exact, so unlike
+    # the float-cosine q30 family no ROUND device is needed; scores,
+    # ranks, and ties (score desc, id asc) are exact by construction.
+    oracle="""
+    WITH nrm AS MATERIALIZED (
+        SELECT vec_id, embedding,
+               sqrt(list_sum(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nv
+        FROM embeddings),
+    qz AS MATERIALIZED (
+        SELECT vec_id, list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) / nv * 127) AS BIGINT))
+                   AS qv
+        FROM nrm),
+    dots AS (
+        SELECT q.vec_id AS query_id, c.vec_id,
+               CAST(SUM(q.qv[i] * c.qv[i]) AS BIGINT) AS score
+        FROM qz q, qz c, UNNEST(generate_series(1, len(q.qv))) AS u(i)
+        WHERE q.vec_id % 61 = 0
+        GROUP BY q.vec_id, c.vec_id)
+    SELECT query_id, vec_id, score, CAST(rnk AS BIGINT) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY score DESC, vec_id ASC) AS rnk FROM dots)
+    WHERE rnk <= 5
+    """,
+    survey_ref="int8-quantized ANN top-k (scalar quantization — the "
+    "compressed scoring kernel of a production vector path; north "
+    "star: similarity search at memory scale)",
+)
+def q110_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8-quantized cosine top-k (operators.similarity
+    .cosine_topk_int8 over quantize_int8): unit-normalize, floor-
+    quantize to [-127, 127], rank by the bigint dot product — 4x less
+    vector memory and shuffle bandwidth than float32 brute force, and
+    the first similarity query whose scores are INTEGERS, so the gate
+    needs no rounding device at all. Queries = every 61st vector,
+    k=5; the oracle replicates quantization and integer scoring
+    element-for-element."""
+    from candia_spark.operators.similarity import cosine_topk_int8
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    qs = emb.filter(F.col("vec_id") % 61 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return cosine_topk_int8(emb, qs, k=5)
+
+
 # --- Driver certification window (verdict r5 #2) -------------------------
 # The per-round driver correctness artifact certifies the FIRST 50
 # registry entries, and queries()/oracle_sql() preserve this dict's
@@ -6287,6 +6495,28 @@ _DRIVER_WINDOW_TAIL = [
     # tolerance/band join family it certifies (J5) stays in-window
     # through q09's band join; driver-certified every round since r4.
     "q22_asof_join",
+    # --- r13 rotation: q108 (paragraph dedup), q109 (perplexity
+    # buckets), q110 (int8 top-k) take the three new seats; q104-q106
+    # stay in-window because their operators changed this round (the
+    # four ADVICE fixes). Parked:
+    # q108's seat: q05's group-wise argmax (ties kept) is the
+    # struct-min/argmax device that stays in-window through q15's
+    # count-distinct argmax and q89's majority tie-break — and q108
+    # itself gates a min(struct) ownership argmin corpus-wide;
+    # driver-certified every round since r2.
+    "q05_groupwise_argmax",
+    # q109's seat: q10's anti-join device now rides IN-WINDOW gated
+    # rewrites structurally — q100's covered-position removal is an
+    # explode+ANTI JOIN whose md5 gate fails on any anti-join
+    # regression — and q18's interval anti-join stays in-window;
+    # driver-certified every round since r2.
+    "q10_anti_join",
+    # q110's seat: q19's scalar-function surface (math/string/regex/
+    # JSON) stays covered in-window by the gated regexp chains of
+    # q104 (url canonicalization) and q47 (PII rewrite) and by its
+    # own by-hand pytest family; driver-certified every round
+    # since r2.
+    "q19_scalar_functions",
 ]
 for _name in _DRIVER_WINDOW_TAIL:
     QUERY_REGISTRY[_name] = QUERY_REGISTRY.pop(_name)

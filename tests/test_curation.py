@@ -1232,3 +1232,89 @@ def test_registered_domain_psl_longest_match(spark):
                    4: None, 5: None, 6: "thing.uk"}
     plan = _plan_of(registered_domain_psl(df, psl))
     assert "BroadcastHashJoin" in plan
+
+
+def test_perplexity_buckets_rank_by_hand(spark):
+    """Reference-LM scoring (q84 bits device, OOV = 0) and the exact
+    per-language tertile cut: head = most reference-like third."""
+    from candia_spark.operators.curation import perplexity_buckets
+
+    ref = spark.createDataFrame(
+        [(100, "the common words the common")], "doc_id bigint, text string"
+    )
+    docs = spark.createDataFrame(
+        [(i, "x", t) for i, t in enumerate(
+            ["the the common",       # bits 6, mean 2.0 -> rank 1
+             "the common rare1",     # bits 4, mean 1.33 -> rank 3
+             "common rare1 rare2",   # bits 2, mean 0.67 -> rank 4
+             "rare1 rare2 rare3",    # bits 0 -> rank 5 (id tie-break)
+             "the words",            # bits 3, mean 1.5 -> rank 2
+             "zz qq ww"])],          # bits 0 -> rank 6
+        "doc_id bigint, lang string, text string",
+    )
+    out = {r.doc_id: r for r in perplexity_buckets(
+        docs, ref, lang_col="lang").collect()}
+    assert [(out[i].total_bits, out[i].bucket) for i in range(6)] == [
+        (6, "head"), (4, "middle"), (2, "middle"),
+        (0, "tail"), (3, "head"), (0, "tail"),
+    ]
+    # the shuffle-join open-vocab path computes the same table
+    out2 = {r.doc_id: tuple(r) for r in perplexity_buckets(
+        docs, ref, lang_col="lang", broadcast_vocab=False).collect()}
+    assert out2 == {k: tuple(v) for k, v in out.items()}
+
+
+def test_perplexity_buckets_per_language_and_empty(spark):
+    """Tertiles are cut WITHIN each language; tokenless docs drop (the
+    dsir contract); unknown engine raises."""
+    import pytest
+    from candia_spark.operators.curation import perplexity_buckets
+
+    ref = spark.createDataFrame(
+        [(100, "aa aa bb")], "doc_id bigint, text string"
+    )
+    docs = spark.createDataFrame(
+        [(0, "en", "aa aa"), (1, "en", "aa bb"), (2, "en", "zz"),
+         (3, "de", "bb"), (4, "de", "aa zz"), (5, "de", "zz zz"),
+         (6, "de", "")],
+        "doc_id bigint, lang string, text string",
+    )
+    out = {r.doc_id: r for r in perplexity_buckets(
+        docs, ref, lang_col="lang").collect()}
+    assert 6 not in out  # empty doc dropped
+    assert [out[i].bucket for i in (0, 1, 2)] == ["head", "middle", "tail"]
+    assert [out[i].bucket for i in (3, 4, 5)] == ["head", "middle", "tail"]
+    with pytest.raises(ValueError, match="engine"):
+        perplexity_buckets(docs, ref, engine="exactly")
+
+
+def test_perplexity_buckets_approx_engine_is_mapside(spark):
+    """The deploy path: percentile_approx thresholds + broadcast +
+    pure-map bucketing — no Window anywhere in the plan, every doc
+    bucketed, and buckets MONOTONE in score (exact boundary placement
+    is the rank engine's contract, not this one's)."""
+    from candia_spark.operators.curation import perplexity_buckets
+
+    ref = spark.createDataFrame(
+        [(100, " ".join(["w%d" % i for i in range(8)] * 3))],
+        "doc_id bigint, text string",
+    )
+    # 6 docs with strictly distinct mean-bits scores (doc i has i+1
+    # in-reference tokens and 6-i OOV tokens)
+    docs = spark.createDataFrame(
+        [(i, "en", " ".join(["w%d" % j for j in range(i + 1)]) +
+          " oov" * (6 - i)) for i in range(6)],
+        "doc_id bigint, lang string, text string",
+    )
+    approx = perplexity_buckets(docs, ref, lang_col="lang", engine="approx")
+    rows = approx.collect()
+    assert len(rows) == 6
+    order = {"head": 0, "middle": 1, "tail": 2}
+    scored = sorted(
+        rows, key=lambda r: -(r.total_bits / r.n_tokens)
+    )
+    ranks = [order[r.bucket] for r in scored]
+    assert ranks == sorted(ranks)  # monotone in score
+    assert ranks[0] == 0 and ranks[-1] == 2  # head and tail both occur
+    plan = approx._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
