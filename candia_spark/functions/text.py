@@ -269,3 +269,42 @@ def url_registered_domain(url_col) -> Column:
     PSL table — same plan shape); the two-label rule keeps the gated
     path dependency-free and engine-exact."""
     return F.regexp_extract(url_host(url_col), r"([^.]+\.[^.]+)$", 1)
+
+
+def char_census_counts(text_col: str = "text") -> Column:
+    """Per-distinct-character occurrence counts as an array<bigint>,
+    computed WITHOUT exploding: for each distinct char c,
+    ``count(c) = length(text) - length(replace(text, c, ''))``. A pure
+    per-row HOF (the q44 zero-exchange device) — O(D*N) work per row
+    for D distinct chars, but no shuffle and no char-row blowup, which
+    is the right trade at corpus scale (exploding a 100 TB corpus to
+    one row per CHARACTER is the plan that never finishes)."""
+    dis = F.filter(
+        F.array_distinct(F.split(F.col(text_col), "")), lambda c: c != ""
+    )
+    return F.transform(
+        dis,
+        lambda c: (
+            F.length(F.col(text_col))
+            - F.length(F.replace(F.col(text_col), c, F.lit("")))
+        ).cast("bigint"),
+    )
+
+
+def char_entropy_bits(counts: Column, n_chars: Column) -> Column:
+    """Integer-exact character-entropy surrogate:
+    ``sum_c count_c * (bitlen(N) - bitlen(count_c))`` — the floor-log2
+    self-information mass in bits (the q84/q109 integer-bits device
+    applied to the char census). Exactly 0 for a one-char-repeated
+    document, large for high-entropy text; monotone with true Shannon
+    entropy at the resolution quality filters cut on. Chosen over
+    ``log2`` deliberately: JVM Math.log2 and libm disagree in the last
+    ulp on ~28%% of integer inputs, so a float entropy can flip a
+    ROUND(…,6) gate — bitlen is exact on both engines."""
+    bitlen_n = F.length(F.bin(n_chars.cast("bigint"))).cast("bigint")
+    return F.aggregate(
+        counts,
+        F.lit(0).cast("bigint"),
+        lambda acc, c: acc
+        + c * (bitlen_n - F.length(F.bin(c)).cast("bigint")),
+    )

@@ -17,7 +17,7 @@ oracles in plans.queries certify q51-q53 end to end).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from candia_spark.functions.text import tokens
@@ -2326,4 +2326,173 @@ def perplexity_buckets(
         .when(F.col("__score") >= F.col("__t_mid"), F.lit("middle"))
         .otherwise(F.lit("tail"))
         .alias("bucket"),
+    )
+
+
+# --- HTML -> text extraction (the web pipeline's step zero) ---------------
+
+# The tag-strip chain shared verbatim with the SQL oracle (plans.queries
+# q111). Every pattern is written in the common subset of Java regex
+# (Spark) and RE2 (DuckDB): inline (?i)/(?s) flags, non-greedy
+# quantifiers, character classes — no lookaround, no backreferences.
+HTML_STRIP_STEPS: list[tuple[str, str]] = [
+    # comments first: a commented-out <script> must not arm the script
+    # stripper ([\s\S] instead of dotall so the flagless pattern crosses
+    # newlines identically in both engines)
+    (r"<!--[\s\S]*?-->", " "),
+    # non-content blocks go away wholesale, tags AND payload
+    (r"(?is)<script[^>]*>.*?</script>", " "),
+    (r"(?is)<style[^>]*>.*?</style>", " "),
+    (r"(?is)<title[^>]*>.*?</title>", " "),
+    # block-level closers / hard breaks become newlines so paragraph
+    # structure survives for the downstream line/paragraph dedup stages
+    (
+        r"(?i)<(?:br|hr)[^>]*>"
+        r"|</(?:p|div|li|ul|ol|h[1-6]|tr|table|blockquote|pre)[^>]*>",
+        "\n",
+    ),
+    # every remaining tag is inline markup: a word separator
+    (r"<[^>]*>", " "),
+]
+
+# Minimal entity table (the named entities that appear in machine-written
+# HTML; a full HTML5 table is a deployment swap like the PSL). &amp; is
+# decoded LAST so '&amp;lt;' decodes to the literal '&lt;', not '<'.
+HTML_ENTITIES: list[tuple[str, str]] = [
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&apos;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+]
+
+HTML_COLLAPSE_STEPS: list[tuple[str, str]] = [
+    (r"[ \t]+", " "),  # runs of spaces/tabs -> one space
+    (r" ?\n ?", "\n"),  # strip spaces hugging newlines
+    (r"\n{3,}", "\n\n"),  # >=3 newlines -> paragraph break
+]
+
+
+def html_clean_text(html_col: Column | str) -> Column:
+    """Visible text of an HTML document as ONE Column expression: strip
+    comments, script/style/title blocks, and tags (block closers become
+    newlines so paragraph structure survives); decode the core entities;
+    collapse whitespace. Pure regexp_replace chain — JVM-side, zero
+    exchange, whole-stage-codegen'd; composes with q98 boilerplate
+    removal and q108 paragraph dedup downstream.
+
+    The reference has no web-extraction counterpart (it is an MS
+    pipeline); north star: trafilatura/resiliparse's extraction stage
+    re-expressed as a deterministic, oracle-checkable column function.
+    """
+    c = F.col(html_col) if isinstance(html_col, str) else html_col
+    for pat, rep in HTML_STRIP_STEPS:
+        c = F.regexp_replace(c, pat, rep)
+    for ent, ch in HTML_ENTITIES:
+        c = F.replace(c, F.lit(ent), F.lit(ch))
+    for pat, rep in HTML_COLLAPSE_STEPS:
+        c = F.regexp_replace(c, pat, rep)
+    return F.btrim(c, F.lit(" \n\t"))
+
+
+def html_title(html_col: Column | str) -> Column:
+    """Trimmed <title> payload ('' when absent) — the one head element a
+    curation pipeline keeps as metadata."""
+    c = F.col(html_col) if isinstance(html_col, str) else html_col
+    return F.trim(F.regexp_extract(c, r"(?is)<title[^>]*>(.*?)</title>", 1))
+
+
+def extract_html_text(
+    df: DataFrame,
+    html_col: str = "html",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """HTML -> text extraction over a corpus: (id, title, clean_text,
+    n_lines, n_chars). The first stage of a web-crawl pipeline (WARC/WET
+    record payloads -> trainable text), feeding every downstream stage
+    (q98 boilerplate, q108 paragraph dedup, q105 Gopher rules).
+
+    Scale: a pure per-row map — no shuffle, no UDF, nothing but codegen'd
+    string expressions; linear in payload bytes and embarrassingly
+    partition-parallel, so the 100 TB path is exactly this plan."""
+    clean = html_clean_text(html_col)
+    return df.select(
+        F.col(id_col),
+        html_title(html_col).alias("title"),
+        clean.alias("clean_text"),
+        F.when(clean == "", F.lit(0).cast("bigint"))
+        .otherwise(F.size(F.split(clean, "\n")).cast("bigint"))
+        .alias("n_lines"),
+        F.length(clean).cast("bigint").alias("n_chars"),
+    )
+
+
+# --- Mixture / epoch planning (the data-budget side of curation) ----------
+
+
+def mixture_epoch_plan(
+    df: DataFrame,
+    weights: dict[str, int],
+    budget_tokens: int,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Token-budget mixture planning (the DoReMi/Pile-style mixture
+    table turned into an executable plan): given integer mixture
+    ``weights`` per source and a total training ``budget_tokens``,
+    compute per source the available token mass, the target token
+    allocation ``budget * w_i / sum(w)``, and the EPOCH count needed to
+    fill that allocation (ceil(target / available)) — the number every
+    mixture paper reports (how many passes over Wikipedia vs one pass
+    over CommonCrawl).
+
+    All arithmetic is integer (floor-div targets, ceil-div epochs via
+    the add-den-minus-one device), so the output is hash-exact with no
+    float anywhere. Sources absent from ``weights`` are excluded (the
+    mixture IS the selection); weighted sources with zero available
+    tokens get epochs = 0.
+
+    Output: (source, weight, available_tokens, target_tokens, epochs).
+
+    Scale: one map-side-combinable token-count agg over the corpus
+    (rows out = number of sources), then a broadcast join against the
+    k-row weight table — nothing else."""
+    if budget_tokens < 0:
+        raise ValueError(f"budget_tokens must be >= 0, got {budget_tokens}")
+    bad = {s: w for s, w in weights.items() if int(w) <= 0}
+    if bad:
+        raise ValueError(f"weights must be positive integers, got {bad}")
+    den = sum(int(w) for w in weights.values())
+    wdf = F.broadcast(
+        df.sparkSession.createDataFrame(
+            [(s, int(w)) for s, w in sorted(weights.items())],
+            f"{source_col} string, weight bigint",
+        )
+    )
+    avail = (
+        df.groupBy(source_col)
+        .agg(
+            F.sum(F.size(tokens(text_col)).cast("bigint"))
+            .cast("bigint")
+            .alias("available_tokens")
+        )
+        .join(wdf, source_col)
+    )
+    # integer div throughout — a double `/` then cast would hit the r12
+    # truncate-vs-round divergence class
+    target = F.expr(f"(weight * {int(budget_tokens)}) div {den}")
+    return avail.withColumn("target_tokens", target.cast("bigint")).select(
+        source_col,
+        "weight",
+        "available_tokens",
+        "target_tokens",
+        F.when(F.col("available_tokens") <= 0, F.lit(0).cast("bigint"))
+        .otherwise(
+            F.expr(
+                "(target_tokens + available_tokens - 1) div available_tokens"
+            ).cast("bigint")
+        )
+        .alias("epochs"),
     )

@@ -18,7 +18,7 @@ oracle variant). 4 hex chars = 65536 buckets -> fraction granularity
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 _BUCKETS = 65536  # 16^4: membership decided on the first 4 md5 hex chars
@@ -81,4 +81,51 @@ def stratified_sample_counts(
     return df.groupBy(*strata).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_total"),
         F.sum(flag.cast("bigint")).cast("bigint").alias("n_sampled"),
+    )
+
+
+def deterministic_shuffle(
+    df: DataFrame,
+    n_shards: int,
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Reproducible global shuffle + shard assignment for training
+    writes: shard = md5-hash of the id modulo ``n_shards``, position
+    within the shard = rank of the hash (ties -> id). The composite
+    (shard, pos) is a pure function of (id, salt) — re-running after a
+    retry, repartition, or cluster resize yields the SAME training
+    order, which `df.orderBy(rand())` cannot promise. ``salt`` is the
+    epoch/seed knob: a different salt draws an independent permutation.
+
+    Output: (id, shard, pos) — all bigint.
+
+    Scale: ONE keyed shuffle (the window partitioned by shard) and
+    shard-local sorts; no global total order ever exists in the plan,
+    so the classic single-partition orderBy trap never appears. Shards
+    are the write/parallelism unit — size n_shards to the trainer's
+    file layout, not the cluster."""
+    if n_shards <= 0:
+        raise ValueError(f"n_shards must be positive, got {n_shards}")
+    key = F.md5(
+        F.concat(F.lit(salt), F.lit(":"), F.col(id_col).cast("string")).cast(
+            "binary"
+        )
+    )
+    # 15 hex chars = 60 bits, exact in a bigint on both engines (the
+    # cross-engine device: conv(..,16,10) == DuckDB CAST('0x' || ..)).
+    shard = (
+        F.conv(F.substring(key, 1, 15), 16, 10).cast("bigint")
+        % F.lit(int(n_shards))
+    )
+    keyed = df.select(
+        F.col(id_col), key.alias("__key"), shard.cast("bigint").alias("shard")
+    )
+    w = Window.partitionBy("shard").orderBy(
+        F.col("__key").asc(), F.col(id_col).asc()
+    )
+    return keyed.select(
+        F.col(id_col),
+        "shard",
+        (F.row_number().over(w) - 1).cast("bigint").alias("pos"),
     )

@@ -838,3 +838,251 @@ def cosine_topk_int8(
             F.col("rank").cast("bigint").alias("rank"),
         )
     )
+
+
+def mine_hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    query_id_col: str = "query_id",
+    scale: int = 127,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training data: for each
+    query, the ``k`` most-similar corpus vectors whose ``label_col``
+    DIFFERS from the query's (same-label rows are positives and are
+    excluded, as is the query row itself when ids collide). This is the
+    retrieval step of every dense-retriever / CLIP-style training
+    pipeline — the negatives that sit closest to the decision boundary
+    are the ones worth training on.
+
+    Scoring is int8-quantized cosine (:func:`quantize_int8`), so scores
+    are INTEGERS: ranking, tie-breaks (score desc, id asc), and the
+    oracle gate are exact by construction — no rounding device.
+
+    Output: (query_id, neg_id, label, score, rank), rank 1..k.
+
+    Scale: queries (with labels) broadcast; the corpus streams through
+    one codegen'd dot-product map — no corpus shuffle, no UDF. The
+    per-query top-k window is Q*N rows of bigints; for large Q the heap
+    device (cosine_topk_bruteforce_heap) applies unchanged, and for
+    large N the IVF/LSH bucketing paths compose exactly as they do for
+    the plain int8 scorer."""
+    q = quantize_int8(
+        queries.select(query_id_col, vec_col), vec_col, query_id_col, scale
+    ).join(
+        queries.select(query_id_col, F.col(label_col).alias("__qlab")),
+        query_id_col,
+    )
+    c = quantize_int8(
+        corpus.select(id_col, vec_col), vec_col, id_col, scale
+    ).join(
+        corpus.select(
+            id_col, F.col(label_col).cast("bigint").alias("label")
+        ),
+        id_col,
+    )
+    scored = (
+        F.broadcast(
+            q.select(query_id_col, F.col("qvec").alias("__qq"), "__qlab")
+        )
+        .crossJoin(
+            c.select(F.col(id_col).alias("neg_id"), F.col("qvec").alias("__qc"), "label")
+        )
+        .filter(F.col("label") != F.col("__qlab"))
+        .select(
+            query_id_col,
+            "neg_id",
+            "label",
+            F.aggregate(
+                F.zip_with("__qq", "__qc", lambda a, b: a * b),
+                F.lit(0).cast("bigint"),
+                lambda acc, v: acc + v,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("score").desc(), F.col("neg_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            query_id_col,
+            "neg_id",
+            "label",
+            F.col("score").cast("bigint").alias("score"),
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )
+
+
+def pq_codebook_first_k(
+    corpus: DataFrame,
+    m: int = 8,
+    codewords: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    scale: int = 127,
+) -> DataFrame:
+    """A DETERMINISTIC product-quantization codebook: the int8-quantized
+    subvectors of the ``codewords`` smallest-id corpus vectors. Real
+    deployments train per-subspace k-means (the kmeans family q57/q60/
+    q63 is the certified trainer); the first-k-by-id rule makes the
+    codebook itself oracle-recomputable, so q116 certifies the ENCODE +
+    ADC plumbing end to end with no float seed sensitivity.
+
+    Output: (sub, code, cw) — subspace 0..m-1, codeword id 0..K-1, and
+    the bigint codeword subvector. m*K rows: broadcast material."""
+    q = quantize_int8(corpus.select(id_col, vec_col), vec_col, id_col, scale)
+    # TakeOrderedAndProject (per-partition top-K, merged on the driver) —
+    # never a global sort; the K-row window below runs on K rows only.
+    first_ids = corpus.select(id_col).orderBy(F.col(id_col).asc()).limit(codewords)
+    w = Window.orderBy(F.col(id_col).asc())
+    codes = first_ids.select(
+        F.col(id_col), (F.row_number().over(w) - 1).cast("bigint").alias("code")
+    )
+    first = q.join(F.broadcast(codes), id_col).select("code", "qvec")
+    d_over_m = F.floor(F.size("qvec") / F.lit(m)).cast("int")
+    subs = first.select(
+        "code",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda s: F.struct(
+                    s.cast("bigint").alias("sub"),
+                    F.slice(
+                        "qvec", s * d_over_m + 1, d_over_m
+                    ).alias("cw"),
+                ),
+            )
+        ).alias("__e"),
+    )
+    return subs.select(F.col("__e.sub").alias("sub"), "code", F.col("__e.cw").alias("cw"))
+
+
+def _l2_int(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebook: DataFrame,
+    m: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    scale: int = 127,
+) -> DataFrame:
+    """PQ-encode a corpus against a codebook: each vector becomes m
+    small integers (nearest codeword per subspace by integer L2 over the
+    int8 lanes; ties -> smallest code). 64-dim float32 -> m bytes is the
+    PQ memory story (16x here, 64x at production bit widths).
+
+    Output: (id, sub, code). Scale: corpus explodes to N*m subvector
+    rows, joins the BROADCAST codebook (m*K rows), and argmins per
+    (id, sub) via one min(struct) agg — map-side combinable, one keyed
+    shuffle of N*m integer rows, no UDF."""
+    q = quantize_int8(corpus.select(id_col, vec_col), vec_col, id_col, scale)
+    d_over_m = F.floor(F.size("qvec") / F.lit(m)).cast("int")
+    subs = q.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda s: F.struct(
+                    s.cast("bigint").alias("sub"),
+                    F.slice("qvec", s * d_over_m + 1, d_over_m).alias("sv"),
+                ),
+            )
+        ).alias("__e"),
+    ).select(F.col(id_col), F.col("__e.sub").alias("sub"), F.col("__e.sv").alias("sv"))
+    scored = subs.join(F.broadcast(codebook), "sub").select(
+        F.col(id_col),
+        "sub",
+        F.struct(
+            _l2_int(F.col("sv"), F.col("cw")).alias("d"),
+            F.col("code").alias("code"),
+        ).alias("__dc"),
+    )
+    enc = scored.groupBy(id_col, "sub").agg(F.min("__dc").alias("__best"))
+    return enc.select(
+        F.col(id_col), "sub", F.col("__best.code").cast("bigint").alias("code")
+    )
+
+
+def pq_topk_adc(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 8,
+    codewords: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    scale: int = 127,
+) -> DataFrame:
+    """Product-quantization top-k with Asymmetric Distance Computation:
+    the corpus is PQ-encoded (m small codes per vector); each query
+    precomputes a lookup table of integer L2 distances to every codeword
+    per subspace (Q*m*K rows — broadcast material); a candidate's
+    distance is the SUM of m table lookups, never a full-vector op. This
+    is the IVFADC scoring kernel (Jégou et al. 2011) — the standard
+    billion-vector ANN compression — on int8 lanes so every distance is
+    a bigint and the whole chain is hash-exact with no rounding device.
+
+    Output: (query_id, vec_id, dist, rank), rank 1..k by (dist asc,
+    id asc).
+
+    Scale: encode = one keyed shuffle of N*m integer rows; scoring =
+    corpus codes JOIN broadcast LUT (no shuffle of the corpus), then one
+    map-side-combinable sum per (query, vec). The corpus's float
+    payload is read ONCE at encode time; search touches only the m-byte
+    codes — that is the point of PQ at 100 TB."""
+    cb = pq_codebook_first_k(corpus, m, codewords, vec_col, id_col, scale)
+    enc = pq_encode(corpus, cb, m, vec_col, id_col, scale)
+    qz = quantize_int8(
+        queries.select(query_id_col, vec_col), vec_col, query_id_col, scale
+    )
+    d_over_m = F.floor(F.size("qvec") / F.lit(m)).cast("int")
+    qsubs = qz.select(
+        F.col(query_id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda s: F.struct(
+                    s.cast("bigint").alias("sub"),
+                    F.slice("qvec", s * d_over_m + 1, d_over_m).alias("sv"),
+                ),
+            )
+        ).alias("__e"),
+    ).select(
+        F.col(query_id_col), F.col("__e.sub").alias("sub"), F.col("__e.sv").alias("sv")
+    )
+    lut = qsubs.join(F.broadcast(cb), "sub").select(
+        query_id_col,
+        "sub",
+        "code",
+        _l2_int(F.col("sv"), F.col("cw")).alias("__d"),
+    )
+    scored = enc.join(F.broadcast(lut), ["sub", "code"]).groupBy(
+        query_id_col, id_col
+    ).agg(F.sum("__d").cast("bigint").alias("dist"))
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("dist").asc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            query_id_col,
+            id_col,
+            "dist",
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )

@@ -6338,6 +6338,400 @@ def q110_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_int8(emb, qs, k=5)
 
 
+# ===========================================================================
+# r13 additions: web extraction, contrastive mining, training writes,
+# mixture planning, entropy signals, product quantization — q111..q116
+# ===========================================================================
+
+
+def _sql_lit(s: str) -> str:
+    """A DuckDB string literal for ``s`` (newline via chr(10) — standard
+    SQL strings have no backslash escapes, so patterns pass through
+    verbatim)."""
+    if s == "\n":
+        return "chr(10)"
+    return "'" + s.replace("'", "''") + "'"
+
+
+def _html_clean_sql(expr: str) -> str:
+    """The DuckDB rendering of curation.html_clean_text over ``expr`` —
+    generated from the SAME pattern tables the Spark column uses, so the
+    two engines cannot drift (every pattern is in the Java-regex/RE2
+    common subset; DuckDB needs the explicit 'g' option where Spark's
+    regexp_replace is global by default)."""
+    from candia_spark.operators.curation import (
+        HTML_COLLAPSE_STEPS,
+        HTML_ENTITIES,
+        HTML_STRIP_STEPS,
+    )
+
+    c = expr
+    for pat, rep in HTML_STRIP_STEPS:
+        c = f"regexp_replace({c}, {_sql_lit(pat)}, {_sql_lit(rep)}, 'g')"
+    for ent, ch in HTML_ENTITIES:
+        c = f"replace({c}, {_sql_lit(ent)}, {_sql_lit(ch)})"
+    for pat, rep in HTML_COLLAPSE_STEPS:
+        c = f"regexp_replace({c}, {_sql_lit(pat)}, {_sql_lit(rep)}, 'g')"
+    return f"trim({c}, ' ' || chr(10) || chr(9))"
+
+
+# The planted HTML envelope (q98/q105/q108 augmentation device): the
+# documents table is plain text, so the markup is built in-plan — a head
+# with title/style/script (payload must vanish wholesale, including a
+# decoy '</div>' inside a script string), a comment holding decoy tags,
+# entities of every supported kind, and a mod-5 list block so line
+# structure varies per doc.
+_HTML_ENVELOPE_SQL = (
+    "'<!DOCTYPE html><html><head><title> Doc ' || doc_id || "
+    "' </title><style type=\"text/css\">p { color: red; }</style>"
+    "<SCRIPT>var x = 1 < 2 && \"</div>\";</SCRIPT></head>"
+    "<body><!-- draft: <p>' || source || '</p> --><h1>' || source || "
+    "'</h1>\n<p>' || text || "
+    "' &amp;co &lt;tag&gt; &quot;q&#39;s&quot;&nbsp;end</p>' || "
+    "CASE WHEN doc_id % 5 = 0 "
+    "THEN '<ul><li>item one</li><li>item two</li></ul>' ELSE '' END || "
+    "'<div>tail ' || doc_id || '</div></body></html>'"
+)
+
+
+@register(
+    "q111_html_extract",
+    # The oracle's strip chain is RENDERED from the operator's own
+    # pattern tables (_html_clean_sql), so the gate certifies that the
+    # Java-regex and RE2 executions of the same patterns agree byte for
+    # byte; md5(clean_text) gates every extracted document, and n_lines
+    # gates the block-tag -> newline structure.
+    oracle=f"""
+    WITH h AS MATERIALIZED (
+        SELECT doc_id, {_HTML_ENVELOPE_SQL} AS html FROM documents),
+    x AS (
+        SELECT doc_id,
+               trim(coalesce(regexp_extract(html,
+                    '(?is)<title[^>]*>(.*?)</title>', 1), '')) AS title,
+               {_html_clean_sql('html')} AS clean
+        FROM h)
+    SELECT doc_id, title,
+           CASE WHEN clean = '' THEN 0
+                ELSE CAST(len(string_split(clean, chr(10))) AS BIGINT)
+           END AS n_lines,
+           CAST(length(clean) AS BIGINT) AS n_chars,
+           md5(clean) AS clean_md5
+    FROM x
+    """,
+    survey_ref="HTML->text extraction (web pipeline step zero; north "
+    "star: trafilatura/resiliparse extraction as a deterministic, "
+    "oracle-checkable column chain)",
+)
+def q111_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML -> visible-text extraction (operators.curation
+    .extract_html_text): strip comments, script/style/title payloads,
+    and tags (block closers become newlines), decode core entities,
+    collapse whitespace. The markup is planted in-plan (title + script
+    with a decoy close tag + comment with decoy tags + every supported
+    entity + a mod-5 list block); md5(clean_text) hash-gates every
+    document, so one mis-stripped byte anywhere fails the gate. Pure
+    per-row regexp chain: no shuffle, no UDF — the plan IS the 100 TB
+    plan."""
+    from candia_spark.operators.curation import extract_html_text
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    i = F.col("doc_id")
+    html = F.concat(
+        F.lit("<!DOCTYPE html><html><head><title> Doc "),
+        i.cast("string"),
+        F.lit(' </title><style type="text/css">p { color: red; }</style>'),
+        F.lit('<SCRIPT>var x = 1 < 2 && "</div>";</SCRIPT></head>'),
+        F.lit("<body><!-- draft: <p>"),
+        F.col("source"),
+        F.lit("</p> --><h1>"),
+        F.col("source"),
+        F.lit("</h1>\n<p>"),
+        F.col("text"),
+        F.lit(" &amp;co &lt;tag&gt; &quot;q&#39;s&quot;&nbsp;end</p>"),
+        F.when(
+            i % 5 == 0, F.lit("<ul><li>item one</li><li>item two</li></ul>")
+        ).otherwise(F.lit("")),
+        F.lit("<div>tail "),
+        i.cast("string"),
+        F.lit("</div></body></html>"),
+    )
+    out = extract_html_text(docs.select("doc_id", html.alias("html")))
+    return out.select(
+        "doc_id",
+        "title",
+        "n_lines",
+        "n_chars",
+        F.md5(F.col("clean_text").cast("binary")).alias("clean_md5"),
+    )
+
+
+# int8 quantization CTEs shared by the q112/q116 oracles (q110's device).
+_INT8_NRM_SQL = """
+    nrm AS MATERIALIZED (
+        SELECT vec_id, label, embedding,
+               sqrt(list_sum(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nv
+        FROM embeddings),
+    qz AS MATERIALIZED (
+        SELECT vec_id, CAST(label AS BIGINT) AS label,
+               list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) / nv * 127) AS BIGINT))
+                   AS qv
+        FROM nrm)
+"""
+
+
+@register(
+    "q112_hard_negatives",
+    # Same integer-exact int8 device as q110 — scores are bigints, so
+    # rank and tie-break (score desc, id asc) are exact with no rounding
+    # device; the label inequality is the positive-pair exclusion.
+    oracle=f"""
+    WITH {_INT8_NRM_SQL},
+    dots AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neg_id, c.label,
+               CAST(SUM(q.qv[i] * c.qv[i]) AS BIGINT) AS score
+        FROM qz q, qz c, UNNEST(generate_series(1, len(q.qv))) AS u(i)
+        WHERE q.vec_id % 53 = 0 AND c.label <> q.label
+        GROUP BY q.vec_id, c.vec_id, c.label)
+    SELECT query_id, neg_id, label, score, CAST(rnk AS BIGINT) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY score DESC, neg_id ASC) AS rnk FROM dots)
+    WHERE rnk <= 5
+    """,
+    survey_ref="hard-negative mining (contrastive training data — the "
+    "dense-retriever/CLIP negative-selection stage; north star: "
+    "boundary-adjacent negatives at corpus scale)",
+)
+def q112_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining (operators.similarity.mine_hard_negatives):
+    for every query vector (every 53rd), the 5 most-similar corpus
+    vectors of a DIFFERENT label — the contrastive-training negatives
+    that sit closest to the decision boundary. Scored under the q110
+    int8 device, so scores are integers and the gate is exact with no
+    rounding anywhere. Queries broadcast; the corpus never shuffles."""
+    from candia_spark.operators.similarity import mine_hard_negatives
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding", "label")
+    qs = emb.filter(F.col("vec_id") % 53 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding", "label"
+    )
+    return mine_hard_negatives(emb, qs, k=5)
+
+
+@register(
+    "q116_pq_topk",
+    # Product quantization with a DETERMINISTIC codebook (the int8
+    # subvectors of the 16 smallest-id corpus vectors — k-means training
+    # is certified separately by the q57/q60/q63 family), so encode +
+    # LUT + ADC are oracle-recomputable end to end; every distance is a
+    # bigint (integer L2 over int8 lanes), so assignment argmins, ADC
+    # sums, ranks, and ties are exact with no rounding device.
+    oracle=f"""
+    WITH {_INT8_NRM_SQL},
+    cb0 AS (
+        SELECT qv, ROW_NUMBER() OVER (ORDER BY vec_id ASC) - 1 AS code
+        FROM qz ORDER BY vec_id ASC LIMIT 16),
+    cb AS MATERIALIZED (
+        SELECT CAST(s AS BIGINT) AS sub, CAST(code AS BIGINT) AS code,
+               list_slice(qv, s * 8 + 1, (s + 1) * 8) AS cw
+        FROM cb0, UNNEST(generate_series(0, 7)) AS g(s)),
+    subs AS (
+        SELECT vec_id, CAST(s AS BIGINT) AS sub,
+               list_slice(qv, s * 8 + 1, (s + 1) * 8) AS sv
+        FROM qz, UNNEST(generate_series(0, 7)) AS g(s)),
+    dists AS (
+        SELECT v.vec_id, v.sub, c.code,
+               CAST(SUM((v.sv[i] - c.cw[i]) * (v.sv[i] - c.cw[i]))
+                    AS BIGINT) AS d
+        FROM subs v JOIN cb c ON v.sub = c.sub,
+             UNNEST(generate_series(1, 8)) AS u(i)
+        GROUP BY v.vec_id, v.sub, c.code),
+    enc AS MATERIALIZED (
+        SELECT vec_id, sub, MIN({{'d': d, 'code': code}}).code AS code
+        FROM dists GROUP BY vec_id, sub),
+    lut AS MATERIALIZED (
+        SELECT vec_id AS query_id, sub, code, d
+        FROM dists WHERE vec_id % 59 = 0),
+    scored AS (
+        SELECT l.query_id, e.vec_id, CAST(SUM(l.d) AS BIGINT) AS dist
+        FROM enc e JOIN lut l ON l.sub = e.sub AND l.code = e.code
+        GROUP BY l.query_id, e.vec_id)
+    SELECT query_id, vec_id, dist, CAST(rnk AS BIGINT) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY dist ASC, vec_id ASC) AS rnk FROM scored)
+    WHERE rnk <= 5
+    """,
+    survey_ref="product-quantization ADC top-k (Jegou et al. 2011 "
+    "IVFADC scoring kernel; north star: billion-vector ANN at m bytes "
+    "per vector)",
+)
+def q116_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ top-k with asymmetric distance computation
+    (operators.similarity.pq_topk_adc): the corpus is PQ-encoded to
+    m=8 codes over 16 deterministic codewords per subspace; each query
+    (every 59th vector) precomputes an integer L2 lookup table; a
+    candidate's distance is the sum of 8 lookups — the float payload is
+    touched once at encode time, search reads only the codes. The
+    oracle replicates codebook, assignment argmin (struct-min, ties ->
+    smallest code), LUT, ADC sum, and rank; one wrong code anywhere
+    reorders a rank and fails the gate."""
+    from candia_spark.operators.similarity import pq_topk_adc
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    qs = emb.filter(F.col("vec_id") % 59 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return pq_topk_adc(emb, qs, k=5, m=8, codewords=16)
+
+
+@register(
+    "q113_deterministic_shuffle",
+    # shard = md5(salt:id) % 8 via the cross-engine 60-bit device;
+    # pos = rank of the full digest within the shard (ties -> id). The
+    # permutation is a pure function of (id, salt) — the reproducibility
+    # contract a training write needs and rand() cannot give.
+    oracle="""
+    WITH k AS MATERIALIZED (
+        SELECT doc_id,
+               md5('ep0:' || CAST(doc_id AS VARCHAR)) AS key
+        FROM documents),
+    s AS (
+        SELECT doc_id, key,
+               CAST('0x' || substr(key, 1, 15) AS BIGINT) % 8 AS shard
+        FROM k)
+    SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+           CAST(ROW_NUMBER() OVER (PARTITION BY shard
+                ORDER BY key ASC, doc_id ASC) - 1 AS BIGINT) AS pos
+    FROM s
+    """,
+    survey_ref="deterministic training shuffle + shard assignment "
+    "(reproducible global permutation for training writes; north star: "
+    "epoch-salted corpus shuffling without a global sort)",
+)
+def q113_deterministic_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible corpus shuffle (operators.sampling
+    .deterministic_shuffle): every document gets a (shard, pos) slot
+    that is a pure function of (doc_id, salt='ep0') — re-running after
+    a retry or repartition reproduces the identical training order,
+    and a new salt draws an independent permutation (the epoch knob).
+    One keyed shuffle, shard-local sorts, no global total order in the
+    plan. The oracle recomputes the full permutation; one transposed
+    row anywhere fails the gate."""
+    from candia_spark.operators.sampling import deterministic_shuffle
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return deterministic_shuffle(docs, n_shards=8, salt="ep0")
+
+
+@register(
+    "q114_mixture_plan",
+    # integer-only arithmetic: floor-div targets, ceil-div epochs via
+    # the add-den-minus-one device; the inner join against the VALUES
+    # weight table IS the mixture's source selection.
+    oracle="""
+    WITH w(source, weight) AS (
+        VALUES ('src0', CAST(3 AS BIGINT)), ('src1', CAST(2 AS BIGINT)),
+               ('src12', CAST(4 AS BIGINT)), ('src5', CAST(5 AS BIGINT)),
+               ('src7', CAST(1 AS BIGINT))),
+    avail AS MATERIALIZED (
+        SELECT source,
+               CAST(SUM(len({toks})) AS BIGINT) AS available_tokens
+        FROM documents GROUP BY source)
+    SELECT a.source, w.weight, a.available_tokens,
+           CAST((w.weight * 100000) // 15 AS BIGINT) AS target_tokens,
+           CASE WHEN a.available_tokens <= 0 THEN CAST(0 AS BIGINT)
+                ELSE CAST(((w.weight * 100000) // 15
+                     + a.available_tokens - 1) // a.available_tokens
+                     AS BIGINT)
+           END AS epochs
+    FROM avail a JOIN w USING (source)
+    """.replace("{toks}", _TOKS_SQL),
+    survey_ref="mixture/epoch token-budget planning (DoReMi/Pile-style "
+    "mixture table as an executable plan; north star: data-budget "
+    "planning for a 100 TB mix)",
+)
+def q114_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture planning (operators.curation.mixture_epoch_plan): given
+    integer mixture weights over 5 of the 20 sources and a 100k-token
+    budget, compute per source the available token mass, the floor-div
+    target allocation, and the ceil-div epoch count — the passes-over-
+    Wikipedia number every mixture paper reports. All-integer
+    arithmetic; one map-side-combined census + one broadcast join."""
+    from candia_spark.operators.curation import mixture_epoch_plan
+
+    docs = _t(spark, sf_dir, "documents").select("source", "text")
+    weights = {"src0": 3, "src1": 2, "src5": 5, "src7": 1, "src12": 4}
+    return mixture_epoch_plan(docs, weights, budget_tokens=100000)
+
+
+@register(
+    "q115_char_entropy",
+    # the integer-bits entropy surrogate: sum_c cnt_c*(bitlen(N)-
+    # bitlen(cnt_c)) — log2 is BANNED from gates (JVM vs libm last-ulp
+    # divergence on ~28% of integer inputs, measured r13), bitlen is
+    # exact on both engines. The census itself is the no-explode
+    # length-replace device, mirrored per distinct char.
+    oracle="""
+    WITH cs AS MATERIALIZED (
+        SELECT doc_id, text, length(text) AS n,
+               list_filter(list_distinct(string_split(text, '')),
+                           c -> c <> '') AS dis
+        FROM documents),
+    cnts AS (
+        SELECT doc_id, n,
+               len(dis) AS n_distinct,
+               list_transform(dis,
+                   c -> CAST(n - length(replace(text, c, ''))
+                        AS BIGINT)) AS cnt
+        FROM cs)
+    SELECT doc_id, CAST(n AS BIGINT) AS n_chars,
+           CAST(n_distinct AS BIGINT) AS n_distinct,
+           CAST(COALESCE(list_max(cnt), 0) AS BIGINT) AS top_char_count,
+           CAST(COALESCE(list_sum(list_transform(cnt,
+                c -> c * (length(bin(CAST(n AS BIGINT)))
+                          - length(bin(c))))), 0) AS BIGINT)
+               AS entropy_bits
+    FROM cnts
+    """,
+    survey_ref="character-entropy quality signals (integer-exact "
+    "entropy surrogate; north star: low-entropy/garbage filtering in "
+    "web curation)",
+)
+def q115_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level entropy quality signals (functions.text
+    .char_census_counts / char_entropy_bits): per-document distinct
+    chars, top-char count, and the integer-bits entropy surrogate that
+    low-entropy filters cut on. Pure per-row HOFs — O(D*N) work per
+    row, ZERO exchange, no char-explode (the plan that would shuffle
+    one row per character of a 100 TB corpus). Exact integers end to
+    end: the float log2 was measured to diverge cross-engine in the
+    last ulp, so the gate uses bitlen."""
+    from candia_spark.functions.text import (
+        char_census_counts,
+        char_entropy_bits,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    n = F.length("text").cast("bigint")
+    # census materialized ONCE as a column — three projections off it,
+    # not three recomputations of the O(D*N) HOF
+    c = docs.select(
+        "doc_id", n.alias("n_chars"), char_census_counts("text").alias("__cnt")
+    )
+    return c.select(
+        "doc_id",
+        "n_chars",
+        F.size("__cnt").cast("bigint").alias("n_distinct"),
+        F.coalesce(F.array_max("__cnt"), F.lit(0))
+        .cast("bigint")
+        .alias("top_char_count"),
+        F.coalesce(char_entropy_bits(F.col("__cnt"), F.col("n_chars")), F.lit(0))
+        .cast("bigint")
+        .alias("entropy_bits"),
+    )
+
+
 # --- Driver certification window (verdict r5 #2) -------------------------
 # The per-round driver correctness artifact certifies the FIRST 50
 # registry entries, and queries()/oracle_sql() preserve this dict's
@@ -6517,6 +6911,48 @@ _DRIVER_WINDOW_TAIL = [
     # own by-hand pytest family; driver-certified every round
     # since r2.
     "q19_scalar_functions",
+    # --- r13 rotation (continued): q111 (HTML extraction), q112 (hard
+    # negatives), q113 (deterministic shuffle), q114 (mixture plan),
+    # q115 (char entropy), q116 (PQ ADC top-k) take six new seats —
+    # new queries always certify driver-grade in their first round.
+    # Parked:
+    # q111's seat: q46's md5-prefix deterministic-sample primitive is
+    # now gated STRONGER in-window by q113, which certifies the full
+    # md5 permutation (every digest's rank, not just a 4-hex-char
+    # threshold test); the stratified census half keeps its by-hand
+    # pytest (test_text_multimodal sampling suite). Driver-certified
+    # every round since r5.
+    "q46_stratified_sample",
+    # q112's seat: q93's BPE encoder consumes exactly the merge table
+    # q92 certifies IN-WINDOW (the train->encode pair shares the merge
+    # loop; q92's local-engine trajectory-equivalence pytest pins both
+    # directions), and the encoder's longest-match application keeps
+    # its by-hand + round-trip pytest family. Driver-certified r11-r12.
+    "q93_bpe_encode",
+    # q113's seat: q94's DSIR unigram importance scoring is the same
+    # hashed-feature census/scoring chain q96 certifies in-window at
+    # ngram=2 (strictly more machinery: the bigram zip + the same
+    # bucket device), plus the batch==stream equivalence pytest.
+    # Driver-certified r11-r12.
+    "q94_dsir_select",
+    # q114's seat: q76's corpus set-difference device (anti join over
+    # content digests) stays in-window through q45's decontamination
+    # anti-join and q100's explode+ANTI JOIN under an md5 rewrite gate;
+    # its census half rides q79's pytest. Driver-certified since r7.
+    "q76_corpus_diff",
+    # q115's seat: q86's open-vocab bigram association census keeps the
+    # token-pair zip device in-window through q96's hashed bigrams, and
+    # its integer-bits association arithmetic (the q84 device) is
+    # in-window through q109's bits-scored perplexity buckets; by-hand
+    # pytest retained. Driver-certified r11-r12.
+    "q86_bigram_assoc",
+    # q116's seat: q79's cross-source duplicate matrix is a digest
+    # group-census + source pair count whose census device stays
+    # in-window through q104's canonical-key dup groups and whose
+    # digest-dedup family is additionally q25/q49-covered in the local
+    # three-scale artifact; by-hand pytest retained. Driver-certified
+    # since r7.
+    "q79_cross_source_dup_matrix",
 ]
 for _name in _DRIVER_WINDOW_TAIL:
     QUERY_REGISTRY[_name] = QUERY_REGISTRY.pop(_name)

@@ -1,0 +1,329 @@
+"""Round-13 operators: HTML->text extraction, hard-negative mining,
+PQ ADC top-k, deterministic training shuffle, mixture/epoch planning,
+char-entropy signals. Query-level oracle parity for q111-q116 is covered
+by test_queries_oracle's registry sweep; these pin operator semantics
+on by-hand fixtures plus the scale-critical plan shapes."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from candia_spark.functions.text import char_census_counts, char_entropy_bits
+from candia_spark.operators.curation import (
+    extract_html_text,
+    html_clean_text,
+    mixture_epoch_plan,
+)
+from candia_spark.operators.sampling import deterministic_shuffle
+from candia_spark.operators.similarity import (
+    mine_hard_negatives,
+    pq_codebook_first_k,
+    pq_encode,
+    pq_topk_adc,
+)
+
+
+def _plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+# --- HTML extraction -------------------------------------------------------
+
+
+def _html_df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, html string")
+
+
+def test_html_extract_by_hand(spark):
+    html = (
+        "<html><head><title> T </title><style>p{}</style>"
+        '<script>var a = "</div>" + 1 < 2;</script></head>'
+        "<body><!-- <p>ghost</p> --><h1>Head</h1>"
+        "<p>one &amp; two &lt;3&gt;</p><div>line2</div>"
+        "<span>inline</span> tail</body></html>"
+    )
+    out = extract_html_text(_html_df(spark, [(1, html)])).collect()[0]
+    assert out["title"] == "T"
+    # script payload gone INCLUDING its decoy '</div>'; comment's decoy
+    # tags gone; block closers became newlines; entities decoded
+    assert out["clean_text"] == "Head\none & two <3>\nline2\ninline tail"
+    assert out["n_lines"] == 4
+    assert out["n_chars"] == len("Head\none & two <3>\nline2\ninline tail")
+
+
+def test_html_extract_edges(spark):
+    rows = [
+        (1, ""),  # empty doc
+        (2, "<p></p><div></div>"),  # tags only -> empty text
+        (3, "no markup at all"),
+        (4, "a &amp;amp; b"),  # &amp; decoded LAST: '&amp;amp;' -> '&amp;'
+        (5, "<ul><li>x</li><li>y</li></ul>"),
+    ]
+    got = {
+        r["doc_id"]: r
+        for r in extract_html_text(_html_df(spark, rows)).collect()
+    }
+    assert got[1]["clean_text"] == "" and got[1]["n_lines"] == 0
+    assert got[2]["clean_text"] == "" and got[2]["n_lines"] == 0
+    assert got[3]["clean_text"] == "no markup at all"
+    assert got[4]["clean_text"] == "a &amp; b"
+    assert got[5]["clean_text"] == "x\ny"
+
+
+def test_html_extract_is_pure_map(spark, sf_smoke):
+    from candia_spark.tables import load_table
+
+    docs = load_table(spark, sf_smoke, "documents").select(
+        "doc_id", F.col("text").alias("html")
+    )
+    plan = _plan_of(extract_html_text(docs))
+    # load_table's single-row-group fan-out (round-robin) is the input's
+    # repartition, not the operator's: no keyed exchange, no Python
+    assert "Exchange hashpartitioning" not in plan
+    assert "Python" not in plan and "Join" not in plan
+
+
+def test_html_clean_column_standalone(spark):
+    df = spark.createDataFrame([("<b>bold</b> move",)], "s string")
+    assert df.select(html_clean_text("s").alias("c")).collect()[0]["c"] == (
+        "bold move"
+    )
+
+
+# --- hard negatives --------------------------------------------------------
+
+
+def _emb(spark, rows):
+    return spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label bigint"
+    )
+
+
+def test_hard_negatives_excludes_positives_and_ranks(spark):
+    # query (id 0, label 0) points along x. Corpus: same-label near-twin
+    # must be EXCLUDED; different-label vectors rank by cosine.
+    corpus = _emb(
+        spark,
+        [
+            (0, [1.0, 0.0], 0),
+            (1, [0.99, 0.1], 0),  # positive (same label) — excluded
+            (2, [0.9, 0.4], 1),  # hardest negative
+            (3, [0.0, 1.0], 2),  # orthogonal negative
+            (4, [-1.0, 0.0], 1),  # anti-aligned negative
+        ],
+    )
+    qs = corpus.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding", "label"
+    )
+    got = mine_hard_negatives(corpus, qs, k=3).orderBy("rank").collect()
+    assert [r["neg_id"] for r in got] == [2, 3, 4]
+    assert [r["rank"] for r in got] == [1, 2, 3]
+    assert all(r["label"] != 0 for r in got)
+    # integer scores: quantized dot of int8 lanes
+    assert all(isinstance(r["score"], int) for r in got)
+
+
+def test_hard_negatives_tie_break_by_id(spark):
+    corpus = _emb(
+        spark,
+        [
+            (0, [1.0, 0.0], 0),
+            (7, [0.0, 1.0], 1),
+            (3, [0.0, 1.0], 1),  # identical vector: tie -> smaller id first
+        ],
+    )
+    qs = corpus.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding", "label"
+    )
+    got = mine_hard_negatives(corpus, qs, k=2).orderBy("rank").collect()
+    assert [r["neg_id"] for r in got] == [3, 7]
+
+
+def test_hard_negatives_broadcasts_queries(spark, sf_smoke):
+    from candia_spark.tables import load_table
+
+    emb = load_table(spark, sf_smoke, "embeddings").select(
+        "vec_id", "embedding", "label"
+    )
+    qs = emb.filter(F.col("vec_id") % 53 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding", "label"
+    )
+    plan = _plan_of(mine_hard_negatives(emb, qs, k=5))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+# --- product quantization --------------------------------------------------
+
+
+def test_pq_encode_picks_nearest_codeword(spark):
+    # 4-dim vectors, m=2 (2 lanes per subspace), 2 codewords = ids 0,1.
+    # id 2 matches codeword 0 in sub 0 and codeword 1 in sub 1.
+    corpus = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0, 1.0]),
+            (1, [0.0, 1.0, 1.0, 0.0]),
+            (2, [1.0, 0.1, 0.9, 0.1]),
+        ],
+        "vec_id bigint, embedding array<float>",
+    )
+    cb = pq_codebook_first_k(corpus, m=2, codewords=2)
+    assert cb.count() == 4  # 2 subs x 2 codewords
+    enc = {
+        (r["vec_id"], r["sub"]): r["code"]
+        for r in pq_encode(corpus, cb, m=2).collect()
+    }
+    assert enc[(0, 0)] == 0 and enc[(0, 1)] == 0
+    assert enc[(1, 0)] == 1 and enc[(1, 1)] == 1
+    assert enc[(2, 0)] == 0 and enc[(2, 1)] == 1
+
+
+def test_pq_topk_self_is_rank1_on_codebook_members(spark, sf_smoke):
+    # For a vector that IS a codeword source, ADC distance to itself is 0
+    # in every subspace -> it must rank first for its own query.
+    from candia_spark.tables import load_table
+
+    emb = load_table(spark, sf_smoke, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    first_id = emb.agg(F.min("vec_id")).collect()[0][0]
+    qs = emb.filter(F.col("vec_id") == first_id).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    top = (
+        pq_topk_adc(emb, qs, k=1, m=8, codewords=16)
+        .filter(F.col("rank") == 1)
+        .collect()[0]
+    )
+    assert top["vec_id"] == first_id and top["dist"] == 0
+
+
+def test_pq_plan_broadcasts_codebook_and_lut(spark, sf_smoke):
+    from candia_spark.tables import load_table
+
+    emb = load_table(spark, sf_smoke, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    qs = emb.filter(F.col("vec_id") % 59 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    plan = _plan_of(pq_topk_adc(emb, qs, k=5))
+    # the corpus-sided joins (codebook at encode, LUT at scoring) are
+    # broadcasts — the corpus itself never broadcast-materializes
+    assert plan.count("BroadcastExchange") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+# --- deterministic shuffle -------------------------------------------------
+
+
+def test_deterministic_shuffle_is_a_permutation_and_stable(spark):
+    df = spark.range(0, 97).select(F.col("id").alias("doc_id"))
+    a = deterministic_shuffle(df, n_shards=4, salt="s")
+    rows = a.collect()
+    assert len(rows) == 97
+    assert len({(r["shard"], r["pos"]) for r in rows}) == 97  # injective
+    for s in range(4):  # positions are 0..n_s-1 per shard (dense)
+        ps = sorted(r["pos"] for r in rows if r["shard"] == s)
+        assert ps == list(range(len(ps)))
+    # pure function of (id, salt): a re-run under a different
+    # partitioning is row-identical
+    b = deterministic_shuffle(df.repartition(7), n_shards=4, salt="s")
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, b.collect()))
+    # a different salt draws a different permutation
+    c = deterministic_shuffle(df, n_shards=4, salt="t")
+    assert sorted(map(tuple, rows)) != sorted(map(tuple, c.collect()))
+
+
+def test_deterministic_shuffle_rejects_bad_shards(spark):
+    df = spark.range(3).select(F.col("id").alias("doc_id"))
+    with pytest.raises(ValueError, match="n_shards"):
+        deterministic_shuffle(df, n_shards=0)
+
+
+def test_deterministic_shuffle_no_global_sort(spark):
+    df = spark.range(0, 1000).select(F.col("id").alias("doc_id"))
+    plan = _plan_of(deterministic_shuffle(df, n_shards=8))
+    # exactly one exchange: the shard hash partitioning for the window;
+    # no rangepartitioning (global sort) anywhere
+    assert "rangepartitioning" not in plan.lower()
+    assert plan.count("Exchange") == 1
+
+
+# --- mixture planning ------------------------------------------------------
+
+
+def test_mixture_epoch_plan_by_hand(spark):
+    docs = spark.createDataFrame(
+        [
+            ("a", "one two three four"),  # 4 tokens
+            ("a", "five six"),  # a: 6 total
+            ("b", "x y z"),  # b: 3 total
+            ("c", "ignored source"),
+        ],
+        "source string, text string",
+    )
+    got = {
+        r["source"]: r
+        for r in mixture_epoch_plan(
+            docs, {"a": 3, "b": 1}, budget_tokens=40
+        ).collect()
+    }
+    assert set(got) == {"a", "b"}  # c is not in the mixture
+    # den=4: a target = 40*3//4 = 30 -> epochs ceil(30/6)=5
+    assert got["a"]["available_tokens"] == 6
+    assert got["a"]["target_tokens"] == 30 and got["a"]["epochs"] == 5
+    # b target = 40*1//4 = 10 -> epochs ceil(10/3)=4
+    assert got["b"]["target_tokens"] == 10 and got["b"]["epochs"] == 4
+
+
+def test_mixture_epoch_plan_validates(spark):
+    docs = spark.createDataFrame([("a", "x")], "source string, text string")
+    with pytest.raises(ValueError, match="weights"):
+        mixture_epoch_plan(docs, {"a": 0}, 10)
+    with pytest.raises(ValueError, match="budget"):
+        mixture_epoch_plan(docs, {"a": 1}, -1)
+
+
+# --- char entropy ----------------------------------------------------------
+
+
+def test_char_census_and_entropy_by_hand(spark):
+    df = spark.createDataFrame(
+        [(1, "aaab"), (2, ""), (3, "abcd")], "doc_id bigint, text string"
+    )
+    cnt = char_census_counts("text")
+    out = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            F.size(cnt).alias("d"),
+            F.coalesce(F.array_max(cnt), F.lit(0)).alias("top"),
+            char_entropy_bits(cnt, F.length("text")).alias("ent"),
+        ).collect()
+    }
+    # 'aaab': N=4 bitlen 3; a: 3*(3-2)=3, b: 1*(3-1)=2 -> 5
+    assert out[1]["d"] == 2 and out[1]["top"] == 3 and out[1]["ent"] == 5
+    assert out[2]["d"] == 0 and out[2]["top"] == 0 and out[2]["ent"] == 0
+    # 'abcd': each 1*(3-1)=2 -> 8; uniform text maximizes the surrogate
+    assert out[3]["d"] == 4 and out[3]["ent"] == 8
+    # one-char-repeated text scores 0 only at power-of-two lengths where
+    # bitlen(N)-bitlen(N)=0 — 'aaaa':
+    e = (
+        spark.createDataFrame([("aaaa",)], "text string")
+        .select(char_entropy_bits(char_census_counts("text"), F.length("text")).alias("e"))
+        .collect()[0]["e"]
+    )
+    assert e == 0
+
+
+def test_char_entropy_is_pure_map(spark, sf_smoke):
+    from candia_spark.tables import load_table
+
+    docs = load_table(spark, sf_smoke, "documents").select("doc_id", "text")
+    cnt = char_census_counts("text")
+    plan = _plan_of(
+        docs.select("doc_id", char_entropy_bits(cnt, F.length("text")).alias("e"))
+    )
+    assert "Exchange hashpartitioning" not in plan
+    assert "Generate" not in plan  # no explode — the no-char-blowup claim
