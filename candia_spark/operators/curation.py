@@ -2496,3 +2496,76 @@ def mixture_epoch_plan(
         )
         .alias("epochs"),
     )
+
+
+def pack_sequences_whole(
+    df: DataFrame,
+    budget: int,
+    shard_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Whole-document greedy packing — the SFT-style packer that never
+    splits a document across training sequences (q51's concat-and-chunk
+    straddles; instruction-tuning pipelines must not): within each
+    shard, documents are visited in ``id_col`` order; a document that
+    would overflow the open sequence CLOSES it and starts the next one;
+    a document longer than ``budget`` sits alone in its own sequence
+    with ``kept_tokens`` truncated to the budget.
+
+    Output: (id, shard, n_tokens, seq_id, offset_in_seq, kept_tokens) —
+    all bigint/string, hash-exact (the greedy is deterministic).
+
+    Scale: the greedy state (open sequence id + fill) is inherently
+    sequential PER SHARD, so it runs as one Arrow grouped-map per shard
+    over (id, n_tokens) pairs ONLY — 16 bytes per doc, the text never
+    enters the UDF (the W4 greedy-partition stance: Python exactly
+    where a scan needs mutable state, on the thinnest possible rows).
+    Shards are the parallelism unit, as in pack_sequences."""
+    import pandas as pd
+
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+
+    thin = df.select(
+        F.col(shard_col).alias("shard"),
+        F.col(id_col),
+        F.size(tokens(text_col)).cast("bigint").alias("n_tokens"),
+    )
+
+    bud = int(budget)
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col, ignore_index=True)
+        seq_ids, offsets, kept = [], [], []
+        cur_seq, cur_fill = 0, 0
+        for t in pdf["n_tokens"]:
+            t = int(t)
+            if t > bud:
+                if cur_fill > 0:
+                    cur_seq += 1
+                seq_ids.append(cur_seq)
+                offsets.append(0)
+                kept.append(bud)
+                cur_seq, cur_fill = cur_seq + 1, 0
+            elif cur_fill + t <= bud:
+                seq_ids.append(cur_seq)
+                offsets.append(cur_fill)
+                kept.append(t)
+                cur_fill += t
+            else:
+                cur_seq, cur_fill = cur_seq + 1, t
+                seq_ids.append(cur_seq)
+                offsets.append(0)
+                kept.append(t)
+        pdf["seq_id"] = pd.Series(seq_ids, dtype="int64")
+        pdf["offset_in_seq"] = pd.Series(offsets, dtype="int64")
+        pdf["kept_tokens"] = pd.Series(kept, dtype="int64")
+        return pdf
+
+    schema = (
+        "shard string, "
+        f"{id_col} bigint, n_tokens bigint, seq_id bigint, "
+        "offset_in_seq bigint, kept_tokens bigint"
+    )
+    return thin.groupBy("shard").applyInPandas(pack, schema)

@@ -1026,6 +1026,8 @@ def pq_topk_adc(
     id_col: str = "vec_id",
     query_id_col: str = "query_id",
     scale: int = 127,
+    codebook: DataFrame | None = None,
+    encoded: DataFrame | None = None,
 ) -> DataFrame:
     """Product-quantization top-k with Asymmetric Distance Computation:
     the corpus is PQ-encoded (m small codes per vector); each query
@@ -1043,9 +1045,21 @@ def pq_topk_adc(
     corpus codes JOIN broadcast LUT (no shuffle of the corpus), then one
     map-side-combinable sum per (query, vec). The corpus's float
     payload is read ONCE at encode time; search touches only the m-byte
-    codes — that is the point of PQ at 100 TB."""
-    cb = pq_codebook_first_k(corpus, m, codewords, vec_col, id_col, scale)
-    enc = pq_encode(corpus, cb, m, vec_col, id_col, scale)
+    codes — that is the point of PQ at 100 TB. Pass ``codebook`` and
+    ``encoded`` (from :func:`pq_codebook_first_k` / :func:`pq_encode`,
+    typically persisted) to search a pre-encoded corpus without paying
+    the encode pass again — the production call shape: encode once,
+    search every query batch."""
+    cb = (
+        codebook
+        if codebook is not None
+        else pq_codebook_first_k(corpus, m, codewords, vec_col, id_col, scale)
+    )
+    enc = (
+        encoded
+        if encoded is not None
+        else pq_encode(corpus, cb, m, vec_col, id_col, scale)
+    )
     qz = quantize_int8(
         queries.select(query_id_col, vec_col), vec_col, query_id_col, scale
     )
@@ -1086,3 +1100,60 @@ def pq_topk_adc(
             F.col("rank").cast("bigint").alias("rank"),
         )
     )
+
+
+def jl_sign(salt: str, i: int, j: int) -> int:
+    """The {+1,-1} sign for input lane ``i`` -> output lane ``j``: parity
+    of the first md5 hex nibble of 'salt:i:j'. hashlib md5 here equals
+    SQL md5 in both engines, so the SAME matrix is recomputable by the
+    oracle from the same strings — the sign matrix needs no shipping."""
+    import hashlib
+
+    return 1 if int(
+        hashlib.md5(f"{salt}:{i}:{j}".encode()).hexdigest()[0], 16
+    ) % 2 == 0 else -1
+
+
+def jl_project_int8(
+    df: DataFrame,
+    in_dim: int,
+    out_dim: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    scale: int = 127,
+    salt: str = "jl",
+) -> DataFrame:
+    """Signed-sum Johnson-Lindenstrauss projection over int8 lanes:
+    ``out[j] = sum_i s(i,j) * q_i`` with a deterministic Rademacher
+    (+1/-1) matrix derived from md5 parity (:func:`jl_sign`). The JL
+    lemma's database form (Achlioptas 2003: +-1 entries suffice) — the
+    dimension-reduction pre-stage that feeds LSH bucketing, k-means, or
+    PQ at 4x fewer lanes, and distance ordering is approximately
+    preserved with error O(1/sqrt(out_dim)).
+
+    Everything is integer: inputs are the int8-quantized lanes
+    (:func:`quantize_int8`), the matrix is +-1, so outputs are exact
+    bigints — gates, ranks, and downstream composition need no rounding
+    device. The matrix is a PLAN LITERAL (out_dim x in_dim ints inlined
+    into the projection expression), so the operator is a pure map:
+    zero exchanges, zero joins, codegen'd end to end.
+
+    Output: (id, proj array<bigint> of length out_dim)."""
+    if in_dim <= 0 or out_dim <= 0:
+        raise ValueError(
+            f"dims must be positive, got in={in_dim} out={out_dim}"
+        )
+    q = quantize_int8(df.select(id_col, vec_col), vec_col, id_col, scale)
+    rows = []
+    for j in range(out_dim):
+        signs = F.array(
+            *[F.lit(jl_sign(salt, i, j)) for i in range(in_dim)]
+        )
+        rows.append(
+            F.aggregate(
+                F.zip_with("qvec", signs, lambda a, b: a * b),
+                F.lit(0).cast("bigint"),
+                lambda acc, v: acc + v,
+            )
+        )
+    return q.select(F.col(id_col), F.array(*rows).alias("proj"))

@@ -6732,6 +6732,116 @@ def q115_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q117_jl_projection",
+    # The +-1 matrix is md5-parity-derived from 'jl:i:j' strings, so the
+    # oracle RECOMPUTES the matrix the Spark plan inlined as literals
+    # (hashlib md5 == SQL md5 on the same bytes) — the whole projection
+    # is integer (int8 lanes x Rademacher signs), no rounding device.
+    oracle=f"""
+    WITH {_INT8_NRM_SQL},
+    signs AS MATERIALIZED (
+        SELECT i, j,
+               CASE WHEN CAST('0x' || substr(
+                        md5('jl:' || i || ':' || j), 1, 1) AS INT) % 2 = 0
+                    THEN 1 ELSE -1 END AS s
+        FROM generate_series(0, 63) t(i), generate_series(0, 15) u(j))
+    SELECT q.vec_id, CAST(g.j AS BIGINT) AS dim,
+           CAST(SUM(q.qv[g.i + 1] * g.s) AS BIGINT) AS value
+    FROM qz q, signs g
+    GROUP BY q.vec_id, g.j
+    """,
+    survey_ref="Johnson-Lindenstrauss signed-sum projection (Achlioptas "
+    "2003 Rademacher JL; north star: dimension reduction feeding "
+    "LSH/k-means/PQ at 4x fewer lanes)",
+)
+def q117_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact JL projection (operators.similarity
+    .jl_project_int8): 64 int8 lanes -> 16 bigint lanes through a
+    deterministic +-1 matrix (md5-parity of 'jl:i:j'). The matrix is a
+    plan literal, so the operator is a pure zero-exchange map; the
+    oracle recomputes the same matrix from the same strings via SQL
+    md5. Output exploded to (vec_id, dim, value) — one wrong sign
+    anywhere flips a value and fails the gate."""
+    from candia_spark.operators.similarity import jl_project_int8
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    proj = jl_project_int8(emb, in_dim=64, out_dim=16, salt="jl")
+    return proj.select(
+        "vec_id",
+        F.posexplode("proj").alias("dim", "value"),
+    ).select(
+        "vec_id", F.col("dim").cast("bigint").alias("dim"),
+        F.col("value").cast("bigint").alias("value"),
+    )
+
+
+@register(
+    "q118_whole_doc_packing",
+    # The per-shard greedy is replayed by a RECURSIVE CTE (the unrolled-
+    # trajectory stance the BPE trainer set): state (open seq, fill)
+    # advances row by row in (shard, doc_id) order; every branch of the
+    # greedy (fits / overflows / oversize-alone) is a CASE arm. budget
+    # 60 makes all three branches fire on the real token distribution.
+    oracle="""
+    WITH RECURSIVE d AS (
+        SELECT source AS shard, doc_id,
+               CAST(len({toks}) AS BIGINT) AS n_tok,
+               ROW_NUMBER() OVER (PARTITION BY source
+                    ORDER BY doc_id) AS rn
+        FROM documents),
+    walk AS (
+        SELECT shard, doc_id, n_tok, rn,
+               0 AS seq_id, 0 AS off,
+               CASE WHEN n_tok > 60 THEN 60 ELSE n_tok END AS kept,
+               CASE WHEN n_tok > 60 THEN 1 ELSE 0 END AS nxt_seq,
+               CASE WHEN n_tok > 60 THEN 0 ELSE n_tok END AS nxt_fill
+        FROM d WHERE rn = 1
+        UNION ALL
+        SELECT n.shard, n.doc_id, n.n_tok, n.rn,
+               CASE WHEN n.n_tok > 60 THEN w.nxt_seq
+                         + CASE WHEN w.nxt_fill > 0 THEN 1 ELSE 0 END
+                    WHEN w.nxt_fill + n.n_tok <= 60 THEN w.nxt_seq
+                    ELSE w.nxt_seq + 1 END,
+               CASE WHEN n.n_tok > 60 THEN 0
+                    WHEN w.nxt_fill + n.n_tok <= 60 THEN w.nxt_fill
+                    ELSE 0 END,
+               CASE WHEN n.n_tok > 60 THEN 60 ELSE n.n_tok END,
+               CASE WHEN n.n_tok > 60 THEN w.nxt_seq
+                         + CASE WHEN w.nxt_fill > 0 THEN 1 ELSE 0 END + 1
+                    WHEN w.nxt_fill + n.n_tok <= 60 THEN w.nxt_seq
+                    ELSE w.nxt_seq + 1 END,
+               CASE WHEN n.n_tok > 60 THEN 0
+                    WHEN w.nxt_fill + n.n_tok <= 60
+                         THEN w.nxt_fill + n.n_tok
+                    ELSE n.n_tok END
+        FROM walk w JOIN d n ON n.shard = w.shard AND n.rn = w.rn + 1)
+    SELECT shard, doc_id, n_tok AS n_tokens,
+           CAST(seq_id AS BIGINT) AS seq_id,
+           CAST(off AS BIGINT) AS offset_in_seq,
+           CAST(kept AS BIGINT) AS kept_tokens
+    FROM walk
+    """.replace("{toks}", _TOKS_SQL),
+    survey_ref="whole-document greedy packing (SFT-style no-straddle "
+    "sequence assembly; north star: instruction-tuning batch packing "
+    "that never splits a document)",
+)
+def q118_whole_doc_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-document packing (operators.curation.pack_sequences_whole):
+    per source shard, documents fill 60-token training sequences in id
+    order; an overflowing doc closes the sequence, an oversize doc sits
+    alone truncated — q51's concat-and-chunk sibling for the pipelines
+    that must not straddle. The greedy runs as an Arrow grouped-map
+    over 16-byte (id, n_tokens) rows (text never enters the UDF); the
+    oracle replays the full per-shard state walk as a recursive CTE, so
+    one misplaced document anywhere derails every later seat in its
+    shard and fails the gate."""
+    from candia_spark.operators.curation import pack_sequences_whole
+
+    docs = _t(spark, sf_dir, "documents").select("source", "doc_id", "text")
+    return pack_sequences_whole(docs, budget=60)
+
+
 # --- Driver certification window (verdict r5 #2) -------------------------
 # The per-round driver correctness artifact certifies the FIRST 50
 # registry entries, and queries()/oracle_sql() preserve this dict's
@@ -6953,6 +7063,21 @@ _DRIVER_WINDOW_TAIL = [
     # three-scale artifact; by-hand pytest retained. Driver-certified
     # since r7.
     "q79_cross_source_dup_matrix",
+    # q117's seat: q70's reference-census novelty scoring is the
+    # vocab-census-vs-external-reference structure that q109 certifies
+    # in-window (integer-bits scoring against a reference slice, the
+    # strictly larger chain: census + join + rank cut); the single
+    # exact division stays pinned by q70's by-hand pytest.
+    # Driver-certified since r7.
+    "q70_ngram_novelty",
+    # q118's seat: q91's intra-doc keep-first-block rewrite domain is
+    # gated in-window by q108, which plants the doc's OWN text repeated
+    # intra-doc and removes the second occurrence under an md5 full-
+    # text gate (plus the cross-doc half q91 doesn't do); the
+    # zero-exchange F.aggregate fold device itself now also rides
+    # q115's in-window entropy fold. Pytest family retained.
+    # Driver-certified r11-r12.
+    "q91_self_repetition_rewrite",
 ]
 for _name in _DRIVER_WINDOW_TAIL:
     QUERY_REGISTRY[_name] = QUERY_REGISTRY.pop(_name)

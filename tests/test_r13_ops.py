@@ -327,3 +327,119 @@ def test_char_entropy_is_pure_map(spark, sf_smoke):
     )
     assert "Exchange hashpartitioning" not in plan
     assert "Generate" not in plan  # no explode — the no-char-blowup claim
+
+
+# --- JL projection ---------------------------------------------------------
+
+
+def test_jl_projection_by_hand(spark):
+    from candia_spark.operators.similarity import jl_project_int8, jl_sign
+
+    # dim 2, one unit vector along x: qvec = [127, 0]; proj[j] =
+    # s(0,j)*127 exactly
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id bigint, embedding array<float>"
+    )
+    proj = jl_project_int8(df, in_dim=2, out_dim=4, salt="t").collect()[0][
+        "proj"
+    ]
+    assert proj == [jl_sign("t", 0, j) * 127 for j in range(4)]
+
+
+def test_jl_projection_is_pure_map_and_salted(spark):
+    from candia_spark.operators.similarity import jl_project_int8
+    from candia_spark.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", "embedding"
+    )
+    df = jl_project_int8(emb, in_dim=64, out_dim=8, salt="a")
+    plan = _plan_of(df)
+    assert "Exchange hashpartitioning" not in plan
+    assert "Join" not in plan and "Python" not in plan
+    # a different salt draws a different matrix
+    other = jl_project_int8(emb, in_dim=64, out_dim=8, salt="b")
+    a = {r["vec_id"]: r["proj"] for r in df.collect()}
+    b = {r["vec_id"]: r["proj"] for r in other.collect()}
+    assert any(a[k] != b[k] for k in a)
+
+
+def test_jl_projection_validates(spark):
+    from candia_spark.operators.similarity import jl_project_int8
+
+    df = spark.createDataFrame(
+        [(1, [1.0])], "vec_id bigint, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="dims"):
+        jl_project_int8(df, in_dim=0, out_dim=4)
+
+
+# --- whole-document packing ------------------------------------------------
+
+
+def test_pack_whole_by_hand(spark):
+    from candia_spark.operators.curation import pack_sequences_whole
+
+    # budget 10: docs of 4,5,3,12,2 tokens in shard a; 10,1 in shard b
+    def words(n):
+        return " ".join(f"w{i}" for i in range(n))
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a", words(4)),
+            (2, "a", words(5)),
+            (3, "a", words(3)),
+            (4, "a", words(12)),
+            (5, "a", words(2)),
+            (6, "b", words(10)),
+            (7, "b", words(1)),
+        ],
+        "doc_id bigint, source string, text string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in pack_sequences_whole(docs, budget=10).collect()
+    }
+    # a: d1 -> (0,0); d2 -> (0,4); d3 overflows -> (1,0); d4 oversize
+    # alone -> (2,0) kept 10; d5 -> (3,0)
+    assert (got[1]["seq_id"], got[1]["offset_in_seq"]) == (0, 0)
+    assert (got[2]["seq_id"], got[2]["offset_in_seq"]) == (0, 4)
+    assert (got[3]["seq_id"], got[3]["offset_in_seq"]) == (1, 0)
+    assert (got[4]["seq_id"], got[4]["kept_tokens"]) == (2, 10)
+    assert (got[5]["seq_id"], got[5]["offset_in_seq"]) == (3, 0)
+    # b packs independently
+    assert (got[6]["seq_id"], got[6]["kept_tokens"]) == (0, 10)
+    assert (got[7]["seq_id"], got[7]["offset_in_seq"]) == (1, 0)
+
+
+def test_pack_whole_never_straddles_and_fits_budget(spark, sf_smoke):
+    from candia_spark.operators.curation import pack_sequences_whole
+    from candia_spark.tables import load_table
+
+    docs = load_table(spark, sf_smoke, "documents").select(
+        "source", "doc_id", "text"
+    )
+    out = pack_sequences_whole(docs, budget=60)
+    # every (shard, seq) holds <= budget kept tokens — the no-straddle
+    # invariant q51's chunker deliberately does not have
+    over = (
+        out.groupBy("shard", "seq_id")
+        .agg(F.sum("kept_tokens").alias("s"))
+        .filter(F.col("s") > 60)
+        .count()
+    )
+    assert over == 0
+    # oversize docs are alone and truncated to the budget
+    alone = out.filter(F.col("n_tokens") > 60)
+    assert alone.filter(F.col("kept_tokens") != 60).count() == 0
+    assert alone.filter(F.col("offset_in_seq") != 0).count() == 0
+
+
+def test_pack_whole_validates(spark):
+    from candia_spark.operators.curation import pack_sequences_whole
+
+    docs = spark.createDataFrame(
+        [(1, "a", "x")], "doc_id bigint, source string, text string"
+    )
+    with pytest.raises(ValueError, match="budget"):
+        pack_sequences_whole(docs, budget=0)
