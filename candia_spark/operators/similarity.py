@@ -1157,3 +1157,119 @@ def jl_project_int8(
             )
         )
     return q.select(F.col(id_col), F.array(*rows).alias("proj"))
+
+
+def pq_topk_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: "np.ndarray",
+    k: int = 5,
+    m: int = 8,
+    codewords: int = 16,
+    nprobe: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    scale: int = 127,
+    codebook: DataFrame | None = None,
+    encoded_cells: DataFrame | None = None,
+) -> DataFrame:
+    """IVF + PQ composed — the full IVFADC index (Jégou et al. 2011):
+    corpus vectors live in their nearest-centroid cell (the q38 pinned
+    coarse index) AND are PQ-encoded to m codes; each query probes its
+    ``nprobe`` closest cells and ADC-scores ONLY the codes inside them.
+    Candidates per query drop ~(nprobe/n_cells)-fold vs flat PQ, and
+    search still never touches the float payload — this is the
+    billion-vector layout: coarse cells for pruning, codes for scoring.
+
+    Cell assignment reuses :func:`ivf_bucket` (first-max tie-break) and
+    probing the q38 reverse-sorted device (score DESC, cid DESC), both
+    already oracle-certified; distances are the integer ADC sums of
+    :func:`pq_topk_adc`, so ranks and ties gate exactly.
+
+    Output: (query_id, vec_id, dist, rank), rank 1..k (dist asc, id
+    asc).
+
+    Scale: the coarse index is n_cells literal vectors in the plan; the
+    codes ⋈ cells attach is an id-keyed join of thin integer rows
+    (16 bytes/row, co-partitioned under AQE); the probe-restricted LUT
+    (Q*nprobe*m*K bigint rows) broadcasts; nothing corpus-sized
+    shuffles after encode. Pass ``codebook`` and ``encoded_cells``
+    (codes already joined with their cell: id, sub, code, bucket —
+    typically persisted) to search without re-running assignment or
+    encode — the production call shape."""
+    cb = (
+        codebook
+        if codebook is not None
+        else pq_codebook_first_k(corpus, m, codewords, vec_col, id_col, scale)
+    )
+    if encoded_cells is not None:
+        enc = encoded_cells
+    else:
+        cells = ivf_bucket(corpus, centroids, vec_col).select(
+            id_col, "bucket"
+        )
+        enc = pq_encode(corpus, cb, m, vec_col, id_col, scale).join(
+            cells, id_col
+        )
+    qscores = _centroid_scores(vec_col, centroids)
+    ranked = F.slice(
+        F.reverse(
+            F.array_sort(
+                F.transform(
+                    qscores,
+                    lambda s, i: F.struct(s.alias("s"), (i + 1).alias("c")),
+                )
+            )
+        ),
+        1,
+        nprobe,
+    )
+    probes = queries.select(
+        F.col(query_id_col),
+        F.explode(
+            F.transform(ranked, lambda e: e["c"].cast("int"))
+        ).alias("bucket"),
+    )
+    qz = quantize_int8(
+        queries.select(query_id_col, vec_col), vec_col, query_id_col, scale
+    )
+    d_over_m = F.floor(F.size("qvec") / F.lit(m)).cast("int")
+    qsubs = qz.select(
+        F.col(query_id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda s: F.struct(
+                    s.cast("bigint").alias("sub"),
+                    F.slice("qvec", s * d_over_m + 1, d_over_m).alias("sv"),
+                ),
+            )
+        ).alias("__e"),
+    ).select(
+        F.col(query_id_col),
+        F.col("__e.sub").alias("sub"),
+        F.col("__e.sv").alias("sv"),
+    )
+    lut = qsubs.join(F.broadcast(cb), "sub").select(
+        query_id_col, "sub", "code", _l2_int(F.col("sv"), F.col("cw")).alias("__d")
+    )
+    lutp = probes.join(lut, query_id_col).select(
+        query_id_col, "bucket", "sub", "code", "__d"
+    )
+    scored = enc.join(F.broadcast(lutp), ["bucket", "sub", "code"]).groupBy(
+        query_id_col, id_col
+    ).agg(F.sum("__d").cast("bigint").alias("dist"))
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("dist").asc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            query_id_col,
+            id_col,
+            "dist",
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )

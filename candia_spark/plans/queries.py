@@ -6842,6 +6842,115 @@ def q118_whole_doc_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences_whole(docs, budget=60)
 
 
+def _q119_oracle() -> str:
+    """IVFADC as pure SQL: the q38 coarse-cell device (argmax-dot cells
+    over the pinned literal centroids, first-max corpus tie-break,
+    reverse-sorted query probes) composed with the q116 PQ device
+    (first-k codebook, struct-min assignment, integer L2 LUT, ADC sum).
+    Scoring is restricted to probed cells by the probes⋈cells join."""
+    from candia_spark.plans.ivf_pinned import PINNED_CENTROIDS_8x64
+
+    rows = ",\n        ".join(
+        f"({i + 1}, {_vec_sql(c)})" for i, c in enumerate(PINNED_CENTROIDS_8x64)
+    )
+    return f"""
+    WITH cent(cid, cvec) AS (VALUES
+        {rows}),
+    {_INT8_NRM_SQL},
+    e AS MATERIALIZED (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cell_scores AS MATERIALIZED (
+        SELECT e.vec_id, cent.cid, list_dot_product(e.v, cent.cvec) AS dot
+        FROM e CROSS JOIN cent),
+    cells AS (
+        SELECT vec_id, cid FROM (
+            SELECT vec_id, cid,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                        ORDER BY dot DESC, cid ASC) AS r
+            FROM cell_scores)
+        WHERE r = 1),
+    probes AS (
+        SELECT vec_id AS query_id, cid FROM (
+            SELECT vec_id, cid,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                        ORDER BY dot DESC, cid DESC) AS r
+            FROM cell_scores WHERE vec_id % 47 = 0)
+        WHERE r <= 3),
+    cb0 AS (
+        SELECT qv, ROW_NUMBER() OVER (ORDER BY vec_id ASC) - 1 AS code
+        FROM qz ORDER BY vec_id ASC LIMIT 16),
+    cb AS MATERIALIZED (
+        SELECT CAST(s AS BIGINT) AS sub, CAST(code AS BIGINT) AS code,
+               list_slice(qv, s * 8 + 1, (s + 1) * 8) AS cw
+        FROM cb0, UNNEST(generate_series(0, 7)) AS g(s)),
+    subs AS (
+        SELECT vec_id, CAST(s AS BIGINT) AS sub,
+               list_slice(qv, s * 8 + 1, (s + 1) * 8) AS sv
+        FROM qz, UNNEST(generate_series(0, 7)) AS g(s)),
+    dists AS (
+        SELECT v.vec_id, v.sub, c.code,
+               CAST(SUM((v.sv[i] - c.cw[i]) * (v.sv[i] - c.cw[i]))
+                    AS BIGINT) AS d
+        FROM subs v JOIN cb c ON v.sub = c.sub,
+             UNNEST(generate_series(1, 8)) AS u(i)
+        GROUP BY v.vec_id, v.sub, c.code),
+    enc AS MATERIALIZED (
+        SELECT vec_id, sub, MIN({{'d': d, 'code': code}}).code AS code
+        FROM dists GROUP BY vec_id, sub),
+    encc AS (
+        SELECT enc.vec_id, enc.sub, enc.code, cells.cid
+        FROM enc JOIN cells USING (vec_id)),
+    lut AS MATERIALIZED (
+        SELECT vec_id AS query_id, sub, code, d
+        FROM dists WHERE vec_id % 47 = 0),
+    cand AS (
+        SELECT p.query_id, ec.vec_id, CAST(SUM(l.d) AS BIGINT) AS dist
+        FROM probes p
+        JOIN encc ec ON ec.cid = p.cid
+        JOIN lut l ON l.query_id = p.query_id
+                  AND l.sub = ec.sub AND l.code = ec.code
+        GROUP BY p.query_id, ec.vec_id)
+    SELECT query_id, vec_id, dist, CAST(rnk AS BIGINT) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY dist ASC, vec_id ASC) AS rnk FROM cand)
+    WHERE rnk <= 5
+    """
+
+
+@register(
+    "q119_pq_ivf_topk",
+    oracle=_q119_oracle(),
+    survey_ref="IVF+PQ composed index (the full IVFADC layout — coarse "
+    "cells prune, m-byte codes score; north star: billion-vector ANN)",
+)
+def q119_pq_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full IVFADC index (operators.similarity.pq_topk_ivf): the
+    q38 pinned coarse cells prune candidates (~nprobe/n_cells of the
+    corpus per query), the q116 PQ codes score them with integer ADC
+    sums — search touches neither the float payload nor unprobed
+    cells. Queries = every 47th vector, nprobe=3, k=5. The oracle
+    composes the two certified devices and re-walks cell assignment,
+    probing, encoding, LUT, ADC, and rank end to end."""
+    import numpy as np
+
+    from candia_spark.operators.similarity import pq_topk_ivf
+    from candia_spark.plans.ivf_pinned import PINNED_CENTROIDS_8x64
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    qs = emb.filter(F.col("vec_id") % 47 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return pq_topk_ivf(
+        emb,
+        qs,
+        centroids=np.array(PINNED_CENTROIDS_8x64, dtype=np.float64),
+        k=5,
+        m=8,
+        codewords=16,
+        nprobe=3,
+    )
+
+
 # --- Driver certification window (verdict r5 #2) -------------------------
 # The per-round driver correctness artifact certifies the FIRST 50
 # registry entries, and queries()/oracle_sql() preserve this dict's
@@ -7078,6 +7187,23 @@ _DRIVER_WINDOW_TAIL = [
     # q115's in-window entropy fold. Pytest family retained.
     # Driver-certified r11-r12.
     "q91_self_repetition_rewrite",
+    # q119's seat: q38's pinned coarse-cell device (literal-centroid
+    # argmax assignment + reverse-sorted probes) is gated IN-WINDOW by
+    # q119, which re-walks the identical cells/probes CTEs inside the
+    # strictly larger IVFADC chain — a cell regression fails q119's
+    # gate before q38 could see it; the float-cosine rerank half stays
+    # covered by q30's in-tail round-6 device and the IVF recall
+    # pytest. Driver-certified every round since r4.
+    "q38_cosine_ivf",
+    # Window-arithmetic seat (the r13 additions total nine): q89's
+    # contingency argmax (majority label, min-label tie-break) is the
+    # struct-max device that stays in-window through q05's groupwise
+    # argmax and q102's multiclass (score desc, label asc) argmax; the
+    # kmeans assign3 chain it recomputes is pinned by the integer-exact
+    # trajectory pytests and stays three-scale-certified in the local
+    # artifact. Driver-certified r11-r12 (its r11 operator change has
+    # two rounds of driver-grade evidence).
+    "q89_cluster_purity",
 ]
 for _name in _DRIVER_WINDOW_TAIL:
     QUERY_REGISTRY[_name] = QUERY_REGISTRY.pop(_name)

@@ -261,10 +261,75 @@ def run_mixture(spark, n_docs: int, runs: int) -> dict:
     }
 
 
+def run_ivfpq(spark, n_vecs: int, runs: int) -> dict:
+    """IVF pruning on top of PQ: probe-restricted ADC vs flat ADC, same
+    shapes. Claim: the probed candidate mass is ~nprobe/n_cells of the
+    corpus, so search cost drops proportionally while encode and the
+    coarse assignment stay linear one-time passes."""
+    import numpy as np
+
+    from candia_spark.operators.similarity import pq_topk_adc, pq_topk_ivf
+    from candia_spark.plans.ivf_pinned import PINNED_CENTROIDS_8x64
+
+    corpus = ss_materialize(_vec_corpus(spark, n_vecs).select(
+        "vec_id", "embedding"
+    ))
+    qs = ss_materialize(
+        corpus.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+    )
+    cent = np.array(PINNED_CENTROIDS_8x64, dtype=np.float64)
+    # index build once (codes + cells persisted in production), then
+    # compare SEARCH cost: probe-restricted vs flat ADC
+    from candia_spark.operators.similarity import (
+        ivf_bucket,
+        pq_codebook_first_k,
+        pq_encode,
+    )
+
+    cb = ss_materialize(pq_codebook_first_k(corpus, m=8, codewords=16))
+    cells = ivf_bucket(corpus, cent).select("vec_id", "bucket")
+    encc = ss_materialize(pq_encode(corpus, cb, m=8).join(cells, "vec_id"))
+    enc = ss_materialize(encc.select("vec_id", "sub", "code"))
+    sec_ivfpq = ss.timed(
+        lambda: pq_topk_ivf(
+            corpus, qs, cent, k=5, nprobe=3, codebook=cb, encoded_cells=encc
+        ),
+        runs,
+    )
+    sec_flat = ss.timed(
+        lambda: pq_topk_adc(corpus, qs, k=5, codebook=cb, encoded=enc), runs
+    )
+    # candidate-mass telemetry: distinct (query, vec) pairs ADC actually
+    # scores — the pruning factor as a NUMBER (wall time at these sizes
+    # is stage-floor-dominated; the mass ratio is what scales)
+    ivf_pairs = (
+        pq_topk_ivf(
+            corpus, qs, cent, k=10**9, nprobe=3, codebook=cb,
+            encoded_cells=encc,
+        ).count()
+    )
+    flat_pairs = n_vecs * N_QUERIES
+    return {
+        "n_vecs": n_vecs,
+        "n_queries": N_QUERIES,
+        "nprobe_of_cells": "3/8",
+        "ivfpq_search_sec": sec_ivfpq,
+        "ivfpq_search_us_per_vec": round(sec_ivfpq * 1e6 / n_vecs, 2),
+        "flat_pq_search_sec": sec_flat,
+        "flat_pq_search_us_per_vec": round(sec_flat * 1e6 / n_vecs, 2),
+        "ivfpq_scored_pairs": ivf_pairs,
+        "flat_scored_pairs": flat_pairs,
+        "pruned_mass_frac": round(ivf_pairs / flat_pairs, 4),
+    }
+
+
 LEGS = {
     "html": (run_html, BASE_DOCS),
     "hardneg": (run_hardneg, BASE_VECS),
     "pq": (run_pq, BASE_VECS),
+    "ivfpq": (run_ivfpq, BASE_VECS),
     "detshuffle": (run_detshuffle, BASE_DOCS),
     "entropy": (run_entropy, BASE_DOCS),
     "mixture": (run_mixture, BASE_DOCS),

@@ -443,3 +443,40 @@ def test_pack_whole_validates(spark):
     )
     with pytest.raises(ValueError, match="budget"):
         pack_sequences_whole(docs, budget=0)
+
+
+# --- IVF+PQ ----------------------------------------------------------------
+
+
+def test_pq_ivf_subset_of_flat_pq_and_plan(spark, sf_smoke):
+    import numpy as np
+
+    from candia_spark.operators.similarity import pq_topk_adc, pq_topk_ivf
+    from candia_spark.plans.ivf_pinned import PINNED_CENTROIDS_8x64
+    from candia_spark.tables import load_table
+
+    emb = load_table(spark, sf_smoke, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    qs = emb.filter(F.col("vec_id") % 47 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cent = np.array(PINNED_CENTROIDS_8x64, dtype=np.float64)
+    # with nprobe = ALL cells, IVF-PQ must equal flat PQ exactly (the
+    # pruning is the ONLY approximation on top of q116's scoring)
+    full = {
+        tuple(r)
+        for r in pq_topk_ivf(emb, qs, cent, k=5, nprobe=8).collect()
+    }
+    flat = {tuple(r) for r in pq_topk_adc(emb, qs, k=5).collect()}
+    assert full == flat
+    # pruned probing returns a subset of candidates per query, and the
+    # scored distances agree with flat PQ wherever both rank a vector
+    pruned = pq_topk_ivf(emb, qs, cent, k=5, nprobe=3)
+    flat_d = {(r[0], r[1]): r[2] for r in flat}
+    for r in pruned.collect():
+        if (r["query_id"], r["vec_id"]) in flat_d:
+            assert flat_d[(r["query_id"], r["vec_id"])] == r["dist"]
+    plan = _plan_of(pruned)
+    assert "SortMergeJoin" not in plan  # LUT/codebook broadcast; codes
+    # join cells id-keyed — nothing corpus-sized broadcast-materializes
