@@ -480,3 +480,73 @@ def test_pq_ivf_subset_of_flat_pq_and_plan(spark, sf_smoke):
     plan = _plan_of(pruned)
     assert "SortMergeJoin" not in plan  # LUT/codebook broadcast; codes
     # join cells id-keyed — nothing corpus-sized broadcast-materializes
+
+
+# --- WET source/sink -------------------------------------------------------
+
+
+def test_wet_round_trip(spark, tmp_path):
+    from candia_spark.sources.adapters import (
+        read_wet_records,
+        write_wet_records,
+    )
+
+    rows = [
+        ("<urn:uuid:1>", "http://a.example/x", "2013-12-04T15:30:35Z",
+         "first record text\nwith a second line"),
+        ("<urn:uuid:2>", "http://b.example/y", "2014-01-01T00:00:00Z",
+         "second record"),
+        ("<urn:uuid:3>", "http://c.example/z", "2015-06-30T12:00:00Z",
+         ""),  # empty payload survives
+    ]
+    df = spark.createDataFrame(
+        rows, "record_id string, target_uri string, warc_date string, "
+        "text string"
+    )
+    p = str(tmp_path / "wet")
+    write_wet_records(df, p)
+    got = {r["record_id"]: r for r in read_wet_records(spark, p).collect()}
+    assert len(got) == 3
+    for rid, uri, date, text in rows:
+        r = got[rid]
+        assert not r["_malformed"]
+        assert r["target_uri"] == uri and r["warc_date"] == date
+        assert r["text"] == text
+        assert r["content_length"] == len(text.encode())
+
+
+def test_wet_malformed_blocks_are_routed_not_dropped(spark, tmp_path):
+    from candia_spark.sources.adapters import read_wet_records
+
+    p = tmp_path / "bad.wet"
+    p.write_text(
+        "preamble junk before any record\r\n"
+        "WARC/1.0\r\nWARC-Type: conversion\r\n"
+        "WARC-Record-ID: <urn:uuid:9>\r\n"
+        "WARC-Target-URI: http://ok.example/\r\n"
+        "WARC-Date: 2020-01-01T00:00:00Z\r\n"
+        "Content-Length: 2\r\n\r\nok\r\n"
+        "WARC/1.0\r\nthis block has no headers at all\r\n"
+    )
+    out = read_wet_records(spark, str(p)).collect()
+    good = [r for r in out if not r["_malformed"]]
+    bad = [r for r in out if r["_malformed"]]
+    assert len(good) == 1 and good[0]["text"] == "ok"
+    assert good[0]["record_id"] == "<urn:uuid:9>"
+    assert len(bad) == 2  # the preamble and the headerless block route
+
+
+def test_wet_scan_is_jvm_only(spark, tmp_path):
+    from candia_spark.sources.adapters import (
+        read_wet_records,
+        write_wet_records,
+    )
+
+    df = spark.createDataFrame(
+        [("<u:1>", "http://x/", "2020-01-01T00:00:00Z", "t")],
+        "record_id string, target_uri string, warc_date string, text string",
+    )
+    p = str(tmp_path / "wet2")
+    write_wet_records(df, p)
+    plan = _plan_of(read_wet_records(spark, p))
+    assert "Python" not in plan and "Exchange" not in plan
