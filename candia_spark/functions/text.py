@@ -279,15 +279,14 @@ def char_census_counts(text_col: str = "text") -> Column:
     for D distinct chars, but no shuffle and no char-row blowup, which
     is the right trade at corpus scale (exploding a 100 TB corpus to
     one row per CHARACTER is the plan that never finishes)."""
-    dis = F.filter(
-        F.array_distinct(F.split(F.col(text_col), "")), lambda c: c != ""
-    )
+    t = F.coalesce(F.col(text_col), F.lit(""))  # NULL text == empty census,
+    # not a NULL array poisoning every downstream agg (the null-key class)
+    dis = F.filter(F.array_distinct(F.split(t, "")), lambda c: c != "")
     return F.transform(
         dis,
-        lambda c: (
-            F.length(F.col(text_col))
-            - F.length(F.replace(F.col(text_col), c, F.lit("")))
-        ).cast("bigint"),
+        lambda c: (F.length(t) - F.length(F.replace(t, c, F.lit("")))).cast(
+            "bigint"
+        ),
     )
 
 

@@ -2416,11 +2416,15 @@ def extract_html_text(
 
     Scale: a pure per-row map — no shuffle, no UDF, nothing but codegen'd
     string expressions; linear in payload bytes and embarrassingly
-    partition-parallel, so the 100 TB path is exactly this plan."""
-    clean = html_clean_text(html_col)
+    partition-parallel, so the 100 TB path is exactly this plan.
+
+    NULL html extracts as an empty document (title '', text '', zero
+    counts) — not a NULL row poisoning downstream aggs (the null-key
+    defect class)."""
+    clean = html_clean_text(F.coalesce(F.col(html_col), F.lit("")))
     return df.select(
         F.col(id_col),
-        html_title(html_col).alias("title"),
+        html_title(F.coalesce(F.col(html_col), F.lit(""))).alias("title"),
         clean.alias("clean_text"),
         F.when(clean == "", F.lit(0).cast("bigint"))
         .otherwise(F.size(F.split(clean, "\n")).cast("bigint"))

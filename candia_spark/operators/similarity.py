@@ -891,7 +891,12 @@ def mine_hard_negatives(
         .crossJoin(
             c.select(F.col(id_col).alias("neg_id"), F.col("qvec").alias("__qc"), "label")
         )
-        .filter(F.col("label") != F.col("__qlab"))
+        # null-SAFE inequality: a NULL-label (unlabeled) corpus row is a
+        # valid negative for every labeled query — a bare != would make
+        # the predicate NULL and silently drop it from every result (the
+        # r10-r12 null-key defect class); two NULL labels count as the
+        # same class (excluded).
+        .filter(~F.col("label").eqNullSafe(F.col("__qlab")))
         .select(
             query_id_col,
             "neg_id",

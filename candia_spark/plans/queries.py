@@ -6951,6 +6951,96 @@ def q119_pq_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q120_web_curate_chain",
+    # Stage COMPOSITION gate: the q111 extraction chain feeds the q108
+    # dedup machinery at line granularity (sep = \n, C4's line-dedup
+    # shape) inside ONE plan, and the oracle replays both stages back
+    # to back — extraction rendered from the operator's own pattern
+    # tables, then first-occurrence line ownership + ordered rebuild.
+    # The markup plants cross-doc duplicate lines (every doc of a
+    # source shares its h1; %5 docs share the list items), so the
+    # dedup has real mass only the composed chain can compute.
+    oracle=f"""
+    WITH h AS MATERIALIZED (
+        SELECT doc_id, {_HTML_ENVELOPE_SQL} AS html FROM documents),
+    x AS MATERIALIZED (
+        SELECT doc_id, {_html_clean_sql('html')} AS text FROM h),
+    pl AS MATERIALIZED (
+        SELECT doc_id, string_split(text, chr(10)) AS ps FROM x),
+    paras AS MATERIALIZED (
+        SELECT doc_id, i - 1 AS pos, ps[i] AS para
+        FROM pl, UNNEST(generate_series(1, len(ps))) AS u(i)),
+    own1 AS (
+        SELECT para, MIN(doc_id) AS od
+        FROM paras WHERE para <> '' GROUP BY para),
+    own AS MATERIALIZED (
+        SELECT p.para, o.od, MIN(p.pos) AS op
+        FROM paras p JOIN own1 o ON p.para = o.para AND p.doc_id = o.od
+        GROUP BY p.para, o.od),
+    kept AS (
+        SELECT p.doc_id, p.pos, p.para
+        FROM paras p LEFT JOIN own o ON p.para = o.para
+        WHERE o.para IS NULL OR (p.doc_id = o.od AND p.pos = o.op)),
+    reb AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+               string_agg(para, chr(10) ORDER BY pos) AS clean
+        FROM kept GROUP BY doc_id)
+    SELECT l.doc_id, CAST(len(l.ps) AS BIGINT) AS n_paras,
+           COALESCE(r.n_kept, 0) AS n_kept,
+           md5(COALESCE(r.clean, '')) AS clean_md5
+    FROM pl l LEFT JOIN reb r USING (doc_id)
+    """,
+    survey_ref="composed web-curation chain (HTML extraction -> line "
+    "dedup in one certified plan; north star: the C4/Dolma stage "
+    "pipeline as a single gated dataflow)",
+)
+def q120_web_curate_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed web-curation chain: plant the q111 markup envelope,
+    extract visible text (operators.curation.extract_html_text), then
+    line-level corpus dedup (operators.dedup.paragraph_dedup with
+    sep='\\n' — C4's line-dedup shape) — two certified operators
+    composed in ONE plan and gated END TO END by md5(clean_text).
+    Every doc of a source shares its h1 line and %5 docs share list
+    items, so only the corpus-first occurrence of each survives. A
+    regression in either stage, or in how they compose (schema, null
+    handling, separator discipline), fails the gate."""
+    from candia_spark.operators.curation import extract_html_text
+    from candia_spark.operators.dedup import paragraph_dedup
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    i = F.col("doc_id")
+    html = F.concat(
+        F.lit("<!DOCTYPE html><html><head><title> Doc "),
+        i.cast("string"),
+        F.lit(' </title><style type="text/css">p { color: red; }</style>'),
+        F.lit('<SCRIPT>var x = 1 < 2 && "</div>";</SCRIPT></head>'),
+        F.lit("<body><!-- draft: <p>"),
+        F.col("source"),
+        F.lit("</p> --><h1>"),
+        F.col("source"),
+        F.lit("</h1>\n<p>"),
+        F.col("text"),
+        F.lit(" &amp;co &lt;tag&gt; &quot;q&#39;s&quot;&nbsp;end</p>"),
+        F.when(
+            i % 5 == 0, F.lit("<ul><li>item one</li><li>item two</li></ul>")
+        ).otherwise(F.lit("")),
+        F.lit("<div>tail "),
+        i.cast("string"),
+        F.lit("</div></body></html>"),
+    )
+    extracted = extract_html_text(
+        docs.select("doc_id", html.alias("html"))
+    ).select("doc_id", F.col("clean_text").alias("text"))
+    out = paragraph_dedup(extracted, sep="\n")
+    return out.select(
+        "doc_id",
+        "n_paras",
+        "n_kept",
+        F.md5(F.col("clean_text").cast("binary")).alias("clean_md5"),
+    )
+
+
 # --- Driver certification window (verdict r5 #2) -------------------------
 # The per-round driver correctness artifact certifies the FIRST 50
 # registry entries, and queries()/oracle_sql() preserve this dict's
@@ -7204,6 +7294,13 @@ _DRIVER_WINDOW_TAIL = [
     # artifact. Driver-certified r11-r12 (its r11 operator change has
     # two rounds of driver-grade evidence).
     "q89_cluster_purity",
+    # q120's seat: q97's quality-classifier scorer runs END-TO-END
+    # inside the in-window q99 (quality_budget_fill composes the q97
+    # scorer — its oracle recomputes the same weights/threshold chain),
+    # and the hashed-feature device additionally rides q102's
+    # multiclass generalization in-window; NB-weight training keeps its
+    # by-hand pytest. Driver-certified r11-r12.
+    "q97_quality_classifier",
 ]
 for _name in _DRIVER_WINDOW_TAIL:
     QUERY_REGISTRY[_name] = QUERY_REGISTRY.pop(_name)

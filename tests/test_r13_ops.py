@@ -550,3 +550,43 @@ def test_wet_scan_is_jvm_only(spark, tmp_path):
     write_wet_records(df, p)
     plan = _plan_of(read_wet_records(spark, p))
     assert "Python" not in plan and "Exchange" not in plan
+
+
+# --- null-input contracts (the r10-r12 null-key defect class) --------------
+
+
+def test_hard_negatives_null_label_is_a_negative(spark):
+    from candia_spark.operators.similarity import mine_hard_negatives
+
+    corpus = _emb(
+        spark,
+        [
+            (0, [1.0, 0.0], 0),
+            (1, [0.9, 0.4], None),  # unlabeled: must still be a negative
+            (2, [0.0, 1.0], 1),
+        ],
+    )
+    qs = corpus.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding", "label"
+    )
+    got = mine_hard_negatives(corpus, qs, k=3).orderBy("rank").collect()
+    assert [r["neg_id"] for r in got] == [1, 2]
+    assert got[0]["label"] is None
+
+
+def test_html_extract_null_is_empty_document(spark):
+    from candia_spark.operators.curation import extract_html_text
+
+    out = extract_html_text(_html_df(spark, [(1, None)])).collect()[0]
+    assert out["title"] == "" and out["clean_text"] == ""
+    assert out["n_lines"] == 0 and out["n_chars"] == 0
+
+
+def test_char_census_null_text_is_empty_census(spark):
+    df = spark.createDataFrame([(1, None)], "doc_id bigint, text string")
+    cnt = char_census_counts("text")
+    r = df.select(
+        F.size(cnt).alias("d"),
+        char_entropy_bits(cnt, F.lit(0)).alias("e"),
+    ).collect()[0]
+    assert r["d"] == 0 and r["e"] == 0
