@@ -7277,22 +7277,16 @@ _DRIVER_WINDOW_TAIL = [
     # q115's in-window entropy fold. Pytest family retained.
     # Driver-certified r11-r12.
     "q91_self_repetition_rewrite",
-    # q119's seat: q38's pinned coarse-cell device (literal-centroid
-    # argmax assignment + reverse-sorted probes) is gated IN-WINDOW by
-    # q119, which re-walks the identical cells/probes CTEs inside the
-    # strictly larger IVFADC chain — a cell regression fails q119's
-    # gate before q38 could see it; the float-cosine rerank half stays
-    # covered by q30's in-tail round-6 device and the IVF recall
-    # pytest. Driver-certified every round since r4.
-    "q38_cosine_ivf",
-    # Window-arithmetic seat (the r13 additions total nine): q89's
-    # contingency argmax (majority label, min-label tie-break) is the
-    # struct-max device that stays in-window through q05's groupwise
-    # argmax and q102's multiclass (score desc, label asc) argmax; the
-    # kmeans assign3 chain it recomputes is pinned by the integer-exact
-    # trajectory pytests and stays three-scale-certified in the local
-    # artifact. Driver-certified r11-r12 (its r11 operator change has
-    # two rounds of driver-grade evidence).
+    # q119's seat: q89's contingency argmax (majority label, min-label
+    # tie-break) is the struct-max device that stays in-window through
+    # q05's groupwise argmax and q102's multiclass (score desc, label
+    # asc) argmax; the kmeans assign3 chain it recomputes is pinned by
+    # the integer-exact trajectory pytests and stays three-scale-
+    # certified in the local artifact. Driver-certified r11-r12 (its
+    # r11 operator change has two rounds of driver-grade evidence).
+    # (q38 — already tail-parked since its r-earlier rotation — gains
+    # NEW in-window coverage this round regardless: q119 re-walks its
+    # cells/probes device inside the strictly larger IVFADC chain.)
     "q89_cluster_purity",
     # q120's seat: q97's quality-classifier scorer runs END-TO-END
     # inside the in-window q99 (quality_budget_fill composes the q97

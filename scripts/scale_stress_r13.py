@@ -325,6 +325,58 @@ def run_ivfpq(spark, n_vecs: int, runs: int) -> dict:
     }
 
 
+def run_jl(spark, n_vecs: int, runs: int) -> dict:
+    """JL 64->16 projection. Claim: pure map (the matrix is plan
+    literals) — linear, falling per-vector, zero exchanges."""
+    from candia_spark.operators.similarity import jl_project_int8
+
+    corpus = ss_materialize(_vec_corpus(spark, n_vecs).select(
+        "vec_id", "embedding"
+    ))
+    sec = ss.timed(
+        lambda: jl_project_int8(corpus, in_dim=DIM, out_dim=16), runs
+    )
+    return {
+        "n_vecs": n_vecs,
+        "sec": sec,
+        "us_per_vec": round(sec * 1e6 / n_vecs, 2),
+    }
+
+
+def run_packwhole(spark, n_docs: int, runs: int) -> dict:
+    """Whole-doc packing over 64 shards. Claim: the Arrow grouped-map
+    sees 16-byte rows only (text never enters the UDF); cost is one
+    shard-keyed shuffle + a linear per-shard walk."""
+    from candia_spark.operators.curation import pack_sequences_whole
+
+    body = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), (F.col("id") % 30 + 5).cast("int")),
+            lambda j: F.concat(
+                F.lit("w"), F.col("id").cast("string"), F.lit("x"),
+                j.cast("string"),
+            ),
+        ),
+        " ",
+    )
+    docs = ss_materialize(
+        spark.range(n_docs).select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("s"), (F.col("id") % 64).cast("string")).alias(
+                "source"
+            ),
+            body.alias("text"),
+        )
+    )
+    sec = ss.timed(lambda: pack_sequences_whole(docs, budget=256), runs)
+    return {
+        "n_docs": n_docs,
+        "n_shards": 64,
+        "sec": sec,
+        "us_per_doc": round(sec * 1e6 / n_docs, 2),
+    }
+
+
 LEGS = {
     "html": (run_html, BASE_DOCS),
     "hardneg": (run_hardneg, BASE_VECS),
@@ -333,6 +385,8 @@ LEGS = {
     "detshuffle": (run_detshuffle, BASE_DOCS),
     "entropy": (run_entropy, BASE_DOCS),
     "mixture": (run_mixture, BASE_DOCS),
+    "jl": (run_jl, BASE_VECS),
+    "packwhole": (run_packwhole, BASE_DOCS),
 }
 
 
