@@ -2456,7 +2456,10 @@ def mixture_epoch_plan(
     the add-den-minus-one device), so the output is hash-exact with no
     float anywhere. Sources absent from ``weights`` are excluded (the
     mixture IS the selection); weighted sources with zero available
-    tokens get epochs = 0.
+    tokens get epochs = 0. A weighted source with NO corpus rows emits
+    no row at all (inner join) — callers planning against a fixed
+    source list should anti-join the output against the weight keys to
+    surface sources the corpus cannot supply.
 
     Output: (source, weight, available_tokens, target_tokens, epochs).
 

@@ -821,3 +821,60 @@ def test_langid_stream_matches_batch_and_absorbs_replay(spark, tmp_path):
     again = sorted(map(tuple,
                        spark.read.parquet(out_path).drop("_batch_id").collect()))
     assert again == batch
+
+
+def test_extract_stream_matches_batch_and_absorbs_replay(spark, tmp_path):
+    """Streaming HTML extraction gate (r13): step zero of web curation
+    on the firehose. The extractor is a pure per-row regexp chain, so
+    the union of per-trigger outputs must equal one batch run over the
+    concatenated arrivals; the _batch_id dynamic-overwrite sink absorbs
+    an at-least-once replay."""
+    import json
+
+    from candia_spark.operators.curation import extract_html_text
+    from candia_spark.streaming import extract_stream, write_extract_batch
+
+    files = [
+        [(1, "<html><head><title>A</title></head><body><p>keep me here"
+             "</p></body></html>"),
+         (2, "<p></p>")],  # extracts to empty -> min_chars drops it
+        [(3, "<h1>x &amp; y</h1><div>second line</div>"),
+         (4, None)],  # NULL markup -> empty doc -> dropped by the gate
+    ]
+    in_dir = tmp_path / "extract_arrivals"
+    in_dir.mkdir()
+    for i, rows in enumerate(files):
+        with open(in_dir / f"batch{i}.jsonl", "w") as f:
+            for doc_id, html in rows:
+                f.write(json.dumps({"doc_id": doc_id, "html": html}) + "\n")
+
+    stream = (
+        spark.readStream.schema("doc_id LONG, html STRING")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(in_dir))
+    )
+    out_path = str(tmp_path / "extract_out")
+    extract_stream(stream, out_path, str(tmp_path / "extract_ckpt"),
+                   min_chars=1)
+
+    out = spark.read.parquet(out_path)
+    streamed = sorted(map(tuple, out.drop("_batch_id").collect()))
+    all_docs = spark.createDataFrame(
+        [r for rows in files for r in rows], "doc_id long, html string"
+    )
+    batch = sorted(map(tuple, extract_html_text(all_docs)
+                   .filter("n_chars >= 1").collect()))
+    assert streamed == batch
+    assert [r[0] for r in batch] == [1, 3]  # 2 and 4 gated out
+    by_id = {r[0]: r for r in batch}
+    assert by_id[1][1] == "A" and by_id[1][2] == "keep me here"
+    assert by_id[3][2] == "x & y\nsecond line" and by_id[3][3] == 2
+    # replay absorption: re-deliver file 0 under its original batch id
+    file0_bid = int(
+        out.where(out["doc_id"] == 1).select("_batch_id").collect()[0][0]
+    )
+    replay = spark.createDataFrame(files[0], "doc_id long, html string")
+    write_extract_batch(replay, file0_bid, out_path, min_chars=1)
+    again = sorted(map(tuple, spark.read.parquet(out_path)
+                   .drop("_batch_id").collect()))
+    assert again == batch
