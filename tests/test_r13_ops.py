@@ -590,3 +590,47 @@ def test_char_census_null_text_is_empty_census(spark):
         char_entropy_bits(cnt, F.lit(0)).alias("e"),
     ).collect()[0]
     assert r["d"] == 0 and r["e"] == 0
+
+
+# --- plan pins for the composed/planned queries ----------------------------
+
+
+def test_mixture_plan_broadcasts_weights(spark):
+    from candia_spark.operators.curation import mixture_epoch_plan
+
+    docs = spark.createDataFrame(
+        [("a", "x y"), ("b", "z")], "source string, text string"
+    )
+    plan = _plan_of(mixture_epoch_plan(docs, {"a": 1, "b": 2}, 100))
+    # the k-row weight table broadcasts; the census is the only keyed agg
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_pack_whole_udf_sees_thin_rows_only(spark, sf_smoke):
+    from candia_spark.operators.curation import pack_sequences_whole
+    from candia_spark.tables import load_table
+
+    docs = load_table(spark, sf_smoke, "documents").select(
+        "source", "doc_id", "text"
+    )
+    plan = _plan_of(pack_sequences_whole(docs, budget=60))
+    # the grouped-map operator's input schema carries (shard, id,
+    # n_tokens) — the text column must be projected away BEFORE the
+    # Arrow exchange, not shipped per row into Python
+    import re
+
+    m = re.search(r"FlatMapGroupsInPandas.*", plan)
+    assert m is not None and "text" not in m.group(0)
+
+
+def test_web_curate_chain_plan_shape(spark, sf_smoke):
+    from candia_spark.plans.queries import QUERY_REGISTRY
+
+    plan = _plan_of(
+        QUERY_REGISTRY["q120_web_curate_chain"].spark(spark, sf_smoke)
+    )
+    # extraction is a map; the dedup half is the q98/q108 keyed-shuffle
+    # shape — no cartesian, no Python, census agg partially aggregated
+    assert "CartesianProduct" not in plan and "Python" not in plan
+    assert "partial_min" in plan or "partial_count" in plan
