@@ -1127,6 +1127,8 @@ def jl_project_int8(
     id_col: str = "vec_id",
     scale: int = 127,
     salt: str = "jl",
+    output: str = "array",
+    engine: str = "hof",
 ) -> DataFrame:
     """Signed-sum Johnson-Lindenstrauss projection over int8 lanes:
     ``out[j] = sum_i s(i,j) * q_i`` with a deterministic Rademacher
@@ -1139,29 +1141,78 @@ def jl_project_int8(
     Everything is integer: inputs are the int8-quantized lanes
     (:func:`quantize_int8`), the matrix is +-1, so outputs are exact
     bigints — gates, ranks, and downstream composition need no rounding
-    device. The matrix is a PLAN LITERAL (out_dim x in_dim ints inlined
-    into the projection expression), so the operator is a pure map:
-    zero exchanges, zero joins, codegen'd end to end.
+    device. Two engines, a compile-vs-execute trade (both pure maps,
+    zero exchanges/joins): ``engine='hof'`` (default) builds each lane
+    as an aggregate-over-zip — interpreted per row but near-zero plan
+    compile, the right shape for one-shot/small-batch plans;
+    ``engine='flat'`` unrolls out_dim*in_dim +-element_at terms into
+    whole-stage codegen — a few µs/vec at execution but ~2-3 s of
+    Janino compile per fresh plan; marginal cost 29 vs 38 us/vec,
+    so the crossover sits near ~250k vectors per compiled plan
+    (SCALING_r13 jl leg measures both sides).
 
-    Output: (id, proj array<bigint> of length out_dim)."""
+    ``output='array'``: (id, proj array<bigint> of length out_dim).
+    ``output='long'``: (id, dim, value) — one row per lane, emitted
+    via ``stack`` so each lane expression evaluates exactly once per
+    input row (never posexplode over the array form: the Project
+    collapses into the Generate and multiplies the whole projection by
+    out_dim)."""
     if in_dim <= 0 or out_dim <= 0:
         raise ValueError(
             f"dims must be positive, got in={in_dim} out={out_dim}"
         )
+    if output not in ("array", "long"):
+        raise ValueError(f"output must be 'array' or 'long', got {output!r}")
+    if engine not in ("hof", "flat"):
+        raise ValueError(f"engine must be 'hof' or 'flat', got {engine!r}")
     q = quantize_int8(df.select(id_col, vec_col), vec_col, id_col, scale)
     rows = []
-    for j in range(out_dim):
-        signs = F.array(
-            *[F.lit(jl_sign(salt, i, j)) for i in range(in_dim)]
-        )
-        rows.append(
-            F.aggregate(
-                F.zip_with("qvec", signs, lambda a, b: a * b),
-                F.lit(0).cast("bigint"),
-                lambda acc, v: acc + v,
+    if engine == "flat":
+        # out_dim*in_dim-term flat arithmetic: whole-stage-codegen'd, a
+        # few µs/vec at execution — but Janino pays ~2-3 s compiling the
+        # big expression per fresh plan. The per-row winner at >=50k
+        # vectors per plan compile (SCALING_r13 jl leg).
+        lanes = [F.element_at("qvec", i + 1) for i in range(in_dim)]
+        for j in range(out_dim):
+            acc = None
+            for i in range(in_dim):
+                term = lanes[i] if jl_sign(salt, i, j) > 0 else (-lanes[i])
+                acc = term if acc is None else acc + term
+            rows.append(acc.cast("bigint"))
+    else:
+        # compact aggregate-over-zip form: interpreted (HOFs sit outside
+        # codegen) so slower per row, but near-zero compile — the winner
+        # for small-batch/one-shot plans (the driver/bench shape).
+        for j in range(out_dim):
+            signs = F.array(
+                *[F.lit(jl_sign(salt, i, j)) for i in range(in_dim)]
             )
-        )
-    return q.select(F.col(id_col), F.array(*rows).alias("proj"))
+            rows.append(
+                F.aggregate(
+                    F.zip_with("qvec", signs, lambda a, b: a * b),
+                    F.lit(0).cast("bigint"),
+                    lambda acc, v: acc + v,
+                )
+            )
+    arr = q.select(F.col(id_col), F.array(*rows).alias("proj"))
+    if output == "array":
+        return arr
+    # long form: materialize the array FIRST (the dedup _materialize
+    # barrier), then explode. Without the barrier the optimizer
+    # collapses the projection into the Generate, which does no
+    # common-subexpression elimination — the quantize transform and
+    # all 16 lanes re-evaluate per OUTPUT row (measured 18 s vs 4 s at
+    # sf0.1). The checkpoint is id + out_dim bigints per row — the
+    # projection OUTPUT, 4x smaller than the input vectors.
+    from candia_spark.operators.dedup import _materialize
+
+    return _materialize(arr).select(
+        id_col, F.posexplode("proj").alias("dim", "value")
+    ).select(
+        id_col,
+        F.col("dim").cast("bigint").alias("dim"),
+        F.col("value").cast("bigint").alias("value"),
+    )
 
 
 def pq_topk_ivf(

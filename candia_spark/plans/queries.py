@@ -6766,13 +6766,12 @@ def q117_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     from candia_spark.operators.similarity import jl_project_int8
 
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    proj = jl_project_int8(emb, in_dim=64, out_dim=16, salt="jl")
-    return proj.select(
-        "vec_id",
-        F.posexplode("proj").alias("dim", "value"),
-    ).select(
-        "vec_id", F.col("dim").cast("bigint").alias("dim"),
-        F.col("value").cast("bigint").alias("value"),
+    # output='long' emits (id, dim, value) via stack — each lane
+    # evaluates ONCE per input row; a posexplode over the array form
+    # collapses the projection into the Generate and re-evaluates all
+    # 16 lanes per output row (measured 18 s vs 4 s at sf0.1, r13)
+    return jl_project_int8(
+        emb, in_dim=64, out_dim=16, salt="jl", output="long"
     )
 
 

@@ -326,20 +326,30 @@ def run_ivfpq(spark, n_vecs: int, runs: int) -> dict:
 
 
 def run_jl(spark, n_vecs: int, runs: int) -> dict:
-    """JL 64->16 projection. Claim: pure map (the matrix is plan
-    literals) — linear, falling per-vector, zero exchanges."""
+    """JL 64->16 projection, both engines. Claim: pure map, linear,
+    falling per-vector; 'hof' is compile-free but interpreted per row,
+    'flat' pays ~2-4 s Janino compile for codegen'd execution; the
+    marginals (38 vs 29 us/vec) put the crossover near ~250k vectors
+    per compiled plan."""
     from candia_spark.operators.similarity import jl_project_int8
 
     corpus = ss_materialize(_vec_corpus(spark, n_vecs).select(
         "vec_id", "embedding"
     ))
-    sec = ss.timed(
-        lambda: jl_project_int8(corpus, in_dim=DIM, out_dim=16), runs
+    sec_h = ss.timed(
+        lambda: jl_project_int8(corpus, in_dim=DIM, out_dim=16,
+                                engine="hof"), runs
+    )
+    sec_f = ss.timed(
+        lambda: jl_project_int8(corpus, in_dim=DIM, out_dim=16,
+                                engine="flat"), runs
     )
     return {
         "n_vecs": n_vecs,
-        "sec": sec,
-        "us_per_vec": round(sec * 1e6 / n_vecs, 2),
+        "hof_sec": sec_h,
+        "hof_us_per_vec": round(sec_h * 1e6 / n_vecs, 2),
+        "flat_sec": sec_f,
+        "flat_us_per_vec": round(sec_f * 1e6 / n_vecs, 2),
     }
 
 
