@@ -7040,6 +7040,60 @@ def q120_web_curate_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q121_blocklist_filter",
+    # the padded-space phrase device: normalize once (lowercase,
+    # non-alnum -> space, collapse, pad), then a word-bounded phrase
+    # hit is position(' p ') > 0 — no \b metachar (only ASCII-safe in
+    # the Java/RE2 common subset), no alternation regex. Blocklist:
+    # one single word ('slow' — must NOT fire inside 'slowly'), one
+    # phrase that must match across punctuation, one absent word.
+    oracle="""
+    WITH n AS MATERIALIZED (
+        SELECT doc_id,
+               ' ' || trim(regexp_replace(regexp_replace(lower(text),
+                    '[^a-z0-9]+', ' ', 'g'), ' +', ' ', 'g')) || ' '
+                   AS t
+        FROM documents),
+    h AS (
+        SELECT doc_id,
+               CASE WHEN position(' merge conflict ' IN t) > 0
+                    THEN 1 ELSE 0 END AS h0,
+               CASE WHEN position(' nosuchword ' IN t) > 0
+                    THEN 1 ELSE 0 END AS h1,
+               CASE WHEN position(' slow ' IN t) > 0
+                    THEN 1 ELSE 0 END AS h2
+        FROM n)
+    SELECT doc_id,
+           CAST(h0 + h1 + h2 AS BIGINT) AS n_hits,
+           CASE WHEN h0 = 1 THEN 'merge conflict'
+                WHEN h1 = 1 THEN 'nosuchword'
+                WHEN h2 = 1 THEN 'slow' ELSE '' END AS first_hit,
+           (h0 + h1 + h2) > 0 AS blocked
+    FROM h
+    """,
+    survey_ref="blocklist phrase gate (C4's bad-words page filter; "
+    "north star: word-bounded multi-phrase screening without regex "
+    "alternation)",
+)
+def q121_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style blocklist gate (operators.curation.blocklist_filter):
+    flag documents containing any blocklist phrase as a word-bounded,
+    case/punctuation-insensitive match via the padded-space device —
+    'slow' does not fire inside 'slowly', and the two-word phrase
+    matches across punctuation. One normalize projection shared by
+    every phrase test; pure map, zero exchanges. The oracle mirrors
+    normalize + position tests phrase for phrase."""
+    from candia_spark.operators.curation import blocklist_filter
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    # trim in the oracle == collapse-then-pad here: both yield single
+    # interior spaces with exactly one sentinel space at each end
+    return blocklist_filter(
+        docs, ["merge conflict", "slow", "nosuchword"]
+    )
+
+
 # --- Driver certification window (verdict r5 #2) -------------------------
 # The per-round driver correctness artifact certifies the FIRST 50
 # registry entries, and queries()/oracle_sql() preserve this dict's
@@ -7294,6 +7348,14 @@ _DRIVER_WINDOW_TAIL = [
     # multiclass generalization in-window; NB-weight training keeps its
     # by-hand pytest. Driver-certified r11-r12.
     "q97_quality_classifier",
+    # q121's seat: q47's md5-gated regexp-rewrite device is DOUBLY
+    # in-window — q111's extraction chain (a strictly larger gated
+    # regexp pipeline) and q104's url canonicalization both fail their
+    # gates on any regexp_replace regression — and q121 itself gates
+    # the same normalize-chain class; the PII pattern semantics keep
+    # their by-hand pytest family. Driver-certified every round
+    # since r5.
+    "q47_redact_pii",
 ]
 for _name in _DRIVER_WINDOW_TAIL:
     QUERY_REGISTRY[_name] = QUERY_REGISTRY.pop(_name)

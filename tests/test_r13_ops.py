@@ -634,3 +634,48 @@ def test_web_curate_chain_plan_shape(spark, sf_smoke):
     # shape — no cartesian, no Python, census agg partially aggregated
     assert "CartesianProduct" not in plan and "Python" not in plan
     assert "partial_min" in plan or "partial_count" in plan
+
+
+# --- blocklist filter -------------------------------------------------------
+
+
+def test_blocklist_word_bounded_and_phrase(spark):
+    from candia_spark.operators.curation import blocklist_filter
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the slow query"),  # hit: 'slow'
+            (2, "slowly but surely"),  # NO hit: word boundary
+            (3, "a Merge--Conflict mess"),  # phrase across punctuation
+            (4, "slow merge conflict"),  # two hits -> smallest first
+            (5, None),  # NULL text: clean
+            (6, "SLOW!"),  # case + trailing punct
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in blocklist_filter(
+            docs, ["slow", "merge conflict"]
+        ).collect()
+    }
+    assert got[1]["blocked"] and got[1]["first_hit"] == "slow"
+    assert not got[2]["blocked"] and got[2]["n_hits"] == 0
+    assert got[3]["blocked"] and got[3]["first_hit"] == "merge conflict"
+    assert got[4]["n_hits"] == 2 and got[4]["first_hit"] == "merge conflict"
+    assert not got[5]["blocked"] and got[5]["first_hit"] == ""
+    assert got[6]["blocked"]
+
+
+def test_blocklist_is_pure_map_and_validates(spark, sf_smoke):
+    from candia_spark.operators.curation import blocklist_filter
+    from candia_spark.tables import load_table
+
+    docs = load_table(spark, sf_smoke, "documents").select("doc_id", "text")
+    plan = _plan_of(blocklist_filter(docs, ["slow", "batch"]))
+    assert "Exchange hashpartitioning" not in plan
+    assert "Python" not in plan and "Join" not in plan
+    with pytest.raises(ValueError, match="phrases"):
+        blocklist_filter(docs, [])
+    with pytest.raises(ValueError, match="phrases"):
+        blocklist_filter(docs, ["ok", "   "])
