@@ -1321,3 +1321,94 @@ def test_gopher_rules_match_python_reference(spark, texts):
     }
     for i, t in enumerate(texts):
         assert got[i] == _ref_gopher(t), repr(t)
+
+
+# --- r13: cross-engine fuzz of the HTML extraction chain -----------------
+
+# Markup-ish soup: tags (balanced or not), entities, comments, script
+# fragments, text runs — the generator's job is to stress the common
+# Java-regex/RE2 subset claim, not to produce valid HTML.
+_html_atoms = st.sampled_from([
+    "<p>", "</p>", "<div class='x'>", "</div>", "<br>", "<BR/>",
+    "<script>", "</script>", "<style>", "</style>", "<title>",
+    "</title>", "<!--", "-->", "<li>", "</li>", "<h2>", "</h2>",
+    "&amp;", "&lt;", "&gt;", "&quot;", "&#39;", "&nbsp;", "&amp;lt;",
+    "plain", "words here", "a < b", "x > y", '"quoted"', "  ",
+    "\n", "\t", "1 < 2 && 3", "<span>", "</span>", "<", ">", "e",
+])
+_html_doc = st.lists(_html_atoms, min_size=0, max_size=30).map("".join)
+
+
+@given(st.lists(_html_doc, min_size=1, max_size=8))
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_html_clean_chain_cross_engine(spark, docs):
+    """The q111 claim, fuzzed: the SAME pattern tables executed by Java
+    regex (Spark) and RE2 (DuckDB) agree byte for byte on arbitrary
+    markup soup — including unbalanced tags, entity-in-entity, and
+    decoy closers."""
+    import duckdb
+
+    from candia_spark.operators.curation import extract_html_text
+    from candia_spark.plans.queries import _html_clean_sql
+
+    sdf = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(docs)], "doc_id bigint, html string"
+    )
+    got = {
+        r["doc_id"]: r["clean_text"]
+        for r in extract_html_text(sdf).collect()
+    }
+    con = duckdb.connect()
+    expr = _html_clean_sql("html")
+    for i, d in enumerate(docs):
+        want = con.execute(
+            f"SELECT {expr} FROM (SELECT ? AS html)", [d]
+        ).fetchone()[0]
+        assert got[i] == want, (d, got[i], want)
+
+
+# --- r13: blocklist padded-space device vs a python reference ------------
+
+_words = st.sampled_from(["slow", "fast", "merge", "conflict", "data",
+                          "slowly", "s", "1a", "x"])
+_bl_text = st.lists(
+    st.one_of(_words, st.sampled_from([",", "!", "  ", "\n", "--", "."])),
+    min_size=0, max_size=20,
+).map(" ".join)
+
+
+@given(st.lists(_bl_text, min_size=1, max_size=10))
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_blocklist_matches_python_reference(spark, texts):
+    """q121's word-bounded verdicts equal a from-scratch python
+    reference (re-tokenize, test phrase-as-sublist) on generated text —
+    boundary words ('slow' vs 'slowly'), punctuation splices, and
+    empty docs included."""
+    import re
+
+    from candia_spark.operators.curation import blocklist_filter
+
+    phrases = ["slow", "merge conflict"]
+    sdf = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_hits"], r["first_hit"], r["blocked"])
+        for r in blocklist_filter(sdf, phrases).collect()
+    }
+
+    def ref(t):
+        toks = re.sub(r"[^a-z0-9]+", " ", t.lower()).split()
+        hits = sorted(
+            p for p in phrases
+            if any(
+                toks[i:i + len(p.split())] == p.split()
+                for i in range(len(toks))
+            )
+        )
+        return (len(hits), hits[0] if hits else "", bool(hits))
+
+    for i, t in enumerate(texts):
+        assert got[i] == ref(t), (t, got[i], ref(t))
