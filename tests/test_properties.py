@@ -1412,3 +1412,131 @@ def test_blocklist_matches_python_reference(spark, texts):
 
     for i, t in enumerate(texts):
         assert got[i] == ref(t), (t, got[i], ref(t))
+
+
+# --- r13: whole-doc packing vs a python replay of the greedy -------------
+
+_tok_counts = st.lists(st.integers(min_value=0, max_value=30),
+                       min_size=1, max_size=25)
+
+
+@given(_tok_counts, st.integers(min_value=1, max_value=12))
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_pack_whole_matches_python_replay(spark, counts, budget):
+    """q118's per-shard greedy equals a from-scratch python replay on
+    random token counts — fits / overflow-closes / oversize-alone all
+    exercised by the generator."""
+    from candia_spark.operators.curation import pack_sequences_whole
+
+    rows = [
+        (i, "s", " ".join(f"w{j}" for j in range(c)))
+        for i, c in enumerate(counts)
+    ]
+    sdf = spark.createDataFrame(
+        rows, "doc_id bigint, source string, text string"
+    )
+    got = {
+        r["doc_id"]: (r["seq_id"], r["offset_in_seq"], r["kept_tokens"])
+        for r in pack_sequences_whole(sdf, budget=budget).collect()
+    }
+    cur_seq, cur_fill = 0, 0
+    for i, t in enumerate(counts):
+        if t > budget:
+            if cur_fill > 0:
+                cur_seq += 1
+            want = (cur_seq, 0, budget)
+            cur_seq, cur_fill = cur_seq + 1, 0
+        elif cur_fill + t <= budget:
+            want = (cur_seq, cur_fill, t)
+            cur_fill += t
+        else:
+            cur_seq, cur_fill = cur_seq + 1, t
+            want = (cur_seq, 0, t)
+        assert got[i] == want, (i, t, budget, got[i], want)
+
+
+# --- r13: jl projection + pq encode vs numpy references ------------------
+
+_vec_lists = st.lists(
+    st.lists(
+        st.floats(min_value=-4.0, max_value=4.0,
+                  allow_nan=False, allow_infinity=False,
+                  width=32),
+        min_size=8, max_size=8,
+    ).filter(lambda v: any(x != 0.0 for x in v)),
+    min_size=1, max_size=10,
+)
+
+
+@given(_vec_lists)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_jl_projection_matches_numpy(spark, vecs):
+    """Both jl engines equal the numpy signed-sum over the same
+    quantized lanes and the same md5-parity matrix, exactly (all
+    integers — no tolerance)."""
+    from candia_spark.operators.similarity import jl_project_int8, jl_sign
+
+    sdf = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        "vec_id bigint, embedding array<float>",
+    )
+    qs = {}
+    for i, v in enumerate(vecs):
+        x = np.array(v, dtype=np.float64)
+        n = np.linalg.norm(np.float32(v).astype(np.float64))
+        qs[i] = np.floor(np.float32(v).astype(np.float64) / n * 127)
+    S = np.array(
+        [[jl_sign("jl", i, j) for i in range(8)] for j in range(4)],
+        dtype=np.int64,
+    )
+    for engine in ("hof", "flat"):
+        got = {
+            r["vec_id"]: list(r["proj"])
+            for r in jl_project_int8(
+                sdf, in_dim=8, out_dim=4, engine=engine
+            ).collect()
+        }
+        for i in qs:
+            want = (S @ qs[i].astype(np.int64)).tolist()
+            assert got[i] == want, (engine, i, got[i], want)
+
+
+@given(_vec_lists)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_pq_encode_matches_numpy_argmin(spark, vecs):
+    """q116's assignment equals the numpy integer-L2 argmin (ties ->
+    smallest code) against the same first-k codebook."""
+    from candia_spark.operators.similarity import (
+        pq_codebook_first_k,
+        pq_encode,
+    )
+
+    sdf = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        "vec_id bigint, embedding array<float>",
+    )
+    m, K = 2, min(2, len(vecs))
+    cb = pq_codebook_first_k(sdf, m=m, codewords=K)
+    enc = {
+        (r["vec_id"], r["sub"]): r["code"]
+        for r in pq_encode(sdf, cb, m=m).collect()
+    }
+    q = {}
+    for i, v in enumerate(vecs):
+        n = np.linalg.norm(np.float32(v).astype(np.float64))
+        q[i] = np.floor(np.float32(v).astype(np.float64) / n * 127).astype(
+            np.int64
+        )
+    d_over_m = 8 // m
+    for i in q:
+        for s in range(m):
+            sv = q[i][s * d_over_m:(s + 1) * d_over_m]
+            dists = [
+                int(((q[c][s * d_over_m:(s + 1) * d_over_m] - sv) ** 2).sum())
+                for c in range(K)
+            ]
+            want = int(np.argmin(dists))  # first (smallest code) on ties
+            assert enc[(i, s)] == want, (i, s, dists, enc[(i, s)])
