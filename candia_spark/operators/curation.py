@@ -17,6 +17,8 @@ oracles in plans.queries certify q51-q53 end to end).
 
 from __future__ import annotations
 
+import re as _re
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -2079,6 +2081,124 @@ def gopher_rules(
     )
 
 
+def load_psl(
+    spark,
+    path: str | None = None,
+    lines: list[str] | None = None,
+    hosts: DataFrame | None = None,
+    host_col: str = "host",
+) -> DataFrame:
+    """Parse the real ``public_suffix_list.dat`` (publicsuffix.org —
+    public data) into the PRE-EXPANDED plain-suffix table
+    :func:`registered_domain_psl` demands: one ``suffix`` column plus
+    the ``section`` it came from ('icann' or 'private' — the private
+    section holds the 5+-label suffixes like
+    s3.dualstack.<region>.amazonaws.com that set the probe depth).
+
+    Format handling (the published PSL spec): ``//`` comment lines and
+    blanks are skipped; a rule is the first whitespace-delimited token
+    of its line, lowercased; ``===BEGIN ICANN/PRIVATE DOMAINS===``
+    markers switch the section tag.
+
+    Wildcard rules (``*.ck``: every single label under ck is a public
+    suffix) denote an OPEN set — they cannot be enumerated without
+    knowing which labels exist, so expansion is grounded on the
+    corpus's own hosts: pass ``hosts`` (any DataFrame with a
+    ``host_col``; typically ``url_host`` over the corpus, distinct —
+    census-sized, not corpus-sized) and each observed ``<label>.ck``
+    becomes a concrete suffix row (section of its wildcard rule). The
+    wildcard's base (``ck``) is also emitted: a bare-base host has no
+    registered domain, and hosts directly under an EXCEPTION
+    (``!www.ck``: www.ck is registrable despite the wildcard) then
+    longest-match the base, making www.ck their registered domain —
+    exactly the PSL algorithm's answer. Exception rules remove their
+    suffix from the expansion (and from plain rows, defensively). A
+    file with wildcard rules and no ``hosts`` raises loudly rather
+    than silently mis-domaining everything under them.
+
+    The file is parsed DRIVER-side (the PSL is a ~250 KB config
+    artifact, same stance as the YAML experiment config); only the
+    wildcard-grounding join is distributed: distinct hosts against a
+    broadcast base table — no corpus-sized shuffle.
+
+    Output: (suffix, section), distinct."""
+    if (path is None) == (lines is None):
+        raise ValueError("load_psl: pass exactly one of path / lines")
+    if lines is None:
+        with open(path, encoding="utf-8") as f:
+            lines = f.read().splitlines()
+    section = "icann"
+    plain: dict[str, str] = {}
+    wildcards: dict[str, str] = {}
+    exceptions: set[str] = set()
+    for raw in lines:
+        line = raw.strip()
+        if not line:
+            continue
+        if line.startswith("//"):
+            if "===BEGIN ICANN DOMAINS===" in line:
+                section = "icann"
+            elif "===BEGIN PRIVATE DOMAINS===" in line:
+                section = "private"
+            continue
+        rule = line.split()[0].lower()
+        if rule.startswith("!"):
+            exceptions.add(rule[1:])
+        elif rule.startswith("*."):
+            base = rule[2:]
+            if "*" in base:
+                raise ValueError(
+                    f"load_psl: unsupported nested wildcard rule {rule!r}"
+                )
+            wildcards.setdefault(base, section)
+        else:
+            plain.setdefault(rule, section)
+    rows = [
+        (s, sec) for s, sec in plain.items() if s not in exceptions
+    ]
+    # the wildcard base itself is a public suffix (no rule matches the
+    # bare base except the implicit '*', and emitting it is what routes
+    # exception-covered hosts to the right one-label-more domain)
+    rows.extend(
+        (b, sec) for b, sec in wildcards.items()
+        if b not in plain and b not in exceptions
+    )
+    out = spark.createDataFrame(rows, "suffix string, section string")
+    if wildcards:
+        if hosts is None:
+            raise ValueError(
+                f"load_psl: {len(wildcards)} wildcard rules "
+                f"({sorted(wildcards)[:3]}...) need the observed-host "
+                "census to ground their expansion — pass hosts="
+            )
+        bases = spark.createDataFrame(
+            list(wildcards.items()), "base string, section string"
+        )
+        h = hosts.select(
+            F.lower(F.col(host_col)).alias("__h")
+        ).where(F.col("__h").isNotNull()).distinct()
+        under = h.join(
+            F.broadcast(bases),
+            F.col("__h").endswith(F.concat(F.lit("."), F.col("base"))),
+        )
+        # the label DIRECTLY under the base: last label of the host
+        # with '.<base>' removed
+        stem = F.expr(
+            "substring(__h, 1, length(__h) - length(base) - 1)"
+        )
+        label = F.element_at(F.split(stem, r"\."), -1)
+        expanded = under.select(
+            F.concat(label, F.lit("."), F.col("base")).alias("suffix"),
+            "section",
+        )
+        if exceptions:
+            expanded = expanded.where(
+                ~F.col("suffix").isin(sorted(exceptions))
+            )
+        out = out.unionByName(expanded.distinct()).distinct()
+    return out
+
+
 def registered_domain_psl(
     df: DataFrame,
     psl: DataFrame,
@@ -2598,10 +2718,14 @@ def blocklist_filter(
     and RE2 agree on \\b only for ASCII; the padded-space device needs
     no such caveat and is exactly mirrorable in SQL).
 
+    Phrases pass through the SAME normalization as the text (so
+    'X-Rated' and 'x rated' are one phrase and both match a document
+    containing 'x.rated'); a phrase with no alphanumerics raises.
+
     Output: (id, n_hits, first_hit, blocked) — n_hits counts DISTINCT
-    blocklist phrases present (bigint), first_hit is the
-    lexicographically smallest matching phrase ('' when clean),
-    blocked the boolean verdict.
+    normalized blocklist phrases present (bigint), first_hit is the
+    lexicographically smallest matching NORMALIZED phrase ('' when
+    clean), blocked the boolean verdict.
 
     Scale: a pure per-row map — the normalize chain runs once per row
     (one projection; phrase tests share it), each phrase test is one
@@ -2611,9 +2735,21 @@ def blocklist_filter(
     bounded-list fast path."""
     if not phrases:
         raise ValueError("phrases must be a non-empty list")
-    norm = [" ".join(p.lower().split()) for p in sorted(set(phrases))]
-    if any(not p for p in norm):
-        raise ValueError("phrases must contain non-whitespace text")
+    # Phrases get the SAME normalization as the document text (lowercase,
+    # non-alphanumerics -> space, collapse, strip) — a punctuated phrase
+    # like 'x-rated' must match its normalized document form, and
+    # first_hit ordering is over the NORMALIZED forms (sort after
+    # normalizing, not before lowercasing).
+    norm_set = set()
+    for p in phrases:
+        n = " ".join(_re.sub(r"[^a-z0-9]+", " ", p.lower()).split())
+        if not n:
+            raise ValueError(
+                "phrases must contain alphanumerics after normalization; "
+                f"{p!r} normalizes to empty"
+            )
+        norm_set.add(n)
+    norm = sorted(norm_set)
     t = F.concat(
         F.lit(" "),
         F.trim(

@@ -302,6 +302,46 @@ def dhash64(
     return narrowed.mapInPandas(run, out_schema)
 
 
+def _phash_bands(sig: DataFrame, id_col: str, n_bands: int) -> DataFrame:
+    """Melt a :func:`dhash64` signature table to (id, band) probe rows.
+    ``n_bands=4``: the stored 16-bit bands (pigeonhole-complete to
+    Hamming 3). ``n_bands=8``: 8-bit bands derived in-plan from
+    h_hi/h_lo (complete to Hamming 7) — no signature-schema change, so
+    a persisted store serves either banding."""
+    if n_bands == 4:
+        cells = [
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.col(f"band{b}").alias("band_val"),
+            )
+            for b in range(4)
+        ]
+    elif n_bands == 8:
+        cells = [
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.shiftrightunsigned(
+                    F.col("h_hi") if b < 4 else F.col("h_lo"),
+                    8 * (b % 4),
+                ).bitwiseAND(F.lit(255)).alias("band_val"),
+            )
+            for b in range(8)
+        ]
+    else:
+        raise ValueError(f"n_bands must be 4 or 8, got {n_bands}")
+    return sig.select(
+        F.col(id_col),
+        F.explode(F.array(*cells)).alias("__b"),
+    ).select(
+        F.col(id_col),
+        F.concat_ws(
+            ":",
+            F.col("__b.band_idx").cast("string"),
+            F.col("__b.band_val").cast("string"),
+        ).alias("band"),
+    )
+
+
 def phash_near_dups(
     df: DataFrame,
     max_hamming: int = 6,
@@ -310,16 +350,25 @@ def phash_near_dups(
     signatures: DataFrame | None = None,
     max_band_df: int | None = None,
     max_band_frac: float | None = None,
+    n_bands: int = 4,
 ) -> DataFrame:
     """Perceptual-hash image near-duplicate pairs — :func:`dhash64`
     signatures banded into the q28 SimHash family's Hamming-band shape:
-    candidates are pairs sharing at least one exact 16-bit band (by
-    pigeonhole, every pair within Hamming distance 3 is GUARANTEED a
-    shared band; more distant pairs are found iff a band happens to
-    match — the standard banded-Hamming contract, and the oracle
-    recomputes the SAME banded candidate set, so recall is part of the
-    gate, the q27 stance), verified by exact Hamming distance
-    ``bit_count(xor(h_a, h_b))`` <= ``max_hamming``.
+    candidates are pairs sharing at least one exact band, verified by
+    exact Hamming distance ``bit_count(xor(h_a, h_b))`` <=
+    ``max_hamming``.
+
+    RECALL CONTRACT (read this next to ``max_hamming``): with the
+    default ``n_bands=4`` (16-bit bands), pigeonhole GUARANTEES a
+    shared band only up to Hamming distance 3 — pairs at distance
+    4..``max_hamming`` are found iff a band happens to match (the
+    standard banded-Hamming trade; the oracle recomputes the SAME
+    banded candidate set, so recall is part of the gate, the q27
+    stance). ``n_bands=8`` (8-bit bands, derived in-plan from
+    h_hi/h_lo — same signature store) is pigeonhole-complete to
+    distance 7, covering the default ``max_hamming=6`` exactly, at
+    2x probe rows and finer (higher-df) band values — measure both
+    at your corpus before choosing.
 
     Output: (id_a, id_b, hamming), id_a < id_b, one row per verified
     pair. Pass ``signatures`` (a persisted :func:`dhash64`) to skip
@@ -343,27 +392,7 @@ def phash_near_dups(
         if signatures is not None
         else dhash64(df, binary_col=binary_col, id_col=id_col)
     )
-    melted = sig.select(
-        F.col(id_col),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_idx"),
-                        F.col(f"band{b}").alias("band_val"),
-                    )
-                    for b in range(4)
-                ]
-            )
-        ).alias("__b"),
-    ).select(
-        F.col(id_col),
-        F.concat_ws(
-            ":",
-            F.col("__b.band_idx").cast("string"),
-            F.col("__b.band_val").cast("string"),
-        ).alias("band"),
-    )
+    melted = _phash_bands(sig, id_col, n_bands)
     melted, _ = _cap_hot_keys(
         melted, "band", id_col, max_band_df, max_band_frac
     )
@@ -409,6 +438,7 @@ def incremental_phash_dups(
     id_col: str = "doc_id",
     max_band_df: int | None = None,
     max_band_frac: float | None = None,
+    n_bands: int = 4,
 ) -> DataFrame:
     """Rolling-ingestion image near-dedup: the arriving batch's pHash
     pairs against (persisted corpus signatures ∪ the batch itself) —
@@ -425,6 +455,12 @@ def incremental_phash_dups(
     closes the rolling loop — signatures are pure per-row functions,
     so compaction is a plain append, no delta logic needed.
 
+    RECALL CONTRACT: identical to :func:`phash_near_dups` — the default
+    ``n_bands=4`` guarantees a banded candidate only to Hamming 3;
+    batch-involving pairs at distance 4..``max_hamming`` surface iff a
+    band matches; ``n_bands=8`` is complete to 7 (and must match the
+    banding the batch≡full-scan equivalence is judged against).
+
     Candidate mass tracks the BATCH: Σ over band values of
     df_store × df_batch — the same banded-birthday shape as the full
     scan with one side batch-sized; the two-cap knobs apply to the
@@ -440,32 +476,11 @@ def incremental_phash_dups(
         sig_batch
     )
 
-    def melt(sig: DataFrame) -> DataFrame:
-        return sig.select(
-            F.col(id_col),
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(b).alias("band_idx"),
-                            F.col(f"band{b}").alias("band_val"),
-                        )
-                        for b in range(4)
-                    ]
-                )
-            ).alias("__b"),
-        ).select(
-            F.col(id_col),
-            F.concat_ws(
-                ":",
-                F.col("__b.band_idx").cast("string"),
-                F.col("__b.band_val").cast("string"),
-            ).alias("band"),
-        )
-
-    left = melt(allsig)
+    left = _phash_bands(allsig, id_col, n_bands)
     left, _ = _cap_hot_keys(left, "band", id_col, max_band_df, max_band_frac)
-    right = melt(sig_batch).withColumnRenamed(id_col, "__bid")
+    right = _phash_bands(sig_batch, id_col, n_bands).withColumnRenamed(
+        id_col, "__bid"
+    )
     cands = (
         left.join(right, "band")
         .filter(F.col(id_col) != F.col("__bid"))

@@ -862,7 +862,9 @@ def mine_hard_negatives(
     are INTEGERS: ranking, tie-breaks (score desc, id asc), and the
     oracle gate are exact by construction — no rounding device.
 
-    Output: (query_id, neg_id, label, score, rank), rank 1..k.
+    Output: (query_id, neg_id, label, score, rank), rank 1..k; ``label``
+    keeps the corpus column's own type (labels are compared raw — both
+    sides untouched — so string/categorical labels rank correctly).
 
     Scale: queries (with labels) broadcast; the corpus streams through
     one codegen'd dot-product map — no corpus shuffle, no UDF. The
@@ -876,12 +878,15 @@ def mine_hard_negatives(
         queries.select(query_id_col, F.col(label_col).alias("__qlab")),
         query_id_col,
     )
+    # Labels are compared RAW on both sides — a one-sided cast (e.g.
+    # corpus to bigint, query untouched) would NULL out string/categorical
+    # corpus labels and the null-safe inequality below would then admit
+    # same-label positives as "negatives", silently corrupting the
+    # contrastive training set. Any equality-comparable label type works.
     c = quantize_int8(
         corpus.select(id_col, vec_col), vec_col, id_col, scale
     ).join(
-        corpus.select(
-            id_col, F.col(label_col).cast("bigint").alias("label")
-        ),
+        corpus.select(id_col, F.col(label_col).alias("label")),
         id_col,
     )
     scored = (
@@ -966,6 +971,151 @@ def pq_codebook_first_k(
         ).alias("__e"),
     )
     return subs.select(F.col("__e.sub").alias("sub"), "code", F.col("__e.cw").alias("cw"))
+
+
+def pq_codebook_kmeans(
+    corpus: DataFrame,
+    m: int = 8,
+    codewords: int = 16,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    scale: int = 127,
+    materialize: bool = True,
+) -> DataFrame:
+    """The REAL PQ codebook trainer: per-subspace Lloyd's k-means over
+    the int8-quantized subvectors — the production replacement for the
+    :func:`pq_codebook_first_k` stub (which exists so q116 can certify
+    the encode/ADC plumbing in isolation). m independent k-means run in
+    ONE plan: subvector rows carry their ``sub`` key, every centroid of
+    every subspace rides one broadcast array, and assignment filters the
+    array to the row's own subspace — no per-subspace jobs, no driver
+    loop over subspaces.
+
+    Determinism is the q57-certified clustering doctrine applied per
+    subspace: min-id seeding (codeword j of EVERY subspace seeds from
+    the j-th smallest-id vector), integer-exact distances via the
+    (sum, count) centroid form — d = SUM((n*v - s)^2) compared as
+    d/n^2 — with decimal(38,0) accumulation, argmin ties to the
+    smallest code, re-centering a (sub, code, pos) partial-aggregated
+    shuffle whose volume is O(partitions x m x K x d/m), independent of
+    corpus size. A codeword whose membership empties simply drops out
+    (the recenter join semantics, same as the flat family).
+
+    The returned codeword lanes are INTEGER: round-half-up of the mean
+    via the pure floor device ``floor((2s + n) / (2n))`` (exact in
+    double for |s| <= 127*n up to n ~ 2^45, far past any corpus), so
+    the downstream :func:`pq_encode` / :func:`pq_topk_adc` /
+    :func:`pq_topk_ivf` distances stay bigint-exact and the whole
+    train -> encode -> search chain is oracle-recomputable (q122).
+
+    Output: (sub, code, cw array<bigint>) — broadcast material,
+    drop-in for the ``codebook`` parameter of the PQ family."""
+    if m <= 0 or codewords <= 0 or iters <= 0:
+        raise ValueError(
+            f"m, codewords, iters must be positive, got {m}/{codewords}/{iters}"
+        )
+    from candia_spark.operators.dedup import _materialize
+
+    q = quantize_int8(corpus.select(id_col, vec_col), vec_col, id_col, scale)
+    d_over_m = F.floor(F.size("qvec") / F.lit(m)).cast("int")
+    subs = q.select(
+        F.col(id_col).alias("__vid"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda s: F.struct(
+                    s.cast("bigint").alias("sub"),
+                    F.slice("qvec", s * d_over_m + 1, d_over_m).alias("sv"),
+                ),
+            )
+        ).alias("__e"),
+    ).select(
+        "__vid", F.col("__e.sub").alias("sub"), F.col("__e.sv").alias("sv")
+    )
+    if materialize:
+        # cut the quantize+explode once: the iters assignment passes and
+        # iters recenters then read stored 16-byte-ish integer rows
+        # instead of re-deriving the transform from the parquet scan.
+        subs = _materialize(subs)
+    # seeds: codeword j (every subspace) = subvector of the j-th
+    # smallest-id vector. orderBy+limit is TakeOrderedAndProject; the
+    # rank window below runs on the K-row frame only.
+    first_ids = corpus.select(id_col).orderBy(F.col(id_col).asc()).limit(
+        codewords
+    )
+    codes = first_ids.select(
+        F.col(id_col).alias("__vid"),
+        (F.row_number().over(Window.orderBy(F.col(id_col).asc())) - 1)
+        .cast("bigint")
+        .alias("code"),
+    )
+    cent = subs.join(F.broadcast(codes), "__vid").select(
+        "sub", "code", F.col("sv").alias("csum"),
+        F.lit(1).cast("bigint").alias("n"),
+    )
+    for _ in range(iters):
+        # all m*K centroids in ONE broadcast row; assignment is a map
+        carr = cent.agg(
+            F.collect_list(F.struct("sub", "code", "csum", "n")).alias("cs")
+        )
+        joined = subs.crossJoin(F.broadcast(carr))
+        mine = F.filter(F.col("cs"), lambda c: c["sub"] == F.col("sub"))
+
+        def _key(c):
+            # the q57 decimal-exact distance form: per-term bigint is
+            # exact (|v| <= 127 bounds n*v - s by 255n), the sum runs in
+            # decimal(38,0), the comparable key divides by n^2 in double
+            d = F.aggregate(
+                F.zip_with(
+                    F.col("sv"),
+                    c["csum"],
+                    lambda x, s: (c["n"] * x - s).cast("decimal(18,0)")
+                    * (c["n"] * x - s).cast("decimal(18,0)"),
+                ),
+                F.lit(0).cast("decimal(38,0)"),
+                lambda acc, v: acc + v,
+            )
+            key = d.cast("double") / (c["n"] * c["n"]).cast("double")
+            return F.struct(key.alias("k"), c["code"].alias("code"))
+
+        best = F.array_min(F.transform(mine, _key))
+        assign = joined.select(
+            "__vid", "sub", "sv", best["code"].alias("code")
+        )
+        long_form = assign.select(
+            "sub", "code", F.posexplode("sv").alias("pos", "v")
+        )
+        sums = long_form.groupBy("sub", "code", "pos").agg(
+            F.sum("v").alias("s"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+        cent = sums.groupBy("sub", "code").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "s"))),
+                lambda t: t["s"],
+            ).alias("csum"),
+            F.max("n").alias("n"),
+        )
+        if materialize:
+            # m*K x d/m integers — checkpointing is free and caps the
+            # loop at one subs pass per iteration
+            cent = _materialize(cent)
+    return cent.select(
+        "sub",
+        "code",
+        F.transform(
+            "csum",
+            # round-half-up mean, pure floor device — integer output so
+            # downstream ADC distances stay bigint-exact; the double
+            # division is exact (numerator <= 255n + n < 2^53 and the
+            # true quotient sits >= 1/(2n) from any integer)
+            lambda s: F.floor(
+                (2 * s + F.col("n")).cast("double")
+                / (2 * F.col("n")).cast("double")
+            ).cast("bigint"),
+        ).alias("cw"),
+    )
 
 
 def _l2_int(a, b):

@@ -572,18 +572,20 @@ def q14_cv_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q15_count_distinct_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct-count per key + deterministic top-k (parity: distinct rt per
-    file + longest-sample pick, msproc.py:692-706)."""
+    file + longest-sample pick, msproc.py:692-706).
+
+    Top-k device: orderBy + limit compiles to TakeOrderedAndProject —
+    each partition keeps its own k rows and the driver merges k*P, so
+    the distinct-user census never shuffles to one task (the r13-flagged
+    unpartitioned-row_number plan did exactly that)."""
     e = _t(spark, sf_dir, "events")
     per_user = e.groupBy("user_id").agg(
         F.countDistinct("event_type").cast("bigint").alias("n_types"),
         F.count(F.lit(1)).alias("n_events"),
     )
-    w = Window.orderBy(F.col("n_events").desc(), F.col("user_id").asc())
-    return (
-        per_user.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= 5)
-        .drop("__rn")
-    )
+    return per_user.orderBy(
+        F.col("n_events").desc(), F.col("user_id").asc()
+    ).limit(5)
 
 
 # ===========================================================================
@@ -1796,15 +1798,15 @@ def q39_nearest_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q40_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-k heavy hitters (most frequent keys) with deterministic
     tie-break — the contamination/over-duplication detector of a training
-    corpus. Count shuffle is partial-aggregated; the final top-k sorts
-    only the distinct-key counts, never rows."""
+    corpus. Count shuffle is partial-aggregated; the final top-k is
+    orderBy + limit (TakeOrderedAndProject: per-partition top-k, k*P
+    driver merge — the distinct-key census never moves to one task),
+    and only the bounded k-row frame is ranked for the rk column."""
     l = _t(spark, sf_dir, "lineitem")
     counts = l.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n"))
+    topk = counts.orderBy(F.col("n").desc(), F.col("l_partkey").asc()).limit(10)
     w = Window.orderBy(F.col("n").desc(), F.col("l_partkey").asc())
-    return (
-        counts.withColumn("rk", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rk") <= 10)
-    )
+    return topk.withColumn("rk", F.row_number().over(w).cast("bigint"))
 
 
 # ===========================================================================
@@ -6473,7 +6475,7 @@ _INT8_NRM_SQL = """
                     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nv
         FROM embeddings),
     qz AS MATERIALIZED (
-        SELECT vec_id, CAST(label AS BIGINT) AS label,
+        SELECT vec_id, label,
                list_transform(embedding,
                x -> CAST(floor(CAST(x AS DOUBLE) / nv * 127) AS BIGINT))
                    AS qv
@@ -6492,7 +6494,10 @@ _INT8_NRM_SQL = """
         SELECT q.vec_id AS query_id, c.vec_id AS neg_id, c.label,
                CAST(SUM(q.qv[i] * c.qv[i]) AS BIGINT) AS score
         FROM qz q, qz c, UNNEST(generate_series(1, len(q.qv))) AS u(i)
-        WHERE q.vec_id % 53 = 0 AND c.label <> q.label
+        -- IS DISTINCT FROM mirrors the operator's null-safe inequality:
+        -- a NULL-label corpus row IS a negative for every labeled query
+        -- (a bare <> would drop it), two NULLs are the same class.
+        WHERE q.vec_id % 53 = 0 AND c.label IS DISTINCT FROM q.label
         GROUP BY q.vec_id, c.vec_id, c.label)
     SELECT query_id, neg_id, label, score, CAST(rnk AS BIGINT) AS rank
     FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
@@ -7047,7 +7052,10 @@ def q120_web_curate_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     # hit is position(' p ') > 0 — no \b metachar (only ASCII-safe in
     # the Java/RE2 common subset), no alternation regex. Blocklist:
     # one single word ('slow' — must NOT fire inside 'slowly'), one
-    # phrase that must match across punctuation, one absent word.
+    # PUNCTUATED phrase ('Merge-Batch!' — the r13 ADVICE gap: phrases
+    # must normalize by the SAME rule as the text, and this one has
+    # real corpus hits so the gate fails if they don't), one absent
+    # word. The oracle tests the hand-normalized forms.
     oracle="""
     WITH n AS MATERIALIZED (
         SELECT doc_id,
@@ -7057,7 +7065,7 @@ def q120_web_curate_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents),
     h AS (
         SELECT doc_id,
-               CASE WHEN position(' merge conflict ' IN t) > 0
+               CASE WHEN position(' merge batch ' IN t) > 0
                     THEN 1 ELSE 0 END AS h0,
                CASE WHEN position(' nosuchword ' IN t) > 0
                     THEN 1 ELSE 0 END AS h1,
@@ -7066,7 +7074,7 @@ def q120_web_curate_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM n)
     SELECT doc_id,
            CAST(h0 + h1 + h2 AS BIGINT) AS n_hits,
-           CASE WHEN h0 = 1 THEN 'merge conflict'
+           CASE WHEN h0 = 1 THEN 'merge batch'
                 WHEN h1 = 1 THEN 'nosuchword'
                 WHEN h2 = 1 THEN 'slow' ELSE '' END AS first_hit,
            (h0 + h1 + h2) > 0 AS blocked
@@ -7080,18 +7088,146 @@ def q121_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style blocklist gate (operators.curation.blocklist_filter):
     flag documents containing any blocklist phrase as a word-bounded,
     case/punctuation-insensitive match via the padded-space device —
-    'slow' does not fire inside 'slowly', and the two-word phrase
-    matches across punctuation. One normalize projection shared by
-    every phrase test; pure map, zero exchanges. The oracle mirrors
-    normalize + position tests phrase for phrase."""
+    'slow' does not fire inside 'slowly', and the punctuated phrase
+    'Merge-Batch!' matches through the SAME normalization the text
+    gets (-> 'merge batch', with real corpus hits). One normalize
+    projection shared by every phrase test; pure map, zero exchanges.
+    The oracle mirrors normalize + position tests phrase for phrase
+    on the hand-normalized forms."""
     from candia_spark.operators.curation import blocklist_filter
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     # trim in the oracle == collapse-then-pad here: both yield single
     # interior spaces with exactly one sentinel space at each end
     return blocklist_filter(
-        docs, ["merge conflict", "slow", "nosuchword"]
+        docs, ["Merge-Batch!", "slow", "nosuchword"]
     )
+
+
+def _q122_oracle(
+    m: int = 8, codewords: int = 16, iters: int = 2, stride: int = 61,
+    k: int = 5, dsub: int = 8,
+) -> str:
+    """DuckDB replay of the FULL train -> encode -> ADC-search chain:
+    per-subspace Lloyd's trajectory (the q57 unrolled-CTE device with
+    ``sub`` as an extra grouping key everywhere), round-half-up integer
+    codebook via the same pure floor device as the Spark side, then the
+    q116 encode + LUT + ADC replay against the TRAINED codebook."""
+    parts = [
+        _INT8_NRM_SQL,
+        f"""
+    lanes AS MATERIALIZED (
+        SELECT vec_id,
+               CAST(floor((i - 1) / {dsub}) AS BIGINT) AS sub,
+               CAST((i - 1) % {dsub} AS BIGINT) AS pos,
+               qv[i] AS v
+        FROM qz, UNNEST(generate_series(1, len(qv))) AS u(i)),
+    ids AS (
+        SELECT vec_id,
+               CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS code
+        FROM (SELECT vec_id FROM embeddings ORDER BY vec_id
+              LIMIT {codewords}) t),
+    cent0 AS (
+        SELECT l.sub, ids.code, l.pos, l.v AS s, CAST(1 AS BIGINT) AS n
+        FROM lanes l JOIN ids USING (vec_id))""",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""
+    dist{i} AS (
+        -- d stays HUGEINT (exact SUM) mirroring the Spark decimal(38,0)
+        -- accumulator; both engines round the SAME exact integer ratio
+        SELECT l.vec_id, l.sub, c.code,
+               SUM((c.n * l.v - c.s) * (c.n * l.v - c.s)) AS d,
+               MAX(c.n) AS n
+        FROM lanes l JOIN cent{i - 1} c ON c.sub = l.sub AND c.pos = l.pos
+        GROUP BY 1, 2, 3),
+    assign{i} AS (
+        SELECT vec_id, sub, code FROM (
+            SELECT vec_id, sub, code,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                       ORDER BY CAST(d AS DOUBLE) / CAST(n * n AS DOUBLE)
+                                    ASC,
+                                code ASC) AS rn
+            FROM dist{i}) t
+        WHERE rn = 1),
+    cent{i} AS MATERIALIZED (
+        SELECT a.sub, a.code, l.pos, CAST(SUM(l.v) AS BIGINT) AS s,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM assign{i} a
+        JOIN lanes l ON l.vec_id = a.vec_id AND l.sub = a.sub
+        GROUP BY 1, 2, 3)""",
+        )
+    parts.append(
+        f"""
+    cb AS MATERIALIZED (
+        -- round-half-up mean: the identical pure floor((2s+n)/(2n))
+        -- device the trainer applies, so codeword lanes are integers
+        SELECT sub, code,
+               list(CAST(floor(CAST(2 * s + n AS DOUBLE)
+                                   / CAST(2 * n AS DOUBLE)) AS BIGINT)
+                    ORDER BY pos) AS cw
+        FROM cent{iters} GROUP BY sub, code),
+    subsq AS (
+        SELECT vec_id, CAST(s AS BIGINT) AS sub,
+               list_slice(qv, s * {dsub} + 1, (s + 1) * {dsub}) AS sv
+        FROM qz, UNNEST(generate_series(0, {m - 1})) AS g(s)),
+    dists AS (
+        SELECT v.vec_id, v.sub, c.code,
+               CAST(SUM((v.sv[i] - c.cw[i]) * (v.sv[i] - c.cw[i]))
+                    AS BIGINT) AS d
+        FROM subsq v JOIN cb c ON v.sub = c.sub,
+             UNNEST(generate_series(1, {dsub})) AS u(i)
+        GROUP BY 1, 2, 3),
+    enc AS MATERIALIZED (
+        SELECT vec_id, sub, MIN({{'d': d, 'code': code}}).code AS code
+        FROM dists GROUP BY vec_id, sub),
+    lut AS MATERIALIZED (
+        SELECT vec_id AS query_id, sub, code, d
+        FROM dists WHERE vec_id % {stride} = 0),
+    scored AS (
+        SELECT l.query_id, e.vec_id, CAST(SUM(l.d) AS BIGINT) AS dist
+        FROM enc e JOIN lut l ON l.sub = e.sub AND l.code = e.code
+        GROUP BY 1, 2)
+    SELECT query_id, vec_id, dist, CAST(rnk AS BIGINT) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY dist ASC, vec_id ASC) AS rnk FROM scored)
+    WHERE rnk <= {k}""",
+    )
+    return "WITH " + ",".join(parts)
+
+
+@register(
+    "q122_pq_kmeans_chain",
+    oracle=_q122_oracle(),
+    survey_ref="k-means-trained PQ codebook chain (Jégou et al. 2011 "
+    "IVFADC's real trainer replacing the q116 first-k stub; north "
+    "star: train once on a sample, encode/search the full corpus)",
+)
+def q122_pq_kmeans_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION PQ chain certified end to end: per-subspace
+    Lloyd's k-means trains the codebook (operators.similarity
+    .pq_codebook_kmeans — the q57 integer-exact trajectory doctrine per
+    subspace, min-id seeding, decimal-exact distances, round-half-up
+    integer codewords), which feeds pq_encode + pq_topk_adc unchanged.
+    Replaces q116's first-k-by-id codebook stub as the trained path —
+    q116 stays as the plumbing-isolation gate. Every distance in train,
+    encode, and search is integer-derived, so the full trajectory — not
+    just the final ranks — hash-gates against the unrolled-CTE oracle.
+    Train: m broadcast-centroid map passes + m*K-row recenters in one
+    plan; encode: one keyed shuffle of N*m integer rows; search: codes
+    join a broadcast LUT. Nothing corpus-sized shuffles after encode."""
+    from candia_spark.operators.similarity import (
+        pq_codebook_kmeans,
+        pq_topk_adc,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cb = pq_codebook_kmeans(emb, m=8, codewords=16, iters=2)
+    qs = emb.filter(F.col("vec_id") % 61 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return pq_topk_adc(emb, qs, k=5, codebook=cb)
 
 
 # --- Driver certification window (verdict r5 #2) -------------------------

@@ -214,7 +214,9 @@ def write_documents_orc(
 WET_REQUIRED_HEADER = "WARC-Type"
 
 
-def read_wet_records(spark: SparkSession, path: str) -> DataFrame:
+def read_wet_records(
+    spark: SparkSession, path: str, keep_raw: bool = False
+) -> DataFrame:
     """Read WARC/WET conversion records (the Common Crawl plain-text
     interchange: 'WARC/1.0' + header lines + blank line + extracted-text
     payload, records back to back) — the upstream of every web-scale
@@ -226,8 +228,9 @@ def read_wet_records(spark: SparkSession, path: str) -> DataFrame:
     file like any text source. Header fields come out via regexp; the
     payload is everything after the first blank line. Rows that carry
     no WARC-Type header (file preamble, truncated tails) are routed to
-    ``_malformed`` = true with their raw block retained — the mzML F4
-    malformed-input stance, never a dropped byte on a 100 TB crawl.
+    ``_malformed`` = true (pass ``keep_raw`` to also retain their raw
+    block in a ``_raw`` column) — the mzML F4 malformed-input stance,
+    never a dropped byte on a 100 TB crawl.
     (Caveat of the token split: a payload LINE equal to 'WARC/1.0'
     splits its record early; the orphan tail then has no WARC-Type and
     lands in the _malformed route instead of silently corrupting a
@@ -235,15 +238,57 @@ def read_wet_records(spark: SparkSession, path: str) -> DataFrame:
     version lines.)
 
     Output: (record_id, target_uri, warc_date, content_length bigint,
-    text, _malformed boolean)."""
+    text, _malformed boolean); with ``keep_raw`` a ``_raw`` column is
+    added holding the malformed blocks' original bytes (NULL on clean
+    rows) so :func:`write_wet_records`'s ``preserve_malformed`` mode can
+    carry them through a rewrite.
+
+    Payload trimming is EXACTLY the fixed record terminator — one
+    ``\\r\\n`` followed by either the WARC spec's second ``\\r\\n`` or
+    the text datasource's ``\\n`` — never an unbounded trailing-newline
+    run, so a payload that genuinely ends in newline(s) keeps them and
+    the round-trip stays byte-exact (Content-Length included)."""
     raw = spark.read.option("lineSep", "WARC/1.0").text(path)
+    return _wet_project(raw, keep_raw)
+
+
+def read_wet_records_stream(
+    spark: SparkSession,
+    path: str,
+    keep_raw: bool = False,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """The STREAMING twin of :func:`read_wet_records`: a file-stream
+    text source over a landing directory of WET files (new files picked
+    up per micro-batch — the Common Crawl firehose shape) projected
+    through the IDENTICAL expression set (shared ``_wet_project``), so
+    batch ≡ stream holds by construction, malformed routing included.
+    Stateless projection: safe under any trigger, no watermark.
+    ``max_files_per_trigger`` bounds micro-batch size (and lets tests
+    force multi-batch arrivals)."""
+    reader = spark.readStream.option("lineSep", "WARC/1.0")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", int(max_files_per_trigger))
+    return _wet_project(reader.text(path), keep_raw)
+
+
+def _wet_project(raw: DataFrame, keep_raw: bool) -> DataFrame:
+    """The one WET record projection (header regexps, fixed-terminator
+    payload trim, malformed routing) shared verbatim by the batch and
+    stream readers."""
     block = F.col("value")
     # payload = after the first blank line (\r\n\r\n or \n\n); headers
     # before it. regexp_extract with (?s) spans newlines.
     headers = F.regexp_extract(block, r"(?s)^(.*?)\r?\n\r?\n", 1)
+    # trim ONLY the fixed terminator: the record's closing \r\n plus
+    # either the spec's second \r\n (real WET files) or the text
+    # datasource's appended \n (files written by write_wet_records).
+    # \z (absolute end), not $: Java's $ also matches BEFORE a final
+    # line terminator, which would let the pattern consume a genuine
+    # payload \r\n one position early.
     payload = F.regexp_replace(
         F.regexp_extract(block, r"(?s)\r?\n\r?\n(.*)$", 1),
-        r"\r?\n+$",
+        r"\r\n(\r\n|\n)?\z",
         "",
     )
 
@@ -253,7 +298,7 @@ def read_wet_records(spark: SparkSession, path: str) -> DataFrame:
         )
 
     ok = hdr(WET_REQUIRED_HEADER) != ""
-    return raw.filter(F.trim(block) != "").select(
+    cols = [
         hdr("WARC-Record-ID").alias("record_id"),
         hdr("WARC-Target-URI").alias("target_uri"),
         hdr("WARC-Date").alias("warc_date"),
@@ -262,15 +307,35 @@ def read_wet_records(spark: SparkSession, path: str) -> DataFrame:
         ),
         F.when(ok, payload).otherwise(F.lit("")).alias("text"),
         (~ok).alias("_malformed"),
-    )
+    ]
+    if keep_raw:
+        cols.append(
+            F.when(~ok, block).otherwise(F.lit(None).cast("string")).alias(
+                "_raw"
+            )
+        )
+    return raw.filter(F.trim(block) != "").select(*cols)
 
 
-def write_wet_records(df: DataFrame, path: str) -> None:
+def write_wet_records(
+    df: DataFrame, path: str, preserve_malformed: bool = False
+) -> None:
     """Write (record_id, target_uri, warc_date, text) rows as WET
     conversion records. Distributed text writer — each row renders its
     full record (headers + blank line + payload); Content-Length is the
     payload's byte length, computed in-plan. Round-trips through
-    :func:`read_wet_records` (pytest-pinned)."""
+    :func:`read_wet_records` (pytest-pinned).
+
+    With ``preserve_malformed`` the frame must carry the
+    ``_malformed``/``_raw`` columns from ``read_wet_records(...,
+    keep_raw=True)``: malformed blocks are re-emitted as
+    ``WARC/1.0 + _raw`` (re-attaching the separator token the lineSep
+    split consumed) so a 100 TB crawl migration carries every byte
+    through — the blocks stay on the ``_malformed`` route on re-read.
+    Caveat: junk BEFORE a file's first record (a preamble, which never
+    had the token) gains the ``WARC/1.0`` prefix on rewrite; its bytes
+    and its malformed routing are preserved, its file position is not
+    distinguishable post-split."""
     rec = F.concat(
         F.lit("WARC/1.0\r\nWARC-Type: conversion\r\nWARC-Record-ID: "),
         F.col("record_id"),
@@ -284,4 +349,21 @@ def write_wet_records(df: DataFrame, path: str) -> None:
         F.col("text"),
         F.lit("\r\n"),
     )
+    if preserve_malformed:
+        missing = {"_malformed", "_raw"} - set(df.columns)
+        if missing:
+            raise ValueError(
+                "preserve_malformed requires read_wet_records(..., "
+                f"keep_raw=True) columns; missing {sorted(missing)}"
+            )
+        # strip the one trailing \n the text datasource appended at the
+        # original write (the block kept it through the lineSep split);
+        # the datasource will re-append it on this write.
+        rec = F.when(
+            F.col("_malformed"),
+            F.concat(
+                F.lit("WARC/1.0"),
+                F.regexp_replace(F.col("_raw"), r"\n$", ""),
+            ),
+        ).otherwise(rec)
     df.select(rec.alias("value")).write.mode("overwrite").text(path)

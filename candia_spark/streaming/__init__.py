@@ -775,3 +775,123 @@ def extract_stream(
         .start()
     )
     q.awaitTermination()
+
+
+def write_wet_ingest_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    out_path: str,
+    *,
+    quality_weights: DataFrame,
+    langid_weights: DataFrame,
+    threshold: tuple[int, int] = (0, 1),
+    ngram: int = 1,
+    buckets: int | None = None,
+    fallback: str = "und",
+) -> None:
+    """Idempotent per-micro-batch sink for :func:`wet_ingest_stream`:
+    the batch's WET records — already projected by the shared
+    ``_wet_project`` expressions — are gated by the FROZEN quality and
+    language-ID models and land under ``_batch_id=<batch_id>`` via
+    dynamic partition overwrite (the exactly-once discipline shared by
+    every gate sink in this module). Malformed records are CARRIED, not
+    dropped (the mzML F4 stance): they keep their row with NULL
+    verdicts and ``_malformed`` = true, so a 100 TB crawl ingest loses
+    no byte and the malformed rate is auditable per batch.
+
+    Output columns: (record_id, target_uri, warc_date, content_length,
+    _malformed, n_tokens, score_w, keep, predicted_label, best_score,
+    _batch_id)."""
+    from candia_spark.operators.curation import (
+        multiclass_classifier_predict,
+        quality_classifier_score,
+    )
+
+    meta_cols = [
+        "record_id", "target_uri", "warc_date", "content_length",
+        "_malformed",
+    ]
+    clean = batch_df.filter(~F.col("_malformed"))
+    q = quality_classifier_score(
+        clean, quality_weights, threshold=threshold,
+        text_col="text", id_col="record_id", ngram=ngram, buckets=buckets,
+    )
+    lang = multiclass_classifier_predict(
+        clean, langid_weights, text_col="text", id_col="record_id",
+        ngram=ngram, buckets=buckets, fallback=fallback,
+    )
+    gated = (
+        clean.select(*meta_cols)
+        .join(q, "record_id")
+        .join(lang, "record_id")
+    )
+    mal = batch_df.filter(F.col("_malformed")).select(
+        *meta_cols,
+        F.lit(None).cast("bigint").alias("n_tokens"),
+        F.lit(None).cast("bigint").alias("score_w"),
+        F.lit(None).cast("bigint").alias("keep"),
+        F.lit(None).cast("string").alias("predicted_label"),
+        F.lit(None).cast("bigint").alias("best_score"),
+    )
+    out = gated.unionByName(mal)
+    (
+        out.withColumn("_batch_id", F.lit(int(batch_id)))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("_batch_id")
+        .parquet(out_path)
+    )
+
+
+def wet_ingest_stream(
+    spark,
+    wet_path: str,
+    out_path: str,
+    checkpoint_dir: str,
+    *,
+    quality_weights: DataFrame,
+    langid_weights: DataFrame,
+    threshold: tuple[int, int] = (0, 1),
+    ngram: int = 1,
+    buckets: int | None = None,
+    fallback: str = "und",
+    max_files_per_trigger: int | None = None,
+) -> None:
+    """The crawl-firehose end-to-end: a landing directory of WARC/WET
+    files becomes a file-stream source
+    (:func:`candia_spark.sources.adapters.read_wet_records_stream` —
+    the JVM-only lineSep record split, batch-identical projection),
+    and every arriving micro-batch flows through the frozen quality +
+    language-ID gates into the ``_batch_id`` exactly-once sink, with
+    malformed records routed alongside, never dropped.
+
+    Everything per-record is a pure function of the record plus the
+    broadcast-sized frozen models — no batch-dependent statistic — so
+    the union of per-trigger outputs equals one batch run over the
+    concatenated files row-for-row (pinned in tests/test_streaming.py,
+    including replay absorption and malformed routing).
+
+    ``availableNow`` drains pending files then stops (the backfill
+    trigger); swap for a processing-time trigger on a live crawl."""
+    from candia_spark.sources.adapters import read_wet_records_stream
+
+    stream = read_wet_records_stream(
+        spark, wet_path, max_files_per_trigger=max_files_per_trigger
+    )
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        write_wet_ingest_batch(
+            batch_df, batch_id, out_path,
+            quality_weights=quality_weights,
+            langid_weights=langid_weights,
+            threshold=threshold, ngram=ngram, buckets=buckets,
+            fallback=fallback,
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

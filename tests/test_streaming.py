@@ -878,3 +878,96 @@ def test_extract_stream_matches_batch_and_absorbs_replay(spark, tmp_path):
     again = sorted(map(tuple, spark.read.parquet(out_path)
                    .drop("_batch_id").collect()))
     assert again == batch
+
+
+def test_wet_ingest_stream_matches_batch_and_routes_malformed(
+    spark, tmp_path
+):
+    """r14: the crawl-firehose end-to-end — WET file-stream source
+    (shared _wet_project expressions) through frozen quality + langid
+    gates into the _batch_id exactly-once sink. Stream over two files
+    (one per micro-batch) == one batch run over both; the headerless
+    block rides along with NULL verdicts; a replay of file 0 under its
+    own batch id is absorbed."""
+    from candia_spark.operators.curation import (
+        multiclass_classifier_weights,
+        quality_classifier_weights,
+    )
+    from candia_spark.sources.adapters import read_wet_records
+    from candia_spark.streaming import (
+        wet_ingest_stream,
+        write_wet_ingest_batch,
+    )
+
+    def rec(rid, text):
+        return (
+            "WARC/1.0\r\nWARC-Type: conversion\r\n"
+            f"WARC-Record-ID: <urn:uuid:{rid}>\r\n"
+            f"WARC-Target-URI: http://h/{rid}\r\n"
+            "WARC-Date: 2020-01-01T00:00:00Z\r\n"
+            f"Content-Length: {len(text.encode())}\r\n\r\n{text}\r\n"
+        )
+
+    in_dir = tmp_path / "wet_landing"
+    in_dir.mkdir()
+    (in_dir / "a.wet").write_text(
+        rec("a1", "good fine the of and")
+        + rec("a2", "bad bad der und das")
+        + "WARC/1.0\r\nheaderless junk block\r\n"
+    )
+    (in_dir / "b.wet").write_text(rec("b1", "good der und das good"))
+
+    pos = spark.createDataFrame(
+        [(1, "good good fine")], "doc_id bigint, text string"
+    )
+    neg = spark.createDataFrame(
+        [(2, "bad bad good")], "doc_id bigint, text string"
+    )
+    qw = quality_classifier_weights(pos, neg)
+    lw = multiclass_classifier_weights(
+        spark.createDataFrame(
+            [("en", "the of and good fine"), ("de", "der und das bad")],
+            "label string, text string",
+        )
+    )
+    out_path = str(tmp_path / "wet_out")
+    wet_ingest_stream(
+        spark, str(in_dir), out_path, str(tmp_path / "wet_ckpt"),
+        quality_weights=qw, langid_weights=lw, threshold=(1, 2),
+        max_files_per_trigger=1,
+    )
+    out = spark.read.parquet(out_path)
+    assert out.select("_batch_id").distinct().count() == 2  # one per file
+    streamed = sorted(map(tuple, out.drop("_batch_id").collect()))
+
+    # batch equivalence: the batch WET reader over the same directory
+    # through ONE sink invocation
+    batch_in = read_wet_records(spark, str(in_dir / "*.wet"))
+    ref_path = str(tmp_path / "wet_ref")
+    write_wet_ingest_batch(
+        batch_in, 0, ref_path, quality_weights=qw, langid_weights=lw,
+        threshold=(1, 2),
+    )
+    batch = sorted(map(tuple, spark.read.parquet(ref_path)
+                       .drop("_batch_id").collect()))
+    assert streamed == batch
+
+    rows = {r["record_id"]: r for r in out.collect()}
+    mal = [r for r in out.collect() if r["_malformed"]]
+    assert len(mal) == 1 and mal[0]["n_tokens"] is None
+    assert mal[0]["predicted_label"] is None
+    assert rows["<urn:uuid:a1>"]["predicted_label"] == "en"
+    assert rows["<urn:uuid:a2>"]["predicted_label"] == "de"
+    assert rows["<urn:uuid:b1>"]["keep"] in (0, 1)
+
+    # replay absorption: re-deliver file a's projected rows under their
+    # original batch id — row set unchanged
+    bid = rows["<urn:uuid:a1>"]["_batch_id"]
+    replay = read_wet_records(spark, str(in_dir / "a.wet"))
+    write_wet_ingest_batch(
+        replay, bid, out_path, quality_weights=qw, langid_weights=lw,
+        threshold=(1, 2),
+    )
+    again = sorted(map(tuple, spark.read.parquet(out_path)
+                       .drop("_batch_id").collect()))
+    assert again == streamed
