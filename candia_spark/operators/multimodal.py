@@ -366,9 +366,13 @@ def phash_near_dups(
     banded candidate set, so recall is part of the gate, the q27
     stance). ``n_bands=8`` (8-bit bands, derived in-plan from
     h_hi/h_lo — same signature store) is pigeonhole-complete to
-    distance 7, covering the default ``max_hamming=6`` exactly, at
-    2x probe rows and finer (higher-df) band values — measure both
-    at your corpus before choosing.
+    distance 7, covering the default ``max_hamming=6`` exactly — but
+    8-bit bands have only 256 distinct values per band, so on a
+    diverse corpus the banded self-join mass grows ~N^2/256 per band:
+    measured 2.1x wall at 20k docs, 11x at 50k, 59x at 100k vs 4-band
+    (SCALING_r14 phash8). Use it for recall-critical BOUNDED batches
+    (the incremental twin's batch side) or under the two-cap knobs;
+    4-band stays the corpus-scale default.
 
     Output: (id_a, id_b, hamming), id_a < id_b, one row per verified
     pair. Pass ``signatures`` (a persisted :func:`dhash64`) to skip

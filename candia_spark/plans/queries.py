@@ -7230,6 +7230,127 @@ def q122_pq_kmeans_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk_adc(emb, qs, k=5, codebook=cb)
 
 
+# The pinned PSL snippet the q123 chain loads: one rule of every class
+# the real public_suffix_list.dat contains (plain, wildcard, exception,
+# section marker, deep private suffix). The ORACLE's suffix VALUES list
+# is the HAND-derived expansion of these rules over the planted hosts —
+# independent of load_psl, so the loader's wildcard/exception semantics
+# are part of the gate.
+_Q123_PSL_LINES = [
+    "// ===BEGIN ICANN DOMAINS===",
+    "com",
+    "uk",
+    "co.uk",
+    "*.ck",
+    "!www.ck",
+    "// ===BEGIN PRIVATE DOMAINS===",
+    "s3.dualstack.eu-west-1.amazonaws.com",
+]
+
+
+@register(
+    "q123_psl_registered_domain",
+    # hand-expanded suffix table: plain rules verbatim; wildcard *.ck
+    # grounds to 'that.ck' (the only observed label under ck besides
+    # the EXCEPTION-removed 'www'); the wildcard base 'ck' is emitted
+    # so u*.www.ck longest-match 'ck' and register 'www.ck' — the PSL
+    # algorithm's answer for exception rules. Longest match in SQL via
+    # an endswith join + max-label-count argmax; registered domain =
+    # one label more than the match; whole-host matches and bare
+    # suffixes yield NULL.
+    oracle="""
+    WITH urls AS MATERIALIZED (
+        SELECT doc_id,
+               CASE CAST(doc_id % 6 AS INTEGER)
+                 WHEN 0 THEN 'https://x' || CAST(doc_id % 7 AS VARCHAR)
+                             || '.Shop.co.uk/p'
+                 WHEN 1 THEN 'https://deep.y.b.co.uk/q'
+                 WHEN 2 THEN 'https://t' || CAST(doc_id % 4 AS VARCHAR)
+                             || '.that.ck/r'
+                 WHEN 3 THEN 'https://u' || CAST(doc_id % 3 AS VARCHAR)
+                             || '.www.ck/s'
+                 WHEN 4 THEN 'https://bkt' || CAST(doc_id % 3 AS VARCHAR)
+                             || '.s3.dualstack.eu-west-1.amazonaws.com/k'
+                 ELSE 'https://co.uk/'
+               END AS url
+        FROM documents),
+    hosts AS (
+        SELECT doc_id,
+               lower(regexp_extract(url,
+                   '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]*)', 1)) AS host
+        FROM urls),
+    psl(suffix) AS (VALUES ('com'), ('uk'), ('co.uk'), ('ck'),
+                           ('that.ck'),
+                           ('s3.dualstack.eu-west-1.amazonaws.com')),
+    cands AS (
+        SELECT h.doc_id, h.host, p.suffix,
+               len(string_split(p.suffix, '.')) AS k,
+               len(string_split(h.host, '.')) AS n
+        FROM hosts h JOIN psl p
+          ON h.host = p.suffix OR h.host LIKE '%.' || p.suffix),
+    best AS (
+        SELECT doc_id, host, suffix, k, n,
+               ROW_NUMBER() OVER (PARTITION BY doc_id, host
+                   ORDER BY k DESC, suffix ASC) AS rn
+        FROM cands)
+    SELECT h.doc_id, h.host,
+           CASE WHEN b.suffix IS NULL OR b.n <= b.k THEN NULL
+                ELSE array_to_string(
+                    list_slice(string_split(h.host, '.'),
+                               b.n - b.k, b.n), '.')
+           END AS registered_domain
+    FROM hosts h
+    LEFT JOIN (SELECT * FROM best WHERE rn = 1) b
+      ON b.doc_id = h.doc_id AND b.host = h.host
+    """,
+    survey_ref="PSL loader + eTLD+1 chain (publicsuffix.org semantics "
+    "end to end; north star: per-domain caps that never key on a "
+    "public suffix)",
+)
+def q123_psl_registered_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PSL chain certified end to end: load_psl parses a pinned
+    snippet with every rule class of the real public_suffix_list.dat
+    (plain / wildcard / exception / section markers / deep private
+    suffix), grounds the wildcard on the corpus's own host census, and
+    the expanded table drives registered_domain_psl over planted URLs
+    exercising every semantic branch: mixed-case hosts, a deeper host
+    under co.uk, wildcard-grounded that.ck, the !www.ck exception
+    (longest match falls to the base 'ck', registering www.ck), a
+    5-label private-section suffix, and a bare-suffix host (NULL). The
+    oracle's suffix table is hand-expanded, so the loader's
+    wildcard/exception resolution is inside the gate."""
+    from candia_spark.functions.text import url_host
+    from candia_spark.operators.curation import (
+        load_psl,
+        registered_domain_psl,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    i = F.col("doc_id")
+    url = (
+        F.when(i % 6 == 0, F.concat(
+            F.lit("https://x"), (i % 7).cast("string"),
+            F.lit(".Shop.co.uk/p")))
+        .when(i % 6 == 1, F.lit("https://deep.y.b.co.uk/q"))
+        .when(i % 6 == 2, F.concat(
+            F.lit("https://t"), (i % 4).cast("string"),
+            F.lit(".that.ck/r")))
+        .when(i % 6 == 3, F.concat(
+            F.lit("https://u"), (i % 3).cast("string"),
+            F.lit(".www.ck/s")))
+        .when(i % 6 == 4, F.concat(
+            F.lit("https://bkt"), (i % 3).cast("string"),
+            F.lit(".s3.dualstack.eu-west-1.amazonaws.com/k")))
+        .otherwise(F.lit("https://co.uk/"))
+    )
+    docs = d.withColumn("url", url)
+    psl = load_psl(
+        spark, lines=_Q123_PSL_LINES,
+        hosts=docs.select(url_host("url").alias("host")),
+    )
+    return registered_domain_psl(docs, psl)
+
+
 # --- Driver certification window (verdict r5 #2) -------------------------
 # The per-round driver correctness artifact certifies the FIRST 50
 # registry entries, and queries()/oracle_sql() preserve this dict's
@@ -7328,11 +7449,10 @@ _DRIVER_WINDOW_TAIL = [
     # been driver-certified every round since r4 and keeps its
     # three-scale local certification.
     "q39_nearest_value",
-    # q99's seat (token-budget quality fill): q40's census-argmax
-    # heavy-hitter machinery stays in-window through q15 (count-
-    # distinct + argmax) and q52 (tf-idf census + per-doc argmax);
-    # driver-certified every round since r4.
-    "q40_heavy_hitters",
+    # (q40 returned to the window at r14: its top-k plan changed from a
+    # census-global row_number to limit-then-rank and needs fresh
+    # driver-grade certification; q99's seat is covered as before by
+    # q15 in-window.)
     # --- r12 rotation: q100 (exact-substring rewrite) takes a new
     # seat. q100's seat: q44's pure-map per-row HOF repetition census
     # stays in-window through q91's F.aggregate fold rewrite (the same
@@ -7492,6 +7612,33 @@ _DRIVER_WINDOW_TAIL = [
     # their by-hand pytest family. Driver-certified every round
     # since r5.
     "q47_redact_pii",
+    # --- r14 rotation: q122 (k-means-trained PQ chain) takes one new
+    # seat and q40 RETURNS to the window (its top-k plan changed to
+    # limit-then-rank this round — changed-operator rows certify
+    # driver-grade). Rows whose operators also changed this round were
+    # already in-window and stay: q15 (same limit-then-rank change),
+    # q112 (raw-label comparison), q121 (phrase normalization + the
+    # punctuated-phrase gate), q101 (banding refactor, default path
+    # plan-identical). Parked:
+    # q14's seat: A7's CV = std/mean decimal arithmetic is pinned by
+    # functions/numeric's by-hand pytest family, and the decimal-exact
+    # aggregate device stays in-window through q48's ROLLUP pricing
+    # sums and q12's star-join revenue; driver-certified every round
+    # since r4 and three-scale-certified in the local artifact.
+    "q14_cv_per_group",
+    # q11's seat: J4's left-semi join is the complement of the anti-
+    # join device that stays DOUBLY in-window (q18's interval anti-join
+    # and q100's explode+anti-join under an md5 full-text gate) on the
+    # same join machinery; q11 keeps its by-hand relational pytest and
+    # three-scale local certification. Driver-certified every round
+    # since r4.
+    "q11_semi_join",
+    # q123's seat (PSL chain): F6/A12's histogram-cutoff binning is
+    # pinned by test_relational_ops' by-hand fixtures, and the
+    # bucketization device stays in-window through q04's time buckets;
+    # q08 has been driver-certified every round since r4 and stays
+    # three-scale-certified in the local artifact.
+    "q08_histogram_cutoff",
 ]
 for _name in _DRIVER_WINDOW_TAIL:
     QUERY_REGISTRY[_name] = QUERY_REGISTRY.pop(_name)

@@ -469,3 +469,73 @@ def test_phash_banding_recall_contract_distance5(spark):
     assert incremental_phash_dups(batch, store, n_bands=4).collect() == []
     with pytest.raises(ValueError, match="n_bands"):
         phash_near_dups(df, n_bands=5).collect()
+
+
+# --- registry-wide bounded-window plan sweep (r13 VERDICT next #1) ----------
+
+
+# Unpartitioned windows that are CENSUS-bounded by construction: the
+# window's input is a dimension-table- or bucket-census-sized frame,
+# never the corpus. Every entry must still exhibit an unpartitioned
+# window (the test fails on stale rows so the list stays honest).
+_CENSUS_BOUNDED_WINDOWS = {
+    "q02_interval_join": "window over the SWATH interval dim table "
+    "(dozens of rows, broadcast material)",
+    "q03_window_adjust": "lead/lag over the sorted distinct-window census",
+    "q07_model_spectrum_index": "ordinal id assignment over the "
+    "model-index census (distinct swath x rt x ncomp)",
+    "q61_quality_percentiles": "cumulative sum over the <=buckets+1-row "
+    "bucket census (score_percentiles' documented device)",
+    "q74_decile_split_audit": "same score_percentiles bucket-census window",
+}
+
+_LIMIT_NODES = {
+    "GlobalLimit", "LocalLimit", "TakeOrderedAndProject", "CollectLimit",
+    "Limit",
+}
+
+
+def _walk_jvm_plan(node):
+    yield node
+    ch = node.children()
+    for i in range(ch.length()):
+        yield from _walk_jvm_plan(ch.apply(i))
+
+
+def test_registry_has_no_unbounded_global_windows(spark, sf_smoke):
+    """The r13 q15/q40 lesson, made structural: an unpartitioned Window
+    moves its WHOLE input to one task, so every one in the registry must
+    sit on a provably bounded frame — a limit (TakeOrderedAndProject /
+    GlobalLimit) below it in the plan, or a documented census-sized
+    input. Any new census-global row_number/percent_rank fails here
+    before it can ship."""
+    from candia_spark.plans.queries import QUERY_REGISTRY
+
+    offenders = []
+    seen_unpartitioned = set()
+    for name, spec in QUERY_REGISTRY.items():
+        plan = (
+            spec.spark(spark, sf_smoke)
+            ._jdf.queryExecution()
+            .optimizedPlan()
+        )
+        for node in _walk_jvm_plan(plan):
+            if node.nodeName() != "Window":
+                continue
+            if not node.partitionSpec().isEmpty():
+                continue
+            seen_unpartitioned.add(name)
+            bounded = any(
+                n.nodeName() in _LIMIT_NODES for n in _walk_jvm_plan(node)
+            )
+            if not bounded and name not in _CENSUS_BOUNDED_WINDOWS:
+                offenders.append(name)
+    assert not offenders, (
+        "unpartitioned Window over an unbounded frame (single-task choke "
+        f"at scale) in: {sorted(set(offenders))} — bound it with "
+        "orderBy().limit(k) (the q40 device) or document the census"
+    )
+    stale = set(_CENSUS_BOUNDED_WINDOWS) - seen_unpartitioned
+    assert not stale, (
+        f"allowlist rows no longer needed (keep the list honest): {stale}"
+    )
