@@ -292,6 +292,7 @@ def _assignments(
     keep_vectors: bool = False,
     seeding: str = "min_id",
     probes: int = 1,
+    _return_centroids: bool = False,
 ) -> DataFrame:
     """Core Lloyd's loop; returns (``__vid``, cluster) — plus (qv, n2) when
     ``keep_vectors`` (the pair-scan consumers read the quantized vectors
@@ -344,6 +345,10 @@ def _assignments(
     cent = seeds  # (cluster, sv: array<long> integer sums, n: member count)
     assign = None
     for it in range(iters):
+        if _return_centroids and it == iters - 1:
+            # the centroid table the FINAL pass would assign against —
+            # kmeans_centroids' exit point, same trajectory to the step
+            return cent
         # all centroids in ONE broadcast row -> assignment is a map: the
         # k distances and their argmin evaluate inside each corpus row
         carr = cent.agg(
@@ -422,6 +427,67 @@ def kmeans_assign(
     )
     return assign.join(F.broadcast(sizes), "cluster").select(
         F.col("__vid").alias(id_col), F.col("cluster"), F.col("cluster_size")
+    )
+
+
+def kmeans_centroids(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    scale: int = 1000,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    materialize: bool = True,
+    seeding: str = "min_id",
+) -> DataFrame:
+    """The (cluster, sv, n) integer centroid table that
+    :func:`kmeans_assign`'s FINAL pass assigns against — the seeds
+    re-centered ``iters - 1`` times along the identical trajectory
+    (same seeding, same argmin ties, same decimal-exact distance
+    form). This is the piece a TRAINED coarse quantizer needs: cells
+    assigned at index-build time and query probes at search time must
+    rank against the SAME centroids or the index silently mis-routes
+    (:func:`kmeans_probe_cells`, q124's trained-IVFADC chain).
+
+    ``sv`` is the per-position integer SUM and ``n`` the member count
+    (the Lloyd's-loop form — never a divided mean, so every downstream
+    comparison stays exact). k rows: broadcast material."""
+    return _assignments(
+        df, k, iters, scale, vec_col, id_col,
+        materialize=materialize, seeding=seeding, _return_centroids=True,
+    )
+
+
+def kmeans_probe_cells(
+    queries: DataFrame,
+    centroids: DataFrame,
+    nprobe: int = 3,
+    scale: int = 1000,
+    vec_col: str = "embedding",
+    id_col: str = "query_id",
+) -> DataFrame:
+    """Top-``nprobe`` nearest trained cells per query — the IVF probe
+    stage against a :func:`kmeans_centroids` table: the SAME
+    decimal-exact d/n^2 key and smallest-cluster ties as the
+    assignment map, so probing and cell assignment share one total
+    order (array_sort of the very structs array_min reduces — the
+    multiprobe device). Centroids ride one broadcast row; the probe
+    pass is a pure map over the query batch, exploded to
+    (id, cluster) rows.
+
+    Output: (id, cluster), nprobe rows per query."""
+    if nprobe < 1:
+        raise ValueError(f"nprobe must be >= 1, got {nprobe}")
+    q = _quantized(queries, scale, vec_col, id_col)
+    carr = centroids.agg(
+        F.collect_list(F.struct("cluster", "sv", "n")).alias("cs")
+    )
+    keyed = F.transform(F.col("cs"), lambda c: _argmin_struct(c, "cluster"))
+    ranked = F.slice(F.array_sort(keyed), 1, nprobe)
+    return (
+        q.crossJoin(F.broadcast(carr))
+        .select(F.col("__vid").alias(id_col), F.explode(ranked).alias("__p"))
+        .select(id_col, F.col("__p")["cluster"].alias("cluster"))
     )
 
 

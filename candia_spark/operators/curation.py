@@ -2081,6 +2081,74 @@ def gopher_rules(
     )
 
 
+def curriculum_order(
+    df: DataFrame,
+    score,
+    n_stages: int = 4,
+    n_shards: int = 4,
+    id_col: str = "doc_id",
+    buckets: int = 1000,
+    salt: str = "",
+    hard_first: bool = False,
+) -> DataFrame:
+    """Curriculum data ordering (Bengio et al. 2009's curriculum
+    learning applied to corpus assembly): every document gets a
+    training STAGE by exact score percentile — easy material first by
+    default (``hard_first`` flips it, the anti-curriculum ablation) —
+    and a deterministic (shard, pos) WITHIN its stage via the md5
+    permutation device, so the trainer consumes stage 0's shards, then
+    stage 1's, with a reproducible order inside each. A pure function
+    of (score census, id, salt): retries, repartitions, and resizes
+    reproduce the identical curriculum; ``salt`` re-draws the
+    within-stage order per epoch without touching the stages.
+
+    Stage = floor(pct * n_stages) over :func:`score_percentiles`'
+    exact census percentile (floor of identical IEEE doubles — the
+    q61-certified device), so stage boundaries are engine-exact
+    population quantiles, not score thresholds. Within (stage, shard),
+    pos ranks md5(salt:id) with id ties — q113's certified
+    permutation.
+
+    Output: (id, stage, shard, pos) — all bigint.
+
+    Scale: the percentile is a bucket-census cumulative (never a
+    corpus-wide percent_rank); the order windows partition by
+    (stage, shard) — n_stages * n_shards units, each corpus-fraction
+    sized; size n_shards to the trainer's file layout exactly as in
+    :func:`candia_spark.operators.sampling.deterministic_shuffle`."""
+    if n_stages <= 0 or n_shards <= 0:
+        raise ValueError(
+            f"n_stages and n_shards must be positive, got "
+            f"{n_stages}/{n_shards}"
+        )
+    pct = score_percentiles(df, score, id_col=id_col, buckets=buckets)
+    stage = F.floor(F.col("pct") * n_stages).cast("bigint")
+    if hard_first:
+        stage = F.lit(n_stages - 1) - stage
+    key = F.md5(
+        F.concat(
+            F.lit(salt), F.lit(":"), F.col(id_col).cast("string")
+        ).cast("binary")
+    )
+    shard = (
+        F.conv(F.substring(key, 1, 15), 16, 10).cast("bigint")
+        % F.lit(int(n_shards))
+    ).cast("bigint")
+    keyed = pct.select(
+        F.col(id_col), stage.alias("stage"), shard.alias("shard"),
+        key.alias("__key"),
+    )
+    w = Window.partitionBy("stage", "shard").orderBy(
+        F.col("__key").asc(), F.col(id_col).asc()
+    )
+    return keyed.select(
+        F.col(id_col),
+        "stage",
+        "shard",
+        (F.row_number().over(w) - 1).cast("bigint").alias("pos"),
+    )
+
+
 def load_psl(
     spark,
     path: str | None = None,

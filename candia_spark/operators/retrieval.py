@@ -343,3 +343,55 @@ def borda_fuse(
         "n_lists",
         F.row_number().over(w).cast("bigint").alias("fused_rank"),
     ).filter(F.col("fused_rank") <= out_k)
+
+
+def ann_recall_audit(
+    truth: DataFrame,
+    approx: DataFrame,
+    k: int,
+    query_id_col: str = "query_id",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Recall@k of an approximate top-k against an exact top-k — the
+    evaluation harness every ANN deployment runs before trusting an
+    index (the IVFADC/PQ family's measured-recall contract, Jégou et
+    al. 2011 §V): per query, how many of the TRUE top-k ids the
+    approximate index surfaced. Both inputs are (query_id, id, ...)
+    top-k frames (e.g. :func:`candia_spark.operators.similarity
+    .cosine_topk_int8` as truth, any of the PQ/IVF paths as approx).
+
+    Output: (query_id, n_true, n_overlap, recall) — n_overlap counts
+    ids present in BOTH lists, recall = n_overlap / k as a double
+    (division by the integer constant k: exact for the small integer
+    numerators a top-k produces). Every truth query keeps its row even
+    at zero overlap.
+
+    Scale: two list-sized inputs (Q*k rows each — the corpora already
+    collapsed by the top-k passes), one keyed left join + one keyed
+    agg; nothing corpus-sized."""
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    t = truth.select(F.col(query_id_col), F.col(id_col))
+    a = approx.select(
+        F.col(query_id_col), F.col(id_col).alias("__aid")
+    )
+    joined = t.join(
+        a,
+        (t[query_id_col] == a[query_id_col])
+        & (F.col(id_col) == F.col("__aid")),
+        "left",
+    ).select(t[query_id_col].alias("__qid"), id_col, "__aid")
+    out = joined.groupBy(F.col("__qid").alias(query_id_col)).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_true"),
+        F.sum(F.col("__aid").isNotNull().cast("bigint"))
+        .cast("bigint")
+        .alias("n_overlap"),
+    )
+    return out.select(
+        query_id_col,
+        "n_true",
+        "n_overlap",
+        (F.col("n_overlap").cast("double") / F.lit(float(k))).alias(
+            "recall"
+        ),
+    )

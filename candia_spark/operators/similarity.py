@@ -1365,6 +1365,131 @@ def jl_project_int8(
     )
 
 
+def pq_topk_ivf_trained(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 8,
+    codewords: int = 16,
+    nprobe: int = 3,
+    coarse_k: int = 8,
+    coarse_iters: int = 2,
+    pq_iters: int = 2,
+    coarse_scale: int = 1000,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    scale: int = 127,
+    codebook: DataFrame | None = None,
+    encoded_cells: DataFrame | None = None,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """The FULLY-TRAINED IVFADC index — zero pinned constants: the
+    coarse quantizer is Lloyd's k-means over the corpus
+    (:func:`candia_spark.operators.clustering.kmeans_assign` /
+    ``kmeans_centroids`` — cells and query probes rank against the
+    SAME trained centroid table under the same decimal-exact total
+    order), and the fine quantizer is the per-subspace k-means
+    codebook (:func:`pq_codebook_kmeans`). :func:`pq_topk_ivf` with
+    its pinned offline centroids and first-k codebook remains the
+    plumbing-isolation twin; this is the production call shape.
+
+    Every stage stays integer-derived (coarse distances decimal-exact,
+    ADC distances bigint), so the whole train -> assign -> encode ->
+    probe -> search chain is oracle-recomputable end to end (q124).
+
+    Output: (query_id, vec_id, dist, rank), rank 1..k (dist asc,
+    id asc) over the probed cells only.
+
+    Scale: coarse train is one broadcast-centroid map pass + an
+    O(k x dim) recenter per iteration; PQ train the same per subspace;
+    encode one keyed shuffle of N*m integer rows; search touches only
+    the m-byte codes of the probed ~nprobe/coarse_k corpus fraction.
+    Pass ``codebook`` / ``centroids`` / ``encoded_cells`` (persisted
+    from a prior run; encoded_cells = pq_encode output joined with its
+    cell column ``bucket``) to search without re-training or
+    re-encoding — encode once, search every batch."""
+    from candia_spark.operators.clustering import (
+        kmeans_assign,
+        kmeans_centroids,
+        kmeans_probe_cells,
+    )
+
+    cent = (
+        centroids
+        if centroids is not None
+        else kmeans_centroids(
+            corpus, k=coarse_k, iters=coarse_iters, scale=coarse_scale,
+            vec_col=vec_col, id_col=id_col,
+        )
+    )
+    cb = (
+        codebook
+        if codebook is not None
+        else pq_codebook_kmeans(
+            corpus, m=m, codewords=codewords, iters=pq_iters,
+            vec_col=vec_col, id_col=id_col, scale=scale,
+        )
+    )
+    if encoded_cells is not None:
+        enc = encoded_cells
+    else:
+        cells = kmeans_assign(
+            corpus, k=coarse_k, iters=coarse_iters, scale=coarse_scale,
+            vec_col=vec_col, id_col=id_col,
+        ).select(id_col, F.col("cluster").alias("bucket"))
+        enc = pq_encode(corpus, cb, m, vec_col, id_col, scale).join(
+            cells, id_col
+        )
+    probes = kmeans_probe_cells(
+        queries.select(query_id_col, vec_col), cent, nprobe=nprobe,
+        scale=coarse_scale, vec_col=vec_col, id_col=query_id_col,
+    ).select(query_id_col, F.col("cluster").alias("bucket"))
+    qz = quantize_int8(
+        queries.select(query_id_col, vec_col), vec_col, query_id_col, scale
+    )
+    d_over_m = F.floor(F.size("qvec") / F.lit(m)).cast("int")
+    qsubs = qz.select(
+        F.col(query_id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda s: F.struct(
+                    s.cast("bigint").alias("sub"),
+                    F.slice("qvec", s * d_over_m + 1, d_over_m).alias("sv"),
+                ),
+            )
+        ).alias("__e"),
+    ).select(
+        F.col(query_id_col),
+        F.col("__e.sub").alias("sub"),
+        F.col("__e.sv").alias("sv"),
+    )
+    lut = qsubs.join(F.broadcast(cb), "sub").select(
+        query_id_col, "sub", "code",
+        _l2_int(F.col("sv"), F.col("cw")).alias("__d"),
+    )
+    lutp = probes.join(lut, query_id_col).select(
+        query_id_col, "bucket", "sub", "code", "__d"
+    )
+    scored = enc.join(F.broadcast(lutp), ["bucket", "sub", "code"]).groupBy(
+        query_id_col, id_col
+    ).agg(F.sum("__d").cast("bigint").alias("dist"))
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("dist").asc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            query_id_col,
+            id_col,
+            "dist",
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )
+
+
 def pq_topk_ivf(
     corpus: DataFrame,
     queries: DataFrame,

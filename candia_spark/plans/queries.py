@@ -7104,84 +7104,104 @@ def q121_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _q122_oracle(
-    m: int = 8, codewords: int = 16, iters: int = 2, stride: int = 61,
-    k: int = 5, dsub: int = 8,
-) -> str:
-    """DuckDB replay of the FULL train -> encode -> ADC-search chain:
-    per-subspace Lloyd's trajectory (the q57 unrolled-CTE device with
-    ``sub`` as an extra grouping key everywhere), round-half-up integer
-    codebook via the same pure floor device as the Spark side, then the
-    q116 encode + LUT + ADC replay against the TRAINED codebook."""
+def _pq_train_cte_parts(
+    m: int = 8, codewords: int = 16, iters: int = 2, dsub: int = 8,
+    px: str = "",
+) -> list:
+    """CTE fragments replaying the per-subspace PQ k-means train +
+    corpus encode (the q57 unrolled-trajectory device with ``sub`` as
+    an extra grouping key everywhere; round-half-up integer codebook
+    via the same pure floor device as the Spark trainer). Shared by
+    the q122 and q124 oracles; ``px`` prefixes every CTE name so the
+    chain composes next to the coarse-kmeans CTEs, which own the
+    unprefixed cent{{i}}/dist{{i}}/assign{{i}} names. Requires
+    ``qz`` (from _INT8_NRM_SQL) in scope; ends with ``{{px}}enc`` =
+    (vec_id, sub, code) and keeps ``{{px}}dists``/``{{px}}cb`` in
+    scope for LUT construction."""
     parts = [
-        _INT8_NRM_SQL,
         f"""
-    lanes AS MATERIALIZED (
+    {px}lanes AS MATERIALIZED (
         SELECT vec_id,
                CAST(floor((i - 1) / {dsub}) AS BIGINT) AS sub,
                CAST((i - 1) % {dsub} AS BIGINT) AS pos,
                qv[i] AS v
         FROM qz, UNNEST(generate_series(1, len(qv))) AS u(i)),
-    ids AS (
+    {px}ids AS (
         SELECT vec_id,
                CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS code
         FROM (SELECT vec_id FROM embeddings ORDER BY vec_id
               LIMIT {codewords}) t),
-    cent0 AS (
-        SELECT l.sub, ids.code, l.pos, l.v AS s, CAST(1 AS BIGINT) AS n
-        FROM lanes l JOIN ids USING (vec_id))""",
+    {px}cent0 AS (
+        SELECT l.sub, i.code, l.pos, l.v AS s, CAST(1 AS BIGINT) AS n
+        FROM {px}lanes l JOIN {px}ids i USING (vec_id))""",
     ]
     for i in range(1, iters + 1):
         parts.append(
             f"""
-    dist{i} AS (
+    {px}dist{i} AS (
         -- d stays HUGEINT (exact SUM) mirroring the Spark decimal(38,0)
         -- accumulator; both engines round the SAME exact integer ratio
         SELECT l.vec_id, l.sub, c.code,
                SUM((c.n * l.v - c.s) * (c.n * l.v - c.s)) AS d,
                MAX(c.n) AS n
-        FROM lanes l JOIN cent{i - 1} c ON c.sub = l.sub AND c.pos = l.pos
+        FROM {px}lanes l
+        JOIN {px}cent{i - 1} c ON c.sub = l.sub AND c.pos = l.pos
         GROUP BY 1, 2, 3),
-    assign{i} AS (
+    {px}assign{i} AS (
         SELECT vec_id, sub, code FROM (
             SELECT vec_id, sub, code,
                    ROW_NUMBER() OVER (PARTITION BY vec_id, sub
                        ORDER BY CAST(d AS DOUBLE) / CAST(n * n AS DOUBLE)
                                     ASC,
                                 code ASC) AS rn
-            FROM dist{i}) t
+            FROM {px}dist{i}) t
         WHERE rn = 1),
-    cent{i} AS MATERIALIZED (
+    {px}cent{i} AS MATERIALIZED (
         SELECT a.sub, a.code, l.pos, CAST(SUM(l.v) AS BIGINT) AS s,
                CAST(COUNT(*) AS BIGINT) AS n
-        FROM assign{i} a
-        JOIN lanes l ON l.vec_id = a.vec_id AND l.sub = a.sub
+        FROM {px}assign{i} a
+        JOIN {px}lanes l ON l.vec_id = a.vec_id AND l.sub = a.sub
         GROUP BY 1, 2, 3)""",
         )
     parts.append(
         f"""
-    cb AS MATERIALIZED (
+    {px}cb AS MATERIALIZED (
         -- round-half-up mean: the identical pure floor((2s+n)/(2n))
         -- device the trainer applies, so codeword lanes are integers
         SELECT sub, code,
                list(CAST(floor(CAST(2 * s + n AS DOUBLE)
                                    / CAST(2 * n AS DOUBLE)) AS BIGINT)
                     ORDER BY pos) AS cw
-        FROM cent{iters} GROUP BY sub, code),
-    subsq AS (
+        FROM {px}cent{iters} GROUP BY sub, code),
+    {px}subsq AS (
         SELECT vec_id, CAST(s AS BIGINT) AS sub,
                list_slice(qv, s * {dsub} + 1, (s + 1) * {dsub}) AS sv
         FROM qz, UNNEST(generate_series(0, {m - 1})) AS g(s)),
-    dists AS (
+    {px}dists AS (
         SELECT v.vec_id, v.sub, c.code,
                CAST(SUM((v.sv[i] - c.cw[i]) * (v.sv[i] - c.cw[i]))
                     AS BIGINT) AS d
-        FROM subsq v JOIN cb c ON v.sub = c.sub,
+        FROM {px}subsq v JOIN {px}cb c ON v.sub = c.sub,
              UNNEST(generate_series(1, {dsub})) AS u(i)
         GROUP BY 1, 2, 3),
-    enc AS MATERIALIZED (
+    {px}enc AS MATERIALIZED (
         SELECT vec_id, sub, MIN({{'d': d, 'code': code}}).code AS code
-        FROM dists GROUP BY vec_id, sub),
+        FROM {px}dists GROUP BY vec_id, sub)""",
+    )
+    return parts
+
+
+def _q122_oracle(
+    m: int = 8, codewords: int = 16, iters: int = 2, stride: int = 61,
+    k: int = 5, dsub: int = 8,
+) -> str:
+    """DuckDB replay of the flat train -> encode -> ADC-search chain:
+    the shared per-subspace trajectory parts plus an unrestricted LUT
+    join (no coarse pruning — that is q124's composition)."""
+    parts = [_INT8_NRM_SQL]
+    parts.extend(_pq_train_cte_parts(m, codewords, iters, dsub))
+    parts.append(
+        f"""
     lut AS MATERIALIZED (
         SELECT vec_id AS query_id, sub, code, d
         FROM dists WHERE vec_id % {stride} = 0),
@@ -7349,6 +7369,262 @@ def q123_psl_registered_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
         hosts=docs.select(url_host("url").alias("host")),
     )
     return registered_domain_psl(docs, psl)
+
+
+def _q124_oracle(
+    coarse_k: int = 8, coarse_iters: int = 2, coarse_scale: int = 1000,
+    m: int = 8, codewords: int = 16, pq_iters: int = 2, nprobe: int = 3,
+    stride: int = 67, k: int = 5, dsub: int = 8,
+) -> str:
+    """The fully-trained IVFADC replay: the q57 coarse-kmeans CTE chain
+    (cells = assign{iters}, probe centroids = cent{iters-1} — the SAME
+    table the final assignment pass ranked against), the q122
+    per-subspace PQ train/encode chain under the 'p' prefix, a
+    decimal-exact top-nprobe probe per query, and ADC restricted to
+    probed cells."""
+    coarse = _kmeans_ctes(coarse_k, coarse_iters, coarse_scale, "min_id")
+    parts = [coarse[len("WITH "):], _INT8_NRM_SQL]
+    parts.extend(_pq_train_cte_parts(m, codewords, pq_iters, dsub, px="p"))
+    parts.append(
+        f"""
+    qprobe AS (
+        -- probe against cent{coarse_iters - 1}: the centroids the final
+        -- assignment pass used — cells and probes share one total order
+        SELECT q.vec_id AS query_id, c.cluster,
+               SUM((c.n * q.v - c.s) * (c.n * q.v - c.s)) AS d,
+               MAX(c.n) AS n
+        FROM q JOIN cent{coarse_iters - 1} c USING (pos)
+        WHERE q.vec_id % {stride} = 0
+        GROUP BY 1, 2),
+    probes AS (
+        SELECT query_id, cluster FROM (
+            SELECT query_id, cluster,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY CAST(d AS DOUBLE) / CAST(n * n AS DOUBLE)
+                                    ASC,
+                                cluster ASC) AS rn
+            FROM qprobe) t
+        WHERE rn <= {nprobe}),
+    encc AS (
+        SELECT e.vec_id, e.sub, e.code, a.cluster
+        FROM penc e JOIN assign{coarse_iters} a USING (vec_id)),
+    lut AS MATERIALIZED (
+        SELECT vec_id AS query_id, sub, code, d
+        FROM pdists WHERE vec_id % {stride} = 0),
+    scored AS (
+        SELECT l.query_id, e.vec_id, CAST(SUM(l.d) AS BIGINT) AS dist
+        FROM encc e
+        JOIN lut l ON l.sub = e.sub AND l.code = e.code
+        JOIN probes p ON p.query_id = l.query_id AND p.cluster = e.cluster
+        GROUP BY 1, 2)
+    SELECT query_id, vec_id, dist, CAST(rnk AS BIGINT) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY dist ASC, vec_id ASC) AS rnk FROM scored)
+    WHERE rnk <= {k}""",
+    )
+    return "WITH " + ",".join(parts)
+
+
+@register(
+    "q124_trained_ivfadc",
+    oracle=_q124_oracle(),
+    survey_ref="fully-trained IVFADC (Jégou et al. 2011 with BOTH "
+    "quantizers trained on the corpus — zero pinned constants; north "
+    "star: the production billion-vector index build)",
+)
+def q124_trained_ivfadc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production IVFADC build certified end to end with ZERO
+    pinned constants (operators.similarity.pq_topk_ivf_trained): the
+    coarse quantizer is corpus-trained Lloyd's k-means — cells assigned
+    and queries probed against the SAME trained centroid table under
+    the q57 decimal-exact total order — and the fine quantizer is the
+    q122 per-subspace k-means codebook; ADC scores only the probed
+    ~nprobe/k corpus fraction in bigints. q119 (pinned centroids,
+    first-k codebook) stays as the plumbing-isolation twin. The oracle
+    replays BOTH training trajectories (coarse q57 chain + prefixed PQ
+    chain), the probe ranking, and the restricted ADC — one swapped
+    probe or one mis-assigned cell fails the gate."""
+    from candia_spark.operators.similarity import pq_topk_ivf_trained
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    qs = emb.filter(F.col("vec_id") % 67 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return pq_topk_ivf_trained(
+        emb, qs, k=5, m=8, codewords=16, nprobe=3,
+        coarse_k=8, coarse_iters=2, pq_iters=2,
+    )
+
+
+@register(
+    "q125_ann_recall_audit",
+    # both lists integer-exact (bigint dots for the truth, bigint ADC
+    # sums for the approx), so membership, overlap counts, and the
+    # divide-by-constant recall are engine-exact — an EVALUATION gate:
+    # the oracle recomputes both indexes AND the audit, so a recall
+    # regression in either index fails correctness, not just a number.
+    oracle=f"""
+    WITH {_INT8_NRM_SQL},
+    dots AS (
+        SELECT q.vec_id AS query_id, c.vec_id,
+               CAST(SUM(q.qv[i] * c.qv[i]) AS BIGINT) AS score
+        FROM qz q, qz c, UNNEST(generate_series(1, len(q.qv))) AS u(i)
+        WHERE q.vec_id % 71 = 0
+        GROUP BY 1, 2),
+    truth AS (
+        SELECT query_id, vec_id FROM (
+            SELECT query_id, vec_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY score DESC, vec_id ASC) AS rn
+            FROM dots) t
+        WHERE rn <= 10),
+    cb0 AS (
+        SELECT qv, ROW_NUMBER() OVER (ORDER BY vec_id ASC) - 1 AS code
+        FROM qz ORDER BY vec_id ASC LIMIT 16),
+    cb AS MATERIALIZED (
+        SELECT CAST(s AS BIGINT) AS sub, CAST(code AS BIGINT) AS code,
+               list_slice(qv, s * 8 + 1, (s + 1) * 8) AS cw
+        FROM cb0, UNNEST(generate_series(0, 7)) AS g(s)),
+    subs AS (
+        SELECT vec_id, CAST(s AS BIGINT) AS sub,
+               list_slice(qv, s * 8 + 1, (s + 1) * 8) AS sv
+        FROM qz, UNNEST(generate_series(0, 7)) AS g(s)),
+    dists AS (
+        SELECT v.vec_id, v.sub, c.code,
+               CAST(SUM((v.sv[i] - c.cw[i]) * (v.sv[i] - c.cw[i]))
+                    AS BIGINT) AS d
+        FROM subs v JOIN cb c ON v.sub = c.sub,
+             UNNEST(generate_series(1, 8)) AS u(i)
+        GROUP BY 1, 2, 3),
+    enc AS MATERIALIZED (
+        SELECT vec_id, sub, MIN({{'d': d, 'code': code}}).code AS code
+        FROM dists GROUP BY vec_id, sub),
+    lut AS MATERIALIZED (
+        SELECT vec_id AS query_id, sub, code, d
+        FROM dists WHERE vec_id % 71 = 0),
+    scored AS (
+        SELECT l.query_id, e.vec_id, CAST(SUM(l.d) AS BIGINT) AS dist
+        FROM enc e JOIN lut l ON l.sub = e.sub AND l.code = e.code
+        GROUP BY 1, 2),
+    approx AS (
+        SELECT query_id, vec_id FROM (
+            SELECT query_id, vec_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY dist ASC, vec_id ASC) AS rnk
+            FROM scored) t
+        WHERE rnk <= 10)
+    SELECT t.query_id,
+           CAST(COUNT(*) AS BIGINT) AS n_true,
+           CAST(SUM(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_overlap,
+           CAST(SUM(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS DOUBLE) / 10 AS recall
+    FROM truth t
+    LEFT JOIN approx a
+      ON a.query_id = t.query_id AND a.vec_id = t.vec_id
+    GROUP BY 1
+    """,
+    survey_ref="ANN recall@k audit (measured-recall contract, Jégou et "
+    "al. 2011 §V; north star: never deploy an index whose recall you "
+    "have not measured)",
+)
+def q125_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of flat PQ-ADC (q116's device) against the int8
+    brute-force truth (q110's device), per query
+    (operators.retrieval.ann_recall_audit): the evaluation harness an
+    ANN deployment runs before trusting its index, certified as a
+    QUERY — the oracle recomputes both indexes and the audit join, so
+    a silent recall regression in the PQ chain fails the gate. Both
+    lists are integer-exact, and recall divides by the constant k, so
+    the output is engine-exact with no rounding device. Queries =
+    every 71st vector."""
+    from candia_spark.operators.retrieval import ann_recall_audit
+    from candia_spark.operators.similarity import (
+        cosine_topk_int8,
+        pq_topk_adc,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    qs = emb.filter(F.col("vec_id") % 71 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    truth = cosine_topk_int8(emb, qs, k=10)
+    approx = pq_topk_adc(emb, qs, k=10)
+    return ann_recall_audit(truth, approx, k=10)
+
+
+@register(
+    "q126_curriculum_order",
+    # q61's exact bucket-census percentile chain picks the stage
+    # (floor(pct * 4) — floor of identical IEEE doubles), q113's md5
+    # permutation orders within (stage, shard); the whole curriculum is
+    # a pure function of (score census, id, salt) and the oracle
+    # recomputes every slot — one transposed row fails.
+    oracle="""
+    WITH feats AS (
+        SELECT doc_id,
+               CAST(len({toks}) AS DOUBLE) AS n,
+               CAST(len(list_distinct({toks})) AS DOUBLE) AS nd,
+               CAST(len(list_filter({toks},
+                    x -> list_contains(['the','and','of','to','is'], x))) AS DOUBLE) AS stop_hits
+        FROM documents),
+    qs AS (
+        SELECT doc_id,
+               CASE WHEN n > 0 THEN
+                 CAST(0.4 * LEAST(1.0, n / 50.0)
+                      + 0.3 * (nd / n)
+                      + 0.3 * LEAST(1.0, 5.0 * stop_hits / n) AS DOUBLE)
+               ELSE 0.0 END AS q
+        FROM feats),
+    scored AS (
+        SELECT doc_id, CAST(floor(q * 1000) AS BIGINT) AS bucket FROM qs),
+    census AS (
+        SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_in_bucket
+        FROM scored GROUP BY bucket),
+    cum AS (
+        SELECT bucket,
+               COALESCE(CAST(SUM(n_in_bucket) OVER (ORDER BY bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+                   0) AS n_below,
+               CAST(SUM(n_in_bucket) OVER (ORDER BY bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+                   AS BIGINT) AS total
+        FROM census),
+    staged AS (
+        SELECT s.doc_id,
+               CAST(floor(CAST(c.n_below AS DOUBLE) / c.total * 4)
+                    AS BIGINT) AS stage,
+               md5('cur0:' || CAST(s.doc_id AS VARCHAR)) AS key
+        FROM scored s JOIN cum c USING (bucket)),
+    sharded AS (
+        SELECT doc_id, stage,
+               CAST('0x' || substr(key, 1, 15) AS BIGINT) % 4 AS shard,
+               key
+        FROM staged)
+    SELECT doc_id, stage, CAST(shard AS BIGINT) AS shard,
+           CAST(ROW_NUMBER() OVER (PARTITION BY stage, shard
+                ORDER BY key ASC, doc_id ASC) - 1 AS BIGINT) AS pos
+    FROM sharded
+    """.replace("{toks}", _TOKS_SQL),
+    survey_ref="curriculum data ordering (Bengio et al. 2009 for corpus "
+    "assembly; north star: reproducible easy-to-hard training order "
+    "without a global sort)",
+)
+def q126_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum ordering (operators.curation.curriculum_order):
+    every document is staged by its exact quality-score percentile
+    (easy material in stage 0) and deterministically ordered within
+    (stage, shard) by the md5 permutation — q61's census-percentile
+    device composed with q113's shuffle device into the training-order
+    artifact a curriculum-learning run consumes. No global sort, no
+    corpus-wide percent_rank; salt='cur0' is the epoch knob."""
+    from candia_spark.functions.text import quality_score
+    from candia_spark.operators.curation import curriculum_order
+
+    docs = _t(spark, sf_dir, "documents")
+    return curriculum_order(
+        docs, quality_score("text"), n_stages=4, n_shards=4, salt="cur0"
+    )
 
 
 # --- Driver certification window (verdict r5 #2) -------------------------
@@ -7639,6 +7915,26 @@ _DRIVER_WINDOW_TAIL = [
     # q08 has been driver-certified every round since r4 and stays
     # three-scale-certified in the local artifact.
     "q08_histogram_cutoff",
+    # q124's seat (trained IVFADC): q116's first-k codebook + encode +
+    # LUT + ADC chain is recomputed END TO END inside the in-window
+    # q125 oracle (its approx side is exactly the q116 chain at k=10),
+    # and the ADC scoring device additionally rides q119/q122/q124
+    # in-window; by-hand pytest family retained. Driver-certified
+    # r13-r14.
+    "q116_pq_topk",
+    # q125's seat (recall audit): q110's int8 quantize + integer-dot
+    # device is recomputed inside the in-window q112 (label-excluded
+    # top-k) and q125's truth side, and the shared qz oracle CTE
+    # underpins the whole in-window PQ family (q122/q124/q125);
+    # by-hand pytest retained. Driver-certified r13-r14.
+    "q110_int8_topk",
+    # q126's seat (curriculum order): J1's broadcast-interval join
+    # device stays in-window through q09's tolerance/band join and
+    # q18's interval anti-join (the same interval machinery both
+    # directions), and q02 keeps its by-hand relational pytest
+    # fixtures; driver-certified every round since r2 and three-scale-
+    # certified in the local artifact.
+    "q02_interval_join",
 ]
 for _name in _DRIVER_WINDOW_TAIL:
     QUERY_REGISTRY[_name] = QUERY_REGISTRY.pop(_name)

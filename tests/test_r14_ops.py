@@ -487,6 +487,8 @@ _CENSUS_BOUNDED_WINDOWS = {
     "q61_quality_percentiles": "cumulative sum over the <=buckets+1-row "
     "bucket census (score_percentiles' documented device)",
     "q74_decile_split_audit": "same score_percentiles bucket-census window",
+    "q126_curriculum_order": "same score_percentiles bucket-census window "
+    "(the stage picker); the ordering windows partition by (stage, shard)",
 }
 
 _LIMIT_NODES = {
@@ -539,3 +541,123 @@ def test_registry_has_no_unbounded_global_windows(spark, sf_smoke):
     assert not stale, (
         f"allowlist rows no longer needed (keep the list honest): {stale}"
     )
+
+
+# --- trained IVFADC (q124) and ANN recall audit (q125) ----------------------
+
+
+def test_kmeans_probe_top1_equals_assignment(spark, sf_smoke):
+    # probing the corpus's own vectors with nprobe=1 must reproduce
+    # each vector's assigned cluster: cells and probes rank against
+    # the SAME trained centroid table under one total order.
+    from candia_spark.operators.clustering import (
+        kmeans_assign,
+        kmeans_centroids,
+        kmeans_probe_cells,
+    )
+
+    emb = _emb(spark, sf_smoke)
+    assign = {
+        r["vec_id"]: r["cluster"]
+        for r in kmeans_assign(emb, k=8, iters=2, scale=1000).collect()
+    }
+    cent = kmeans_centroids(emb, k=8, iters=2, scale=1000)
+    probed = {
+        r["vec_id"]: r["cluster"]
+        for r in kmeans_probe_cells(
+            emb, cent, nprobe=1, scale=1000, id_col="vec_id"
+        ).collect()
+    }
+    assert probed == assign
+    with pytest.raises(ValueError, match="nprobe"):
+        kmeans_probe_cells(emb, cent, nprobe=0)
+
+
+def test_trained_ivfadc_nprobe_all_equals_flat(spark, sf_smoke):
+    from candia_spark.operators.similarity import (
+        pq_codebook_kmeans,
+        pq_topk_adc,
+        pq_topk_ivf_trained,
+    )
+
+    emb = _emb(spark, sf_smoke)
+    qs = emb.filter(F.col("vec_id") % 67 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cb = pq_codebook_kmeans(emb, m=8, codewords=16, iters=2)
+    # probing every trained cell removes the only approximation the
+    # coarse layer adds on top of the trained-codebook ADC scoring
+    full = {
+        tuple(r)
+        for r in pq_topk_ivf_trained(
+            emb, qs, k=5, nprobe=8, coarse_k=8, codebook=cb
+        ).collect()
+    }
+    flat = {
+        tuple(r) for r in pq_topk_adc(emb, qs, k=5, codebook=cb).collect()
+    }
+    assert full == flat and len(flat) > 0
+
+
+def test_ann_recall_audit_by_hand(spark):
+    from candia_spark.operators.retrieval import ann_recall_audit
+
+    truth = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 20), (2, 21), (3, 30), (3, 31)],
+        "query_id bigint, vec_id bigint",
+    )
+    approx = spark.createDataFrame(
+        # q1: both right; q2: one right one wrong; q3: none right
+        [(1, 10), (1, 11), (2, 21), (2, 99), (3, 98), (3, 97)],
+        "query_id bigint, vec_id bigint",
+    )
+    out = {
+        r["query_id"]: (r["n_true"], r["n_overlap"], r["recall"])
+        for r in ann_recall_audit(truth, approx, k=2).collect()
+    }
+    assert out == {1: (2, 2, 1.0), 2: (2, 1, 0.5), 3: (2, 0, 0.0)}
+    with pytest.raises(ValueError, match="k must be positive"):
+        ann_recall_audit(truth, approx, k=0)
+
+
+# --- curriculum ordering (q126) ----------------------------------------------
+
+
+def test_curriculum_order_stages_and_determinism(spark):
+    from candia_spark.operators.curation import curriculum_order
+
+    docs = spark.createDataFrame(
+        [(i, i / 10.0) for i in range(1, 9)], "doc_id bigint, s double"
+    )
+    out = curriculum_order(
+        docs, F.col("s"), n_stages=4, n_shards=2, salt="e0"
+    ).collect()
+    stages = {r["doc_id"]: r["stage"] for r in out}
+    # exact population quartiles of 8 distinct scores: two docs/stage,
+    # easy (low score) first
+    assert stages == {1: 0, 2: 0, 3: 1, 4: 1, 5: 2, 6: 2, 7: 3, 8: 3}
+    hard = curriculum_order(
+        docs, F.col("s"), n_stages=4, n_shards=2, salt="e0", hard_first=True
+    ).collect()
+    assert {r["doc_id"]: r["stage"] for r in hard} == {
+        k: 3 - v for k, v in stages.items()
+    }
+    # pure function of (census, id, salt): re-run reproduces every slot
+    again = curriculum_order(
+        docs, F.col("s"), n_stages=4, n_shards=2, salt="e0"
+    ).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+    # a new salt keeps stages (score-derived) but may re-draw the
+    # within-stage permutation
+    other = curriculum_order(
+        docs, F.col("s"), n_stages=4, n_shards=2, salt="e1"
+    ).collect()
+    assert {r["doc_id"]: r["stage"] for r in other} == stages
+    # positions are dense 0..n-1 within every (stage, shard)
+    slots = {}
+    for r in out:
+        slots.setdefault((r["stage"], r["shard"]), []).append(r["pos"])
+    for unit, ps in slots.items():
+        assert sorted(ps) == list(range(len(ps))), unit
+    with pytest.raises(ValueError, match="positive"):
+        curriculum_order(docs, F.col("s"), n_stages=0)
