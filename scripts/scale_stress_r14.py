@@ -24,6 +24,11 @@
   census. Claim: driver parse is constant (~file size); the grounding
   join is distinct-hosts x broadcast wildcard bases — linear in hosts.
 
+- ``tivf``: the q124 fully-trained IVFADC at x10/x25/x50 — one-time
+  index build (coarse train + cells + PQ train + encode) vs per-batch
+  search against the persisted index, plus the MEASURED probed_mass
+  (trained cells are uneven, unlike the pinned q119 grid).
+
 - ``phash8``: phash_near_dups n_bands=8 (pigeonhole-complete to
   Hamming 7) vs the default 4-band run on the same corpora. Claim: 2x
   probe rows and finer bands; candidate mass and wall reported so the
@@ -325,8 +330,67 @@ def run_phash8(spark, n_docs: int, runs: int) -> dict:
     }
 
 
+def run_tivf(spark, n_vecs: int, runs: int) -> dict:
+    """Fully-trained IVFADC (q124's chain): one-time index build
+    (coarse train + cells + PQ train + encode) vs per-batch search
+    against the persisted index; probed_mass = the corpus fraction the
+    probes actually score (trained cells are UNEVEN, unlike the pinned
+    q119 grid, so this is a measured number per size)."""
+    import time as _t
+
+    from candia_spark.operators.clustering import (
+        kmeans_assign,
+        kmeans_centroids,
+    )
+    from candia_spark.operators.similarity import (
+        pq_codebook_kmeans,
+        pq_encode,
+        pq_topk_ivf_trained,
+    )
+
+    corpus = _mat(_vec_corpus(spark, n_vecs))
+    qs = _mat(corpus.filter(F.col("vec_id") < 64).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    ))
+    t0 = _t.perf_counter()
+    cent = _mat(kmeans_centroids(corpus, k=8, iters=2, scale=1000))
+    cells = kmeans_assign(corpus, k=8, iters=2, scale=1000).select(
+        "vec_id", F.col("cluster").alias("bucket")
+    )
+    cb = _mat(pq_codebook_kmeans(corpus, m=8, codewords=16, iters=2))
+    enc = _mat(pq_encode(corpus, cb, m=8).join(cells, "vec_id"))
+    build_sec = _t.perf_counter() - t0
+    sec_search = ss.timed(
+        lambda: pq_topk_ivf_trained(
+            corpus, qs, k=5, nprobe=3, codebook=cb, centroids=cent,
+            encoded_cells=enc,
+        ),
+        runs,
+    )
+    from candia_spark.operators.clustering import kmeans_probe_cells
+
+    sizes = enc.filter(F.col("sub") == 0).groupBy("bucket").count()
+    probes = kmeans_probe_cells(qs, cent, nprobe=3, scale=1000).select(
+        "query_id", F.col("cluster").alias("bucket")
+    )
+    scored_rows = (
+        probes.join(sizes, "bucket")
+        .agg(F.sum("count")).collect()[0][0]
+    )
+    n_q = qs.count()
+    return {
+        "n_vecs": n_vecs,
+        "n_queries": n_q,
+        "build_sec_one_time": round(build_sec, 3),
+        "search_sec": sec_search,
+        "search_us_per_vec": round(sec_search * 1e6 / n_vecs, 2),
+        "probed_mass": round(scored_rows / (n_q * n_vecs), 4),
+    }
+
+
 LEGS = {
     "pqtrain": (run_pqtrain, BASE_VECS),
+    "tivf": (run_tivf, BASE_VECS),
     "wetingest": (run_wetingest, BASE_RECS),
     "psl": (run_psl, BASE_HOSTS),
     "phash8": (run_phash8, BASE_IMGS),

@@ -1540,3 +1540,68 @@ def test_pq_encode_matches_numpy_argmin(spark, vecs):
             ]
             want = int(np.argmin(dists))  # first (smallest code) on ties
             assert enc[(i, s)] == want, (i, s, dists, enc[(i, s)])
+
+
+@given(_vec_lists)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_pq_codebook_kmeans_matches_numpy_lloyd(spark, vecs):
+    """q122/q124's PQ trainer equals a from-scratch numpy replay of the
+    per-subspace Lloyd's trajectory: same int8 quantization, min-id
+    seeding, (sum, count) centroid form with d/n^2 float64 keys and
+    smallest-code ties, JOIN-semantics empty-cluster dropout, and the
+    round-half-up floor((2s+n)/(2n)) integer codewords — exactly (all
+    integers at the end, no tolerance)."""
+    from candia_spark.operators.similarity import pq_codebook_kmeans
+
+    sdf = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        "vec_id bigint, embedding array<float>",
+    )
+    m, dsub, iters = 2, 4, 2
+    K = min(2, len(vecs))
+    q = {}
+    for i, v in enumerate(vecs):
+        n = np.linalg.norm(np.float32(v).astype(np.float64))
+        q[i] = np.floor(np.float32(v).astype(np.float64) / n * 127).astype(
+            np.int64
+        )
+    # replay: per subspace, cent = {code: (sums array, count)}
+    cent = {
+        s: {
+            c: (q[c][s * dsub:(s + 1) * dsub].copy(), 1)
+            for c in range(K)
+        }
+        for s in range(m)
+    }
+    for _ in range(iters):
+        assign = {}
+        for i in q:
+            for s in range(m):
+                sv = q[i][s * dsub:(s + 1) * dsub]
+                best = None
+                for c in sorted(cent[s]):
+                    sums, n = cent[s][c]
+                    d = int(((n * sv - sums) ** 2).sum())
+                    key = d / float(n * n)  # the float64 comparison key
+                    if best is None or key < best[0]:
+                        best = (key, c)
+                assign[(i, s)] = best[1]
+        nxt = {s: {} for s in range(m)}
+        for (i, s), c in assign.items():
+            sums, n = nxt[s].get(c, (np.zeros(dsub, dtype=np.int64), 0))
+            nxt[s][c] = (sums + q[i][s * dsub:(s + 1) * dsub], n + 1)
+        cent = nxt  # empty codes drop (the JOIN recenter semantics)
+    want = {}
+    for s in cent:
+        for c, (sums, n) in cent[s].items():
+            want[(s, c)] = [
+                int(np.floor((2 * x + n) / float(2 * n))) for x in sums
+            ]
+    got = {
+        (r["sub"], r["code"]): list(r["cw"])
+        for r in pq_codebook_kmeans(
+            sdf, m=m, codewords=K, iters=iters
+        ).collect()
+    }
+    assert got == want
