@@ -347,8 +347,12 @@ def _assignments(
     for it in range(iters):
         if _return_centroids and it == iters - 1:
             # the centroid table the FINAL pass would assign against —
-            # kmeans_centroids' exit point, same trajectory to the step
-            return cent
+            # kmeans_centroids' exit point, same trajectory to the step.
+            # Explicit select: re-centered tables carry the internal
+            # __smax/__qmax overflow-guard columns (ADVICE r14) — the
+            # documented (cluster, sv, n) contract must hold for
+            # persisted centroid tables regardless of iters.
+            return cent.select("cluster", "sv", "n")
         # all centroids in ONE broadcast row -> assignment is a map: the
         # k distances and their argmin evaluate inside each corpus row
         carr = cent.agg(

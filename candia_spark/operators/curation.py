@@ -2771,6 +2771,7 @@ def blocklist_filter(
     phrases: list[str],
     text_col: str = "text",
     id_col: str = "doc_id",
+    engine: str = "inline",
 ) -> DataFrame:
     """C4-style blocklist gate (Raffel et al. 2020 dropped any page
     containing a "List of Dirty, Naughty ..." phrase): flag documents
@@ -2795,14 +2796,27 @@ def blocklist_filter(
     lexicographically smallest matching NORMALIZED phrase ('' when
     clean), blocked the boolean verdict.
 
-    Scale: a pure per-row map — the normalize chain runs once per row
-    (one projection; phrase tests share it), each phrase test is one
-    JVM ``contains``; linear in corpus bytes x list size, zero
-    exchanges. For 10k+-phrase lists, swap the literal fold for a
-    broadcast join against exploded tokens — this operator is the
-    bounded-list fast path."""
+    Scale — two engines, one verdict (equivalence pytest-pinned):
+
+    - ``engine='inline'`` (default): a pure per-row map — the
+      normalize chain runs once per row (one projection; phrase tests
+      share it), each phrase test is one JVM ``contains``; linear in
+      corpus bytes x list size, zero exchanges. The bounded-list fast
+      path — but every phrase is a LITERAL in one codegen'd
+      expression, so a C4-scale list (thousands of phrases) inlines
+      thousands of ``contains`` calls: a Janino method-size /
+      plan-compile hazard.
+    - ``engine='join'``: the 10k+-phrase shape — normalized text
+      explodes into contiguous word n-grams of exactly the lengths the
+      phrase list contains, the phrase table broadcasts (list-sized),
+      the hit set is one keyed agg (countDistinct phrase + min phrase)
+      joined back to the id spine. Plan size is CONSTANT in the list
+      length (phrases are data, not code); exploded mass is
+      corpus tokens x distinct-phrase-lengths, one shuffle on id."""
     if not phrases:
         raise ValueError("phrases must be a non-empty list")
+    if engine not in ("inline", "join"):
+        raise ValueError(f"engine must be 'inline' or 'join', got {engine!r}")
     # Phrases get the SAME normalization as the document text (lowercase,
     # non-alphanumerics -> space, collapse, strip) — a punctuated phrase
     # like 'x-rated' must match its normalized document form, and
@@ -2834,6 +2848,59 @@ def blocklist_filter(
         F.lit(" "),
     )
     base = df.select(F.col(id_col), t.alias("__t"))
+    if engine == "join":
+        spark = df.sparkSession
+        ptable = spark.createDataFrame(
+            [(p,) for p in norm], "phrase string"
+        )
+        lengths = sorted({len(p.split(" ")) for p in norm})
+        toks = F.split(F.trim("__t"), " ")
+
+        # contiguous n-grams for exactly the lengths the list contains;
+        # a document shorter than n contributes none for that n.
+        # The lambda must close over n through a factory, NOT a
+        # `lambda i, _n=n` default arg: PySpark derives HOF arity from
+        # the Python signature, so a two-param lambda becomes an
+        # (element, index) lambda and the "default" silently binds to
+        # the INDEX column (observed: ragged slices).
+        def _ngrams(n: int):
+            return F.when(
+                F.size(toks) >= n,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+                    lambda i: F.array_join(
+                        F.slice(toks, i, F.lit(n)), " "
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+
+        gram_arrays = [_ngrams(n) for n in lengths]
+        grams = base.select(
+            F.col(id_col),
+            F.explode(F.flatten(F.array(*gram_arrays))).alias("__g"),
+        )
+        hit_agg = (
+            grams.join(
+                F.broadcast(ptable), grams["__g"] == ptable["phrase"]
+            )
+            .groupBy(id_col)
+            .agg(
+                F.countDistinct("phrase").cast("bigint").alias("n_hits"),
+                F.min("phrase").alias("first_hit"),
+            )
+        )
+        return (
+            base.select(id_col)
+            .join(hit_agg, id_col, "left")
+            .select(
+                F.col(id_col),
+                F.coalesce("n_hits", F.lit(0).cast("bigint")).alias(
+                    "n_hits"
+                ),
+                F.coalesce("first_hit", F.lit("")).alias("first_hit"),
+                (F.coalesce("n_hits", F.lit(0)) > 0).alias("blocked"),
+            )
+        )
     hits = [
         F.contains(F.col("__t"), F.lit(f" {p} ")).alias(f"__h{i}")
         for i, p in enumerate(norm)

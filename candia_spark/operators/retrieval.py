@@ -364,17 +364,24 @@ def ann_recall_audit(
     ids present in BOTH lists, recall = n_overlap / k as a double
     (division by the integer constant k: exact for the small integer
     numerators a top-k produces). Every truth query keeps its row even
-    at zero overlap.
+    at zero overlap. Both key sets are DISTINCT-projected before the
+    join (ADVICE r14): a list that carries duplicate (query, id) rows
+    — a buggy index under audit is exactly the kind of input that
+    might — would otherwise multiply-count both n_true and n_overlap.
+    On a corpus smaller than k the truth list is short and n_true < k;
+    recall still divides by the REQUESTED k (the deployment asked for
+    k answers — an index that cannot produce them scores accordingly);
+    read n_overlap / n_true for list-completeness-adjusted recall.
 
     Scale: two list-sized inputs (Q*k rows each — the corpora already
     collapsed by the top-k passes), one keyed left join + one keyed
     agg; nothing corpus-sized."""
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")
-    t = truth.select(F.col(query_id_col), F.col(id_col))
+    t = truth.select(F.col(query_id_col), F.col(id_col)).distinct()
     a = approx.select(
         F.col(query_id_col), F.col(id_col).alias("__aid")
-    )
+    ).distinct()
     joined = t.join(
         a,
         (t[query_id_col] == a[query_id_col])

@@ -7106,18 +7106,19 @@ def q121_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _pq_train_cte_parts(
     m: int = 8, codewords: int = 16, iters: int = 2, dsub: int = 8,
-    px: str = "",
+    px: str = "", src: str = "qz",
 ) -> list:
     """CTE fragments replaying the per-subspace PQ k-means train +
     corpus encode (the q57 unrolled-trajectory device with ``sub`` as
     an extra grouping key everywhere; round-half-up integer codebook
     via the same pure floor device as the Spark trainer). Shared by
-    the q122 and q124 oracles; ``px`` prefixes every CTE name so the
-    chain composes next to the coarse-kmeans CTEs, which own the
-    unprefixed cent{{i}}/dist{{i}}/assign{{i}} names. Requires
-    ``qz`` (from _INT8_NRM_SQL) in scope; ends with ``{{px}}enc`` =
-    (vec_id, sub, code) and keeps ``{{px}}dists``/``{{px}}cb`` in
-    scope for LUT construction."""
+    the q122, q124, and q127 oracles; ``px`` prefixes every CTE name so
+    the chain composes next to the coarse-kmeans CTEs, which own the
+    unprefixed cent{{i}}/dist{{i}}/assign{{i}} names. ``src`` names the
+    (vec_id, qv array<bigint>) CTE the trainer reads — ``qz`` (from
+    _INT8_NRM_SQL) for raw int8 lanes, or a residual-lane CTE (q127).
+    Ends with ``{{px}}enc`` = (vec_id, sub, code) and keeps
+    ``{{px}}dists``/``{{px}}cb`` in scope for LUT construction."""
     parts = [
         f"""
     {px}lanes AS MATERIALIZED (
@@ -7125,7 +7126,7 @@ def _pq_train_cte_parts(
                CAST(floor((i - 1) / {dsub}) AS BIGINT) AS sub,
                CAST((i - 1) % {dsub} AS BIGINT) AS pos,
                qv[i] AS v
-        FROM qz, UNNEST(generate_series(1, len(qv))) AS u(i)),
+        FROM {src}, UNNEST(generate_series(1, len(qv))) AS u(i)),
     {px}ids AS (
         SELECT vec_id,
                CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS code
@@ -7176,7 +7177,7 @@ def _pq_train_cte_parts(
     {px}subsq AS (
         SELECT vec_id, CAST(s AS BIGINT) AS sub,
                list_slice(qv, s * {dsub} + 1, (s + 1) * {dsub}) AS sv
-        FROM qz, UNNEST(generate_series(0, {m - 1})) AS g(s)),
+        FROM {src}, UNNEST(generate_series(0, {m - 1})) AS g(s)),
     {px}dists AS (
         SELECT v.vec_id, v.sub, c.code,
                CAST(SUM((v.sv[i] - c.cw[i]) * (v.sv[i] - c.cw[i]))
@@ -7624,6 +7625,133 @@ def q126_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return curriculum_order(
         docs, quality_score("text"), n_stages=4, n_shards=4, salt="cur0"
+    )
+
+
+def _q127_oracle(
+    coarse_k: int = 8, coarse_iters: int = 2, coarse_scale: int = 1000,
+    m: int = 8, codewords: int = 16, pq_iters: int = 2, nprobe: int = 3,
+    stride: int = 67, k: int = 5, dsub: int = 8,
+) -> str:
+    """The RESIDUAL-encoded IVFADC replay (Jégou et al. 2011 §III): the
+    q57 coarse chain, integer cell centroids in the int8 lane space
+    (the same round-half-up floor device as the Spark side), residual
+    lanes r(x) = x - q1(x) re-assembled to arrays, the shared PQ
+    train/encode chain pointed at the residual CTE (src='rz'), a
+    per-probed-cell query-residual LUT, and ADC restricted to probed
+    cells. One wrong residual lane, one swapped probe, or one
+    mis-seeded codeword moves a distance and fails the gate."""
+    coarse = _kmeans_ctes(coarse_k, coarse_iters, coarse_scale, "min_id")
+    parts = [coarse[len("WITH "):], _INT8_NRM_SQL]
+    parts.append(
+        f"""
+    zlanes AS MATERIALIZED (
+        SELECT vec_id, i AS pos, qv[i] AS v
+        FROM qz, UNNEST(generate_series(1, len(qv))) AS u(i)),
+    ccent AS MATERIALIZED (
+        -- integer cell centroids in the int8 lane space: round-half-up
+        -- mean via the identical pure floor((2s+n)/(2n)) device
+        SELECT a.cluster, l.pos,
+               CAST(floor(CAST(2 * SUM(l.v) + COUNT(*) AS DOUBLE)
+                          / CAST(2 * COUNT(*) AS DOUBLE)) AS BIGINT) AS c
+        FROM zlanes l JOIN assign{coarse_iters} a USING (vec_id)
+        GROUP BY 1, 2),
+    rz AS MATERIALIZED (
+        -- residual lanes r(x) = x - q1(x), re-assembled to arrays so
+        -- the shared PQ train/encode chain reads them like qz
+        SELECT l.vec_id, list(l.v - c.c ORDER BY l.pos) AS qv
+        FROM zlanes l
+        JOIN assign{coarse_iters} a USING (vec_id)
+        JOIN ccent c ON c.cluster = a.cluster AND c.pos = l.pos
+        GROUP BY l.vec_id)""",
+    )
+    parts.extend(
+        _pq_train_cte_parts(m, codewords, pq_iters, dsub, px="r", src="rz")
+    )
+    parts.append(
+        f"""
+    qprobe AS (
+        -- probe against cent{coarse_iters - 1}: the centroids the
+        -- final assignment pass used (one total order for cells and
+        -- probes)
+        SELECT q.vec_id AS query_id, c.cluster,
+               SUM((c.n * q.v - c.s) * (c.n * q.v - c.s)) AS d,
+               MAX(c.n) AS n
+        FROM q JOIN cent{coarse_iters - 1} c USING (pos)
+        WHERE q.vec_id % {stride} = 0
+        GROUP BY 1, 2),
+    probes AS (
+        SELECT query_id, cluster FROM (
+            SELECT query_id, cluster,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY CAST(d AS DOUBLE) / CAST(n * n AS DOUBLE)
+                                    ASC,
+                                cluster ASC) AS rn
+            FROM qprobe) t
+        WHERE rn <= {nprobe}),
+    qres AS (
+        -- the query's residual is PER PROBED CELL (the paper's
+        -- Algorithm 2: the LUT keys on the cell's reproduction value)
+        SELECT p.query_id, p.cluster,
+               CAST(floor((l.pos - 1) / {dsub}) AS BIGINT) AS sub,
+               list(l.v - c.c ORDER BY l.pos) AS sv
+        FROM probes p
+        JOIN zlanes l ON l.vec_id = p.query_id
+        JOIN ccent c ON c.cluster = p.cluster AND c.pos = l.pos
+        GROUP BY 1, 2, 3),
+    lut AS MATERIALIZED (
+        SELECT r.query_id, r.cluster, r.sub, c.code,
+               CAST(SUM((r.sv[i] - c.cw[i]) * (r.sv[i] - c.cw[i]))
+                    AS BIGINT) AS d
+        FROM qres r JOIN rcb c ON c.sub = r.sub,
+             UNNEST(generate_series(1, {dsub})) AS u(i)
+        GROUP BY 1, 2, 3, 4),
+    encc AS (
+        SELECT e.vec_id, e.sub, e.code, a.cluster
+        FROM renc e JOIN assign{coarse_iters} a USING (vec_id)),
+    scored AS (
+        SELECT l.query_id, e.vec_id, CAST(SUM(l.d) AS BIGINT) AS dist
+        FROM encc e
+        JOIN lut l ON l.cluster = e.cluster AND l.sub = e.sub
+                   AND l.code = e.code
+        GROUP BY 1, 2)
+    SELECT query_id, vec_id, dist, CAST(rnk AS BIGINT) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY dist ASC, vec_id ASC) AS rnk FROM scored)
+    WHERE rnk <= {k}""",
+    )
+    return "WITH " + ",".join(parts)
+
+
+@register(
+    "q127_residual_ivfadc",
+    oracle=_q127_oracle(),
+    survey_ref="residual-encoded IVFADC (Jégou et al. 2011 §III — the "
+    "PQ codebook trains on and encodes r(x) = x - q1(x), closing "
+    "q124's one algorithmic gap; north star: recall held at high "
+    "compression on a billion-vector index)",
+)
+def q127_residual_ivfadc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual-encoded IVFADC certified end to end
+    (operators.similarity.pq_topk_ivfadc_residual): the coarse
+    quantizer is the q57-trained k-means (one table for cells AND
+    probes), the reproduction values are integer cell centroids in the
+    int8 lane space, and the q122 per-subspace trainer + encoder run on
+    the RESIDUAL lanes — Jégou et al. 2011 §III in full, with every
+    stage integer-exact so the oracle replays the entire chain
+    (coarse trajectory, residual derivation, PQ trajectory, per-cell
+    query LUTs, restricted ADC). q124 (raw-vector encoding) stays as
+    the ablation twin; the measured recall@k delta between the two is
+    SCALING_r15's ann leg."""
+    from candia_spark.operators.similarity import pq_topk_ivfadc_residual
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    qs = emb.filter(F.col("vec_id") % 67 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return pq_topk_ivfadc_residual(
+        emb, qs, k=5, m=8, codewords=16, nprobe=3,
+        coarse_k=8, coarse_iters=2, pq_iters=2,
     )
 
 

@@ -245,9 +245,10 @@ def read_wet_records(
 
     Payload trimming is EXACTLY the fixed record terminator — one
     ``\\r\\n`` followed by either the WARC spec's second ``\\r\\n`` or
-    the text datasource's ``\\n`` — never an unbounded trailing-newline
-    run, so a payload that genuinely ends in newline(s) keeps them and
-    the round-trip stays byte-exact (Content-Length included)."""
+    the text datasource's ``\\n``, or (LF-only files) the ``\\n\\n``
+    terminator — never an unbounded trailing-newline run, so a payload
+    that genuinely ends in newline(s) keeps them and the round-trip
+    stays byte-exact (Content-Length included)."""
     raw = spark.read.option("lineSep", "WARC/1.0").text(path)
     return _wet_project(raw, keep_raw)
 
@@ -282,13 +283,16 @@ def _wet_project(raw: DataFrame, keep_raw: bool) -> DataFrame:
     headers = F.regexp_extract(block, r"(?s)^(.*?)\r?\n\r?\n", 1)
     # trim ONLY the fixed terminator: the record's closing \r\n plus
     # either the spec's second \r\n (real WET files) or the text
-    # datasource's appended \n (files written by write_wet_records).
+    # datasource's appended \n (files written by write_wet_records) —
+    # OR, for LF-only files (ADVICE r14: the header split already
+    # tolerates \n\n, so payload trimming must too), the \n\n record
+    # terminator (\n alone at EOF-truncated tails).
     # \z (absolute end), not $: Java's $ also matches BEFORE a final
     # line terminator, which would let the pattern consume a genuine
     # payload \r\n one position early.
     payload = F.regexp_replace(
         F.regexp_extract(block, r"(?s)\r?\n\r?\n(.*)$", 1),
-        r"\r\n(\r\n|\n)?\z",
+        r"(\r\n(\r\n|\n)?|\n\n?)\z",
         "",
     )
 

@@ -811,19 +811,36 @@ def write_wet_ingest_batch(
         "record_id", "target_uri", "warc_date", "content_length",
         "_malformed",
     ]
-    clean = batch_df.filter(~F.col("_malformed"))
+    # gate on a per-row surrogate, NOT record_id (ADVICE r14): crawl
+    # dupes and headerless records (record_id = '') share ids, and the
+    # classifiers' internal groupBy would merge their token censuses —
+    # every duplicate would get one conflated verdict. The surrogate is
+    # only a join key within this batch (verdicts stay pure functions
+    # of each row's own text), so replay determinism is unaffected; it
+    # never reaches the sink schema.
+    from candia_spark.operators.dedup import _materialize
+
+    # _materialize pins the surrogate ids (three consumers below would
+    # otherwise re-evaluate the id expression per branch) and cuts the
+    # batch scan to one pass.
+    clean = _materialize(
+        batch_df.filter(~F.col("_malformed")).withColumn(
+            "__row_id", F.monotonically_increasing_id()
+        )
+    )
     q = quality_classifier_score(
         clean, quality_weights, threshold=threshold,
-        text_col="text", id_col="record_id", ngram=ngram, buckets=buckets,
+        text_col="text", id_col="__row_id", ngram=ngram, buckets=buckets,
     )
     lang = multiclass_classifier_predict(
-        clean, langid_weights, text_col="text", id_col="record_id",
+        clean, langid_weights, text_col="text", id_col="__row_id",
         ngram=ngram, buckets=buckets, fallback=fallback,
     )
     gated = (
-        clean.select(*meta_cols)
-        .join(q, "record_id")
-        .join(lang, "record_id")
+        clean.select("__row_id", *meta_cols)
+        .join(q, "__row_id")
+        .join(lang, "__row_id")
+        .drop("__row_id")
     )
     mal = batch_df.filter(F.col("_malformed")).select(
         *meta_cols,
