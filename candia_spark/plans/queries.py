@@ -7755,6 +7755,569 @@ def q127_residual_ivfadc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q128_oracle() -> str:
+    """The capstone pretrain-assembly replay: WET gate (malformed route
+    dropped), HTML extraction (_html_clean_sql — rendered from the
+    operator's own pattern tables), Gopher + blocklist + quality +
+    langid gates, URL canonicalization dedup, line-level paragraph
+    dedup, 3-gram decontamination, per-domain cap, mixture plan join,
+    per-shard whole-doc packing (recursive CTE), and the deterministic
+    shuffle — every stage the composed q128 chain runs, recomputed
+    independently so a contract break BETWEEN stages (which ids flow
+    where, with which text) fails the gate, not just a stage in
+    isolation. The WET projection itself is certified transitively: the
+    oracle derives the payload from the planted construction, so any
+    byte the Spark-side record split/terminator-trim mangles changes
+    clean_md5 and every downstream token count."""
+    url_sql = (
+        "(CASE WHEN doc_id % 3 = 0 THEN 'HTTPS' ELSE 'https' END)"
+        " || '://'"
+        " || (CASE WHEN doc_id % 3 = 1 THEN 'WWW.h' ELSE 'www.h' END)"
+        " || CAST(doc_id % 4 AS VARCHAR) || '.Site'"
+        " || CAST(doc_id % 3 AS VARCHAR) || '.Com/Doc/'"
+        " || CAST(doc_id // 24 AS VARCHAR)"
+        " || (CASE WHEN doc_id % 2 = 0"
+        "          THEN '?utm_source=feed'"
+        "               || (CASE WHEN doc_id % 6 = 0"
+        "                        THEN '&gclid=g1&x=keep' ELSE '' END)"
+        "          ELSE '' END)"
+        " || (CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END)"
+        " || (CASE WHEN doc_id % 7 = 0 THEN '/' ELSE '' END)"
+    )
+    env_sql = (
+        "'<!DOCTYPE html><html><head><title> Doc ' || doc_id || "
+        "' </title><style type=\"text/css\">p { color: red; }</style>"
+        "<SCRIPT>var x = 1 < 2 && \"</div>\";</SCRIPT></head>"
+        "<body><!-- draft: <p>' || source || '</p> --><h1>' || source || "
+        "'</h1>\n<p>' || text || "
+        "' &amp;co &lt;tag&gt; &quot;q&#39;s&quot;&nbsp;end</p>' || "
+        "CASE WHEN doc_id % 5 = 0 "
+        "THEN '<ul><li>item one</li><li>item two</li></ul>' ELSE '' END || "
+        "CASE WHEN doc_id % 11 = 0 "
+        "THEN '<p>limited Merge-Batch! offer</p>' ELSE '' END || "
+        "'<div>tail ' || doc_id || '</div></body></html>'"
+    )
+    canon_sql = """
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(
+                         lower(regexp_extract(url,
+                             '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+                         || '://'
+                         || lower(regexp_extract(url,
+                             '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1))
+                         || regexp_extract(url,
+                             '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$', 1),
+                         '#.*', '', 'g'),
+                       '&(utm_[^=&#]*|gclid|fbclid)=[^&#]*', '', 'g'),
+                     '\\?(utm_[^=&#]*|gclid|fbclid)=[^&#]*&', '?', 'g'),
+                   '\\?(utm_[^=&#]*|gclid|fbclid)=[^&#]*$', '', 'g'),
+                 '/$', '', 'g')"""
+    norm_sql = (
+        "' ' || trim(regexp_replace(regexp_replace(lower(clean),"
+        " '[^a-z0-9]+', ' ', 'g'), ' +', ' ', 'g')) || ' '"
+    )
+    sql = """
+    WITH RECURSIVE base AS MATERIALIZED (
+        -- the WET gate: the %13 rows lose their WARC-Type header on
+        -- the Spark side and route to _malformed; they never enter
+        SELECT doc_id, source, {URL} AS url, {ENV} AS html
+        FROM documents WHERE doc_id % 13 <> 0),
+    x AS MATERIALIZED (
+        SELECT doc_id, source, url, {CLEAN} AS clean FROM base),
+    gt AS MATERIALIZED (
+        SELECT doc_id, {ctoks} AS toks,
+               string_split(clean, chr(10)) AS lines,
+               CAST(length(clean)
+                    - length(replace(clean, '#', '')) AS BIGINT)
+               + CAST((length(clean)
+                    - length(replace(clean, '...', ''))) // 3 AS BIGINT)
+                   AS n_symbols
+        FROM x),
+    gc AS (
+        SELECT doc_id,
+               CAST(len(toks) AS BIGINT) AS n_words,
+               CAST(len(lines) AS BIGINT) AS n_lines,
+               CAST(list_sum(list_transform(toks, x -> length(x)))
+                    AS BIGINT) AS sum_chars,
+               n_symbols,
+               CAST(len(list_filter(lines,
+                    l -> substr(l, 1, 1) = '-' OR substr(l, 1, 1) = '*'
+                         OR substr(l, 1, 1) = '•')) AS BIGINT) AS bullets,
+               CAST(len(list_filter(lines,
+                    l -> length(l) >= 3
+                         AND substr(l, length(l) - 2, 3) = '...'))
+                    AS BIGINT) AS ell_lines,
+               CAST(len(list_filter(toks,
+                    x -> regexp_matches(x, '[a-z]'))) AS BIGINT)
+                   AS alpha_words,
+               CAST(len(list_intersect(list_distinct(toks),
+                    ['the', 'be', 'to', 'of', 'and',
+                     'that', 'have', 'with'])) AS BIGINT) AS stop_hits,
+               CAST(len(list_intersect(list_distinct(toks),
+                    ['the','and','of','to','is'])) AS BIGINT) AS s_en,
+               CAST(len(list_intersect(list_distinct(toks),
+                    ['der','die','und','nicht','das'])) AS BIGINT) AS s_de,
+               CAST(len(list_intersect(list_distinct(toks),
+                    ['el','la','de','que','los'])) AS BIGINT) AS s_es,
+               CAST(len(list_intersect(list_distinct(toks),
+                    ['le','la','les','et','des'])) AS BIGINT) AS s_fr,
+               CAST(len(list_intersect(list_distinct(toks),
+                    ['de5','shi4','le5','zai4','he2'])) AS BIGINT) AS s_zh,
+               CAST(len(toks) AS DOUBLE) AS nw,
+               CAST(len(list_distinct(toks)) AS DOUBLE) AS nd,
+               CAST(len(list_filter(toks,
+                    x -> list_contains(['the','and','of','to','is'], x)))
+                    AS DOUBLE) AS qstop
+        FROM gt),
+    verdicts AS MATERIALIZED (
+        SELECT doc_id,
+               (n_words >= 20 AND n_words <= 100000
+                AND COALESCE(sum_chars, 0) >= 3 * n_words
+                AND COALESCE(sum_chars, 0) <= 10 * n_words
+                AND n_symbols * 10 <= 1 * n_words
+                AND bullets * 10 <= 9 * n_lines
+                AND ell_lines * 10 <= 3 * n_lines
+                AND alpha_words * 5 >= 4 * n_words
+                AND stop_hits >= 1) AS gopher_keep,
+               (CASE WHEN nw > 0 THEN
+                  CAST(0.4 * LEAST(1.0, nw / 50.0)
+                       + 0.3 * (nd / nw)
+                       + 0.3 * LEAST(1.0, 5.0 * qstop / nw) AS DOUBLE)
+                ELSE 0.0 END) >= 0.5 AS quality_keep,
+               (GREATEST(s_de, s_en, s_es, s_fr, s_zh) > 0
+                AND s_de < GREATEST(s_de, s_en, s_es, s_fr, s_zh)
+                AND s_en = GREATEST(s_de, s_en, s_es, s_fr, s_zh))
+                   AS lang_en
+        FROM gc),
+    gate AS MATERIALIZED (
+        SELECT x.doc_id, x.source, x.url, x.clean
+        FROM x JOIN verdicts v USING (doc_id)
+        WHERE v.gopher_keep AND v.quality_keep AND v.lang_en
+          AND position(' merge batch ' IN ({NORM})) = 0),
+    canon AS MATERIALIZED (
+        SELECT doc_id, source, clean, {CANON} AS canonical_url
+        FROM gate),
+    alive3 AS MATERIALIZED (
+        SELECT doc_id, source, clean,
+               regexp_extract(
+                   regexp_extract(canonical_url,
+                       '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]*)', 1),
+                   '([^.]+\\.[^.]+)$', 1) AS domain
+        FROM (SELECT *, MIN(doc_id) OVER (PARTITION BY canonical_url)
+                   AS keeper
+              FROM canon) t
+        WHERE doc_id = keeper),
+    pl AS MATERIALIZED (
+        SELECT doc_id, string_split(clean, chr(10)) AS ps FROM alive3),
+    paras AS MATERIALIZED (
+        SELECT doc_id, i - 1 AS pos, ps[i] AS para
+        FROM pl, UNNEST(generate_series(1, len(ps))) AS u(i)),
+    own1 AS (
+        SELECT para, MIN(doc_id) AS od
+        FROM paras WHERE para <> '' GROUP BY para),
+    own AS MATERIALIZED (
+        SELECT p.para, o.od, MIN(p.pos) AS op
+        FROM paras p JOIN own1 o ON p.para = o.para AND p.doc_id = o.od
+        GROUP BY p.para, o.od),
+    keptp AS (
+        SELECT p.doc_id, p.pos, p.para
+        FROM paras p LEFT JOIN own o ON p.para = o.para
+        WHERE o.para IS NULL OR (p.doc_id = o.od AND p.pos = o.op)),
+    reb AS MATERIALIZED (
+        SELECT doc_id,
+               string_agg(para, chr(10) ORDER BY pos) AS clean2
+        FROM keptp GROUP BY doc_id),
+    ftxt AS MATERIALIZED (
+        SELECT a.doc_id, a.source, a.domain,
+               COALESCE(r.clean2, '') AS clean2
+        FROM alive3 a LEFT JOIN reb r USING (doc_id)),
+    ft AS MATERIALIZED (
+        SELECT doc_id, {ftoks} AS t FROM ftxt),
+    csh AS (
+        -- 5-gram shingles: the synthetic corpus draws from a ~30-word
+        -- vocabulary, so 3-grams collide across unrelated docs and
+        -- would flag ~everything; 5-grams identify real overlap
+        SELECT DISTINCT doc_id,
+               t[i] || chr(31) || t[i+1] || chr(31) || t[i+2]
+                    || chr(31) || t[i+3] || chr(31) || t[i+4] AS s
+        FROM ft, UNNEST(generate_series(1, greatest(len(t) - 4, 0)))
+             AS u(i)),
+    bt AS (
+        SELECT doc_id, {toks} AS t FROM documents WHERE doc_id % 17 = 0),
+    bsh AS (
+        SELECT DISTINCT t[i] || chr(31) || t[i+1] || chr(31) || t[i+2]
+                    || chr(31) || t[i+3] || chr(31) || t[i+4] AS s
+        FROM bt, UNNEST(generate_series(1, greatest(len(t) - 4, 0)))
+             AS u(i)),
+    flagged AS (SELECT DISTINCT c.doc_id FROM csh c JOIN bsh USING (s)),
+    alive4 AS MATERIALIZED (
+        SELECT f.* FROM ftxt f LEFT JOIN flagged g USING (doc_id)
+        WHERE g.doc_id IS NULL),
+    capped AS MATERIALIZED (
+        SELECT doc_id, source, domain, clean2 FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY domain
+                ORDER BY md5(CAST(doc_id AS VARCHAR) || 'cap128') ASC,
+                         doc_id ASC) AS rnk
+            FROM alive4) t
+        WHERE rnk <= 25),
+    w(source, weight) AS (
+        VALUES ('src0', CAST(1 AS BIGINT)), ('src1', CAST(2 AS BIGINT)),
+               ('src2', CAST(3 AS BIGINT)), ('src3', CAST(1 AS BIGINT)),
+               ('src4', CAST(2 AS BIGINT)), ('src5', CAST(3 AS BIGINT)),
+               ('src6', CAST(1 AS BIGINT)), ('src7', CAST(2 AS BIGINT)),
+               ('src8', CAST(3 AS BIGINT)), ('src9', CAST(1 AS BIGINT)),
+               ('src10', CAST(2 AS BIGINT)), ('src11', CAST(3 AS BIGINT))),
+    avail AS MATERIALIZED (
+        SELECT source, CAST(SUM(len({ftoks2})) AS BIGINT)
+                   AS available_tokens
+        FROM capped GROUP BY source),
+    plan AS MATERIALIZED (
+        SELECT a.source, w.weight, a.available_tokens,
+               CAST((w.weight * 50000) // 24 AS BIGINT) AS target_tokens,
+               CASE WHEN a.available_tokens <= 0 THEN CAST(0 AS BIGINT)
+                    ELSE CAST(((w.weight * 50000) // 24
+                         + a.available_tokens - 1) // a.available_tokens
+                         AS BIGINT)
+               END AS epochs
+        FROM avail a JOIN w USING (source)),
+    alive5 AS MATERIALIZED (
+        SELECT c.doc_id, c.source, c.domain, c.clean2, p.epochs
+        FROM capped c JOIN plan p USING (source)),
+    d AS MATERIALIZED (
+        SELECT source AS shard, doc_id, domain, epochs,
+               md5(clean2) AS clean_md5,
+               CAST(len({ftoks2}) AS BIGINT) AS n_tok,
+               ROW_NUMBER() OVER (PARTITION BY source
+                    ORDER BY doc_id) AS rn
+        FROM alive5),
+    walk AS (
+        SELECT shard, doc_id, n_tok, rn,
+               0 AS seq_id, 0 AS off,
+               CASE WHEN n_tok > 60 THEN 60 ELSE n_tok END AS kept,
+               CASE WHEN n_tok > 60 THEN 1 ELSE 0 END AS nxt_seq,
+               CASE WHEN n_tok > 60 THEN 0 ELSE n_tok END AS nxt_fill
+        FROM d WHERE rn = 1
+        UNION ALL
+        SELECT n.shard, n.doc_id, n.n_tok, n.rn,
+               CASE WHEN n.n_tok > 60 THEN w.nxt_seq
+                         + CASE WHEN w.nxt_fill > 0 THEN 1 ELSE 0 END
+                    WHEN w.nxt_fill + n.n_tok <= 60 THEN w.nxt_seq
+                    ELSE w.nxt_seq + 1 END,
+               CASE WHEN n.n_tok > 60 THEN 0
+                    WHEN w.nxt_fill + n.n_tok <= 60 THEN w.nxt_fill
+                    ELSE 0 END,
+               CASE WHEN n.n_tok > 60 THEN 60 ELSE n.n_tok END,
+               CASE WHEN n.n_tok > 60 THEN w.nxt_seq
+                         + CASE WHEN w.nxt_fill > 0 THEN 1 ELSE 0 END + 1
+                    WHEN w.nxt_fill + n.n_tok <= 60 THEN w.nxt_seq
+                    ELSE w.nxt_seq + 1 END,
+               CASE WHEN n.n_tok > 60 THEN 0
+                    WHEN w.nxt_fill + n.n_tok <= 60
+                         THEN w.nxt_fill + n.n_tok
+                    ELSE n.n_tok END
+        FROM walk w JOIN d n ON n.shard = w.shard AND n.rn = w.rn + 1),
+    shuf AS (
+        SELECT doc_id,
+               md5('ep128:' || CAST(doc_id AS VARCHAR)) AS key
+        FROM d),
+    shufp AS (
+        SELECT doc_id,
+               CAST(CAST('0x' || substr(key, 1, 15) AS BIGINT) % 4
+                    AS BIGINT) AS shuffle_shard,
+               key
+        FROM shuf)
+    SELECT w.doc_id, w.shard AS source, d.domain, d.epochs,
+           w.n_tok AS n_tokens,
+           CAST(w.seq_id AS BIGINT) AS seq_id,
+           CAST(w.off AS BIGINT) AS offset_in_seq,
+           CAST(w.kept AS BIGINT) AS kept_tokens,
+           s.shuffle_shard,
+           CAST(ROW_NUMBER() OVER (PARTITION BY s.shuffle_shard
+                ORDER BY s.key ASC, s.doc_id ASC) - 1 AS BIGINT)
+               AS shuffle_pos,
+           d.clean_md5
+    FROM walk w
+    JOIN d ON d.shard = w.shard AND d.doc_id = w.doc_id
+    JOIN shufp s ON s.doc_id = w.doc_id
+    """
+    return (
+        sql.replace("{URL}", url_sql)
+        .replace("{ENV}", env_sql)
+        .replace("{CLEAN}", _html_clean_sql("html"))
+        .replace("{CANON}", canon_sql)
+        .replace("{NORM}", norm_sql)
+        .replace(
+            "{ctoks}",
+            "list_filter(string_split(lower(clean), ' '), x -> x <> '')",
+        )
+        .replace(
+            "{ftoks2}",
+            "list_filter(string_split(lower(clean2), ' '), x -> x <> '')",
+        )
+        .replace(
+            "{ftoks}",
+            "list_filter(string_split(lower(clean2), ' '), x -> x <> '')",
+        )
+        .replace("{toks}", _TOKS_SQL)
+    )
+
+
+@register(
+    "q128_pretrain_assembly",
+    oracle=_q128_oracle(),
+    survey_ref="capstone pretrain-assembly chain (WET gate -> extract "
+    "-> gopher/blocklist/quality/langid -> url dedup -> paragraph "
+    "dedup -> decontaminate -> domain cap -> mixture -> pack + "
+    "shuffle, as ONE dataflow; north star: the 109 components are a "
+    "pipeline, not a parts bin)",
+)
+def q128_pretrain_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED pretraining-assembly pipeline, certified end to end
+    as one plan: planted WET record blocks (HTML payloads, %13 rows
+    headerless) flow through the shared ``_wet_project`` expressions
+    (malformed routed out — the first oracle gate on the WET reader),
+    HTML extraction, the Gopher (min_words 20, stopword floor 1 — the synthetic
+    vocabulary carries a single stopword) / blocklist / quality(0.5) /
+    langid('en') gate bank,
+    URL-canonicalization dedup (the q104 rule set with collision
+    pairs), line-level paragraph dedup, 5-gram decontamination against
+    the %17 benchmark slice, a per-domain cap, the mixture plan's
+    source selection, whole-document packing per source shard, and the
+    deterministic training shuffle. Single-operator oracles (q104,
+    q105, q108, q45, q107, q114, q118, q113) certify each stage alone;
+    THIS gate certifies their contracts compose — which ids reach which
+    stage carrying which text. Every stage keeps its 100 TB shape
+    (pure maps, keyed shuffles, broadcast plans); nothing here is
+    test-only scaffolding."""
+    from candia_spark.functions.text import (
+        lang_id_from_distinct,
+        quality_score,
+        tokens,
+    )
+    from candia_spark.operators.curation import (
+        blocklist_filter,
+        cap_per_source,
+        extract_html_text,
+        gopher_rules,
+        mixture_epoch_plan,
+        pack_sequences_whole,
+        url_dedup,
+    )
+    from candia_spark.operators.dedup import (
+        _materialize,
+        decontaminate,
+        paragraph_dedup,
+    )
+    from candia_spark.operators.sampling import deterministic_shuffle
+    from candia_spark.sources.adapters import _wet_project
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    i = F.col("doc_id")
+    url = F.concat(
+        F.when(i % 3 == 0, F.lit("HTTPS")).otherwise(F.lit("https")),
+        F.lit("://"),
+        F.when(i % 3 == 1, F.lit("WWW.h")).otherwise(F.lit("www.h")),
+        (i % 4).cast("string"),
+        F.lit(".Site"),
+        (i % 3).cast("string"),
+        F.lit(".Com/Doc/"),
+        F.expr("CAST(doc_id DIV 24 AS STRING)"),
+        F.when(
+            i % 2 == 0,
+            F.concat(
+                F.lit("?utm_source=feed"),
+                F.when(i % 6 == 0, F.lit("&gclid=g1&x=keep")).otherwise(
+                    F.lit("")
+                ),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(i % 5 == 0, F.lit("#frag")).otherwise(F.lit("")),
+        F.when(i % 7 == 0, F.lit("/")).otherwise(F.lit("")),
+    )
+    html = F.concat(
+        F.lit("<!DOCTYPE html><html><head><title> Doc "),
+        i.cast("string"),
+        F.lit(' </title><style type="text/css">p { color: red; }</style>'),
+        F.lit('<SCRIPT>var x = 1 < 2 && "</div>";</SCRIPT></head>'),
+        F.lit("<body><!-- draft: <p>"),
+        F.col("source"),
+        F.lit("</p> --><h1>"),
+        F.col("source"),
+        F.lit("</h1>\n<p>"),
+        F.col("text"),
+        F.lit(" &amp;co &lt;tag&gt; &quot;q&#39;s&quot;&nbsp;end</p>"),
+        F.when(
+            i % 5 == 0, F.lit("<ul><li>item one</li><li>item two</li></ul>")
+        ).otherwise(F.lit("")),
+        F.when(
+            i % 11 == 0, F.lit("<p>limited Merge-Batch! offer</p>")
+        ).otherwise(F.lit("")),
+        F.lit("<div>tail "),
+        i.cast("string"),
+        F.lit("</div></body></html>"),
+    )
+    # (0) post-split WET blocks: the %13 rows lose WARC-Type and route
+    # to _malformed (the F4 stance) — the gate drops them, auditable
+    hdrs_ok = F.concat(
+        F.lit("\r\nWARC-Type: conversion\r\nWARC-Record-ID: <urn:uuid:"),
+        i.cast("string"),
+        F.lit(">\r\nWARC-Target-URI: "),
+        url,
+        F.lit("\r\nWARC-Date: 2020-01-01T00:00:00Z\r\nContent-Length: "),
+        F.octet_length(html).cast("string"),
+    )
+    hdrs_bad = F.concat(
+        F.lit("\r\nWARC-Record-ID: <urn:uuid:"), i.cast("string"), F.lit(">")
+    )
+    block = F.concat(
+        F.when(i % 13 == 0, hdrs_bad).otherwise(hdrs_ok),
+        F.lit("\r\n\r\n"),
+        html,
+        F.lit("\r\n\r\n"),
+    )
+    wet = _wet_project(docs.select(block.alias("value")), keep_raw=False)
+    base = (
+        wet.filter(~F.col("_malformed"))
+        .select(
+            F.regexp_extract("record_id", "([0-9]+)", 1)
+            .cast("bigint")
+            .alias("doc_id"),
+            F.col("target_uri").alias("url"),
+            F.col("text").alias("html"),
+        )
+        .join(docs.select("doc_id", "source"), "doc_id")
+    )
+    # (1) HTML -> visible text
+    ext = extract_html_text(base.select("doc_id", "html")).select(
+        "doc_id", "clean_text"
+    )
+    # Stage barriers: each stage's output is checkpointed before the
+    # next consumes it. The chain self-joins its own lineage at every
+    # gate (gopher/blocklist/quality branches all read the extraction),
+    # and without the cuts Catalyst re-derives the whole upstream chain
+    # once per branch per stage — measured 134 s vs 16 s at sf0.001.
+    # This is also the production shape: a real assembly run persists
+    # each stage's corpus.
+    withtext = _materialize(
+        base.select("doc_id", "url", "source").join(ext, "doc_id")
+    )
+    # (2) the gate bank: Gopher shape rules (min_words relaxed to 20 —
+    # the envelope adds ~8 words to 10..99-word docs, so the rule still
+    # fires both ways), blocklist, heuristic quality, marker langid
+    gop = gopher_rules(
+        withtext.select("doc_id", F.col("clean_text").alias("text")),
+        min_words=20,
+        min_stop_hits=1,  # the synthetic vocab carries ONE stopword
+    ).select("doc_id", F.col("keep").alias("__gk"))
+    blk = blocklist_filter(
+        withtext.select("doc_id", F.col("clean_text").alias("text")),
+        ["Merge-Batch!"],
+    ).select("doc_id", "blocked")
+    ql = withtext.select(
+        "doc_id",
+        quality_score("clean_text").alias("__q"),
+        lang_id_from_distinct(
+            F.array_distinct(tokens("clean_text"))
+        ).alias("__lang"),
+    )
+    gated = (
+        withtext.join(gop, "doc_id")
+        .join(blk, "doc_id")
+        .join(ql, "doc_id")
+        .filter(
+            (F.col("__gk") == 1)
+            & ~F.col("blocked")
+            & (F.col("__q") >= 0.5)
+            & (F.col("__lang") == "en")
+        )
+        .select("doc_id", "url", "source", "clean_text")
+    )
+    gated = _materialize(gated)
+    # (3) URL-canonicalization dedup (collision pairs k / k+12 share a
+    # canonical URL; smallest id wins)
+    ud = url_dedup(gated.select("doc_id", "url")).select(
+        "doc_id", "domain", "keep"
+    )
+    alive3 = _materialize(
+        gated.join(ud, "doc_id")
+        .filter(F.col("keep"))
+        .select("doc_id", "source", "domain", "clean_text")
+    )
+    # (4) corpus-wide line dedup (the shared h1/list lines collapse to
+    # their corpus-first occurrence)
+    pd = paragraph_dedup(
+        alive3.select("doc_id", F.col("clean_text").alias("text")),
+        sep="\n",
+    ).select("doc_id", F.col("clean_text").alias("clean2"))
+    withclean2 = _materialize(
+        alive3.select("doc_id", "source", "domain").join(pd, "doc_id")
+    )
+    # (5) 3-gram decontamination against the %17 benchmark slice (docs
+    # in the slice self-flag through their own payload — guaranteed
+    # non-trivial drops)
+    bench = docs.filter(i % 17 == 0).select("doc_id", "text")
+    flagged = decontaminate(
+        withclean2.select("doc_id", F.col("clean2").alias("text")),
+        bench,
+        n=5,  # 3-grams over the ~30-word synthetic vocabulary collide
+        # across unrelated docs (measured: 95% flagged); 5-grams flag
+        # real overlap only (the %17 slice self-flags + true matches)
+    ).select("doc_id")
+    alive4 = _materialize(withclean2.join(flagged, "doc_id", "left_anti"))
+    # (6) per-domain contribution cap (3 planted domains)
+    capped = cap_per_source(
+        alive4, cap=25, source_col="domain", salt="cap128"
+    ).select("doc_id", "source", "domain", "clean2")
+    # (7) mixture plan: weighted sources only (the inner join IS the
+    # selection), carrying the per-source epoch count
+    weights = {f"src{j}": (j % 3) + 1 for j in range(12)}
+    plan = mixture_epoch_plan(
+        capped.select("source", F.col("clean2").alias("text")),
+        weights,
+        budget_tokens=50000,
+    ).select("source", "epochs")
+    alive5 = _materialize(capped.join(F.broadcast(plan), "source"))
+    # (8) whole-document packing per source shard + (9) the
+    # deterministic training shuffle
+    packed = pack_sequences_whole(
+        alive5.select("source", "doc_id", F.col("clean2").alias("text")),
+        budget=60,
+    )
+    shuf = deterministic_shuffle(
+        alive5.select("doc_id"), n_shards=4, salt="ep128"
+    ).select(
+        "doc_id",
+        F.col("shard").alias("shuffle_shard"),
+        F.col("pos").alias("shuffle_pos"),
+    )
+    return (
+        packed.join(shuf, "doc_id")
+        .join(
+            alive5.select(
+                "doc_id", "domain", "epochs",
+                F.md5(F.col("clean2").cast("binary")).alias("clean_md5"),
+            ),
+            "doc_id",
+        )
+        .select(
+            "doc_id",
+            F.col("shard").alias("source"),
+            "domain",
+            "epochs",
+            "n_tokens",
+            "seq_id",
+            "offset_in_seq",
+            "kept_tokens",
+            "shuffle_shard",
+            "shuffle_pos",
+            "clean_md5",
+        )
+    )
+
+
 # --- Driver certification window (verdict r5 #2) -------------------------
 # The per-round driver correctness artifact certifies the FIRST 50
 # registry entries, and queries()/oracle_sql() preserve this dict's
@@ -8063,6 +8626,30 @@ _DRIVER_WINDOW_TAIL = [
     # fixtures; driver-certified every round since r2 and three-scale-
     # certified in the local artifact.
     "q02_interval_join",
+    # --- r15 rotation: q127 (residual IVFADC) and q128 (capstone
+    # pretrain-assembly chain) take the two new seats — new queries
+    # always certify driver-grade in their first round. Rows whose
+    # operators changed this round stay in-window: q121 (blocklist
+    # engine param — inline path plan-identical), q119/q122/q124/q125
+    # (the PQ subspace-explode refactor + single-coarse-training fix +
+    # recall-audit dedup). Parked:
+    # q127's seat: q45's shingle-decontamination device (n-gram
+    # explode -> DISTINCT -> benchmark semi-join -> overlap census) is
+    # recomputed END TO END inside the in-window q128 oracle (its
+    # decontaminate stage, at n=5 — strictly the same CTE shape), and
+    # the anti-join consumption side stays in-window through q128's
+    # alive4 stage and q18's interval anti-join; q45 has been
+    # driver-certified every round since r5 and keeps its three-scale
+    # local certification.
+    "q45_decontaminate",
+    # q128's seat: q113's md5 permutation (shard = 60-bit digest
+    # prefix mod N, pos = digest rank within shard) is recomputed
+    # FULLY inside the in-window q128 oracle (shuffle_shard /
+    # shuffle_pos on the surviving corpus, salt 'ep128') and inside
+    # the in-window q126 curriculum ordering (the same device keyed by
+    # stage); q113 driver-certified r13-r14 and three-scale-certified
+    # locally.
+    "q113_deterministic_shuffle",
 ]
 for _name in _DRIVER_WINDOW_TAIL:
     QUERY_REGISTRY[_name] = QUERY_REGISTRY.pop(_name)

@@ -493,3 +493,253 @@ def test_residual_ivfadc_persisted_pieces_reproduce_the_search(spark):
         codebook=cb, encoded_cells=enc, **kw
     ).collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+
+# --- q128 capstone chain (VERDICT r14 next #2) --------------------------------
+
+
+def test_q128_chain_composes_and_routes_every_gate(spark, sf_smoke):
+    from candia_spark.plans.queries import QUERY_REGISTRY
+
+    rows = QUERY_REGISTRY["q128_pretrain_assembly"].spark(
+        spark, sf_smoke
+    ).collect()
+    assert len(rows) > 0
+    ids = {r["doc_id"] for r in rows}
+    # WET gate: the %13 headerless rows routed to _malformed and never
+    # entered the pipeline
+    assert not any(d % 13 == 0 for d in ids)
+    # blocklist gate: every %11 doc carries the planted phrase
+    assert not any(d % 11 == 0 for d in ids)
+    # decontamination: the %17 benchmark slice self-flags through its
+    # own payload
+    assert not any(d % 17 == 0 for d in ids)
+    # packing invariant: within a (source shard, seq_id) the docs fill
+    # in doc_id order with non-decreasing offsets under the budget
+    from collections import defaultdict
+
+    seqs = defaultdict(list)
+    for r in rows:
+        seqs[(r["source"], r["seq_id"])].append(r)
+    for (_, _), docs in seqs.items():
+        docs.sort(key=lambda r: r["doc_id"])
+        off = 0
+        for r in docs:
+            assert r["offset_in_seq"] == off
+            off += r["kept_tokens"]
+        assert off <= 60 or len(docs) == 1  # oversize docs sit alone
+    # shuffle: positions are a permutation within each shuffle shard
+    byshard = defaultdict(list)
+    for r in rows:
+        byshard[r["shuffle_shard"]].append(r["shuffle_pos"])
+    for shard, poss in byshard.items():
+        assert sorted(poss) == list(range(len(poss))), shard
+
+
+# --- rolling-ingestion grand equivalence (VERDICT r14 next #6) ----------------
+
+
+def _rows_sorted(df):
+    out = []
+    for r in df.collect():
+        out.append(tuple(tuple(v) if isinstance(v, list) else v for v in r))
+    return sorted(out)
+
+
+def test_rolling_ingestion_grand_equivalence(spark, tmp_path):
+    """THE cross-family rolling test: three WET batches arrive through
+    the streaming gate, and ALL FOUR persisted corpus-state families
+    (near-dup bands+sets, block census, gram census, phash signatures)
+    roll forward batch by batch — then every rolled state must equal
+    its from-scratch rebuild over the concatenated corpus, and the
+    union of incremental near-dup pair outputs must equal the full
+    scan. Per-family tests pin each contract alone; THIS test catches
+    cross-family state-contract drift (id ordering, append discipline,
+    geometry stamps) that only shows when one ingestion loop drives
+    them all."""
+    from candia_spark.operators.curation import (
+        multiclass_classifier_weights,
+        quality_classifier_weights,
+    )
+    from candia_spark.operators.dedup import (
+        block_census,
+        compact_block_census,
+        compact_corpus_state,
+        compact_gram_census,
+        gram_owner_census,
+        incremental_corpus_state,
+        incremental_near_dups,
+    )
+    from candia_spark.operators.multimodal import (
+        dhash64,
+        incremental_phash_dups,
+        phash_near_dups,
+    )
+    from candia_spark.sources.adapters import read_wet_records
+    from candia_spark.streaming import wet_ingest_stream
+
+    # --- three WET batches with planted cross-batch structure: batch 1
+    # re-ingests a batch-0 text verbatim (near-dup + block + gram dup),
+    # batch 2 shares an 8-word block with batch 0, and payload bytes
+    # repeat across batches (phash dup). Ids are batch-ordered
+    # (b*1000 + j) — the rolling-ownership contract.
+    texts = {
+        0: [
+            "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+            "one two three four five six seven eight nine ten",
+            "the quick brown fox jumps over the lazy dog today",
+        ],
+        1: [
+            "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+            "eleven twelve thirteen fourteen fifteen sixteen seventeen "
+            "eighteen nineteen twenty",
+        ],
+        2: [
+            "one two three four five six seven eight fresh tail",
+            "totally novel words without any shared block here now",
+        ],
+    }
+
+    def rec(rid, text):
+        return (
+            "WARC/1.0\r\nWARC-Type: conversion\r\n"
+            f"WARC-Record-ID: <urn:uuid:{rid}>\r\n"
+            f"WARC-Target-URI: http://h/{rid}\r\n"
+            "WARC-Date: 2020-01-01T00:00:00Z\r\n"
+            f"Content-Length: {len(text.encode())}\r\n\r\n{text}\r\n"
+        )
+
+    in_dir = tmp_path / "landing"
+    in_dir.mkdir()
+    for b, ts in texts.items():
+        (in_dir / f"{b}.wet").write_text(
+            "".join(rec(b * 1000 + j, t) for j, t in enumerate(ts))
+        )
+
+    # --- the streaming gate drives ingestion (one file per trigger)
+    pos = spark.createDataFrame(
+        [(1, "alpha beta gamma")], "doc_id bigint, text string"
+    )
+    neg = spark.createDataFrame(
+        [(2, "noise noise alpha")], "doc_id bigint, text string"
+    )
+    qw = quality_classifier_weights(pos, neg)
+    lw = multiclass_classifier_weights(
+        spark.createDataFrame(
+            [("en", "the quick brown fox"), ("xx", "zz yy ww")],
+            "label string, text string",
+        )
+    )
+    out_path = str(tmp_path / "gate_out")
+    wet_ingest_stream(
+        spark, str(in_dir), out_path, str(tmp_path / "ckpt"),
+        quality_weights=qw, langid_weights=lw, threshold=(0, 1),
+        max_files_per_trigger=1,
+    )
+    gated = spark.read.parquet(out_path)
+    assert gated.select("_batch_id").distinct().count() == 3
+    assert gated.count() == 7  # every record gated, none dropped
+
+    def batch_docs(b):
+        df = read_wet_records(spark, str(in_dir / f"{b}.wet"))
+        return df.select(
+            F.regexp_extract("record_id", "([0-9]+)", 1)
+            .cast("bigint")
+            .alias("doc_id"),
+            "text",
+            F.encode("text", "UTF-8").alias("payload"),
+        )
+
+    b0, b1, b2 = batch_docs(0), batch_docs(1), batch_docs(2)
+    alldocs = b0.unionByName(b1).unionByName(b2)
+
+    # --- family 1: near-dup bands+sets state
+    bands_p, sets_p = str(tmp_path / "bands"), str(tmp_path / "sets")
+    bb, ss = incremental_corpus_state(b0)
+    bb.write.mode("overwrite").parquet(bands_p)
+    ss.write.mode("overwrite").parquet(sets_p)
+    cross_hits = []
+    for nb in (b1, b2):
+        cb = spark.read.parquet(bands_p)
+        cs = spark.read.parquet(sets_p)
+        cross_hits += _rows_sorted(
+            incremental_near_dups(
+                nb, None, corpus_bands=cb, corpus_sets=cs
+            ).select("new_id", "corpus_id")
+        )
+        db, ds = compact_corpus_state(cb, cs, nb)
+        db.write.mode("append").parquet(bands_p)
+        ds.write.mode("append").parquet(sets_p)
+    fb, fs = incremental_corpus_state(alldocs)
+    assert _rows_sorted(spark.read.parquet(bands_p)) == _rows_sorted(fb)
+    assert _rows_sorted(spark.read.parquet(sets_p)) == _rows_sorted(fs)
+    # the verbatim batch-1 re-ingest of a batch-0 text was caught at
+    # arrival time against the rolled state
+    assert (1000, 0) in cross_hits
+    # functional closure: a LATER probe against the rolled state equals
+    # the probe against the from-scratch state
+    probe = spark.createDataFrame(
+        [(9000, texts[0][1])], "doc_id bigint, text string"
+    )
+    got = _rows_sorted(
+        incremental_near_dups(
+            probe, None,
+            corpus_bands=spark.read.parquet(bands_p),
+            corpus_sets=spark.read.parquet(sets_p),
+        ).select("new_id", "corpus_id", "jaccard")
+    )
+    want = _rows_sorted(
+        incremental_near_dups(
+            probe, None, corpus_bands=fb, corpus_sets=fs
+        ).select("new_id", "corpus_id", "jaccard")
+    )
+    assert got == want and (9000, 1, 1.0) in got
+
+    # --- family 2: block census
+    blocks_p = str(tmp_path / "blocks")
+    block_census(b0, block_words=4).write.mode("overwrite").parquet(blocks_p)
+    for nb in (b1, b2):
+        stored = spark.read.parquet(blocks_p)
+        compact_block_census(stored, nb, block_words=4).write.mode(
+            "append"
+        ).parquet(blocks_p)
+    assert _rows_sorted(spark.read.parquet(blocks_p)) == _rows_sorted(
+        block_census(alldocs, block_words=4)
+    )
+
+    # --- family 3: gram census
+    grams_p = str(tmp_path / "grams")
+    gram_owner_census(b0, k=4).write.mode("overwrite").parquet(grams_p)
+    for nb in (b1, b2):
+        stored = spark.read.parquet(grams_p)
+        compact_gram_census(stored, nb, k=4).write.mode("append").parquet(
+            grams_p
+        )
+    assert _rows_sorted(spark.read.parquet(grams_p)) == _rows_sorted(
+        gram_owner_census(alldocs, k=4)
+    )
+
+    # --- family 4: phash signature store (append-only by contract)
+    sigs_p = str(tmp_path / "sigs")
+    dhash64(b0).write.mode("overwrite").parquet(sigs_p)
+    ph_pairs = _rows_sorted(
+        phash_near_dups(b0, max_hamming=7, n_bands=8).select(
+            "id_a", "id_b"
+        )
+    )
+    for nb in (b1, b2):
+        store = spark.read.parquet(sigs_p)
+        ph_pairs += _rows_sorted(
+            incremental_phash_dups(
+                nb, store, max_hamming=7, n_bands=8
+            ).select("id_a", "id_b")
+        )
+        dhash64(nb).write.mode("append").parquet(sigs_p)
+    assert _rows_sorted(spark.read.parquet(sigs_p)) == _rows_sorted(
+        dhash64(alldocs)
+    )
+    assert sorted(ph_pairs) == _rows_sorted(
+        phash_near_dups(alldocs, max_hamming=7, n_bands=8).select(
+            "id_a", "id_b"
+        )
+    )
