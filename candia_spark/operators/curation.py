@@ -2812,7 +2812,11 @@ def blocklist_filter(
       the hit set is one keyed agg (countDistinct phrase + min phrase)
       joined back to the id spine. Plan size is CONSTANT in the list
       length (phrases are data, not code); exploded mass is
-      corpus tokens x distinct-phrase-lengths, one shuffle on id."""
+      corpus tokens x distinct-phrase-lengths, one shuffle on id.
+      Contract difference on DUPLICATE ids: the inline engine verdicts
+      each ROW; the join engine's keyed agg merges rows sharing an id
+      (the WET-ingest conflation class) — feed it unique ids (or a
+      per-row surrogate) when rows can collide."""
     if not phrases:
         raise ValueError("phrases must be a non-empty list")
     if engine not in ("inline", "join"):
