@@ -1619,9 +1619,12 @@ def cell_centroids_int8(
     ``cells`` = (id, bucket). Output: (bucket, cvec array<bigint>) —
     coarse_k rows, broadcast material.
 
-    Scale: one (bucket, pos) partial-aggregated shuffle —
-    O(partitions x k x dim) exchanged rows, independent of corpus
-    size; the collect_list runs on k x dim rows."""
+    Scale: one id-keyed join of the two corpus-sized thin frames (the
+    O(N) exchange of this operator — co-partitioned under AQE when the
+    caller materialized both on id), then one (bucket, pos)
+    partial-aggregated shuffle whose exchanged volume is
+    O(partitions x k x dim), independent of corpus size; the
+    collect_list runs on k x dim rows."""
     lanes = q.join(cells, id_col).select(
         "bucket", F.posexplode("qvec").alias("pos", "v")
     )
@@ -1754,7 +1757,19 @@ def pq_topk_ivfadc_residual(
             )
         )
     )
-    q = quantize_int8(corpus.select(id_col, vec_col), vec_col, id_col, scale)
+    need_q = (
+        cell_centroids is None or codebook is None or encoded_cells is None
+    )
+    if need_q:
+        # materialized: the quantized corpus feeds BOTH the
+        # cell-centroid aggregate and the residual join below — one
+        # quantize scan, not one per consumer (and none at all on the
+        # fully-persisted search path)
+        q = _materialize(
+            quantize_int8(
+                corpus.select(id_col, vec_col), vec_col, id_col, scale
+            )
+        )
     need_cells = encoded_cells is None or (
         cell_centroids is None or codebook is None
     )

@@ -8318,6 +8318,75 @@ def q128_pretrain_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q129_blocklist_join_engine",
+    # the join engine's oracle mirrors its SHAPE, not its plan: the
+    # phrase table is GENERATED (1200 three-word fillers + the three
+    # real probes), the normalized text explodes into 1/2/3-word
+    # n-grams, hits aggregate per doc (count DISTINCT phrase + min
+    # phrase), and the id spine left-joins back — phrase data never
+    # becomes SQL literals, exactly the property the engine exists for
+    # (the inline engine's 1200-contains() fold is a measured
+    # StackOverflow).
+    oracle="""
+    WITH p(phrase) AS (
+        SELECT 'marker phrase ' || lpad(CAST(i AS VARCHAR), 4, '0')
+        FROM generate_series(0, 1199) AS g(i)
+        UNION ALL SELECT 'merge batch'
+        UNION ALL SELECT 'slow'
+        UNION ALL SELECT 'nosuchword'),
+    lens(n) AS (VALUES (1), (2), (3)),
+    norm AS MATERIALIZED (
+        SELECT doc_id,
+               list_filter(string_split(
+                   trim(regexp_replace(regexp_replace(
+                       lower(coalesce(text, '')),
+                       '[^a-z0-9]+', ' ', 'g'), ' +', ' ', 'g')),
+                   ' '), x -> x <> '') AS toks
+        FROM documents),
+    grams AS (
+        SELECT doc_id,
+               array_to_string(list_slice(toks, i, i + n - 1), ' ') AS g
+        FROM norm, lens,
+             UNNEST(generate_series(1, greatest(len(toks) - n + 1, 0)))
+                 AS u(i)),
+    hits AS (
+        SELECT doc_id,
+               CAST(COUNT(DISTINCT phrase) AS BIGINT) AS n_hits,
+               MIN(phrase) AS first_hit
+        FROM grams JOIN p ON g = phrase
+        GROUP BY doc_id)
+    SELECT d.doc_id,
+           COALESCE(h.n_hits, 0) AS n_hits,
+           COALESCE(h.first_hit, '') AS first_hit,
+           COALESCE(h.n_hits, 0) > 0 AS blocked
+    FROM documents d LEFT JOIN hits h USING (doc_id)
+    """,
+    survey_ref="blocklist broadcast-join engine (the C4-scale phrase "
+    "gate with phrases as DATA, not expression literals; north star: "
+    "10k+-phrase lists without a Janino/plan-size hazard)",
+)
+def q129_blocklist_join_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The blocklist JOIN engine certified driver-grade
+    (operators.curation.blocklist_filter(engine='join')): a
+    1203-phrase list — 1200 generated three-word fillers plus the
+    q121 probes ('Merge-Batch!' punctuated, 'slow' word-bounded,
+    'nosuchword' absent) — flows as a broadcast phrase TABLE against
+    the corpus's exploded word n-grams. The inline engine cannot run
+    this list (its per-phrase contains() fold stack-overflows near 1k
+    phrases — measured); q121 keeps the inline engine certified on the
+    bounded list. Plan size is constant in the list length; exploded
+    mass is corpus tokens x the 3 distinct phrase lengths; one keyed
+    shuffle on doc_id."""
+    from candia_spark.operators.curation import blocklist_filter
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    phrases = [f"marker phrase {i:04d}" for i in range(1200)] + [
+        "Merge-Batch!", "slow", "nosuchword"
+    ]
+    return blocklist_filter(docs, phrases, engine="join")
+
+
 # --- Driver certification window (verdict r5 #2) -------------------------
 # The per-round driver correctness artifact certifies the FIRST 50
 # registry entries, and queries()/oracle_sql() preserve this dict's
@@ -8650,6 +8719,14 @@ _DRIVER_WINDOW_TAIL = [
     # stage); q113 driver-certified r13-r14 and three-scale-certified
     # locally.
     "q113_deterministic_shuffle",
+    # q129's seat (blocklist join engine): q114's mixture arithmetic
+    # (available-token census, floor-div targets over the weight-dict
+    # total, ceil-div epochs) is recomputed inside the in-window q128
+    # oracle's avail/plan CTEs on the surviving corpus — the same
+    # integer devices on a strictly harder input (a gated, deduped,
+    # capped population instead of the raw table); q114
+    # driver-certified r13-r14 and three-scale-certified locally.
+    "q114_mixture_plan",
 ]
 for _name in _DRIVER_WINDOW_TAIL:
     QUERY_REGISTRY[_name] = QUERY_REGISTRY.pop(_name)

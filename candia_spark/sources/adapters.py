@@ -248,7 +248,13 @@ def read_wet_records(
     the text datasource's ``\\n``, or (LF-only files) the ``\\n\\n``
     terminator — never an unbounded trailing-newline run, so a payload
     that genuinely ends in newline(s) keeps them and the round-trip
-    stays byte-exact (Content-Length included)."""
+    stays byte-exact (Content-Length included). One documented
+    ambiguity (pytest-pinned): a record TRUNCATED at EOF with no
+    terminator whose payload genuinely ends in a newline sequence has
+    its final ``\\r\\n`` / ``\\n`` read as a (partial) terminator and
+    trimmed — indistinguishable byte patterns; the rule is symmetric
+    for CRLF and LF files, and ``content_length`` still reports the
+    header value so the truncation is detectable downstream."""
     raw = spark.read.option("lineSep", "WARC/1.0").text(path)
     return _wet_project(raw, keep_raw)
 

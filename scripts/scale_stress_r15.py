@@ -69,9 +69,21 @@ def _mean_recall(spark, truth, approx):
     return round(sum(r["recall"] for r in rows) / max(len(rows), 1), 4)
 
 
-def run_ann_curve(spark, sizes, runs):
-    """Build the residual index once per size; sweep nprobe with the
-    persisted pieces (the encode-once/search-many call shape)."""
+def _uniform_embeddings(spark, k):
+    tmp = tempfile.mkdtemp(prefix=f"annc{k}_")
+    ss.build_embeddings(spark, k, tmp)
+    return spark.read.parquet(os.path.join(tmp, "embeddings.parquet")).select(
+        "vec_id", "embedding"
+    )
+
+
+def _run_nprobe_sweep(spark, sizes, runs, corpus_of, coarse_k, nprobes,
+                      label, claim):
+    """ONE sweep harness for every corpus family (review r15: the
+    per-family copies had already drifted on timing methodology):
+    build the residual index once per size (persisted pieces), then
+    per nprobe record recall@10 vs the int8 truth, the scored corpus
+    mass, and best-of-``runs`` search wall."""
     from candia_spark.operators.clustering import (
         kmeans_centroids,
         kmeans_probe_cells,
@@ -85,28 +97,19 @@ def run_ann_curve(spark, sizes, runs):
         quantize_int8,
     )
 
-    out = {"claim": (
-        "index built once (trained coarse + cell centroids + residual "
-        "codebook + encoded cells persisted); each nprobe point pays "
-        "only probe + LUT + the probed cells' ADC — recall climbs with "
-        "scored mass, and the curve picks the production nprobe"
-    ), "sizes": {}}
+    out = {"claim": claim, "coarse_k": coarse_k, "sizes": {}}
     for k in sizes:
-        tmp = tempfile.mkdtemp(prefix=f"annc{k}_")
-        n = ss.build_embeddings(spark, k, tmp)
-        emb = _mat(
-            spark.read.parquet(os.path.join(tmp, "embeddings.parquet"))
-            .select("vec_id", "embedding")
-        )
+        emb = _mat(corpus_of(spark, k))
+        n = emb.count()
         qs = _mat(_queries(emb))
         nq = qs.count()
         t0 = time.perf_counter()
-        cent = _mat(kmeans_centroids(emb, k=COARSE_K, iters=2))
+        cent = _mat(kmeans_centroids(emb, k=coarse_k, iters=2))
         cells = _mat(
             kmeans_probe_cells(emb, cent, nprobe=1, id_col="vec_id")
             .select("vec_id", F.col("cluster").alias("bucket"))
         )
-        q = quantize_int8(emb)
+        q = _mat(quantize_int8(emb))
         cc = _mat(cell_centroids_int8(q, cells))
         rz = _mat(
             q.join(cells, "vec_id")
@@ -137,7 +140,7 @@ def run_ann_curve(spark, sizes, runs):
         }
         total = sum(census.values())
         curve = []
-        for nprobe in NPROBES:
+        for nprobe in nprobes:
             probes = kmeans_probe_cells(
                 qs, cent, nprobe=nprobe, id_col="query_id"
             )
@@ -166,12 +169,23 @@ def run_ann_curve(spark, sizes, runs):
                 "search_wall_s": round(best, 3),
                 "search_us_per_query": round(best / nq * 1e6, 1),
             })
-            print(json.dumps({"ann_curve": k, **curve[-1]}), flush=True)
+            print(json.dumps({label: k, **curve[-1]}), flush=True)
         out["sizes"][str(k)] = {
             "n_vectors": n, "n_queries": nq,
             "build_once_s": build_s, "curve": curve,
         }
     return out
+
+
+def run_ann_curve(spark, sizes, runs):
+    return _run_nprobe_sweep(
+        spark, sizes, runs, _uniform_embeddings, COARSE_K, NPROBES,
+        "ann_curve",
+        "index built once (trained coarse + cell centroids + residual "
+        "codebook + encoded cells persisted); each nprobe point pays "
+        "only probe + LUT + the probed cells' ADC — recall climbs with "
+        "scored mass, and the curve picks the production nprobe",
+    )
 
 
 def _clustered_embeddings(spark, n_vectors, n_clusters=32, dim=64,
@@ -204,99 +218,16 @@ def _clustered_embeddings(spark, n_vectors, n_clusters=32, dim=64,
 
 def run_ann_curve_clustered(spark, sizes, runs, offset=20.0,
                             label="ann_curve_clustered"):
-    """The same sweep as ann_curve over the CLUSTERED corpus family —
-    the curve that actually picks a production nprobe."""
-    from candia_spark.operators.clustering import (
-        kmeans_centroids,
-        kmeans_probe_cells,
-    )
-    from candia_spark.operators.similarity import (
-        _pq_codebook_kmeans_q,
-        _pq_encode_q,
-        cell_centroids_int8,
-        cosine_topk_int8,
-        pq_topk_ivfadc_residual,
-        quantize_int8,
-    )
-
-    out = {"claim": (
+    return _run_nprobe_sweep(
+        spark, sizes, runs,
+        lambda sp, k: _clustered_embeddings(sp, BASE_VECS * k,
+                                            offset=offset),
+        16, (1, 2, 3, 4, 6, 8, 12, 16), label,
         "on a corpus WITH coarse structure (32 planted clusters), "
         "recall climbs steeply with the first few probes then "
         "saturates — the knee picks the production nprobe; the uniform "
-        "corpus leg is the contrast (no structure -> capacity floor)"
-    ), "coarse_k": 16, "sizes": {}}
-    for k in sizes:
-        n_target = BASE_VECS * k
-        emb = _mat(_clustered_embeddings(spark, n_target, offset=offset))
-        qs = _mat(_queries(emb, stride=97))
-        nq = qs.count()
-        t0 = time.perf_counter()
-        cent = _mat(kmeans_centroids(emb, k=16, iters=2))
-        cells = _mat(
-            kmeans_probe_cells(emb, cent, nprobe=1, id_col="vec_id")
-            .select("vec_id", F.col("cluster").alias("bucket"))
-        )
-        q = quantize_int8(emb)
-        cc = _mat(cell_centroids_int8(q, cells))
-        rz = _mat(
-            q.join(cells, "vec_id")
-            .join(F.broadcast(cc), "bucket")
-            .select(
-                "vec_id", "bucket",
-                F.zip_with("qvec", "cvec", lambda x, c: x - c).alias("qvec"),
-            )
-        )
-        cb = _mat(
-            _pq_codebook_kmeans_q(
-                rz.select("vec_id", "qvec"), 8, 16, 2, "vec_id"
-            )
-        )
-        enc = _mat(
-            _pq_encode_q(rz.select("vec_id", "qvec"), cb, 8, "vec_id").join(
-                rz.select("vec_id", "bucket"), "vec_id"
-            )
-        )
-        build_s = round(time.perf_counter() - t0, 3)
-        truth = _mat(cosine_topk_int8(emb, qs, k=K_TRUTH))
-        census = {
-            r["bucket"]: r["n"]
-            for r in cells.groupBy("bucket")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .collect()
-        }
-        total = sum(census.values())
-        curve = []
-        for nprobe in (1, 2, 3, 4, 6, 8, 12, 16):
-            probes = kmeans_probe_cells(
-                qs, cent, nprobe=nprobe, id_col="query_id"
-            )
-            probed = probes.groupBy("cluster").agg(
-                F.count(F.lit(1)).alias("nq")
-            ).collect()
-            scored_mass = sum(
-                census.get(r["cluster"], 0) * r["nq"] for r in probed
-            ) / (total * nq)
-            approx = pq_topk_ivfadc_residual(
-                emb, qs, k=K_TRUTH, nprobe=nprobe,
-                centroids=cent, cell_centroids=cc,
-                codebook=cb, encoded_cells=enc,
-            )
-            t0 = time.perf_counter()
-            approx.write.format("noop").mode("overwrite").save()
-            wall = time.perf_counter() - t0
-            rec = _mean_recall(spark, truth, approx)
-            curve.append({
-                "nprobe": nprobe,
-                "recall_at_10": rec,
-                "scored_mass_frac": round(scored_mass, 4),
-                "search_wall_s": round(wall, 3),
-            })
-            print(json.dumps({label: k, **curve[-1]}), flush=True)
-        out["sizes"][str(k)] = {
-            "n_vectors": n_target, "n_queries": nq,
-            "build_once_s": build_s, "curve": curve,
-        }
-    return out
+        "corpus leg is the contrast (no structure -> capacity floor)",
+    )
 
 
 def run_residual_delta(spark, sizes):
@@ -422,7 +353,7 @@ def main() -> int:
     if os.path.exists(path):
         with open(path) as f:
             result = json.load(f)
-    result.setdefault("runs", args.runs)
+    result["runs"] = args.runs
     if "ann_curve" in legs:
         result["ann_curve"] = run_ann_curve(spark, args.sizes, args.runs)
     if "ann_curve_clustered" in legs:

@@ -743,3 +743,32 @@ def test_rolling_ingestion_grand_equivalence(spark, tmp_path):
             "id_a", "id_b"
         )
     )
+
+
+def test_wet_truncated_tail_terminator_ambiguity_is_pinned(spark, tmp_path):
+    # a record truncated at EOF (no terminator) whose payload ends in a
+    # newline: the trailing newline is indistinguishable from a partial
+    # terminator and is trimmed — the documented rule, symmetric across
+    # CRLF and LF files; content_length still carries the header value
+    # so the truncation is detectable.
+    from candia_spark.sources.adapters import read_wet_records
+
+    def rec(sep, rid, text):
+        return (
+            f"WARC/1.0{sep}WARC-Type: conversion{sep}"
+            f"WARC-Record-ID: <urn:uuid:{rid}>{sep}"
+            f"WARC-Target-URI: http://h/{rid}{sep}"
+            f"WARC-Date: 2020-01-01T00:00:00Z{sep}"
+            f"Content-Length: {len(text.encode())}{sep}{sep}{text}"
+        )
+
+    for name, sep in (("crlf", "\r\n"), ("lf", "\n")):
+        src = tmp_path / f"trunc_{name}.wet"
+        src.write_text(rec(sep, "t1", f"payload ends in newline{sep}"))
+        got = read_wet_records(spark, str(src)).collect()
+        assert len(got) == 1
+        r = got[0]
+        assert r["text"] == "payload ends in newline", name
+        # the header still reports the true (pre-truncation) length, so
+        # octet_length(text) != content_length flags the truncated tail
+        assert r["content_length"] == len(f"payload ends in newline{sep}".encode())
