@@ -304,6 +304,44 @@ def run_cell_balance(spark, sizes):
     return out
 
 
+def run_blocklist_scale(spark, runs):
+    """The join engine vs list size at fixed corpus (sf0.1 documents,
+    5000 docs): plan compile + execution wall as the phrase list grows
+    1k -> 10k -> 50k. Claim: phrases are broadcast DATA, so wall grows
+    with the broadcast build + n-gram join probe, not with plan size —
+    the inline engine cannot run any of these points (measured
+    StackOverflow near 1k contains() terms)."""
+    from candia_spark.operators.curation import blocklist_filter
+    from candia_spark.tables import load_table
+
+    docs = _mat(
+        load_table(spark, "/root/testdata/sf0.1", "documents").select(
+            "doc_id", "text"
+        )
+    )
+    out = {"claim": (
+        "join-engine wall is broadcast-build + n-gram probe, constant "
+        "plan size; the inline engine stack-overflows near 1k phrases"
+    ), "n_docs": docs.count(), "points": []}
+    for n_phrases in (1_000, 10_000, 50_000):
+        phrases = [f"filler phrase {i:06d}" for i in range(n_phrases - 2)]
+        phrases += ["slow", "merge batch"]  # real corpus hits
+        best = None
+        for _ in range(max(1, runs)):
+            t0 = time.perf_counter()
+            blocklist_filter(docs, phrases, engine="join").write.format(
+                "noop"
+            ).mode("overwrite").save()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        out["points"].append(
+            {"n_phrases": n_phrases, "wall_s": round(best, 3)}
+        )
+        print(json.dumps({"blocklist_scale": n_phrases,
+                          "wall_s": round(best, 3)}), flush=True)
+    return out
+
+
 def run_q128_chain(spark, runs):
     from candia_spark.plans.queries import QUERY_REGISTRY
 
@@ -340,7 +378,7 @@ def main() -> int:
     args = ap.parse_args()
     legs = args.only or [
         "ann_curve", "ann_curve_clustered", "ann_curve_overlap",
-        "residual_delta", "cell_balance", "q128_chain"
+        "residual_delta", "cell_balance", "q128_chain", "blocklist_scale"
     ]
 
     from candia_spark.session import get_spark
@@ -374,6 +412,8 @@ def main() -> int:
         result["cell_balance"] = run_cell_balance(spark, args.sizes)
     if "q128_chain" in legs:
         result["q128_chain"] = run_q128_chain(spark, args.runs)
+    if "blocklist_scale" in legs:
+        result["blocklist_scale"] = run_blocklist_scale(spark, args.runs)
     with open(path, "w") as f:
         json.dump(result, f, indent=1, sort_keys=True)
     print("WROTE", path)
