@@ -1863,3 +1863,96 @@ def pq_topk_ivfadc_residual(
             F.col("rank").cast("bigint").alias("rank"),
         )
     )
+
+
+def pq_topk_rerank(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    shortlist: int = 20,
+    m: int = 8,
+    codewords: int = 16,
+    nprobe: int = 3,
+    coarse_k: int = 8,
+    coarse_iters: int = 2,
+    pq_iters: int = 2,
+    coarse_scale: int = 1000,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    scale: int = 127,
+    codebook: DataFrame | None = None,
+    encoded_cells: DataFrame | None = None,
+    centroids: DataFrame | None = None,
+    cell_centroids: DataFrame | None = None,
+) -> DataFrame:
+    """IVFADC + R — the re-ranking stage of Jégou et al. 2011 §V:
+    the residual-encoded index (:func:`pq_topk_ivfadc_residual`)
+    produces a SHORTLIST of R candidates per query from compressed
+    codes alone, then only those R rows are re-scored with the EXACT
+    int8 dot product against the full quantized vectors. This is how a
+    production deployment buys back the quantizer's recall loss at a
+    cost proportional to Q*R full-vector reads — never a corpus scan:
+    the paper's measured point is that small R recovers most of the
+    gap to exact search, and :func:`candia_spark.operators.retrieval
+    .ann_recall_audit` is the instrument that certifies it per corpus.
+
+    Output: (query_id, vec_id, score, rank) — score the exact bigint
+    dot (the :func:`cosine_topk_int8` convention, so the audit's truth
+    side and this output rank under the SAME total order: score desc,
+    id asc), rank 1..k. Integer-exact end to end: the shortlist chain
+    is the q127 bigint construction and the re-rank scores are bigint
+    dots, so the full composition is oracle-recomputable (q130).
+
+    Scale: the shortlist is the q127 plan (nothing corpus-sized
+    shuffles after encode); the re-rank joins Q*R candidate rows —
+    list-sized — against the quantized corpus on id (one keyed join;
+    the corpus side prunes to the candidates under AQE) and windows
+    per query over R rows. Pass the persisted index pieces
+    (``centroids``/``cell_centroids``/``codebook``/``encoded_cells``)
+    exactly as for the shortlist operator."""
+    if shortlist < k:
+        raise ValueError(
+            f"shortlist must be >= k, got shortlist={shortlist} k={k}"
+        )
+    sl = pq_topk_ivfadc_residual(
+        corpus, queries, k=shortlist, m=m, codewords=codewords,
+        nprobe=nprobe, coarse_k=coarse_k, coarse_iters=coarse_iters,
+        pq_iters=pq_iters, coarse_scale=coarse_scale, vec_col=vec_col,
+        id_col=id_col, query_id_col=query_id_col, scale=scale,
+        codebook=codebook, encoded_cells=encoded_cells,
+        centroids=centroids, cell_centroids=cell_centroids,
+    )
+    qz = quantize_int8(
+        queries.select(query_id_col, vec_col), vec_col, query_id_col, scale
+    ).select(F.col(query_id_col), F.col("qvec").alias("__qq"))
+    cz = quantize_int8(
+        corpus.select(id_col, vec_col), vec_col, id_col, scale
+    ).select(F.col(id_col), F.col("qvec").alias("__qc"))
+    scored = (
+        sl.select(query_id_col, id_col)
+        .join(F.broadcast(qz), query_id_col)
+        .join(cz, id_col)
+        .select(
+            query_id_col,
+            id_col,
+            F.aggregate(
+                F.zip_with("__qq", "__qc", lambda a, b: a * b),
+                F.lit(0).cast("bigint"),
+                lambda acc, v: acc + v,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            query_id_col,
+            id_col,
+            F.col("score").cast("bigint").alias("score"),
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )

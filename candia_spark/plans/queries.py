@@ -7632,6 +7632,7 @@ def _q127_oracle(
     coarse_k: int = 8, coarse_iters: int = 2, coarse_scale: int = 1000,
     m: int = 8, codewords: int = 16, pq_iters: int = 2, nprobe: int = 3,
     stride: int = 67, k: int = 5, dsub: int = 8,
+    tail: str | None = None,
 ) -> str:
     """The RESIDUAL-encoded IVFADC replay (Jégou et al. 2011 §III): the
     q57 coarse chain, integer cell centroids in the int8 lane space
@@ -7714,13 +7715,21 @@ def _q127_oracle(
         FROM encc e
         JOIN lut l ON l.cluster = e.cluster AND l.sub = e.sub
                    AND l.code = e.code
-        GROUP BY 1, 2)
+        GROUP BY 1, 2)""",
+    )
+    final = f"""
     SELECT query_id, vec_id, dist, CAST(rnk AS BIGINT) AS rank
     FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                ORDER BY dist ASC, vec_id ASC) AS rnk FROM scored)
-    WHERE rnk <= {k}""",
-    )
-    return "WITH " + ",".join(parts)
+    WHERE rnk <= {k}"""
+    if tail is None:
+        return "WITH " + ",".join(parts) + final
+    # the rank-filtered result becomes the `shortlist` CTE and the
+    # caller's tail consumes it (q130: exact re-rank over the
+    # shortlist; `zlanes` stays in scope for bigint dot products)
+    parts.append(f"""
+    shortlist AS ({final})""")
+    return "WITH " + ",".join(parts) + tail
 
 
 @register(
@@ -8318,6 +8327,55 @@ def q128_pretrain_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_Q130_RERANK_TAIL = """
+    SELECT query_id, vec_id, score, rank FROM (
+        SELECT query_id, vec_id, score,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY score DESC, vec_id ASC) AS BIGINT) AS rank
+        FROM (
+            SELECT s.query_id, s.vec_id,
+                   CAST(SUM(a.v * b.v) AS BIGINT) AS score
+            FROM shortlist s
+            JOIN zlanes a ON a.vec_id = s.query_id
+            JOIN zlanes b ON b.vec_id = s.vec_id AND b.pos = a.pos
+            GROUP BY s.query_id, s.vec_id) t) tt
+    WHERE rank <= 5
+"""
+
+
+@register(
+    "q130_ivfadc_rerank",
+    # the full q127 replay ranked to the R=20 shortlist, then the
+    # exact bigint dot re-rank over the int8 lanes (zlanes, already in
+    # scope from the residual derivation) — the paper's IVFADC+R: one
+    # swapped shortlist member or one wrong re-rank dot fails the gate
+    oracle=_q127_oracle(k=20, tail=_Q130_RERANK_TAIL),
+    survey_ref="IVFADC + exact re-ranking (Jégou et al. 2011 §V-D: ADC "
+    "shortlist of R from codes alone, exact re-rank of only those R; "
+    "north star: buying back quantizer recall at Q*R full-vector "
+    "reads, never a corpus scan)",
+)
+def q130_ivfadc_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The re-ranked residual index certified end to end
+    (operators.similarity.pq_topk_rerank): the q127 chain produces a
+    20-candidate shortlist per query from compressed codes, and ONLY
+    those rows are re-scored with the exact int8 dot product — the
+    production recall-recovery stage (Jégou §V-D). Output ranks under
+    the cosine_topk_int8 total order (score desc, id asc), so q125's
+    audit compares it to the truth directly; the oracle replays the
+    whole shortlist construction AND the re-rank dots."""
+    from candia_spark.operators.similarity import pq_topk_rerank
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    qs = emb.filter(F.col("vec_id") % 67 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return pq_topk_rerank(
+        emb, qs, k=5, shortlist=20, m=8, codewords=16, nprobe=3,
+        coarse_k=8, coarse_iters=2, pq_iters=2,
+    )
+
+
 @register(
     "q129_blocklist_join_engine",
     # the join engine's oracle mirrors its SHAPE, not its plan: the
@@ -8727,6 +8785,13 @@ _DRIVER_WINDOW_TAIL = [
     # capped population instead of the raw table); q114
     # driver-certified r13-r14 and three-scale-certified locally.
     "q114_mixture_plan",
+    # q130's seat (IVFADC + exact re-rank): q118's per-shard greedy
+    # packing walk (fits / overflows / oversize-alone, every branch)
+    # is recomputed as the SAME recursive CTE inside the in-window
+    # q128 oracle — identical budget 60, on the gated/deduped corpus
+    # (a strictly harder input: stage interactions feed the walk);
+    # q118 driver-certified r13-r14 and three-scale-certified locally.
+    "q118_whole_doc_packing",
 ]
 for _name in _DRIVER_WINDOW_TAIL:
     QUERY_REGISTRY[_name] = QUERY_REGISTRY.pop(_name)

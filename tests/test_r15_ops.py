@@ -772,3 +772,67 @@ def test_wet_truncated_tail_terminator_ambiguity_is_pinned(spark, tmp_path):
         # the header still reports the true (pre-truncation) length, so
         # octet_length(text) != content_length flags the truncated tail
         assert r["content_length"] == len(f"payload ends in newline{sep}".encode())
+
+
+# --- IVFADC + exact re-rank (q130, Jégou §V-D) --------------------------------
+
+
+def test_rerank_full_coverage_equals_exact_search(spark):
+    # probe EVERY cell and shortlist >= corpus size: the re-rank scores
+    # every vector with the exact dot, so the output must EQUAL the
+    # int8 brute-force top-k row for row (the paper's limit case).
+    from candia_spark.operators.similarity import (
+        cosine_topk_int8,
+        pq_topk_rerank,
+    )
+
+    emb = _clustered_corpus(spark, n_clusters=3, per_cluster=20)
+    qs = emb.filter(F.col("vec_id") % 11 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = pq_topk_rerank(
+        emb, qs, k=4, shortlist=60, m=2, codewords=4,
+        nprobe=3, coarse_k=3, coarse_iters=2, pq_iters=2,
+    ).collect()
+    want = cosine_topk_int8(emb, qs, k=4).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+
+def test_rerank_recovers_recall_over_plain_adc_ranks(spark):
+    # the production point: a small shortlist re-ranked exactly must
+    # beat the plain ADC ranking at the same index parameters.
+    from candia_spark.operators.retrieval import ann_recall_audit
+    from candia_spark.operators.similarity import (
+        cosine_topk_int8,
+        pq_topk_ivfadc_residual,
+        pq_topk_rerank,
+    )
+
+    emb = _clustered_corpus(spark)
+    qs = emb.filter(F.col("vec_id") % 13 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    kw = dict(m=4, codewords=8, nprobe=4, coarse_k=4,
+              coarse_iters=2, pq_iters=2)
+    truth = cosine_topk_int8(emb, qs, k=5)
+    plain = pq_topk_ivfadc_residual(emb, qs, k=5, **kw)
+    rer = pq_topk_rerank(emb, qs, k=5, shortlist=20, **kw)
+
+    def mean_recall(approx):
+        rows = ann_recall_audit(truth, approx, k=5).collect()
+        return sum(r["recall"] for r in rows) / len(rows)
+
+    r_plain, r_rer = mean_recall(plain), mean_recall(rer)
+    assert r_rer >= r_plain, (r_rer, r_plain)
+    assert r_rer > 0.9  # near-exact at R=4k on this fixture
+
+
+def test_rerank_validates_shortlist(spark):
+    from candia_spark.operators.similarity import pq_topk_rerank
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 2.0])], "vec_id bigint, embedding array<double>"
+    )
+    qs = emb.select(F.col("vec_id").alias("query_id"), "embedding")
+    with pytest.raises(ValueError, match="shortlist"):
+        pq_topk_rerank(emb, qs, k=5, shortlist=3)
