@@ -304,6 +304,44 @@ def run_cell_balance(spark, sizes):
     return out
 
 
+def run_rerank_recovery(spark, sizes):
+    """Re-rank recovery on the HARD corpus (the uniform leg's capacity
+    floor): plain residual-ADC ranks vs the same index with an exact
+    re-rank over R in {20, 50}. Claim: the shortlist's hit rate, not
+    ADC rank quality, bounds recall — exact re-ranking of a small R
+    recovers a large fraction of the floor at Q*R extra full-vector
+    reads (Jégou §V-D's measured point)."""
+    from candia_spark.operators.similarity import (
+        cosine_topk_int8,
+        pq_topk_ivfadc_residual,
+        pq_topk_rerank,
+    )
+
+    out = {"claim": (
+        "exact re-rank of the ADC shortlist recovers recall the "
+        "quantizer loses; cost is Q*R full-vector reads, never a scan"
+    ), "sizes": {}}
+    kw = dict(m=8, codewords=16, nprobe=3, coarse_k=8,
+              coarse_iters=2, pq_iters=2)
+    for k in sizes:
+        emb = _mat(_uniform_embeddings(spark, k))
+        n = emb.count()
+        qs = _mat(_queries(emb))
+        truth = _mat(cosine_topk_int8(emb, qs, k=K_TRUTH))
+        plain = _mean_recall(
+            spark, truth, pq_topk_ivfadc_residual(emb, qs, k=K_TRUTH, **kw)
+        )
+        row = {"n_vectors": n, "recall_plain_adc": plain}
+        for r in (20, 50):
+            row[f"recall_rerank_R{r}"] = _mean_recall(
+                spark, truth,
+                pq_topk_rerank(emb, qs, k=K_TRUTH, shortlist=r, **kw),
+            )
+        out["sizes"][str(k)] = row
+        print(json.dumps({"rerank_recovery": k, **row}), flush=True)
+    return out
+
+
 def run_blocklist_scale(spark, runs):
     """The join engine vs list size at fixed corpus (sf0.1 documents,
     5000 docs): plan compile + execution wall as the phrase list grows
@@ -378,7 +416,8 @@ def main() -> int:
     args = ap.parse_args()
     legs = args.only or [
         "ann_curve", "ann_curve_clustered", "ann_curve_overlap",
-        "residual_delta", "cell_balance", "q128_chain", "blocklist_scale"
+        "residual_delta", "cell_balance", "q128_chain", "blocklist_scale",
+        "rerank_recovery"
     ]
 
     from candia_spark.session import get_spark
@@ -414,6 +453,8 @@ def main() -> int:
         result["q128_chain"] = run_q128_chain(spark, args.runs)
     if "blocklist_scale" in legs:
         result["blocklist_scale"] = run_blocklist_scale(spark, args.runs)
+    if "rerank_recovery" in legs:
+        result["rerank_recovery"] = run_rerank_recovery(spark, args.sizes)
     with open(path, "w") as f:
         json.dump(result, f, indent=1, sort_keys=True)
     print("WROTE", path)
