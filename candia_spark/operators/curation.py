@@ -2766,12 +2766,51 @@ def pack_sequences_whole(
     return thin.groupBy("shard").applyInPandas(pack, schema)
 
 
+def _normalize_phrases(phrases: list[str]) -> list[str]:
+    """Normalize + dedup a blocklist: lowercase, non-alphanumerics to
+    spaces, collapse, strip — the SAME chain the document text gets, so
+    'X-Rated' and 'x rated' are one phrase. Raises on a phrase that
+    normalizes to empty. Returns the sorted distinct normalized forms."""
+    norm_set = set()
+    for p in phrases:
+        n = " ".join(_re.sub(r"[^a-z0-9]+", " ", p.lower()).split())
+        if not n:
+            raise ValueError(
+                "phrases must contain alphanumerics after normalization; "
+                f"{p!r} normalizes to empty"
+            )
+        norm_set.add(n)
+    return sorted(norm_set)
+
+
+def blocklist_phrase_table(spark, phrases: list[str]) -> DataFrame:
+    """Build the PERSISTABLE phrase table the join engine collides
+    against (ADVICE r15: the 50k+-phrase lists the engine targets should
+    ship through the driver ONCE, not per gate call): normalized
+    distinct phrases with their word counts, stamped
+    ``{"normalized": 1}`` in field metadata (the compact_corpus_state
+    stamp discipline — the stamp travels through a parquet round-trip,
+    so :func:`blocklist_filter` can trust a reloaded table skipped no
+    normalization). Write it once per list life, pass it to every gate
+    as ``phrases_df=``.
+
+    Output: (phrase, n_words) — list-sized broadcast material."""
+    norm = _normalize_phrases(phrases)
+    return spark.createDataFrame(
+        [(p, len(p.split(" "))) for p in norm], "phrase string, n_words int"
+    ).select(
+        F.col("phrase").alias("phrase", metadata={"normalized": 1}),
+        F.col("n_words"),
+    )
+
+
 def blocklist_filter(
     df: DataFrame,
-    phrases: list[str],
+    phrases: list[str] | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
     engine: str = "inline",
+    phrases_df: DataFrame | None = None,
 ) -> DataFrame:
     """C4-style blocklist gate (Raffel et al. 2020 dropped any page
     containing a "List of Dirty, Naughty ..." phrase): flag documents
@@ -2816,26 +2855,51 @@ def blocklist_filter(
       Contract difference on DUPLICATE ids: the inline engine verdicts
       each ROW; the join engine's keyed agg merges rows sharing an id
       (the WET-ingest conflation class) — feed it unique ids (or a
-      per-row surrogate) when rows can collide."""
-    if not phrases:
-        raise ValueError("phrases must be a non-empty list")
+      per-row surrogate) when rows can collide.
+
+    Repeated gates against one big list should build the phrase table
+    ONCE (:func:`blocklist_phrase_table`, typically persisted to
+    parquet) and pass it as ``phrases_df=`` (join engine only — the
+    inline engine compiles phrases into the plan, which requires the
+    driver-side list): the list then never re-ships through the driver
+    per call (ADVICE r15). A ``phrases_df`` whose ``phrase`` field
+    carries a ``normalized`` stamp other than 1 raises (a foreign
+    un-normalized table would silently miss punctuated matches);
+    tables without a stamp pass — best-effort on provenance, strict on
+    detected mismatch (the compact_corpus_state doctrine)."""
     if engine not in ("inline", "join"):
         raise ValueError(f"engine must be 'inline' or 'join', got {engine!r}")
+    if phrases_df is not None:
+        if phrases:
+            raise ValueError(
+                "pass phrases OR phrases_df, not both — the table would "
+                "silently shadow the list"
+            )
+        if engine != "join":
+            raise ValueError(
+                "phrases_df requires engine='join': the inline engine "
+                "compiles each phrase into the plan, which needs the "
+                "driver-side list"
+            )
+        for field in phrases_df.schema.fields:
+            if (
+                field.name == "phrase"
+                and field.metadata
+                and int(field.metadata.get("normalized", 1)) != 1
+            ):
+                raise ValueError(
+                    "phrases_df is stamped as NOT normalized — build it "
+                    "with blocklist_phrase_table so phrase and text share "
+                    "one normalization"
+                )
+    elif not phrases:
+        raise ValueError("phrases must be a non-empty list")
     # Phrases get the SAME normalization as the document text (lowercase,
     # non-alphanumerics -> space, collapse, strip) — a punctuated phrase
     # like 'x-rated' must match its normalized document form, and
     # first_hit ordering is over the NORMALIZED forms (sort after
     # normalizing, not before lowercasing).
-    norm_set = set()
-    for p in phrases:
-        n = " ".join(_re.sub(r"[^a-z0-9]+", " ", p.lower()).split())
-        if not n:
-            raise ValueError(
-                "phrases must contain alphanumerics after normalization; "
-                f"{p!r} normalizes to empty"
-            )
-        norm_set.add(n)
-    norm = sorted(norm_set)
+    norm = _normalize_phrases(phrases) if phrases else []
     t = F.concat(
         F.lit(" "),
         F.trim(
@@ -2853,11 +2917,28 @@ def blocklist_filter(
     )
     base = df.select(F.col(id_col), t.alias("__t"))
     if engine == "join":
-        spark = df.sparkSession
-        ptable = spark.createDataFrame(
-            [(p,) for p in norm], "phrase string"
-        )
-        lengths = sorted({len(p.split(" ")) for p in norm})
+        if phrases_df is not None:
+            ptable = phrases_df.select("phrase")
+            # the n-gram builder needs the DISTINCT word-count set — a
+            # handful of integers, read off the list-sized table (from
+            # the stamped n_words column when present, else split)
+            nw = (
+                F.col("n_words")
+                if "n_words" in phrases_df.columns
+                else F.size(F.split("phrase", " "))
+            )
+            lengths = sorted(
+                int(r["__nw"])
+                for r in phrases_df.select(
+                    nw.cast("int").alias("__nw")
+                ).distinct().collect()
+            )
+        else:
+            spark = df.sparkSession
+            ptable = spark.createDataFrame(
+                [(p,) for p in norm], "phrase string"
+            )
+            lengths = sorted({len(p.split(" ")) for p in norm})
         toks = F.split(F.trim("__t"), " ")
 
         # contiguous n-grams for exactly the lengths the list contains;

@@ -30,7 +30,7 @@ UDFs entirely.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -373,15 +373,49 @@ def ann_recall_audit(
     k answers — an index that cannot produce them scores accordingly);
     read n_overlap / n_true for list-completeness-adjusted recall.
 
+    Input depth is VALIDATED (ADVICE r15): a frame deeper than k per
+    query — an unranked candidate list, or a rank>k frame — would
+    silently inflate n_true/n_overlap and report recall > 1.0. A frame
+    that carries a ``rank`` column is rank-filtered to ``rank <= k``
+    (the top-k family's own cut, zero extra work); a frame without one
+    gets an in-plan per-query depth guard that raises loudly past k
+    distinct ids.
+
     Scale: two list-sized inputs (Q*k rows each — the corpora already
     collapsed by the top-k passes), one keyed left join + one keyed
-    agg; nothing corpus-sized."""
+    agg; the depth guard is a window count over the same list-sized
+    rows; nothing corpus-sized."""
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")
-    t = truth.select(F.col(query_id_col), F.col(id_col)).distinct()
-    a = approx.select(
-        F.col(query_id_col), F.col(id_col).alias("__aid")
-    ).distinct()
+
+    def _bounded(df: DataFrame, side: str) -> DataFrame:
+        if "rank" in df.columns:
+            df = df.filter(F.col("rank") <= k)
+        sel = df.select(F.col(query_id_col), F.col(id_col)).distinct()
+        if "rank" in df.columns:
+            return sel
+        dtype = sel.schema[id_col].dataType
+        depth = F.count(F.lit(1)).over(Window.partitionBy(query_id_col))
+        return sel.select(
+            F.col(query_id_col),
+            F.when(
+                depth > k,
+                F.raise_error(
+                    F.format_string(
+                        f"ann_recall_audit: {side} side carries more than "
+                        f"k={k} rows for query %s — recall would exceed "
+                        "1.0; rank-filter the input or pass the k it was "
+                        "ranked with",
+                        F.col(query_id_col).cast("string"),
+                    )
+                ).cast(dtype),
+            )
+            .otherwise(F.col(id_col))
+            .alias(id_col),
+        )
+
+    t = _bounded(truth, "truth")
+    a = _bounded(approx, "approx").withColumnRenamed(id_col, "__aid")
     joined = t.join(
         a,
         (t[query_id_col] == a[query_id_col])
