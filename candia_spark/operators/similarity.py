@@ -1424,13 +1424,31 @@ def pq_topk_ivf_trained(
     Pass ``codebook`` / ``centroids`` / ``encoded_cells`` (persisted
     from a prior run; encoded_cells = pq_encode output joined with its
     cell column ``bucket``) to search without re-training or
-    re-encoding — encode once, search every batch."""
+    re-encoding — encode once, search every batch. A piece stamped as
+    RESIDUAL-encoded (an ivfadc_build_index artifact) raises here: this
+    is the RAW-vector ADC path, and scoring residual codes against raw
+    query lanes would silently mis-rank everything."""
     from candia_spark.operators.clustering import (
         kmeans_centroids,
         kmeans_probe_cells,
     )
     from candia_spark.operators.dedup import _materialize
 
+    if centroids is not None:
+        _assert_index_geometry(
+            centroids, "sv", {"coarse_scale": coarse_scale}, "centroids"
+        )
+    for piece, field, name in (
+        (codebook, "cw", "codebook"),
+        (encoded_cells, "code", "encoded_cells"),
+    ):
+        if piece is not None:
+            _assert_index_geometry(
+                piece, field,
+                {"residual": 0, "m": m, "codewords": codewords,
+                 "scale": scale},
+                name,
+            )
     cent = (
         centroids
         if centroids is not None

@@ -2559,7 +2559,8 @@ def q56_normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _kmeans_ctes(
-    k: int = 8, iters: int = 3, scale: int = 1000, seeding: str = "min_id"
+    k: int = 8, iters: int = 3, scale: int = 1000, seeding: str = "min_id",
+    src: str = "embeddings",
 ) -> str:
     """Shared unrolled-CTE chain for Lloyd's k-means (q57/q58/q63
     oracles): DuckDB recomputes the full fixed-iteration trajectory
@@ -2570,16 +2571,19 @@ def _kmeans_ctes(
     smallest ids; "farthest" unrolls the deterministic farthest-point
     traversal (k-1 selection CTEs, each an exact-hugeint argmax of the
     running min squared distance, ties to the smallest id — the same
-    total order the Spark side's decimal(38,0) top-1 uses)."""
+    total order the Spark side's decimal(38,0) top-1 uses). ``src``
+    names the (vec_id, embedding) relation the TRAINER reads — the
+    default full table, or an aliased filtered subquery (q131 trains
+    the frozen index on the base split only)."""
     q_cte = f"""
     q AS (
         SELECT vec_id, i AS pos,
                CAST(round(CAST(embedding[i] AS DOUBLE) * {scale}, 0) AS BIGINT) AS v
-        FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS u(i))"""
+        FROM {src}, UNNEST(generate_series(1, len(embedding))) AS u(i))"""
     if seeding == "farthest":
         seed_parts = [
-            """
-    seed0 AS (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 1),
+            f"""
+    seed0 AS (SELECT vec_id FROM {src} ORDER BY vec_id LIMIT 1),
     sv0 AS (SELECT q.pos, q.v FROM q JOIN seed0 USING (vec_id))"""
         ]
         for j in range(1, k):
@@ -2625,7 +2629,7 @@ def _kmeans_ctes(
     ids AS (
         SELECT vec_id,
                CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cluster
-        FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {k}) t),
+        FROM (SELECT vec_id FROM {src} ORDER BY vec_id LIMIT {k}) t),
     cent0 AS (
         SELECT ids.cluster, q.pos, q.v AS s, CAST(1 AS BIGINT) AS n
         FROM q JOIN ids USING (vec_id))"""
@@ -7128,9 +7132,12 @@ def _pq_train_cte_parts(
                qv[i] AS v
         FROM {src}, UNNEST(generate_series(1, len(qv))) AS u(i)),
     {px}ids AS (
+        -- codeword seeds come from the TRAINING frame's own id set
+        -- ({src}) — identical to the full table for the all-corpus
+        -- oracles, and the base split for q131's frozen training
         SELECT vec_id,
                CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS code
-        FROM (SELECT vec_id FROM embeddings ORDER BY vec_id
+        FROM (SELECT vec_id FROM {src} ORDER BY vec_id
               LIMIT {codewords}) t),
     {px}cent0 AS (
         SELECT l.sub, i.code, l.pos, l.v AS s, CAST(1 AS BIGINT) AS n
@@ -7628,24 +7635,16 @@ def q126_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _q127_oracle(
-    coarse_k: int = 8, coarse_iters: int = 2, coarse_scale: int = 1000,
-    m: int = 8, codewords: int = 16, pq_iters: int = 2, nprobe: int = 3,
-    stride: int = 67, k: int = 5, dsub: int = 8,
-    tail: str | None = None,
-) -> str:
-    """The RESIDUAL-encoded IVFADC replay (Jégou et al. 2011 §III): the
-    q57 coarse chain, integer cell centroids in the int8 lane space
-    (the same round-half-up floor device as the Spark side), residual
-    lanes r(x) = x - q1(x) re-assembled to arrays, the shared PQ
-    train/encode chain pointed at the residual CTE (src='rz'), a
-    per-probed-cell query-residual LUT, and ADC restricted to probed
-    cells. One wrong residual lane, one swapped probe, or one
-    mis-seeded codeword moves a distance and fails the gate."""
-    coarse = _kmeans_ctes(coarse_k, coarse_iters, coarse_scale, "min_id")
-    parts = [coarse[len("WITH "):], _INT8_NRM_SQL]
-    parts.append(
-        f"""
+def _residual_cte_parts(coarse_iters: int) -> str:
+    """The residual-derivation CTE block shared by the q127 and q131
+    oracles: int8 lanes of EVERY vector (zlanes, from the _INT8_NRM_SQL
+    qz), integer cell centroids over the TRAINING corpus's final
+    assignment (ccent — the round-half-up floor device), and the
+    training corpus's residual arrays (rz). With a base-restricted
+    coarse chain (q131) the assign join restricts ccent/rz to the base
+    split automatically; zlanes stays corpus-wide so batch residuals
+    can derive from the same lane table."""
+    return f"""
     zlanes AS MATERIALIZED (
         SELECT vec_id, i AS pos, qv[i] AS v
         FROM qz, UNNEST(generate_series(1, len(qv))) AS u(i)),
@@ -7664,8 +7663,26 @@ def _q127_oracle(
         FROM zlanes l
         JOIN assign{coarse_iters} a USING (vec_id)
         JOIN ccent c ON c.cluster = a.cluster AND c.pos = l.pos
-        GROUP BY l.vec_id)""",
-    )
+        GROUP BY l.vec_id)"""
+
+
+def _q127_oracle(
+    coarse_k: int = 8, coarse_iters: int = 2, coarse_scale: int = 1000,
+    m: int = 8, codewords: int = 16, pq_iters: int = 2, nprobe: int = 3,
+    stride: int = 67, k: int = 5, dsub: int = 8,
+    tail: str | None = None,
+) -> str:
+    """The RESIDUAL-encoded IVFADC replay (Jégou et al. 2011 §III): the
+    q57 coarse chain, integer cell centroids in the int8 lane space
+    (the same round-half-up floor device as the Spark side), residual
+    lanes r(x) = x - q1(x) re-assembled to arrays, the shared PQ
+    train/encode chain pointed at the residual CTE (src='rz'), a
+    per-probed-cell query-residual LUT, and ADC restricted to probed
+    cells. One wrong residual lane, one swapped probe, or one
+    mis-seeded codeword moves a distance and fails the gate."""
+    coarse = _kmeans_ctes(coarse_k, coarse_iters, coarse_scale, "min_id")
+    parts = [coarse[len("WITH "):], _INT8_NRM_SQL]
+    parts.append(_residual_cte_parts(coarse_iters))
     parts.extend(
         _pq_train_cte_parts(m, codewords, pq_iters, dsub, px="r", src="rz")
     )
@@ -8443,6 +8460,129 @@ def q129_blocklist_join_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
         "Merge-Batch!", "slow", "nosuchword"
     ]
     return blocklist_filter(docs, phrases, engine="join")
+
+
+def _q131_oracle(
+    coarse_k: int = 8, coarse_iters: int = 2, coarse_scale: int = 1000,
+    m: int = 8, codewords: int = 16, pq_iters: int = 2,
+    mod: int = 5, rem: int = 4, dsub: int = 8,
+) -> str:
+    """The ROLLING-INGESTION replay: the entire frozen index — coarse
+    trajectory, integer cell centroids, residual PQ trajectory — is
+    recomputed over the BASE split only (``vec_id % mod <> rem``; the
+    _kmeans_ctes/_pq_train_cte_parts src parameters restrict every
+    training CTE), then the BATCH split is assigned, residualized, and
+    encoded against those frozen pieces exactly as
+    ``ivfadc_encode_batch`` does: a probe-rank-1 assignment against the
+    final-pass centroids, residual lanes against the base-derived
+    integer cell centroids, codes from the base-trained codebook. One
+    batch vector routed to the wrong cell, one residual lane off by
+    one, or one code drawn from a batch-contaminated codebook moves a
+    row and fails the gate."""
+    base_src = (
+        f"(SELECT * FROM embeddings WHERE vec_id % {mod} <> {rem}) base_emb"
+    )
+    coarse = _kmeans_ctes(
+        coarse_k, coarse_iters, coarse_scale, "min_id", src=base_src
+    )
+    parts = [coarse[len("WITH "):], _INT8_NRM_SQL]
+    parts.append(_residual_cte_parts(coarse_iters))
+    parts.extend(
+        _pq_train_cte_parts(m, codewords, pq_iters, dsub, px="r", src="rz")
+    )
+    parts.append(
+        f"""
+    qb AS (
+        -- batch lanes at the COARSE scale (the probe/assignment
+        -- quantization device, distinct from the int8 zlanes)
+        SELECT vec_id, i AS pos,
+               CAST(round(CAST(embedding[i] AS DOUBLE) * {coarse_scale}, 0)
+                    AS BIGINT) AS v
+        FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS u(i)
+        WHERE vec_id % {mod} = {rem}),
+    bdist AS (
+        -- frozen assignment: rank against cent{coarse_iters - 1}, the
+        -- centroids the base build's final pass used — nprobe=1 IS the
+        -- assignment (one total order for cells, probes, and batches)
+        SELECT qb.vec_id, c.cluster,
+               SUM((c.n * qb.v - c.s) * (c.n * qb.v - c.s)) AS d,
+               MAX(c.n) AS n
+        FROM qb JOIN cent{coarse_iters - 1} c USING (pos)
+        GROUP BY 1, 2),
+    bassign AS (
+        SELECT vec_id, cluster FROM (
+            SELECT vec_id, cluster,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                       ORDER BY CAST(d AS DOUBLE) / CAST(n * n AS DOUBLE)
+                                    ASC,
+                                cluster ASC) AS rn
+            FROM bdist) t
+        WHERE rn = 1),
+    brz AS (
+        -- batch residual arrays against the FROZEN base cell centroids
+        SELECT l.vec_id, list(l.v - c.c ORDER BY l.pos) AS qv
+        FROM zlanes l
+        JOIN bassign a USING (vec_id)
+        JOIN ccent c ON c.cluster = a.cluster AND c.pos = l.pos
+        GROUP BY l.vec_id),
+    bsubsq AS (
+        SELECT vec_id, CAST(s AS BIGINT) AS sub,
+               list_slice(qv, s * {dsub} + 1, (s + 1) * {dsub}) AS sv
+        FROM brz, UNNEST(generate_series(0, {m - 1})) AS g(s)),
+    bdists AS (
+        SELECT v.vec_id, v.sub, c.code,
+               CAST(SUM((v.sv[i] - c.cw[i]) * (v.sv[i] - c.cw[i]))
+                    AS BIGINT) AS d
+        FROM bsubsq v JOIN rcb c ON v.sub = c.sub,
+             UNNEST(generate_series(1, {dsub})) AS u(i)
+        GROUP BY 1, 2, 3),
+    benc AS (
+        SELECT vec_id, sub, MIN({{'d': d, 'code': code}}).code AS code
+        FROM bdists GROUP BY vec_id, sub)"""
+    )
+    final = """
+    SELECT b.vec_id, b.sub, b.code, a.cluster AS bucket
+    FROM benc b JOIN bassign a USING (vec_id)"""
+    return "WITH " + ",".join(parts) + final
+
+
+@register(
+    "q131_rolling_ann_ingest",
+    oracle=_q131_oracle(),
+    survey_ref="rolling ANN ingestion (encode an arriving batch under "
+    "the FROZEN IVFADC pieces — Jégou et al. 2011 §V's train-once/"
+    "encode-forever deployment shape; north star: a corpus that rolls "
+    "daily without retraining, with append == rebuild equivalence and "
+    "a per-batch recall-drift audit as the retrain signal)",
+)
+def q131_rolling_ann_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling ANN ingestion certified end to end
+    (operators.similarity.ivfadc_build_index + ivfadc_encode_batch):
+    the index trains on the BASE split only (vec_id % 5 != 4), then the
+    held-out batch encodes under the FROZEN
+    centroids/cell_centroids/codebook — the fifth persisted-state
+    rolling family (VERDICT r15 next #1). The output is every encoded
+    batch row (id, sub, code, bucket), so the oracle gates the complete
+    encode-append contract: frozen assignment, frozen residuals, frozen
+    codes — not just the slice a top-k search happens to touch. The
+    storage half (partitioned append, replay idempotence, ownership
+    rule) and the search-over-rolled == search-over-rebuilt equivalence
+    are pytest-pinned (test_r16_ops); the per-batch recall-drift audit
+    is SCALING_r16's drift leg."""
+    from candia_spark.operators.similarity import (
+        ivfadc_build_index,
+        ivfadc_encode_batch,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    base = emb.filter(F.col("vec_id") % 5 != 4)
+    batch = emb.filter(F.col("vec_id") % 5 == 4)
+    idx = ivfadc_build_index(
+        base, m=8, codewords=16, coarse_k=8, coarse_iters=2, pq_iters=2
+    )
+    return ivfadc_encode_batch(
+        batch, idx["centroids"], idx["cell_centroids"], idx["codebook"]
+    )
 
 
 # --- Driver certification window (verdict r5 #2) -------------------------

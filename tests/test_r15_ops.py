@@ -548,15 +548,15 @@ def _rows_sorted(df):
 
 def test_rolling_ingestion_grand_equivalence(spark, tmp_path):
     """THE cross-family rolling test: three WET batches arrive through
-    the streaming gate, and ALL FOUR persisted corpus-state families
-    (near-dup bands+sets, block census, gram census, phash signatures)
-    roll forward batch by batch — then every rolled state must equal
-    its from-scratch rebuild over the concatenated corpus, and the
-    union of incremental near-dup pair outputs must equal the full
-    scan. Per-family tests pin each contract alone; THIS test catches
-    cross-family state-contract drift (id ordering, append discipline,
-    geometry stamps) that only shows when one ingestion loop drives
-    them all."""
+    the streaming gate, and ALL FIVE persisted corpus-state families
+    (near-dup bands+sets, block census, gram census, phash signatures,
+    and — r16 — the IVFADC ANN index) roll forward batch by batch —
+    then every rolled state must equal its from-scratch rebuild over
+    the concatenated corpus, and the union of incremental near-dup
+    pair outputs must equal the full scan. Per-family tests pin each
+    contract alone; THIS test catches cross-family state-contract
+    drift (id ordering, append discipline, geometry stamps) that only
+    shows when one ingestion loop drives them all."""
     from candia_spark.operators.curation import (
         multiclass_classifier_weights,
         quality_classifier_weights,
@@ -743,6 +743,54 @@ def test_rolling_ingestion_grand_equivalence(spark, tmp_path):
             "id_a", "id_b"
         )
     )
+
+    # --- family 5 (r16): the rolling IVFADC ANN index — the same
+    # ingestion loop trains on batch 0 and rolls batches 1 and 2 into
+    # the partitioned store under the FROZEN pieces; the stored codes
+    # must equal the from-scratch frozen re-encode of the concatenated
+    # corpus. Embeddings derive in-plan from the text (md5 nibble
+    # lanes), so the leg rides the identical WET documents.
+    from candia_spark.operators.similarity import (
+        append_ivfadc_batch,
+        ivfadc_build_index,
+        ivfadc_encode_batch,
+        read_ivfadc_index,
+        write_ivfadc_index,
+    )
+
+    def embed(df):
+        return df.select(
+            F.col("doc_id").alias("vec_id"),
+            F.array(
+                *[
+                    (
+                        F.conv(
+                            F.substring(F.md5("text"), 4 * d + 1, 4), 16, 10
+                        ).cast("double")
+                        + F.lit(1.0)
+                    )
+                    for d in range(8)
+                ]
+            ).alias("embedding"),
+        )
+
+    ann_kw = dict(m=2, codewords=4, coarse_k=2, coarse_iters=2, pq_iters=2)
+    ix_path = str(tmp_path / "ann_ix")
+    idx = ivfadc_build_index(embed(b0), **ann_kw)
+    write_ivfadc_index(idx, ix_path)
+    for bid, nb in ((1, b1), (2, b2)):
+        append_ivfadc_batch(embed(nb), bid, ix_path, m=ann_kw["m"])
+    loaded = read_ivfadc_index(spark, ix_path)
+    rebuilt = ivfadc_encode_batch(
+        embed(alldocs), idx["centroids"], idx["cell_centroids"],
+        idx["codebook"], m=ann_kw["m"],
+    )
+    assert _rows_sorted(loaded["encoded_cells"]) == _rows_sorted(rebuilt)
+    # the reloaded pieces still carry their geometry stamp
+    cw_meta = next(
+        f.metadata for f in loaded["codebook"].schema.fields if f.name == "cw"
+    )
+    assert cw_meta["m"] == ann_kw["m"] and cw_meta["residual"] == 1
 
 
 def test_wet_truncated_tail_terminator_ambiguity_is_pinned(spark, tmp_path):

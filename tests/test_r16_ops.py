@@ -1,0 +1,526 @@
+"""Round-16: the rolling ANN index family (frozen-index batch encode,
+partitioned store with scan pruning, geometry stamps, hot-cell split,
+re-rank candidate pushdown) and the r15 ADVICE closures (recall-audit
+depth guard, armed skew guard on passed codes, LUT broadcast fallback,
+reusable blocklist phrase table)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def _corpus(spark, n=60, dim=8):
+    """Deterministic spread corpus (id-derived lanes, non-degenerate)."""
+    rows = [
+        (
+            i,
+            [
+                float((i * 7 + d * 13) % 19 - 9) + 0.25 * ((i + d) % 4)
+                for d in range(dim)
+            ],
+        )
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+
+
+def _skewed_corpus(spark, dim=8):
+    """90% of vectors in one tight ball, 10% spread — the planted
+    one-hot-cell shape the balance guard exists for."""
+    rows = []
+    for i in range(90):
+        rows.append(
+            (i, [10.0 + 0.01 * ((i * 3 + d) % 7) for d in range(dim)])
+        )
+    for i in range(90, 100):
+        rows.append(
+            (i, [float((i * 11 + d * 5) % 17 - 8) for d in range(dim)])
+        )
+    return spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+
+
+_KW = dict(m=2, codewords=4, coarse_k=3, coarse_iters=2, pq_iters=2)
+
+
+# --- rolling ingestion: frozen-index batch encode (q131) ---------------------
+
+
+def test_encode_batch_rolled_equals_rebuilt(spark):
+    # append == from-scratch re-encode of the concatenated corpus under
+    # the SAME frozen pieces (the q103/q78 rolling equivalence stance).
+    from candia_spark.operators.similarity import (
+        ivfadc_build_index,
+        ivfadc_encode_batch,
+    )
+
+    emb = _corpus(spark)
+    base = emb.filter(F.col("vec_id") % 4 != 3)
+    batch = emb.filter(F.col("vec_id") % 4 == 3)
+    idx = ivfadc_build_index(base, **_KW)
+    pieces = (idx["centroids"], idx["cell_centroids"], idx["codebook"])
+    rolled = idx["encoded_cells"].unionByName(
+        ivfadc_encode_batch(batch, *pieces, m=_KW["m"])
+    )
+    rebuilt = ivfadc_encode_batch(emb, *pieces, m=_KW["m"])
+    assert _rows(rolled) == _rows(rebuilt)
+    # and the base half alone reproduces the build's own encode — the
+    # factored build path and the frozen encoder are ONE implementation
+    assert _rows(ivfadc_encode_batch(base, *pieces, m=_KW["m"])) == _rows(
+        idx["encoded_cells"]
+    )
+
+
+def test_search_over_rolled_equals_search_over_rebuilt(spark):
+    from candia_spark.operators.similarity import (
+        ivfadc_build_index,
+        ivfadc_encode_batch,
+        pq_topk_ivfadc_residual,
+    )
+
+    emb = _corpus(spark)
+    base = emb.filter(F.col("vec_id") % 4 != 3)
+    batch = emb.filter(F.col("vec_id") % 4 == 3)
+    qs = emb.filter(F.col("vec_id") % 9 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    idx = ivfadc_build_index(base, **_KW)
+    pieces = dict(
+        centroids=idx["centroids"],
+        cell_centroids=idx["cell_centroids"],
+        codebook=idx["codebook"],
+    )
+    rolled = idx["encoded_cells"].unionByName(
+        ivfadc_encode_batch(
+            batch, idx["centroids"], idx["cell_centroids"],
+            idx["codebook"], m=_KW["m"],
+        )
+    )
+    rebuilt = ivfadc_encode_batch(
+        emb, idx["centroids"], idx["cell_centroids"], idx["codebook"],
+        m=_KW["m"],
+    )
+    a = pq_topk_ivfadc_residual(
+        None, qs, k=3, nprobe=2, encoded_cells=rolled, **pieces, **_KW
+    )
+    b = pq_topk_ivfadc_residual(
+        None, qs, k=3, nprobe=2, encoded_cells=rebuilt, **pieces, **_KW
+    )
+    got = _rows(a)
+    assert got == _rows(b) and got
+
+
+def test_recall_drift_audit_leg_runs_on_rolled_index(spark):
+    # the retrain signal: audit the rolled index against exact truth.
+    # Contract here: one row per query, recall in [0, 1], n_true <= k —
+    # the measured drift CURVE is SCALING_r16's leg, not a unit pin.
+    from candia_spark.operators.retrieval import ann_recall_audit
+    from candia_spark.operators.similarity import (
+        cosine_topk_int8,
+        ivfadc_build_index,
+        ivfadc_encode_batch,
+        pq_topk_ivfadc_residual,
+    )
+
+    emb = _corpus(spark)
+    base = emb.filter(F.col("vec_id") % 4 != 3)
+    batch = emb.filter(F.col("vec_id") % 4 == 3)
+    qs = emb.filter(F.col("vec_id") % 9 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    idx = ivfadc_build_index(base, **_KW)
+    rolled = idx["encoded_cells"].unionByName(
+        ivfadc_encode_batch(
+            batch, idx["centroids"], idx["cell_centroids"],
+            idx["codebook"], m=_KW["m"],
+        )
+    )
+    approx = pq_topk_ivfadc_residual(
+        None, qs, k=3, nprobe=2, centroids=idx["centroids"],
+        cell_centroids=idx["cell_centroids"], codebook=idx["codebook"],
+        encoded_cells=rolled, **_KW,
+    )
+    audit = ann_recall_audit(
+        cosine_topk_int8(emb, qs, k=3), approx, k=3
+    ).collect()
+    assert len(audit) == qs.count()
+    for r in audit:
+        assert 0.0 <= r["recall"] <= 1.0
+        assert r["n_true"] <= 3 and r["n_overlap"] <= r["n_true"]
+
+
+def test_corpus_none_requires_all_pieces(spark):
+    from candia_spark.operators.similarity import pq_topk_ivfadc_residual
+
+    qs = _corpus(spark, n=5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    with pytest.raises(ValueError, match="corpus is required"):
+        pq_topk_ivfadc_residual(None, qs, k=2, **_KW)
+
+
+# --- persisted index store: partitioned layout, append, scan pruning ---------
+
+
+def test_index_store_roundtrip_append_replay_ownership(spark, tmp_path):
+    from candia_spark.operators.similarity import (
+        append_ivfadc_batch,
+        ivfadc_build_index,
+        ivfadc_encode_batch,
+        read_ivfadc_index,
+        write_ivfadc_index,
+    )
+
+    emb = _corpus(spark)
+    base = emb.filter(F.col("vec_id") % 4 != 3)
+    batch = emb.filter(F.col("vec_id") % 4 == 3)
+    idx = ivfadc_build_index(base, **_KW)
+    path = str(tmp_path / "ix")
+    write_ivfadc_index(idx, path)
+
+    append_ivfadc_batch(batch, 1, path, m=_KW["m"])
+    stored = read_ivfadc_index(spark, path)["encoded_cells"]
+    rolled = idx["encoded_cells"].unionByName(
+        ivfadc_encode_batch(
+            batch, idx["centroids"], idx["cell_centroids"],
+            idx["codebook"], m=_KW["m"],
+        )
+    )
+    assert _rows(stored) == _rows(rolled)
+    n = stored.count()
+
+    # replaying the SAME batch id rewrites its own partitions only
+    append_ivfadc_batch(batch, 1, path, m=_KW["m"])
+    assert read_ivfadc_index(spark, path)["encoded_cells"].count() == n
+
+    # re-ingesting already-owned ids under a NEW batch id is skipped
+    # (the rolling ownership rule: duplicate (id, sub) rows would
+    # corrupt every ADC sum that touches them)
+    append_ivfadc_batch(batch, 2, path, m=_KW["m"])
+    assert read_ivfadc_index(spark, path)["encoded_cells"].count() == n
+
+    # batch id 0 is the base build's reserved partition
+    with pytest.raises(ValueError, match="batch_id 0"):
+        append_ivfadc_batch(batch, 0, path, m=_KW["m"])
+
+    # geometry stamps survive the parquet round-trip
+    loaded = read_ivfadc_index(spark, path)
+    meta = {
+        f.name: f.metadata
+        for f in loaded["codebook"].schema.fields
+        if f.name == "cw"
+    }
+    assert meta["cw"]["m"] == _KW["m"]
+    assert meta["cw"]["residual"] == 1
+
+
+def test_search_index_scan_pruning_plan_and_equivalence(spark, tmp_path):
+    # VERDICT r15 missing #2 done-criteria: the physical plan shows a
+    # PartitionFilters bucket IN (...) on the encoded_cells scan, and
+    # the pruned search equals both the unpruned and the in-memory one.
+    import re
+
+    from candia_spark.operators.similarity import (
+        ivfadc_build_index,
+        ivfadc_search_index,
+        pq_topk_ivfadc_residual,
+        write_ivfadc_index,
+    )
+
+    emb = _corpus(spark)
+    qs = emb.filter(F.col("vec_id") % 19 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    idx = ivfadc_build_index(emb, **_KW)
+    path = str(tmp_path / "ix")
+    write_ivfadc_index(idx, path)
+
+    skw = dict(m=_KW["m"], codewords=_KW["codewords"])
+    pruned = ivfadc_search_index(spark, path, qs, k=3, nprobe=1, **skw)
+    plan = _plan_of(pruned)
+    # the probed-bucket union reaches the scan as a partition filter —
+    # rendered as `bucket IN (...)` for wide unions or OR-equalities
+    # after OptimizeIn for narrow ones; both prune directories
+    pf = [
+        m.group(1)
+        for m in re.finditer(r"PartitionFilters: \[([^\]]+)\]", plan)
+        if "bucket" in m.group(1)
+        and ("IN" in m.group(1) or "=" in m.group(1))
+    ]
+    assert pf, plan[:2000]
+
+    unpruned = ivfadc_search_index(
+        spark, path, qs, k=3, nprobe=1, prune_scan=False, **skw
+    )
+    in_mem = pq_topk_ivfadc_residual(
+        None, qs, k=3, nprobe=1, centroids=idx["centroids"],
+        cell_centroids=idx["cell_centroids"], codebook=idx["codebook"],
+        encoded_cells=idx["encoded_cells"], **_KW,
+    )
+    got = _rows(pruned)
+    assert got == _rows(unpruned) == _rows(in_mem) and got
+
+
+# --- geometry stamps -------------------------------------------------------
+
+
+def test_index_geometry_mismatch_raises(spark):
+    from candia_spark.operators.similarity import (
+        ivfadc_build_index,
+        ivfadc_encode_batch,
+        pq_topk_ivfadc_residual,
+    )
+
+    emb = _corpus(spark)
+    qs = emb.limit(3).select(F.col("vec_id").alias("query_id"), "embedding")
+    idx = ivfadc_build_index(emb, **_KW)
+    pieces = dict(
+        centroids=idx["centroids"],
+        cell_centroids=idx["cell_centroids"],
+        codebook=idx["codebook"],
+        encoded_cells=idx["encoded_cells"],
+    )
+    bad = dict(_KW)
+    bad["m"] = 4
+    with pytest.raises(ValueError, match="ivfadc index piece"):
+        pq_topk_ivfadc_residual(None, qs, k=2, **pieces, **bad)
+    bad = dict(_KW)
+    with pytest.raises(ValueError, match="ivfadc index piece"):
+        pq_topk_ivfadc_residual(
+            None, qs, k=2, coarse_scale=500, **pieces, **bad
+        )
+    with pytest.raises(ValueError, match="ivfadc index piece"):
+        ivfadc_encode_batch(
+            emb, idx["centroids"], idx["cell_centroids"], idx["codebook"],
+            m=_KW["m"], scale=64,
+        )
+
+
+def test_residual_pieces_refused_by_raw_adc_path(spark):
+    # a residual-encoded artifact fed to the RAW-vector trained path
+    # would silently mis-rank everything — the stamp's residual flag is
+    # the discriminator.
+    from candia_spark.operators.similarity import (
+        ivfadc_build_index,
+        pq_topk_ivf_trained,
+    )
+
+    emb = _corpus(spark)
+    qs = emb.limit(3).select(F.col("vec_id").alias("query_id"), "embedding")
+    idx = ivfadc_build_index(emb, **_KW)
+    with pytest.raises(ValueError, match="residual"):
+        pq_topk_ivf_trained(
+            emb, qs, k=2, codebook=idx["codebook"],
+            encoded_cells=idx["encoded_cells"], centroids=idx["centroids"],
+            **_KW,
+        )
+
+
+# --- cell-balance guard + hot-cell split ------------------------------------
+
+
+def test_cell_balance_guard_censuses_passed_encoded_cells(spark):
+    # ADVICE r15: max_cell_frac alongside encoded_cells must not be a
+    # silent no-op — the census runs over the stored assignment.
+    from candia_spark.operators.similarity import (
+        ivfadc_build_index,
+        pq_topk_ivfadc_residual,
+    )
+
+    emb = _skewed_corpus(spark)
+    qs = emb.limit(2).select(F.col("vec_id").alias("query_id"), "embedding")
+    idx = ivfadc_build_index(emb, **_KW)
+    with pytest.raises(ValueError, match="cell balance violated"):
+        pq_topk_ivfadc_residual(
+            None, qs, k=2, max_cell_frac=0.5,
+            centroids=idx["centroids"],
+            cell_centroids=idx["cell_centroids"],
+            codebook=idx["codebook"],
+            encoded_cells=idx["encoded_cells"], **_KW,
+        )
+
+
+def test_split_hot_cells_passes_armed_guard_on_planted_skew(spark):
+    # VERDICT r15 missing #3 done-criteria: the planted 90%-one-cell
+    # corpus fails the bare guard, and with split_hot_k the build
+    # splits the hot cell and passes the SAME armed guard.
+    from candia_spark.operators.similarity import ivfadc_build_index
+
+    emb = _skewed_corpus(spark)
+    with pytest.raises(ValueError, match="cell balance violated"):
+        ivfadc_build_index(emb, max_cell_frac=0.5, **_KW)
+    idx = ivfadc_build_index(emb, max_cell_frac=0.5, split_hot_k=4, **_KW)
+    # the widened table replaced the hot row with split_k children
+    assert idx["centroids"].count() > _KW["coarse_k"]
+    # every corpus vector still lands in exactly one cell
+    assert (
+        idx["encoded_cells"].select("vec_id", "bucket").distinct().count()
+        == 100
+    )
+
+
+def test_split_hot_cells_noop_on_balanced_corpus(spark):
+    # probe semantics unchanged when nothing is hot: the table is
+    # returned as-is (the equivalence half of the done-criteria).
+    from candia_spark.operators.clustering import kmeans_centroids
+    from candia_spark.operators.similarity import split_hot_cells
+
+    emb = _corpus(spark)
+    cent = kmeans_centroids(emb, k=3, iters=2)
+    assert split_hot_cells(emb, cent, max_cell_frac=0.9) is cent
+
+
+def test_split_hot_cells_validates_args(spark):
+    from candia_spark.operators.clustering import kmeans_centroids
+    from candia_spark.operators.similarity import split_hot_cells
+
+    emb = _corpus(spark, n=10)
+    cent = kmeans_centroids(emb, k=2, iters=1)
+    with pytest.raises(ValueError, match="max_cell_frac"):
+        split_hot_cells(emb, cent, max_cell_frac=1.5)
+    with pytest.raises(ValueError, match="split_k"):
+        split_hot_cells(emb, cent, max_cell_frac=0.5, split_k=1)
+
+
+# --- LUT broadcast fallback (ADVICE r15) ------------------------------------
+
+
+def test_broadcast_lut_fallback_is_value_identical(spark):
+    from candia_spark.operators.similarity import (
+        pq_topk_ivf_trained,
+        pq_topk_ivfadc_residual,
+    )
+
+    emb = _corpus(spark)
+    qs = emb.filter(F.col("vec_id") % 9 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    for fn in (pq_topk_ivfadc_residual, pq_topk_ivf_trained):
+        a = fn(emb, qs, k=3, nprobe=2, **_KW)
+        b = fn(emb, qs, k=3, nprobe=2, broadcast_lut=False, **_KW)
+        got = _rows(a)
+        assert got == _rows(b) and got, fn.__name__
+
+
+# --- re-rank candidate pushdown (VERDICT r15 missing #4) ---------------------
+
+
+def test_rerank_pushdown_plan_and_quantized_corpus_equivalence(spark):
+    from candia_spark.operators.similarity import (
+        pq_topk_rerank,
+        quantize_int8,
+    )
+
+    emb = _corpus(spark)
+    qs = emb.filter(F.col("vec_id") % 9 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    df = pq_topk_rerank(emb, qs, k=3, shortlist=10, nprobe=2, **_KW)
+    # the exact re-rank's quantize runs UNDER a candidate semi-join —
+    # Q*R vectors, never a corpus-wide quantize map
+    assert "LeftSemi" in _plan_of(df)
+    qz = quantize_int8(emb, "embedding", "vec_id")
+    b = pq_topk_rerank(
+        emb, qs, k=3, shortlist=10, nprobe=2, quantized_corpus=qz, **_KW
+    )
+    got = _rows(df)
+    assert got == _rows(b) and got
+
+
+# --- ann_recall_audit depth guard (ADVICE r15) -------------------------------
+
+
+def test_recall_audit_depth_guard_raises_on_unranked_deep_frame(spark):
+    from candia_spark.operators.retrieval import ann_recall_audit
+
+    deep = spark.createDataFrame(
+        [(1, i) for i in range(5)], "query_id bigint, vec_id bigint"
+    )
+    ok = spark.createDataFrame(
+        [(1, 0), (1, 9)], "query_id bigint, vec_id bigint"
+    )
+    with pytest.raises(Exception, match="more than"):
+        ann_recall_audit(deep, ok, k=2).collect()
+    with pytest.raises(Exception, match="more than"):
+        ann_recall_audit(ok, deep, k=2).collect()
+
+
+def test_recall_audit_rank_column_is_cut_not_raised(spark):
+    # a frame deeper than k that CARRIES its rank is simply rank-cut —
+    # the top-k family's own contract, no error
+    from candia_spark.operators.retrieval import ann_recall_audit
+
+    deep_ranked = spark.createDataFrame(
+        [(1, i, i + 1) for i in range(5)],
+        "query_id bigint, vec_id bigint, rank bigint",
+    )
+    approx = spark.createDataFrame(
+        [(1, 0), (1, 9)], "query_id bigint, vec_id bigint"
+    )
+    got = ann_recall_audit(deep_ranked, approx, k=2).collect()
+    assert len(got) == 1
+    assert got[0]["n_true"] == 2  # ranks 1..2 only
+    assert got[0]["n_overlap"] == 1  # vec_id 0 (rank 1)
+
+
+# --- blocklist phrase table (ADVICE r15) -------------------------------------
+
+
+def test_blocklist_phrase_table_matches_inline_list(spark):
+    from candia_spark.operators.curation import (
+        blocklist_filter,
+        blocklist_phrase_table,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a Bad-Word here"),
+            (2, "clean text entirely"),
+            (3, "multi word phrase inside"),
+            (4, "badword joined is no hit"),
+        ],
+        "doc_id bigint, text string",
+    )
+    phrases = ["bad word", "Multi-Word Phrase"]
+    pt = blocklist_phrase_table(spark, phrases)
+    want = _rows(blocklist_filter(docs, phrases, engine="join"))
+    assert _rows(blocklist_filter(docs, engine="join", phrases_df=pt)) == want
+    # a reloaded table (no n_words column) still works — lengths derive
+    # in-plan from the phrase strings
+    assert (
+        _rows(
+            blocklist_filter(
+                docs, engine="join", phrases_df=pt.select("phrase")
+            )
+        )
+        == want
+    )
+
+
+def test_blocklist_phrase_table_arg_and_stamp_guards(spark):
+    from candia_spark.operators.curation import (
+        blocklist_filter,
+        blocklist_phrase_table,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "x")], "doc_id bigint, text string"
+    )
+    pt = blocklist_phrase_table(spark, ["bad word"])
+    with pytest.raises(ValueError, match="not both"):
+        blocklist_filter(docs, ["x"], engine="join", phrases_df=pt)
+    with pytest.raises(ValueError, match="engine='join'"):
+        blocklist_filter(docs, engine="inline", phrases_df=pt)
+    un_normalized = spark.createDataFrame(
+        [("Bad-Word",)], "phrase string"
+    ).select(F.col("phrase").alias("phrase", metadata={"normalized": 0}))
+    with pytest.raises(ValueError, match="NOT normalized"):
+        blocklist_filter(docs, engine="join", phrases_df=un_normalized)
