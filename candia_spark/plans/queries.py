@@ -8932,6 +8932,21 @@ _DRIVER_WINDOW_TAIL = [
     # (a strictly harder input: stage interactions feed the walk);
     # q118 driver-certified r13-r14 and three-scale-certified locally.
     "q118_whole_doc_packing",
+    # --- r16 rotation: q131 (rolling ANN ingestion) takes the one new
+    # seat — new queries always certify driver-grade in their first
+    # round. Rows whose operators changed this round all sit in-window
+    # already and stay: q125 (recall-audit depth guard), q127/q130
+    # (residual family delegation to ivfadc_build_index + rerank
+    # pushdown), q119/q122/q124 (geometry asserts + broadcast_lut on
+    # the PQ search paths), q121/q129 (blocklist phrases_df plumbing),
+    # q101 (dhash64 decoder param; default leg plan-identical). Parked:
+    # q131's seat: q40's limit-then-rank heavy-hitters device returned
+    # to the window at r14 for exactly this plan shape and has two
+    # rounds of driver-grade certification (r14-r15); the SAME
+    # limit-then-rank change is still certified in-window through q15
+    # (count-distinct argmax, the r14 twin), and q40 keeps its
+    # three-scale local certification every round.
+    "q40_heavy_hitters",
 ]
 for _name in _DRIVER_WINDOW_TAIL:
     QUERY_REGISTRY[_name] = QUERY_REGISTRY.pop(_name)

@@ -524,3 +524,143 @@ def test_blocklist_phrase_table_arg_and_stamp_guards(spark):
     ).select(F.col("phrase").alias("phrase", metadata={"normalized": 0}))
     with pytest.raises(ValueError, match="NOT normalized"):
         blocklist_filter(docs, engine="join", phrases_df=un_normalized)
+
+
+# --- real image codec leg (VERDICT r15 missing #5) ---------------------------
+
+
+def _bmp24(px):
+    """Hand-assemble an uncompressed 24-bit bottom-up BMP from top-down
+    RGB rows — built from the public format spec, independently of the
+    decoder under test."""
+    import struct
+
+    h, w = len(px), len(px[0])
+    stride = (w * 3 + 3) // 4 * 4
+    raster = bytearray()
+    for row in reversed(px):
+        line = bytearray()
+        for r, g, b in row:
+            line += bytes([b, g, r])
+        line += b"\x00" * (stride - len(line))
+        raster += line
+    off = 14 + 40
+    header = b"BM" + struct.pack("<IHHI", off + len(raster), 0, 0, off)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(raster), 2835, 2835, 0, 0
+    )
+    return bytes(header + info + raster)
+
+
+def _ppm6(px):
+    h, w = len(px), len(px[0])
+    body = bytes(v for row in px for p in row for v in p)
+    return f"P6\n# test\n{w} {h}\n255\n".encode() + body
+
+
+def _pixels(h=16, w=18):
+    return [
+        [
+            (
+                (r * 31 + c * 17) % 251,
+                (r * 7 + c * 3) % 251,
+                (r * 13 + c * 29) % 251,
+            )
+            for c in range(w)
+        ]
+        for r in range(h)
+    ]
+
+
+def _ref_dhash(px):
+    """Independent in-test dHash: float-free cross-multiplied cell-mean
+    comparisons over the 9x8 area-average grid."""
+    import numpy as np
+
+    gray = [[sum(p) for p in row] for row in px]
+    hh, ww = len(gray), len(gray[0])
+    g = np.array(gray, dtype=np.int64)
+    ys = np.linspace(0, hh, 9).round().astype(int)
+    xs = np.linspace(0, ww, 10).round().astype(int)
+    s = [[0] * 9 for _ in range(8)]
+    n = [[0] * 9 for _ in range(8)]
+    for r in range(8):
+        for c in range(9):
+            cell = g[
+                ys[r] : max(ys[r + 1], ys[r] + 1),
+                xs[c] : max(xs[c + 1], xs[c] + 1),
+            ]
+            s[r][c], n[r][c] = int(cell.sum()), int(cell.size)
+    h = 0
+    for r in range(8):
+        for c in range(8):
+            if s[r][c] * n[r][c + 1] > s[r][c + 1] * n[r][c]:
+                h |= 1 << (8 * r + c)
+    return h
+
+
+def test_decode_image_formats_agree_on_identical_pixels():
+    import numpy as np
+
+    from candia_spark.operators.multimodal import decode_image
+
+    px = _pixels()
+    bmp, ppm = decode_image(_bmp24(px)), decode_image(_ppm6(px))
+    assert bmp.shape == (16, 18)
+    assert np.array_equal(bmp, ppm)
+    # P5 grayscale with the same luma triples to the P6 convention
+    gray_px = [[(v % 251,) * 3 for v in row] for row in
+               [[r * 9 + c for c in range(6)] for r in range(4)]]
+    p5_body = bytes(p[0] for row in gray_px for p in row)
+    p5 = b"P5\n6 4\n255\n" + p5_body
+    assert np.array_equal(
+        decode_image(p5),
+        decode_image(_ppm6(gray_px)),
+    )
+
+
+def test_dhash_real_leg_matches_hand_computed(spark):
+    from candia_spark.operators.multimodal import dhash64
+
+    px = _pixels()
+    docs = spark.createDataFrame(
+        [(1, _bmp24(px)), (2, _ppm6(px))], "doc_id bigint, payload binary"
+    )
+    got = {r["doc_id"]: r for r in dhash64(docs, decoder="real").collect()}
+    want = _ref_dhash(px)
+    for did in (1, 2):
+        h = got[did]["h_hi"] | (got[did]["h_lo"] << 32)
+        assert h == want, did
+    # the two containers carry the same pixels -> identical signature
+    assert got[1]["h_hi"] == got[2]["h_hi"]
+    assert got[1]["band0"] == want & 0xFFFF
+
+
+def test_dhash_real_leg_strict_stub_leg_lenient(spark):
+    from candia_spark.operators.multimodal import dhash64, decode_image
+
+    junk = spark.createDataFrame(
+        [(1, b"not an image at all")], "doc_id bigint, payload binary"
+    )
+    # stub leg: any bytes hash (the never-crash contract)
+    assert dhash64(junk).count() == 1
+    # real leg: undecodable payload raises loudly
+    with pytest.raises(Exception, match="decode_image supports"):
+        dhash64(junk, decoder="real").collect()
+    # empty/NULL payloads hash 0 on BOTH legs (the r11 null doctrine)
+    empty = spark.createDataFrame(
+        [(1, b""), (2, None)], "doc_id bigint, payload binary"
+    )
+    for leg in ("stub", "real"):
+        rows = dhash64(empty, decoder=leg).collect()
+        assert all(r["h_hi"] == 0 and r["h_lo"] == 0 for r in rows), leg
+    with pytest.raises(ValueError, match="decoder must be"):
+        dhash64(junk, decoder="pil")
+    # malformed real payloads name the defect
+    for bad, msg in (
+        (b"BM" + b"\x00" * 20, "truncated"),
+        (b"P6\n3 2\n65535\n" + b"\x00" * 18, "maxval"),
+        (b"P6\n3 2\n255\n\x00\x00", "truncated"),
+    ):
+        with pytest.raises(ValueError, match=msg):
+            decode_image(bad)
