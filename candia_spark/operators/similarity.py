@@ -1906,6 +1906,12 @@ def ivfadc_build_index(
         "cell_centroids": _stamped(cc, "cvec", geom),
         "codebook": _stamped(cb, "cw", geom),
         "encoded_cells": _stamped(enc, "code", geom),
+        # the int8 corpus the build already quantized (one scan,
+        # materialized above) — persisting it makes the exact re-rank
+        # stage (pq_topk_rerank quantized_corpus=) run from stored
+        # integers too: the fully-persisted search path never touches
+        # the float payload at all
+        "quantized_corpus": _stamped(q, "qvec", geom),
     }
 
 
@@ -2001,10 +2007,18 @@ def write_ivfadc_index(index: dict[str, DataFrame], path: str) -> None:
     replay-idempotent via dynamic partition overwrite — the
     write_dedup_batch device; the base build writes ``_batch_id=0``.
 
+    The ``quantized_corpus`` piece (id, qvec int8 lanes — present in
+    every :func:`ivfadc_build_index` output, optional in a hand-built
+    dict) is persisted under ``_batch_id`` partitions and rolled by
+    appends exactly like the codes, so the exact re-rank stage
+    (:func:`ivfadc_search_index` ``rerank_shortlist=``) also reads
+    stored integers — the fully-persisted path never touches the float
+    payload.
+
     Geometry stamps ride the regular columns (``sv``/``cvec``/``cw``/
-    ``code`` — NEVER a partition column, whose field metadata parquet
-    drops), so a reloaded index still fails fast on a mismatched
-    search."""
+    ``code``/``qvec`` — NEVER a partition column, whose field metadata
+    parquet drops), so a reloaded index still fails fast on a
+    mismatched search."""
     for name in ("centroids", "cell_centroids", "codebook"):
         index[name].write.mode("overwrite").parquet(f"{path}/{name}")
     (
@@ -2015,6 +2029,15 @@ def write_ivfadc_index(index: dict[str, DataFrame], path: str) -> None:
         .partitionBy("bucket", "_batch_id")
         .parquet(f"{path}/encoded_cells")
     )
+    if "quantized_corpus" in index:
+        (
+            index["quantized_corpus"]
+            .withColumn("_batch_id", F.lit(0))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(f"{path}/quantized_corpus")
+        )
 
 
 def read_ivfadc_index(
@@ -2034,6 +2057,14 @@ def read_ivfadc_index(
     out["encoded_cells"] = enc.select(
         id_col, "sub", "code", F.col("bucket").cast("bigint").alias("bucket")
     )
+    try:
+        # optional piece (pre-r16 layouts lack it); the try is
+        # filesystem-agnostic where a local isdir probe would not be
+        out["quantized_corpus"] = spark.read.parquet(
+            f"{path}/quantized_corpus"
+        ).select(id_col, "qvec")
+    except Exception:
+        pass
     return out
 
 
@@ -2079,6 +2110,12 @@ def append_ivfadc_batch(
         .distinct()
     )
     fresh = batch.join(owned, id_col, "left_anti")
+    # materialized: the surviving batch feeds the encode AND (when the
+    # store carries the quantized piece) the re-rank lane append — one
+    # ownership anti-join, not one per consumer
+    from candia_spark.operators.dedup import _materialize
+
+    fresh = _materialize(fresh)
     enc = ivfadc_encode_batch(
         fresh, idx["centroids"], idx["cell_centroids"], idx["codebook"],
         m=m, coarse_scale=coarse_scale, vec_col=vec_col, id_col=id_col,
@@ -2096,6 +2133,18 @@ def append_ivfadc_batch(
     # created after a replay would FAILED_READ_FILE — invalidate the
     # path's cached listing at commit (the REFRESH TABLE device)
     spark.catalog.refreshByPath(f"{path}/encoded_cells")
+    if "quantized_corpus" in idx:
+        (
+            quantize_int8(
+                fresh.select(id_col, vec_col), vec_col, id_col, scale
+            )
+            .withColumn("_batch_id", F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(f"{path}/quantized_corpus")
+        )
+        spark.catalog.refreshByPath(f"{path}/quantized_corpus")
 
 
 def ivfadc_search_index(
@@ -2113,6 +2162,7 @@ def ivfadc_search_index(
     scale: int = 127,
     prune_scan: bool = True,
     broadcast_lut: bool = True,
+    rerank_shortlist: int | None = None,
 ) -> DataFrame:
     """Search a PERSISTED index with SCAN pruning — the piece that makes
     the q127 docstring's "search touches only the probed codes"
@@ -2128,8 +2178,22 @@ def ivfadc_search_index(
     ``prune_scan=False`` (or a probe union covering every cell) reads
     the whole table; results are identical either way (the broadcast
     LUT join drops non-probed cells regardless — equivalence
-    pytest-pinned)."""
+    pytest-pinned).
+
+    ``rerank_shortlist=R`` runs the full IVFADC+R stage
+    (:func:`pq_topk_rerank`) against the STORED quantized corpus —
+    the index must have been written with its ``quantized_corpus``
+    piece (every :func:`ivfadc_build_index` output has one; appends
+    roll it) — so even the exact re-rank reads persisted integers; the
+    float payload is never touched. Output switches to the re-rank
+    shape (query_id, vec_id, score, rank)."""
     idx = read_ivfadc_index(spark, path, id_col)
+    if rerank_shortlist is not None and "quantized_corpus" not in idx:
+        raise ValueError(
+            "rerank_shortlist needs the index's quantized_corpus piece — "
+            "rebuild/rewrite the index with write_ivfadc_index on an "
+            "ivfadc_build_index output (pre-r16 layouts lack it)"
+        )
     if prune_scan:
         from candia_spark.operators.clustering import kmeans_probe_cells
 
@@ -2151,13 +2215,23 @@ def ivfadc_search_index(
         )
     else:
         enc = idx["encoded_cells"]
+    pieces = dict(
+        codebook=idx["codebook"], encoded_cells=enc,
+        centroids=idx["centroids"], cell_centroids=idx["cell_centroids"],
+    )
+    if rerank_shortlist is not None:
+        return pq_topk_rerank(
+            None, queries, k=k, shortlist=rerank_shortlist, m=m,
+            codewords=codewords, nprobe=nprobe, coarse_scale=coarse_scale,
+            vec_col=vec_col, id_col=id_col, query_id_col=query_id_col,
+            scale=scale, quantized_corpus=idx["quantized_corpus"],
+            broadcast_lut=broadcast_lut, **pieces,
+        )
     return pq_topk_ivfadc_residual(
         None, queries, k=k, m=m, codewords=codewords, nprobe=nprobe,
         coarse_scale=coarse_scale, vec_col=vec_col, id_col=id_col,
         query_id_col=query_id_col, scale=scale,
-        codebook=idx["codebook"], encoded_cells=enc,
-        centroids=idx["centroids"], cell_centroids=idx["cell_centroids"],
-        broadcast_lut=broadcast_lut,
+        broadcast_lut=broadcast_lut, **pieces,
     )
 
 
@@ -2434,7 +2508,7 @@ def pq_topk_ivfadc_residual(
 
 
 def pq_topk_rerank(
-    corpus: DataFrame,
+    corpus: DataFrame | None,
     queries: DataFrame,
     k: int = 5,
     shortlist: int = 20,
@@ -2491,6 +2565,12 @@ def pq_topk_rerank(
         raise ValueError(
             f"shortlist must be >= k, got shortlist={shortlist} k={k}"
         )
+    if corpus is None and quantized_corpus is None:
+        raise ValueError(
+            "corpus is required unless quantized_corpus is passed "
+            "(the fully-persisted re-rank path also needs all four "
+            "shortlist pieces)"
+        )
     from candia_spark.operators.dedup import _materialize
 
     sl = _materialize(
@@ -2507,15 +2587,16 @@ def pq_topk_rerank(
     qz = quantize_int8(
         queries.select(query_id_col, vec_col), vec_col, query_id_col, scale
     ).select(F.col(query_id_col), F.col("qvec").alias("__qq"))
+    # candidate pushdown on BOTH sources: only the Q*R shortlisted rows
+    # pass the semi-join — the per-lane quantize map (raw corpus) or
+    # the stored-integer scan (persisted quantized_corpus) reads
+    # candidates, never the whole corpus
+    cand_ids = sl.select(id_col).distinct()
     if quantized_corpus is not None:
-        cz = quantized_corpus.select(
-            F.col(id_col), F.col("qvec").alias("__qc")
-        )
+        cz = quantized_corpus.join(
+            F.broadcast(cand_ids), id_col, "left_semi"
+        ).select(F.col(id_col), F.col("qvec").alias("__qc"))
     else:
-        # candidate pushdown: only the Q*R shortlisted vectors pass
-        # through the quantize map — the broadcast semi-join prunes the
-        # corpus scan to the candidate ids before any per-lane work
-        cand_ids = sl.select(id_col).distinct()
         cz = quantize_int8(
             corpus.select(id_col, vec_col).join(
                 F.broadcast(cand_ids), id_col, "left_semi"

@@ -664,3 +664,54 @@ def test_dhash_real_leg_strict_stub_leg_lenient(spark):
     ):
         with pytest.raises(ValueError, match=msg):
             decode_image(bad)
+
+
+# --- fully-persisted exact re-rank (the fifth index piece) -------------------
+
+
+def test_persisted_rerank_path_never_touches_floats(spark, tmp_path):
+    # the build already quantizes the corpus once; persisting that as
+    # the index's fifth piece lets ivfadc_search_index run the full
+    # IVFADC+R stage from stored integers — rolled by appends, equal to
+    # the in-memory re-rank, candidate-pruned via semi-join.
+    from candia_spark.operators.similarity import (
+        append_ivfadc_batch,
+        ivfadc_build_index,
+        ivfadc_search_index,
+        pq_topk_rerank,
+        read_ivfadc_index,
+        write_ivfadc_index,
+    )
+
+    emb = _corpus(spark)
+    base = emb.filter(F.col("vec_id") % 4 != 3)
+    batch = emb.filter(F.col("vec_id") % 4 == 3)
+    qs = emb.filter(F.col("vec_id") % 9 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    idx = ivfadc_build_index(base, **_KW)
+    assert "quantized_corpus" in idx
+    path = str(tmp_path / "ix")
+    write_ivfadc_index(idx, path)
+    append_ivfadc_batch(batch, 1, path, m=_KW["m"])
+    loaded = read_ivfadc_index(spark, path)
+    # the quantized piece rolled with the append
+    assert loaded["quantized_corpus"].count() == emb.count()
+    stored = ivfadc_search_index(
+        spark, path, qs, k=3, nprobe=2, m=_KW["m"],
+        codewords=_KW["codewords"], rerank_shortlist=10,
+    )
+    mem = pq_topk_rerank(
+        None, qs, k=3, shortlist=10, nprobe=2,
+        centroids=loaded["centroids"],
+        cell_centroids=loaded["cell_centroids"],
+        codebook=loaded["codebook"],
+        encoded_cells=loaded["encoded_cells"],
+        quantized_corpus=loaded["quantized_corpus"], **_KW,
+    )
+    got = _rows(stored)
+    assert got == _rows(mem) and got
+    # the exact stage still reads candidates only, not the whole store
+    assert "LeftSemi" in _plan_of(stored)
+    with pytest.raises(ValueError, match="corpus is required"):
+        pq_topk_rerank(None, qs, k=3, shortlist=10)
