@@ -1995,7 +1995,7 @@ def ivfadc_encode_batch(
 
 
 def write_ivfadc_index(index: dict[str, DataFrame], path: str) -> None:
-    """Persist the four stamped index pieces under ``path``:
+    """Persist the stamped index pieces under ``path``:
     ``centroids`` / ``cell_centroids`` / ``codebook`` as plain parquet
     (k-, k-, and m*K-row broadcast material) and ``encoded_cells``
     PARTITIONED BY (bucket, _batch_id) — the storage half of VERDICT
