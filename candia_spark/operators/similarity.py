@@ -2353,6 +2353,7 @@ def pq_topk_ivfadc_residual(
     cell_centroids: DataFrame | None = None,
     max_cell_frac: float | None = None,
     broadcast_lut: bool = True,
+    split_hot_k: int | None = None,
 ) -> DataFrame:
     """RESIDUAL-encoded IVFADC — the full Jégou et al. 2011 §III
     construction, closing the one algorithmic gap of
@@ -2395,12 +2396,14 @@ def pq_topk_ivfadc_residual(
     ``encoded_cells`` still scans all codes. Pass ``centroids`` /
     ``cell_centroids`` / ``codebook`` / ``encoded_cells`` (persisted
     from a prior build; encoded_cells = (id, sub, code, bucket)) to
-    search without re-training or re-encoding. ``max_cell_frac`` arms the loud cell-skew guard
-    (:func:`_check_cell_balance`) — on the in-build assignment, or on
-    the stored (id, bucket) assignment when ``encoded_cells`` is passed
-    (the flag is never a silent no-op, ADVICE r15). On the
-    fully-persisted path ``corpus`` may be ``None``; every passed piece
-    is geometry-checked against this call's parameters
+    search without re-training or re-encoding. ``max_cell_frac`` arms
+    the loud cell-skew guard (:func:`_check_cell_balance`) — on the
+    in-build assignment, or on the stored (id, bucket) assignment when
+    ``encoded_cells`` is passed (the flag is never a silent no-op,
+    ADVICE r15); with ``split_hot_k`` also set, an in-build violation
+    SPLITS the hot cells (:func:`split_hot_cells`) instead of raising.
+    On the fully-persisted path ``corpus`` may be ``None``; every
+    passed piece is geometry-checked against this call's parameters
     (:func:`_assert_index_geometry`)."""
     from candia_spark.operators.clustering import kmeans_probe_cells
 
@@ -2448,6 +2451,7 @@ def pq_topk_ivfadc_residual(
             cell_centroids=cell_centroids, codebook=codebook,
             max_cell_frac=None if encoded_cells is not None
             else max_cell_frac,
+            split_hot_k=split_hot_k,
         )
         cent, cc, cb = (
             idx["centroids"], idx["cell_centroids"], idx["codebook"]

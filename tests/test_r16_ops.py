@@ -365,6 +365,17 @@ def test_split_hot_cells_passes_armed_guard_on_planted_skew(spark):
         idx["encoded_cells"].select("vec_id", "bucket").distinct().count()
         == 100
     )
+    # the search builder forwards the remedy: the same armed guard that
+    # raises bare passes end-to-end with split_hot_k set
+    from candia_spark.operators.similarity import pq_topk_ivfadc_residual
+
+    qs = emb.limit(2).select(F.col("vec_id").alias("query_id"), "embedding")
+    assert (
+        pq_topk_ivfadc_residual(
+            emb, qs, k=2, max_cell_frac=0.5, split_hot_k=4, **_KW
+        ).count()
+        > 0
+    )
 
 
 def test_split_hot_cells_noop_on_balanced_corpus(spark):
