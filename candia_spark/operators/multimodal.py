@@ -99,23 +99,50 @@ def extract_features(
     return narrowed.mapInPandas(run, out_schema)
 
 
+def real_image_features(payload: bytes, feature_dim: int) -> np.ndarray:
+    """A GENUINE decoder leg for :func:`extract_features`'s pluggable
+    ``decoder`` slot (same ``(payload, feature_dim) -> ndarray``
+    contract as the deterministic fake): :func:`decode_image` decodes
+    the payload (uncompressed BMP / binary PNM), and the features are
+    the row-major pixel stream's ``feature_dim`` chunk means — the
+    real-pixel analogue of ``_fake_decode``'s byte-window means, so the
+    two legs differ ONLY in the decode. Strict on undecodable payloads
+    (route them out upstream); empty payloads yield zeros like the
+    fake."""
+    if len(payload) == 0:
+        return np.zeros(feature_dim)
+    flat = decode_image(payload).reshape(-1).astype(np.float64)
+    chunks = np.array_split(flat, feature_dim)
+    return np.array([c.mean() if c.size else 0.0 for c in chunks])
+
+
 def resize_plumbing(
     df: DataFrame,
     binary_col: str = "payload",
     id_col: str = "doc_id",
     target_h: int = 8,
     target_w: int = 8,
+    decoder: str = "stub",
 ) -> DataFrame:
-    """Image-style resize: decode-stub the binary payload to a square
-    grayscale grid (side = floor(sqrt(n_bytes)), row-major uint8 — the
-    deterministic no-codec stand-in, same stance as ``_fake_decode``),
-    area-average down to (target_h, target_w), and re-encode the resized
-    pixels as a binary payload. A real pipeline swaps the two marked lines
-    for PIL decode/encode; batch shape, schema, and the binary-in /
-    binary-out contract are the real, tested part.
+    """Image-style resize: decode the binary payload to a grayscale
+    grid, area-average down to (target_h, target_w), and re-encode the
+    resized pixels as a binary payload.
+
+    ``decoder="stub"`` (default) reads the payload's bytes as a square
+    grid (side = floor(sqrt(n_bytes)), row-major uint8 — the
+    deterministic no-codec stand-in, same stance as ``_fake_decode``);
+    ``decoder="real"`` decodes an ACTUAL image (:func:`decode_image` —
+    uncompressed BMP / binary PNM; the R+G+B gray is scaled back to the
+    0..255 band via integer //3 so both legs emit comparable uint8
+    rasters), strict on undecodable payloads. The area-average resize,
+    batch shape, schema, and the binary-in / binary-out contract are
+    shared by both legs. ``src_side`` reports the decoded height
+    (== the square's side on the stub leg).
 
     Output: (id, src_side, height, width, resized: binary).
     """
+    if decoder not in ("stub", "real"):
+        raise ValueError(f"decoder must be 'stub' or 'real', got {decoder!r}")
     out_schema = StructType(
         [
             StructField(id_col, LongType()),
@@ -132,8 +159,14 @@ def resize_plumbing(
             rows = {"ids": [], "side": [], "out": []}
             for i, payload in zip(pdf[id_col], pdf[binary_col]):
                 raw = np.frombuffer(bytes(payload), dtype=np.uint8)
-                side = int(np.sqrt(raw.size))
-                if side == 0:
+                if decoder == "real" and raw.size:
+                    # genuine codec leg: R+G+B gray back to the 0..255
+                    # band (integer floor-div — deterministic)
+                    img = (decode_image(raw.tobytes()) // 3).astype(
+                        np.float64
+                    )
+                    side = img.shape[0]
+                elif (side := int(np.sqrt(raw.size))) == 0:
                     img = np.zeros((1, 1), dtype=np.float64)
                     side = 1
                 else:

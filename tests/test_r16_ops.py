@@ -726,3 +726,49 @@ def test_persisted_rerank_path_never_touches_floats(spark, tmp_path):
     assert "LeftSemi" in _plan_of(stored)
     with pytest.raises(ValueError, match="corpus is required"):
         pq_topk_rerank(None, qs, k=3, shortlist=10)
+
+
+def test_real_codec_leg_resize_and_features(spark):
+    import numpy as np
+
+    from candia_spark.operators.multimodal import (
+        extract_features,
+        real_image_features,
+        resize_plumbing,
+    )
+
+    px = _pixels()  # 16 x 18
+    docs = spark.createDataFrame(
+        [(1, _bmp24(px))], "doc_id bigint, payload binary"
+    )
+    # real resize: independent in-test area-average on //3 gray
+    got = resize_plumbing(docs, target_h=4, target_w=4, decoder="real").collect()[0]
+    assert got["src_side"] == 16 and got["height"] == 4
+    gray = np.array([[sum(p) // 3 for p in row] for row in px], dtype=np.float64)
+    ys = np.linspace(0, 16, 5).round().astype(int)
+    xs = np.linspace(0, 18, 5).round().astype(int)
+    want = np.zeros((4, 4))
+    for r in range(4):
+        for c in range(4):
+            want[r, c] = gray[ys[r]:ys[r+1], xs[c]:xs[c+1]].mean()
+    assert bytes(got["resized"]) == want.round().clip(0, 255).astype(np.uint8).tobytes()
+    # real features: chunk means of the decoded pixel stream, via the
+    # pluggable decoder slot
+    feats = extract_features(
+        docs, feature_dim=4, decoder=real_image_features
+    ).collect()[0]["features"]
+    flat = np.array([sum(p) for row in px for p in row], dtype=np.float64)
+    want_f = [c.mean() for c in np.array_split(flat, 4)]
+    assert feats == pytest.approx(want_f)
+    # strictness + arg guard
+    junk = spark.createDataFrame(
+        [(1, b"junk bytes")], "doc_id bigint, payload binary"
+    )
+    with pytest.raises(Exception, match="decode_image supports"):
+        resize_plumbing(junk, decoder="real").collect()
+    with pytest.raises(ValueError, match="decoder must be"):
+        resize_plumbing(junk, decoder="pil")
+    with pytest.raises(Exception, match="decode_image supports"):
+        extract_features(junk, feature_dim=4, decoder=real_image_features).collect()
+    # stub legs unchanged by the new parameter
+    assert resize_plumbing(junk).count() == 1
