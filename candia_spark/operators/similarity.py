@@ -2147,6 +2147,64 @@ def append_ivfadc_batch(
         spark.catalog.refreshByPath(f"{path}/quantized_corpus")
 
 
+def compact_ivfadc_index(spark, src: str, dest: str, id_col: str = "vec_id") -> None:
+    """The periodic compaction job the rolling ANN store needs (the
+    compact_corpus_state role for this family): every
+    :func:`append_ivfadc_batch` lands its own ``(bucket, _batch_id)``
+    leaf partitions, so a long-rolling index accumulates one small
+    file per (bucket, batch) — the classic small-files tax on scan
+    setup and footer reads. Compaction rewrites the whole store to
+    ``dest`` with every code under the base ``_batch_id=0`` partition,
+    repartitioned by bucket so each cell lands as one file.
+
+    ``dest`` must differ from ``src`` — compaction NEVER overwrites
+    the store it is reading (a self-overwrite races the scan); the
+    caller swaps paths (or a symlink/manifest) after the job commits,
+    the standard blue/green layout move. Searches against ``dest``
+    are row-identical to ``src`` (pytest-pinned) and the geometry
+    stamps travel with the regular columns.
+
+    After compaction the ownership spine's "exclude my own batch"
+    partition filter still works for NEW appends (they use fresh batch
+    ids; id 0 stays reserved), and replaying a pre-compaction batch id
+    against the compacted store is a no-op by the ownership rule —
+    every id is already owned by partition 0."""
+    if src.rstrip("/") == dest.rstrip("/"):
+        raise ValueError(
+            "compact_ivfadc_index must write to a DIFFERENT path — "
+            "overwriting the store being read races the scan; write to "
+            "dest and swap"
+        )
+    for name in ("centroids", "cell_centroids", "codebook"):
+        spark.read.parquet(f"{src}/{name}").write.mode("overwrite").parquet(
+            f"{dest}/{name}"
+        )
+    (
+        spark.read.parquet(f"{src}/encoded_cells")
+        .drop("_batch_id")
+        .repartition("bucket")
+        .withColumn("_batch_id", F.lit(0))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("bucket", "_batch_id")
+        .parquet(f"{dest}/encoded_cells")
+    )
+    try:
+        qz = spark.read.parquet(f"{src}/quantized_corpus")
+    except Exception:
+        qz = None
+    if qz is not None:
+        (
+            qz.drop("_batch_id")
+            .withColumn("_batch_id", F.lit(0))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(f"{dest}/quantized_corpus")
+        )
+    spark.catalog.refreshByPath(f"{dest}/encoded_cells")
+
+
 def ivfadc_search_index(
     spark,
     path: str,

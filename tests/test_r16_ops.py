@@ -772,3 +772,74 @@ def test_real_codec_leg_resize_and_features(spark):
         extract_features(junk, feature_dim=4, decoder=real_image_features).collect()
     # stub legs unchanged by the new parameter
     assert resize_plumbing(junk).count() == 1
+
+
+def test_compact_ivfadc_index_blue_green(spark, tmp_path):
+    # rolling appends accumulate one small file per (bucket, batch);
+    # compaction rewrites to dest with one file per bucket under
+    # _batch_id=0, search-identical, stamps intact, self-overwrite
+    # refused.
+    import os
+
+    from candia_spark.operators.similarity import (
+        append_ivfadc_batch,
+        compact_ivfadc_index,
+        ivfadc_build_index,
+        ivfadc_search_index,
+        read_ivfadc_index,
+        write_ivfadc_index,
+    )
+
+    emb = _corpus(spark)
+    b0 = emb.filter(F.col("vec_id") % 3 == 0)
+    b1 = emb.filter(F.col("vec_id") % 3 == 1)
+    b2 = emb.filter(F.col("vec_id") % 3 == 2)
+    qs = emb.filter(F.col("vec_id") % 9 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    src, dest = str(tmp_path / "src"), str(tmp_path / "dest")
+    write_ivfadc_index(ivfadc_build_index(b0, **_KW), src)
+    append_ivfadc_batch(b1, 1, src, m=_KW["m"])
+    append_ivfadc_batch(b2, 2, src, m=_KW["m"])
+
+    with pytest.raises(ValueError, match="DIFFERENT path"):
+        compact_ivfadc_index(spark, src, src + "/")
+    compact_ivfadc_index(spark, src, dest)
+
+    skw = dict(m=_KW["m"], codewords=_KW["codewords"])
+    a = ivfadc_search_index(spark, src, qs, k=3, nprobe=2, **skw)
+    b = ivfadc_search_index(spark, dest, qs, k=3, nprobe=2, **skw)
+    got = _rows(a)
+    assert got == _rows(b) and got
+
+    def parts(path):
+        out = []
+        for d in os.listdir(f"{path}/encoded_cells"):
+            if d.startswith("bucket="):
+                out += [
+                    (d, sub)
+                    for sub in os.listdir(f"{path}/encoded_cells/{d}")
+                    if sub.startswith("_batch_id=")
+                ]
+        return out
+
+    # src carries three batch generations; dest exactly one
+    assert {p[1] for p in parts(src)} == {
+        "_batch_id=0", "_batch_id=1", "_batch_id=2"
+    }
+    assert {p[1] for p in parts(dest)} == {"_batch_id=0"}
+    # rows and stamps survived; the quantized piece compacted too
+    loaded = read_ivfadc_index(spark, dest)
+    assert loaded["encoded_cells"].count() == emb.count() * _KW["m"]
+    assert loaded["quantized_corpus"].count() == emb.count()
+    cw_meta = next(
+        f.metadata for f in loaded["codebook"].schema.fields if f.name == "cw"
+    )
+    assert cw_meta["residual"] == 1
+    # a replayed pre-compaction batch id is a no-op on the compacted
+    # store (every id owned by partition 0)
+    append_ivfadc_batch(b1, 1, dest, m=_KW["m"])
+    assert (
+        read_ivfadc_index(spark, dest)["encoded_cells"].count()
+        == emb.count() * _KW["m"]
+    )
