@@ -2057,13 +2057,17 @@ def read_ivfadc_index(
     out["encoded_cells"] = enc.select(
         id_col, "sub", "code", F.col("bucket").cast("bigint").alias("bucket")
     )
+    from pyspark.errors import AnalysisException
+
     try:
         # optional piece (pre-r16 layouts lack it); the try is
-        # filesystem-agnostic where a local isdir probe would not be
+        # filesystem-agnostic where a local isdir probe would not be —
+        # and narrowed to the missing-path error class so a CORRUPT
+        # store still raises instead of silently dropping the piece
         out["quantized_corpus"] = spark.read.parquet(
             f"{path}/quantized_corpus"
         ).select(id_col, "qvec")
-    except Exception:
+    except AnalysisException:
         pass
     return out
 
@@ -2189,9 +2193,11 @@ def compact_ivfadc_index(spark, src: str, dest: str, id_col: str = "vec_id") -> 
         .partitionBy("bucket", "_batch_id")
         .parquet(f"{dest}/encoded_cells")
     )
+    from pyspark.errors import AnalysisException
+
     try:
         qz = spark.read.parquet(f"{src}/quantized_corpus")
-    except Exception:
+    except AnalysisException:
         qz = None
     if qz is not None:
         (
