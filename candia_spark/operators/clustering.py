@@ -43,7 +43,9 @@ members of headroom at scale=1000 with unit-norm embeddings).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+import os
+
+from pyspark.sql import DataFrame, Observation, Window
 from pyspark.sql import functions as F
 
 
@@ -68,25 +70,63 @@ def _quantized(df: DataFrame, scale: int, vec_col: str, id_col: str) -> DataFram
     )
 
 
-def _argmin_struct(c, label_field: str):
+def _argmin_struct(c, label_field: str, int_sum: bool = False):
     """(key, label) struct for the lexicographic argmin over one element
     ``c = struct(<label>, sv, n)`` of a broadcast centroid array. The
     decimal-exact distance convention lives HERE, once, for both the flat
     and hierarchical loops: per-term bigint is exact (see module docstring
     margins) and the SUM runs in decimal(38,0) so large clusters cannot
-    wrap."""
-    d = F.aggregate(
-        F.zip_with(
-            F.col("qv"),
-            c["sv"],
-            lambda x, s: (c["n"] * x - s).cast("decimal(18,0)")
-            * (c["n"] * x - s).cast("decimal(18,0)"),
-        ),
-        F.lit(0).cast("decimal(38,0)"),
-        lambda acc, v: acc + v,
-    )
+    wrap.
+
+    ``int_sum=True`` accumulates in plain bigint instead — ONLY valid
+    when the caller has proven no term or partial sum can reach 2^63
+    (see :func:`_int_safe_cond`): terms are non-negative, so the partial
+    sums are bounded by the final sum and one bound covers the whole
+    fold. Both forms produce the identical exact integer, and
+    double(exact int) rounds identically from either representation, so
+    the argmin key — and every assignment — is bit-identical. The only
+    difference is speed: decimal(38,0) accumulation runs on
+    java.math.BigDecimal, roughly an order of magnitude more per term
+    than long arithmetic."""
+    if int_sum:
+        d = F.aggregate(
+            F.zip_with(
+                F.col("qv"),
+                c["sv"],
+                lambda x, s: (c["n"] * x - s) * (c["n"] * x - s),
+            ),
+            F.lit(0).cast("bigint"),
+            lambda acc, v: acc + v,
+        )
+    else:
+        d = F.aggregate(
+            F.zip_with(
+                F.col("qv"),
+                c["sv"],
+                lambda x, s: (c["n"] * x - s).cast("decimal(18,0)")
+                * (c["n"] * x - s).cast("decimal(18,0)"),
+            ),
+            F.lit(0).cast("decimal(38,0)"),
+            lambda acc, v: acc + v,
+        )
     key = d.cast("double") / (c["n"] * c["n"]).cast("double")
     return F.struct(key.alias("k"), c[label_field].alias(label_field))
+
+
+# Gate for the bigint distance branch, decided DRIVER-SIDE per call
+# (never per row: a runtime CASE WHEN over both forms doubles every
+# expression tree, and the doubled trees were measured to cost more in
+# Catalyst analysis/optimization per materialization than the decimal
+# arithmetic they replaced). The whole-trajectory bound: every score
+# component |s| <= n * qmax and n <= N, so the worst per-term
+# |n*x - s| <= 2 * N * qmax =: T, and the distance sum is dim
+# non-negative squares — partial sums bounded by the final sum — so
+# bigint is exact iff dim * T^2 < 2^63. All exact Python ints, no
+# margin factor needed. n <= _N_SQUARED_LIMIT keeps the n*n key
+# divisor in bigint (also enforced at runtime by the margin checks).
+def _static_int_safe(n_rows: int, qmax: int, dim: int) -> bool:
+    t = 2 * n_rows * qmax
+    return n_rows <= _N_SQUARED_LIMIT and dim * t * t < 2**63
 
 
 def _recenter(assign: DataFrame, keys: list[str]) -> DataFrame:
@@ -136,7 +176,7 @@ def _term_limit(dim: int) -> int:
 
 def _validate_quantization_margins(
     q: DataFrame, materialize: bool, iters: int
-) -> None:
+) -> tuple:
     """Up-front overflow validation (advice r6 #3): the per-iteration
     :func:`_check_overflow_margins` runs only AFTER a re-centering on a
     materialized centroid table, so an ``iters=1`` run (no re-centering),
@@ -153,16 +193,34 @@ def _validate_quantization_margins(
       dynamic per-iteration checks will not run (materialize=False with
       iters >= 2), raise loudly rather than risk a silent non-ANSI wrap.
     """
-    stats = q.agg(
+    stats = q.agg(*_quantization_stat_aggs()).collect()[0]
+    _raise_quantization_margins(
+        stats["n_rows"], stats["qmax"], stats["dim"], materialize, iters
+    )
+    return (stats["n_rows"], stats["qmax"], stats["dim"])
+
+
+def _quantization_stat_aggs() -> list:
+    """The three aggregates the up-front margin validation reads —
+    shared by the standalone collect form and the Observation that
+    rides the quantized corpus's materialization job."""
+    return [
         F.count(F.lit(1)).alias("n_rows"),
-        F.max(F.array_max(F.transform("qv", lambda v: F.abs(v)))).alias("qmax"),
+        F.max(
+            F.array_max(F.transform("qv", lambda v: F.abs(v)))
+        ).alias("qmax"),
         F.max(F.size("qv")).alias("dim"),
-    ).collect()[0]
-    n_rows = int(stats["n_rows"] or 0)
+    ]
+
+
+def _raise_quantization_margins(
+    n_rows, qmax, dim, materialize: bool, iters: int
+) -> None:
+    n_rows = int(n_rows or 0)
     if n_rows == 0:
         return
-    qmax = int(stats["qmax"] or 0)
-    dim = max(int(stats["dim"] or 1), 1)
+    qmax = int(qmax or 0)
+    dim = max(int(dim or 1), 1)
     limit = _term_limit(dim)
     if 2 * qmax >= limit:
         raise ValueError(
@@ -200,16 +258,22 @@ def _check_overflow_margins(cent: DataFrame) -> None:
         F.max("__smax").alias("s"),
         F.max(F.size("sv")).alias("dim"),
     ).collect()[0]
-    if row["n"] is None:
+    _raise_overflow_margin(row["n"], row["q"], row["s"], row["dim"])
+
+
+def _raise_overflow_margin(n, q, s, dim) -> None:
+    """The raise logic of :func:`_check_overflow_margins`, shared with
+    the Observation-riding form (:func:`_materialize_checked`)."""
+    if n is None:
         return
-    nmax = int(row["n"])
-    worst = nmax * int(row["q"] or 0) + int(row["s"] or 0)
-    dim = max(int(row["dim"] or 1), 1)
+    nmax = int(n)
+    worst = nmax * int(q or 0) + int(s or 0)
+    dim = max(int(dim or 1), 1)
     limit = _term_limit(dim)
     if worst >= limit or nmax > _N_SQUARED_LIMIT:
         raise ValueError(
             "k-means overflow margin exceeded: a cluster of "
-            f"{nmax} members with max|quantized component| {row['q']} "
+            f"{nmax} members with max|quantized component| {q} "
             f"(dim {dim}) puts the worst distance term at {worst} "
             f"(safe bound {limit}; cluster-size cap {_N_SQUARED_LIMIT}); "
             "the decimal-exact distance would wrap silently under "
@@ -218,7 +282,38 @@ def _check_overflow_margins(cent: DataFrame) -> None:
         )
 
 
-def _farthest_point_seeds(q: DataFrame, k: int) -> DataFrame:
+def _materialize_checked(cent: DataFrame) -> DataFrame:
+    """Materialize a re-centered centroid table with the overflow-margin
+    inputs riding the SAME eager-checkpoint job as an Observation (the
+    graph.py round-9 device, verified Spark 4.1) — one job per
+    iteration, guard included, instead of a materialize job plus a
+    separate k-row collect job. The reliable-mode persist() path is
+    lazy (no action to fire the metrics), so it keeps the explicit
+    aggregate; the check itself is unchanged either way."""
+    from candia_spark.operators.dedup import _materialize
+
+    if os.environ.get("CANDIA_SPARK_RELIABLE"):
+        cent = _materialize(cent)
+        _check_overflow_margins(cent)
+        return cent
+    obs = Observation()
+    cent = _materialize(
+        cent.observe(
+            obs,
+            F.max("n").alias("n"),
+            F.max("__qmax").alias("q"),
+            F.max("__smax").alias("s"),
+            F.max(F.size("sv")).alias("dim"),
+        )
+    )
+    got = obs.get
+    _raise_overflow_margin(got["n"], got["q"], got["s"], got["dim"])
+    return cent
+
+
+def _farthest_point_seeds(
+    q: DataFrame, k: int, int_sum: bool = False
+) -> DataFrame:
     """Deterministic k-center greedy seeding (Gonzalez' farthest-point
     traversal) in the SAME integer-exact algebra as the Lloyd's loop:
     seed 0 is the smallest id; each next seed is the vector maximizing
@@ -246,6 +341,19 @@ def _farthest_point_seeds(q: DataFrame, k: int) -> DataFrame:
 
     def dist_to(vec: list[int]):
         lit_arr = F.array(*[F.lit(int(v)) for v in vec])
+        if int_sum:
+            # seed distances have n == 1, so the caller's static gate
+            # (|x - s| <= 2 * qmax per term) certifies plain-bigint
+            # accumulation; cast the exact integer result to
+            # decimal(38,0) so the __mind ordering column keeps one
+            # type either way (exact — no value change)
+            return F.aggregate(
+                F.zip_with(
+                    F.col("qv"), lit_arr, lambda x, s: (x - s) * (x - s)
+                ),
+                F.lit(0).cast("bigint"),
+                lambda acc, v: acc + v,
+            ).cast("decimal(38,0)")
         return F.aggregate(
             F.zip_with(
                 F.col("qv"),
@@ -293,6 +401,7 @@ def _assignments(
     seeding: str = "min_id",
     probes: int = 1,
     _return_centroids: bool = False,
+    stats_out: dict | None = None,
 ) -> DataFrame:
     """Core Lloyd's loop; returns (``__vid``, cluster) — plus (qv, n2) when
     ``keep_vectors`` (the pair-scan consumers read the quantized vectors
@@ -316,18 +425,58 @@ def _assignments(
     from candia_spark.operators.dedup import _materialize
 
     q = _quantized(df, scale, vec_col, id_col)
-    _validate_quantization_margins(q, materialize, iters)
-    if seeding == "farthest":
+    if materialize and not os.environ.get("CANDIA_SPARK_RELIABLE"):
+        # ONE corpus pass serves both: the up-front margin validation
+        # rides the quantized corpus's own eager-checkpoint job as an
+        # Observation (replacing a separate validation aggregate job),
+        # and every later pass — the seed scan and all `iters`
+        # assignment passes — reads stored integer rows instead of
+        # re-deriving the quantize transform from the source scan. The
+        # re-scans are what grow with the corpus; the one-time cut does
+        # not.
+        vobs = Observation()
+        # checkpoint (__vid, qv) only: n2 is re-derived lazily from the
+        # stored qv below, so consumers that never select it still pay
+        # nothing — and an absurd quantization scale cannot overflow the
+        # eager n2 squares before the margin validation gets to raise
+        q = _materialize(
+            q.select("__vid", "qv").observe(
+                vobs, *_quantization_stat_aggs()
+            )
+        )
+        q = q.withColumn(
+            "n2",
+            F.aggregate(
+                F.transform(F.col("qv"), lambda v: v * v),
+                F.lit(0).cast("long"),
+                lambda a, v: a + v,
+            ),
+        )
+        got = vobs.get
+        stats = (got["n_rows"], got["qmax"], got["dim"])
+        _raise_quantization_margins(*stats, materialize, iters)
+    else:
+        stats = _validate_quantization_margins(q, materialize, iters)
         if materialize:
-            # the traversal makes k top-1 passes over q and the Lloyd
-            # loop another `iters` — cut the quantization once so all
-            # ~k+iters passes read stored rows instead of re-deriving
-            # the transform from the source scan each time. Measured a
-            # wash at sf0.1 (job overhead dominates 50k vectors); kept
-            # because the k+iters re-scans are what grow with the corpus
-            # while the one-time cut does not.
+            # reliable mode: persist() (lazy) still caps the re-scans
             q = _materialize(q)
-        seeds = _farthest_point_seeds(q, k)
+    # the static whole-trajectory gate for the bigint distance branch —
+    # derived from the same stats the margin validation already
+    # collected, so the fast arithmetic costs zero extra jobs and falls
+    # back to the decimal form exactly where the exactness argument
+    # needs it (see _static_int_safe)
+    n_rows, qmax, dim = (
+        int(stats[0] or 0), int(stats[1] or 0), max(int(stats[2] or 1), 1)
+    )
+    if stats_out is not None:
+        stats_out.update(n_rows=n_rows, qmax=qmax, dim=dim)
+    int_sum = _static_int_safe(n_rows, qmax, dim)
+    if seeding == "farthest":
+        # seed terms are (x - s)^2 with |x|,|s| <= qmax — their own,
+        # much wider static gate
+        seeds = _farthest_point_seeds(
+            q, k, int_sum=dim * (2 * qmax) ** 2 < 2**63
+        )
     else:
         # seed: k smallest ids, cluster = rank - 1. The window runs on a
         # k-row frame (post-limit), not the corpus.
@@ -361,7 +510,9 @@ def _assignments(
         joined = q.crossJoin(F.broadcast(carr))
         # array_min over (key, cluster) structs = lexicographic argmin
         # with the smallest-cluster tie-break
-        keyed = F.transform(F.col("cs"), lambda c: _argmin_struct(c, "cluster"))
+        keyed = F.transform(
+            F.col("cs"), lambda c: _argmin_struct(c, "cluster", int_sum)
+        )
         if probes > 1 and it == iters - 1:
             # final pass only: top-p of the SAME total order (array_sort
             # of the same structs array_min reduces), exploded to one
@@ -383,9 +534,9 @@ def _assignments(
                 # checkpointing k x dim integers is free and caps the
                 # loop at one corpus pass per iteration (without the cut,
                 # iteration i's broadcast re-derives every earlier
-                # iteration from lineage: O(iters^2) corpus scans)
-                cent = _materialize(cent)
-                _check_overflow_margins(cent)
+                # iteration from lineage: O(iters^2) corpus scans); the
+                # overflow-margin check rides the same job
+                cent = _materialize_checked(cent)
     if not keep_vectors:
         assign = assign.select("__vid", "cluster")
     if materialize:
@@ -469,6 +620,7 @@ def kmeans_probe_cells(
     scale: int = 1000,
     vec_col: str = "embedding",
     id_col: str = "query_id",
+    int_sum: bool | None = None,
 ) -> DataFrame:
     """Top-``nprobe`` nearest trained cells per query — the IVF probe
     stage against a :func:`kmeans_centroids` table: the SAME
@@ -483,10 +635,44 @@ def kmeans_probe_cells(
     if nprobe < 1:
         raise ValueError(f"nprobe must be >= 1, got {nprobe}")
     q = _quantized(queries, scale, vec_col, id_col)
+    if int_sum is None:
+        # derive the bigint-branch gate from one tiny job: the k-row
+        # centroid stats cross-joined with the query batch's
+        # max|component| into a single collect. The worst per-term
+        # |n*x - s| <= nmax * qmax_query + smax — exact Python ints, so
+        # no margin factor; a failed bound just keeps the decimal
+        # branch, which is always correct. The query-side aggregate is
+        # one narrow columnar pass — marginal next to the k-distance
+        # probe map it gates, at any batch size.
+        row = (
+            q.agg(
+                F.max(
+                    F.array_max(F.transform("qv", lambda v: F.abs(v)))
+                ).alias("qmax"),
+                F.max(F.size("qv")).alias("dim"),
+            )
+            .crossJoin(
+                centroids.agg(
+                    F.max("n").alias("nmax"),
+                    F.max(
+                        F.array_max(F.transform("sv", lambda v: F.abs(v)))
+                    ).alias("smax"),
+                )
+            )
+            .collect()[0]
+        )
+        qmax = int(row["qmax"] or 0)
+        dim = max(int(row["dim"] or 1), 1)
+        nmax = int(row["nmax"] or 1)
+        smax = int(row["smax"] or 0)
+        worst = nmax * qmax + smax
+        int_sum = dim * worst * worst < 2**63 and nmax <= _N_SQUARED_LIMIT
     carr = centroids.agg(
         F.collect_list(F.struct("cluster", "sv", "n")).alias("cs")
     )
-    keyed = F.transform(F.col("cs"), lambda c: _argmin_struct(c, "cluster"))
+    keyed = F.transform(
+        F.col("cs"), lambda c: _argmin_struct(c, "cluster", int_sum)
+    )
     ranked = F.slice(F.array_sort(keyed), 1, nprobe)
     return (
         q.crossJoin(F.broadcast(carr))
@@ -760,10 +946,17 @@ def kmeans_hierarchical(
         raise ValueError(f"k2 and iters2 must be positive, got {k2}/{iters2}")
     from candia_spark.operators.dedup import _materialize
 
+    stats: dict = {}
     sup = _assignments(
         df, k1, iters1, scale, vec_col, id_col,
-        materialize=True, keep_vectors=True,
+        materialize=True, keep_vectors=True, stats_out=stats,
     ).withColumnRenamed("cluster", "super")
+    # phase 2 assigns the SAME quantized corpus against sub-centroids
+    # whose members are a subset of it, so phase 1's whole-trajectory
+    # bound covers every sub-cluster term too
+    int_sum = _static_int_safe(
+        stats.get("n_rows", 0), stats.get("qmax", 0), stats.get("dim", 1)
+    )
 
     # sub-seeds: the k2 smallest ids inside each super-cluster
     wseed = Window.partitionBy("super").orderBy("__vid")
@@ -784,16 +977,18 @@ def kmeans_hierarchical(
         )
         joined = sup.join(F.broadcast(cmap), "super")
         # same argmin/distance convention as the flat loop (one shared
-        # implementation: _argmin_struct), labeled by the sub id
+        # implementation: _argmin_struct, same static bigint gate),
+        # labeled by the sub id
         best = F.array_min(
-            F.transform(F.col("cs"), lambda c: _argmin_struct(c, "sub"))
+            F.transform(
+                F.col("cs"), lambda c: _argmin_struct(c, "sub", int_sum)
+            )
         )
         assign = joined.select(
             "__vid", "super", "qv", best["sub"].alias("sub")
         )
         if it < iters2 - 1:
-            cent = _materialize(_recenter(assign, ["super", "sub"]))
-            _check_overflow_margins(cent)
+            cent = _materialize_checked(_recenter(assign, ["super", "sub"]))
     out = _materialize(
         assign.select(
             "__vid",

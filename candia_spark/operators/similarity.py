@@ -17,6 +17,8 @@ reproducible against the DuckDB oracle (see plans.queries q30 family).
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -1063,7 +1065,33 @@ def _pq_codebook_kmeans_q(
     subs = _subspaces(
         q.select(F.col(id_col).alias("__vid"), "qvec"), m, "__vid"
     )
-    if materialize:
+    # the static bigint gate for the distance branch (the clustering
+    # _static_int_safe doctrine): worst per-term |n*v - s| <=
+    # 2 * n_vectors * lane_max, dim/m squares of it must clear 2^63 —
+    # exact Python ints. The stats ride the subvector table's own
+    # materialization as an Observation (zero extra jobs); the lazy
+    # materialize=False path keeps the always-correct decimal form.
+    int_sum = False
+    if materialize and not os.environ.get("CANDIA_SPARK_RELIABLE"):
+        from pyspark.sql import Observation
+
+        sobs = Observation()
+        subs = _materialize(
+            subs.observe(
+                sobs,
+                F.count(F.lit(1)).alias("n_rows"),
+                F.max(
+                    F.array_max(F.transform("sv", lambda v: F.abs(v)))
+                ).alias("vmax"),
+                F.max(F.size("sv")).alias("dsub"),
+            )
+        )
+        got = sobs.get
+        # n_rows counts SUBVECTOR rows (= m * vectors) — a conservative
+        # upper bound on any codeword's membership
+        t = 2 * int(got["n_rows"] or 0) * int(got["vmax"] or 0)
+        int_sum = max(int(got["dsub"] or 1), 1) * t * t < 2**63
+    elif materialize:
         # cut the quantize+explode once: the iters assignment passes and
         # iters recenters then read stored 16-byte-ish integer rows
         # instead of re-deriving the transform from the parquet scan.
@@ -1095,17 +1123,33 @@ def _pq_codebook_kmeans_q(
         def _key(c):
             # the q57 decimal-exact distance form: per-term bigint is
             # exact (|v| <= 127 bounds n*v - s by 255n), the sum runs in
-            # decimal(38,0), the comparable key divides by n^2 in double
-            d = F.aggregate(
-                F.zip_with(
-                    F.col("sv"),
-                    c["csum"],
-                    lambda x, s: (c["n"] * x - s).cast("decimal(18,0)")
-                    * (c["n"] * x - s).cast("decimal(18,0)"),
-                ),
-                F.lit(0).cast("decimal(38,0)"),
-                lambda acc, v: acc + v,
-            )
+            # decimal(38,0), the comparable key divides by n^2 in
+            # double. The bigint branch (the clustering _argmin_struct
+            # int_sum device) computes the identical exact integer in
+            # long arithmetic instead of BigDecimal — taken only when
+            # the static bound above proved no term or partial sum can
+            # reach 2^63.
+            if int_sum:
+                d = F.aggregate(
+                    F.zip_with(
+                        F.col("sv"),
+                        c["csum"],
+                        lambda x, s: (c["n"] * x - s) * (c["n"] * x - s),
+                    ),
+                    F.lit(0).cast("bigint"),
+                    lambda acc, v: acc + v,
+                )
+            else:
+                d = F.aggregate(
+                    F.zip_with(
+                        F.col("sv"),
+                        c["csum"],
+                        lambda x, s: (c["n"] * x - s).cast("decimal(18,0)")
+                        * (c["n"] * x - s).cast("decimal(18,0)"),
+                    ),
+                    F.lit(0).cast("decimal(38,0)"),
+                    lambda acc, v: acc + v,
+                )
             key = d.cast("double") / (c["n"] * c["n"]).cast("double")
             return F.struct(key.alias("k"), c["code"].alias("code"))
 
