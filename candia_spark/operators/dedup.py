@@ -250,6 +250,28 @@ LAST_JACCARD_TELEMETRY: dict = {}
 _PREFIX_AUTO_TOP_MASS_FRAC = 0.5
 _PREFIX_AUTO_JOIN_MASS = 600_000_000
 
+# Plain-mode probe-side partition key gate (r16 optimization round,
+# guide §2.3 "aggregate before you shuffle"): partitioning the probe
+# side by shingle scatters each result pair's join rows across tasks
+# (a pair's rows live wherever its shared shingles hash), so the pair
+# partial aggregation reduces almost nothing and the exchange before
+# the final pair agg carries ~join-mass rows. When the BUILD side
+# broadcasts, the join needs no co-location at all — partitioning the
+# probe side by DOCUMENT makes every output pair (a, b) complete inside
+# the one task holding doc a, the partial agg collapses it to exactly
+# one row per pair, and the exchange carries |distinct pairs| rows
+# instead of |join mass| (measured 6.4 -> 2.0 s steady-state on the
+# sf0.1 q26 pair pass: 36.5M joined rows vs 10.3M pairs shuffled).
+# The gate is the BROADCAST REGIME, decided driver-side from the auto
+# census already in hand (zero extra jobs): 500k index rows ~ 8-10 MB
+# serialized, inside the vanilla 10 MB autoBroadcastJoinThreshold with
+# margin. Past it the planner sort-merge/shuffle-hash joins on shingle,
+# where a doc-keyed probe repartition would be a wasted exchange AND
+# would hand join parallelism back to the AQE input-byte coalescer (the
+# 4x near-serial trap the shingle pin exists to avoid) — so at corpus
+# scale the shingle pin stays, unconditionally.
+_PAIR_PROBE_DOC_PARTITION_ROWS = 500_000
+
 
 def _jaccard_mass_stats(index: DataFrame) -> dict:
     """The auto-routing census: ONE job over the materialized (capped)
@@ -276,12 +298,19 @@ def _jaccard_mass_stats(index: DataFrame) -> dict:
         .collect()
     )
     if not hist:
-        return {"total": 0, "top_mass_frac": None, "skewed": False}
+        return {
+            "total": 0, "top_mass_frac": None, "skewed": False,
+            "index_rows": 0,
+        }
     buckets = sorted((int(r["__df"]), int(r["__n"])) for r in hist)
     n_shingles = sum(n for _, n in buckets)
     total = sum(df * df * n for df, n in buckets)
+    index_rows = sum(df * n for df, n in buckets)
     if total == 0:
-        return {"total": 0, "top_mass_frac": None, "skewed": False}
+        return {
+            "total": 0, "top_mass_frac": None, "skewed": False,
+            "index_rows": index_rows,
+        }
 
     def pct(q: float) -> int:
         # smallest df with cumulative shingle count >= q * n_shingles
@@ -307,7 +336,10 @@ def _jaccard_mass_stats(index: DataFrame) -> dict:
         top = sum(df * df * n for df, n in buckets if df >= p99)
         frac = round(top / total, 4)
         skewed = frac > _PREFIX_AUTO_TOP_MASS_FRAC
-    return {"total": total, "top_mass_frac": frac, "skewed": skewed}
+    return {
+        "total": total, "top_mass_frac": frac, "skewed": skewed,
+        "index_rows": index_rows,
+    }
 
 
 def _jaccard_mass_is_skewed(index: DataFrame) -> bool:
@@ -402,6 +434,7 @@ def ngram_jaccard_pairs(
             df, n, text_col, id_col, max_shingle_df, max_shingle_frac
         )
     sh = index
+    auto_stats: dict | None = None
     if candidates is None and prefix_filter is None:
         # round-6 two-term auto default: prefix iff the corpus is
         # skewed-head (the Zipf regime, any size) OR the total join mass
@@ -411,8 +444,16 @@ def ngram_jaccard_pairs(
         # distinct overhead wins — measured at x1-x5 (see the constants
         # above and SCALING_r06.json jaccard_crossover).
         stats = _jaccard_mass_stats(sh)
+        auto_stats = stats
+        # threshold <= 0 never routes to prefix: the AllPairs prefix
+        # length |s| - ceil(t*|s|) + 1 is the WHOLE set at t = 0, so the
+        # "filtered" join degenerates to the plain join plus the census/
+        # sort/distinct overhead. This is what lets unthresholded callers
+        # (ngram_containment_pairs) use auto mode and still get the
+        # census-gated probe partitioning below.
         prefix_filter = bool(
-            stats["skewed"] or stats["total"] > _PREFIX_AUTO_JOIN_MASS
+            threshold > 0.0
+            and (stats["skewed"] or stats["total"] > _PREFIX_AUTO_JOIN_MASS)
         )
         LAST_JACCARD_TELEMETRY.update(
             {
@@ -552,7 +593,25 @@ def ngram_jaccard_pairs(
         # build is pure wasted shuffle), and at corpus scale
         # EnsureRequirements inserts the co-partitioning exchange itself.
         par = 2 * index.sparkSession.sparkContext.defaultParallelism
-        a = sh.repartition(par, "shingle").select(
+        # Probe partition KEY is regime-dependent (see
+        # _PAIR_PROBE_DOC_PARTITION_ROWS): in the broadcast regime a
+        # doc-keyed probe makes the pair partial agg collapse fully, so
+        # the exchange before the final agg carries |pairs| rows, not
+        # |join mass|; past it the shingle pin (co-partitioning the
+        # eventual sort-merge join at exactly `par`) stays. Only decided
+        # when the auto census already ran — explicit prefix_filter=False
+        # callers keep the unconditional shingle pin (no census job is
+        # added on their behalf).
+        probe_key = "shingle"
+        if (
+            auto_stats is not None
+            and auto_stats["index_rows"] <= _PAIR_PROBE_DOC_PARTITION_ROWS
+        ):
+            probe_key = id_col
+        LAST_JACCARD_TELEMETRY["probe"] = (
+            "doc" if probe_key == id_col else "shingle"
+        )
+        a = sh.repartition(par, probe_key).select(
             F.col(id_col).alias("id_a"), "shingle"
         )
         b = sh.select(F.col(id_col).alias("id_b"), "shingle")
@@ -2102,10 +2161,14 @@ def ngram_containment_pairs(
     AllPairs PREFIX filter is deliberately NOT offered here: its pruning
     bound is derived from the Jaccard threshold and does not hold for
     containment (a pair can have overlap 1.0 at arbitrarily small
-    Jaccard), so standalone mode always runs the plain join. At corpus
-    scale, generate candidates with :func:`minhash_lsh_pairs` against a
-    LOW estimated-Jaccard floor (or band the shorter side only) and pass
-    them as ``candidates``.
+    Jaccard), so standalone mode always runs the plain join — enforced
+    structurally by the t = 0 call: the auto router never picks prefix
+    at threshold <= 0 (the prefix is the whole set there), while the
+    auto census still feeds the broadcast-regime probe-partitioning
+    gate, so standalone containment gets the collapsed pair partial agg
+    too. At corpus scale, generate candidates with
+    :func:`minhash_lsh_pairs` against a LOW estimated-Jaccard floor (or
+    band the shorter side only) and pass them as ``candidates``.
     """
     pairs = ngram_jaccard_pairs(
         df,
@@ -2117,7 +2180,6 @@ def ngram_containment_pairs(
         index=index,
         max_shingle_df=max_shingle_df,
         max_shingle_frac=max_shingle_frac,
-        **({} if candidates is not None else {"prefix_filter": False}),
     )
     return pairs.withColumn(
         "containment",
