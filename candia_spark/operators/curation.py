@@ -2326,8 +2326,13 @@ def registered_domain_psl(
     if max_k is None:
         raise ValueError("registered_domain_psl: empty public-suffix table")
 
-    hosts = df.select(F.col(id_col), url_host(url_col).alias("host"))
-    labels = F.split(F.col("host"), r"\.")
+    # labels projected into a BOUND column (r16 optimization round,
+    # guide §1.2): inlined, the split would sit inside the per-k suffix
+    # lambda below and re-split the host for every candidate depth
+    hosts = df.select(
+        F.col(id_col), url_host(url_col).alias("host")
+    ).withColumn("__labels", F.split(F.col("host"), r"\."))
+    labels = F.col("__labels")
     n = F.size(labels)
     # candidate suffixes: the last k labels, k = 1..min(max_k, n) — the
     # WHOLE host included, because the longest-match rule must see that
@@ -2939,7 +2944,15 @@ def blocklist_filter(
                 [(p,) for p in norm], "phrase string"
             )
             lengths = sorted({len(p.split(" ")) for p in norm})
-        toks = F.split(F.trim("__t"), " ")
+        # Tokens projected into a BOUND column (r16 optimization round,
+        # guide §1.2): inlined, the split expression sits inside the
+        # per-position n-gram lambda below and re-splits the document
+        # for EVERY gram position — O(n_tok) splits per doc per length
+        # instead of one.
+        tbase = base.select(
+            F.col(id_col), F.split(F.trim("__t"), " ").alias("__toks")
+        )
+        toks = F.col("__toks")
 
         # contiguous n-grams for exactly the lengths the list contains;
         # a document shorter than n contributes none for that n.
@@ -2960,7 +2973,7 @@ def blocklist_filter(
             ).otherwise(F.array().cast("array<string>"))
 
         gram_arrays = [_ngrams(n) for n in lengths]
-        grams = base.select(
+        grams = tbase.select(
             F.col(id_col),
             F.explode(F.flatten(F.array(*gram_arrays))).alias("__g"),
         )

@@ -272,6 +272,14 @@ _PREFIX_AUTO_JOIN_MASS = 600_000_000
 # scale the shingle pin stays, unconditionally.
 _PAIR_PROBE_DOC_PARTITION_ROWS = 500_000
 
+# The winnowed-fingerprint twin of the gate above (winnow_fingerprint_
+# pairs): same collapsed-partial-agg rationale, lower ceiling because a
+# fingerprint row carries a 32-char md5 digest (~3x the bytes of a
+# (bigint, bigint) shingle row), and the build side is force-broadcast
+# under the gate (~15 MB worst case) because the string index's
+# ExistingRDD size estimate routes the planner to sort-merge on its own.
+_WINNOW_PROBE_DOC_PARTITION_ROWS = 300_000
+
 
 def _jaccard_mass_stats(index: DataFrame) -> dict:
     """The auto-routing census: ONE job over the materialized (capped)
@@ -615,6 +623,12 @@ def ngram_jaccard_pairs(
             F.col(id_col).alias("id_a"), "shingle"
         )
         b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+        if probe_key == id_col:
+            # the gate certified the build side broadcastable — force it
+            # so the doc-keyed probe never lands under a sort-merge join
+            # on a session whose size estimate disagrees (a wasted
+            # exchange there); the hint changes strategy, never results
+            b = F.broadcast(b)
         pair_counts = (
             a.join(b, "shingle")
             .filter(F.col("id_a") < F.col("id_b"))
@@ -2046,7 +2060,11 @@ def remove_self_repeated_blocks(
     # coalesced; without this the SQL fold emits NULL counters and —
     # worse — the auto split's size(split(NULL)) routing predicate is
     # NULL on both sides, silently dropping the row from BOTH legs)
-    toks = F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
+    toks_expr = F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
+    # the SQL leg reads tokens from a BOUND column (r16 optimization
+    # round, guide §1.2): inlined, the split sits inside the per-block
+    # slice lambda and re-splits the document for every block
+    toks = F.col("__toks")
     n_tok = F.size(toks)
     nb = F.floor(n_tok / block_words).cast("int")
 
@@ -2110,23 +2128,31 @@ def remove_self_repeated_blocks(
 
         return rewrite(F.col(text_col))
 
-    def _project(res: Column, src: DataFrame) -> DataFrame:
-        return src.select(
+    def _project(res: Column, src: DataFrame, sql_leg: bool) -> DataFrame:
+        # two-step select: the SQL leg binds __toks so the block lambda
+        # reads a materialized array, and BOTH legs bind the result
+        # struct before field extraction — three naked res[...] columns
+        # would evaluate the whole dedup fold three times per row
+        # (HOF folds are CodegenFallback: no subexpression elimination)
+        if sql_leg:
+            src = src.select(F.col(id_col), toks_expr.alias("__toks"))
+        return src.select(F.col(id_col), res.alias("__r")).select(
             F.col(id_col),
-            res["n_blocks"].alias("n_blocks"),
-            res["n_kept"].alias("n_kept"),
-            res["clean_text"].alias("clean_text"),
+            F.col("__r")["n_blocks"].alias("n_blocks"),
+            F.col("__r")["n_kept"].alias("n_kept"),
+            F.col("__r")["clean_text"].alias("clean_text"),
         )
 
     if engine == "sql":
-        return _project(_sql_result(), df)
+        return _project(_sql_result(), df, True)
     if engine == "arrow":
-        return _project(_arrow_result(), df)
+        return _project(_arrow_result(), df, False)
     # auto: filter-split union — the fold's quadratic term is trivial
     # below ~256 blocks; beyond that the Arrow set wins by orders
     cut = 256 * block_words
-    return _project(_sql_result(), df.filter(n_tok < cut)).unionAll(
-        _project(_arrow_result(), df.filter(n_tok >= cut))
+    n_tok_src = F.size(toks_expr)
+    return _project(_sql_result(), df.filter(n_tok_src < cut), True).unionAll(
+        _project(_arrow_result(), df.filter(n_tok_src >= cut), False)
     )
 
 
@@ -2368,18 +2394,33 @@ def winnow_fingerprints(
     if n <= 0 or window <= 0:
         raise ValueError(f"n and window must be positive, got n={n} window={window}")
     toks = tokens_col(text_col)
-    hashes = F.transform(
-        _shingle_array(toks, n), lambda s: F.md5(s.cast("binary"))
+    # Project the gram-digest array into a BOUND COLUMN before the
+    # window pass (r16 optimization round, guide §1.2 per-task work):
+    # inlined, the md5-transform subtree sits inside the per-window
+    # lambda and is RE-EVALUATED for every window position — ~n_grams
+    # md5 calls per window instead of per document (measured 2.11 ->
+    # 0.48 s on the isolated sf0.1 fingerprint pass, identical 101,144
+    # output rows). As an attribute, the
+    # array materializes once per row and every slice/size reads it.
+    # (CollapseProject will not inline it back: the reference count is
+    # > 1 and the expression is non-cheap — the same device
+    # word_ngram_hashes uses for the token chain.)
+    tdf = df.select(F.col(id_col), toks.alias("__t")).select(
+        F.col(id_col),
+        F.transform(
+            _shingle_array(F.col("__t"), n), lambda s: F.md5(s.cast("binary"))
+        ).alias("__h"),
     )
-    n_h = F.size(hashes)
+    h = F.col("__h")
+    n_h = F.size(h)
     mins = F.transform(
         F.sequence(F.lit(1), F.greatest(n_h - (window - 1), F.lit(1))),
-        lambda j: F.array_min(F.slice(hashes, j, window)),
+        lambda j: F.array_min(F.slice(h, j, window)),
     )
     fps = F.when(n_h > 0, F.array_distinct(mins)).otherwise(
         F.array().cast("array<string>")
     )
-    return df.select(F.col(id_col), F.explode(fps).alias("fp"))
+    return tdf.select(F.col(id_col), F.explode(fps).alias("fp"))
 
 
 # Telemetry from the most recent winnow_fingerprint_pairs call on this
@@ -2458,19 +2499,39 @@ def winnow_fingerprint_pairs(
     # action-free in the builder path (advice r8 #5) — fp_rows=-1, the
     # int sentinel, so arithmetic consumers never see a None
     # (advice r9 #4).
+    fp_rows = (
+        fp.count()
+        if (max_fp_df is not None or max_fp_frac is not None)
+        else -1
+    )
     LAST_WINNOW_TELEMETRY.update(
         calls=LAST_WINNOW_TELEMETRY.get("calls", 0) + 1,
-        fp_rows=(
-            fp.count()
-            if (max_fp_df is not None or max_fp_frac is not None)
-            else -1
-        ),
+        fp_rows=fp_rows,
         hot_fps=n_hot,
     )
     sizes = fp.groupBy(id_col).agg(F.count(F.lit(1)).alias("fp_n"))
     par = 2 * fp.sparkSession.sparkContext.defaultParallelism
-    a = fp.repartition(par, "fp").select(F.col(id_col).alias("id_a"), "fp")
+    # Probe-side partition key mirrors ngram_jaccard_pairs' broadcast-
+    # regime gate (see _PAIR_PROBE_DOC_PARTITION_ROWS): a doc-keyed
+    # probe completes every output pair inside one task, so the pair
+    # partial agg collapses to one row per pair before the exchange
+    # (measured 1.85 -> 0.97 s on the isolated sf0.1 q72 pair pass).
+    # The build side is force-broadcast under the same gate — the
+    # md5-string fingerprint index's ExistingRDD estimate routes the
+    # planner to sort-merge even at 100k rows, and a doc-keyed probe
+    # under a sort-merge join would be a pure wasted exchange. The gate
+    # only has a row count when a hot cap was requested (the telemetry
+    # census already paid the job); cap-free calls keep the fp pin and
+    # stay action-free. The constant is lower than the jaccard gate's:
+    # fingerprint rows carry a 32-char digest, ~3x the bytes of a
+    # (bigint, bigint) shingle row.
+    probe_key = "fp"
+    if 0 <= fp_rows <= _WINNOW_PROBE_DOC_PARTITION_ROWS:
+        probe_key = id_col
+    a = fp.repartition(par, probe_key).select(F.col(id_col).alias("id_a"), "fp")
     b = fp.select(F.col(id_col).alias("id_b"), "fp")
+    if probe_key == id_col:
+        b = F.broadcast(b)
     pair_counts = (
         a.join(b, "fp")
         .filter(F.col("id_a") < F.col("id_b"))

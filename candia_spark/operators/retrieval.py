@@ -237,7 +237,11 @@ def ngram_novelty(
     pairs only."""
     if n <= 0:
         raise ValueError(f"n must be positive, got {n}")
-    toks = _tokens(text_col)
+    # tokens projected into a BOUND column (r16 optimization round,
+    # guide §1.2): inlined, the tokenize expression sits inside the
+    # per-position gram lambda and re-tokenizes the document for every
+    # gram position — O(n_tok) tokenizations per doc instead of one
+    toks = F.col("__toks")
     grams = F.when(
         F.size(toks) >= n,
         F.transform(
@@ -255,6 +259,10 @@ def ngram_novelty(
         df.select(
             F.col(id_col),
             reference.alias("__ref"),
+            _tokens(text_col).alias("__toks"),
+        ).select(
+            F.col(id_col),
+            F.col("__ref"),
             grams.alias("__grams"),
         )
     )
