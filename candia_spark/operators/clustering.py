@@ -401,6 +401,7 @@ def _assignments(
     seeding: str = "min_id",
     probes: int = 1,
     _return_centroids: bool = False,
+    _return_both: bool = False,
     stats_out: dict | None = None,
 ) -> DataFrame:
     """Core Lloyd's loop; returns (``__vid``, cluster) — plus (qv, n2) when
@@ -411,7 +412,19 @@ def _assignments(
     the true argmin) — the IVF-multiprobe device for consumers that scan
     within clusters and would otherwise miss cross-border neighbors; the
     top-p is the same lexicographic order as the argmin (array_sort of
-    the same key structs), so it is engine-exact like everything else."""
+    the same key structs), so it is engine-exact like everything else.
+
+    ``_return_both`` returns ``(assign, cent)`` — the final-pass
+    assignment AND the (cluster, sv, n) table that pass assigned
+    against (= ``kmeans_centroids`` of the same trajectory). Consumers
+    that need BOTH pieces (the trained-IVFADC index builders: cells at
+    build time, the table for query probes at search time) previously
+    called ``kmeans_centroids`` and then re-assigned via
+    ``kmeans_probe_cells(nprobe=1)`` — a SECOND quantize scan of the
+    corpus plus a duplicate k-distance argmin pass over it, producing
+    bit-identical output to the final pass this loop already runs
+    (same argmin structs against the same table; the r16 optimization
+    round removed the duplicate pass, guide §1.2/§2.4)."""
     if k <= 0 or iters <= 0:
         raise ValueError(f"k and iters must be positive, got k={k} iters={iters}")
     if scale <= 0:
@@ -493,15 +506,19 @@ def _assignments(
         )
     cent = seeds  # (cluster, sv: array<long> integer sums, n: member count)
     assign = None
+    cent_out = None
     for it in range(iters):
-        if _return_centroids and it == iters - 1:
-            # the centroid table the FINAL pass would assign against —
+        if it == iters - 1:
+            # the centroid table the FINAL pass assigns against —
             # kmeans_centroids' exit point, same trajectory to the step.
             # Explicit select: re-centered tables carry the internal
             # __smax/__qmax overflow-guard columns (ADVICE r14) — the
             # documented (cluster, sv, n) contract must hold for
             # persisted centroid tables regardless of iters.
-            return cent.select("cluster", "sv", "n")
+            if _return_centroids:
+                return cent.select("cluster", "sv", "n")
+            if _return_both:
+                cent_out = cent.select("cluster", "sv", "n")
         # all centroids in ONE broadcast row -> assignment is a map: the
         # k distances and their argmin evaluate inside each corpus row
         carr = cent.agg(
@@ -543,7 +560,35 @@ def _assignments(
         # the final assignment feeds the size aggregate, the output join,
         # and the pair-scan self-joins — cut once, reuse the stored rows
         assign = _materialize(assign)
+    if _return_both:
+        return assign, cent_out
     return assign
+
+
+def kmeans_train_assign(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    scale: int = 1000,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> tuple[DataFrame, DataFrame]:
+    """One Lloyd's run, BOTH products: the trained (cluster, sv, n)
+    centroid table (= :func:`kmeans_centroids`) and the (id, cluster)
+    assignment of every row against that table (=
+    :func:`kmeans_probe_cells` at nprobe=1). The two are produced by
+    the SAME loop — the final assignment pass ranks against the
+    returned table by construction — so callers that previously ran
+    ``kmeans_centroids`` followed by a probe re-assignment (the
+    trained-IVFADC builders) save one full corpus quantize + argmin
+    pass while keeping cell/probe consistency bit-identical."""
+    assign, cent = _assignments(
+        df, k, iters, scale, vec_col, id_col, _return_both=True
+    )
+    return (
+        cent,
+        assign.select(F.col("__vid").alias(id_col), "cluster"),
+    )
 
 
 def kmeans_assign(

@@ -1475,6 +1475,7 @@ def pq_topk_ivf_trained(
     from candia_spark.operators.clustering import (
         kmeans_centroids,
         kmeans_probe_cells,
+        kmeans_train_assign,
     )
     from candia_spark.operators.dedup import _materialize
 
@@ -1493,45 +1494,70 @@ def pq_topk_ivf_trained(
                  "scale": scale},
                 name,
             )
-    cent = (
-        centroids
-        if centroids is not None
-        else _materialize(
-            # materialize: the trained table feeds BOTH the cell
-            # assignment and the query probes below — one training run,
-            # read twice as stored k-row material
+    cells = None
+    if centroids is not None:
+        cent = centroids
+    elif encoded_cells is None:
+        # in-build training where cells are ALSO needed: ONE Lloyd's
+        # run yields the trained table and the final-pass assignment
+        # against it — the nprobe=1 probe re-assignment this path used
+        # to run was a second full corpus quantize + argmin pass
+        # computing bit-identical output (r16 optimization round,
+        # guide §1.2/§2.4). Cell/probe consistency (ADVICE r14) holds
+        # by construction: the final pass ranks against the returned
+        # table.
+        cent, cells = kmeans_train_assign(
+            corpus, k=coarse_k, iters=coarse_iters, scale=coarse_scale,
+            vec_col=vec_col, id_col=id_col,
+        )
+        cent = _materialize(cent)
+        cells = cells.select(id_col, F.col("cluster").alias("bucket"))
+    else:
+        cent = _materialize(
+            # materialize: the trained table feeds the query probes
+            # below — one training run, read as stored k-row material
             kmeans_centroids(
                 corpus, k=coarse_k, iters=coarse_iters, scale=coarse_scale,
                 vec_col=vec_col, id_col=id_col,
             )
         )
-    )
-    cb = (
-        codebook
-        if codebook is not None
-        else pq_codebook_kmeans(
-            corpus, m=m, codewords=codewords, iters=pq_iters,
-            vec_col=vec_col, id_col=id_col, scale=scale,
+    if codebook is not None or encoded_cells is not None:
+        cb = (
+            codebook
+            if codebook is not None
+            else pq_codebook_kmeans(
+                corpus, m=m, codewords=codewords, iters=pq_iters,
+                vec_col=vec_col, id_col=id_col, scale=scale,
+            )
         )
-    )
+    else:
+        # trainer AND encoder both read int8 lanes: quantize the corpus
+        # ONCE and feed the shared frame to the *_q cores — the wrapper
+        # pair re-derived the identical quantize transform from two
+        # separate corpus scans (r16 optimization round, guide §1.2)
+        qz_corpus = _materialize(
+            quantize_int8(
+                corpus.select(id_col, vec_col), vec_col, id_col, scale
+            )
+        )
+        cb = _pq_codebook_kmeans_q(qz_corpus, m, codewords, pq_iters, id_col)
     if encoded_cells is not None:
         enc = encoded_cells
     else:
-        # cells derive from the SAME centroid table the probes rank
-        # against (ADVICE r14): kmeans_probe_cells at nprobe=1 IS the
-        # final assignment pass (identical decimal-exact total order),
-        # so cell/probe consistency holds by construction — including
-        # when a caller passes persisted `centroids` whose training
-        # params differ from this call's coarse_* defaults — and the
-        # second full coarse training run the old kmeans_assign path
-        # paid is gone.
-        cells = kmeans_probe_cells(
-            corpus.select(id_col, vec_col), cent, nprobe=1,
-            scale=coarse_scale, vec_col=vec_col, id_col=id_col,
-        ).select(id_col, F.col("cluster").alias("bucket"))
-        enc = pq_encode(corpus, cb, m, vec_col, id_col, scale).join(
-            cells, id_col
+        if cells is None:
+            # frozen passed-in centroids: derive cells via the probe
+            # pass (the only option without re-training; identical
+            # total order, ADVICE r14)
+            cells = kmeans_probe_cells(
+                corpus.select(id_col, vec_col), cent, nprobe=1,
+                scale=coarse_scale, vec_col=vec_col, id_col=id_col,
+            ).select(id_col, F.col("cluster").alias("bucket"))
+        enc_codes = (
+            _pq_encode_q(qz_corpus, cb, m, id_col)
+            if codebook is None
+            else pq_encode(corpus, cb, m, vec_col, id_col, scale)
         )
+        enc = enc_codes.join(cells, id_col)
     probes = kmeans_probe_cells(
         queries.select(query_id_col, vec_col), cent, nprobe=nprobe,
         scale=coarse_scale, vec_col=vec_col, id_col=query_id_col,
@@ -1848,8 +1874,8 @@ def ivfadc_build_index(
     around one materialized quantize scan, encode one keyed shuffle of
     N*m integer rows; nothing corpus-sized shuffles after encode."""
     from candia_spark.operators.clustering import (
-        kmeans_centroids,
         kmeans_probe_cells,
+        kmeans_train_assign,
     )
     from candia_spark.operators.dedup import _materialize
 
@@ -1874,22 +1900,6 @@ def ivfadc_build_index(
             _assert_index_geometry(
                 piece, field, {k: geom[k] for k in keys}, name
             )
-    cent = (
-        centroids
-        if centroids is not None
-        else _materialize(
-            kmeans_centroids(
-                corpus, k=coarse_k, iters=coarse_iters, scale=coarse_scale,
-                vec_col=vec_col, id_col=id_col,
-            )
-        )
-    )
-    # materialized: the quantized corpus feeds BOTH the cell-centroid
-    # aggregate and the residual join — one quantize scan per build
-    q = _materialize(
-        quantize_int8(corpus.select(id_col, vec_col), vec_col, id_col, scale)
-    )
-
     def _assign(c: DataFrame) -> DataFrame:
         # nprobe=1 probe IS the final assignment pass against the same
         # trained table (cell/probe consistency by construction)
@@ -1900,7 +1910,28 @@ def ivfadc_build_index(
             ).select(id_col, F.col("cluster").alias("bucket"))
         )
 
-    cells = _assign(cent)
+    if centroids is not None:
+        # frozen coarse quantizer: the probe pass against the passed
+        # table is the only way to derive cells
+        cent = centroids
+        cells = _assign(cent)
+    else:
+        # in-build training: ONE Lloyd's run yields both the trained
+        # table and the cell assignment its final pass produced — the
+        # probe re-assignment this path used to run was a second full
+        # corpus quantize + argmin pass computing bit-identical output
+        # (r16 optimization round, guide §1.2/§2.4)
+        cent, cells = kmeans_train_assign(
+            corpus, k=coarse_k, iters=coarse_iters, scale=coarse_scale,
+            vec_col=vec_col, id_col=id_col,
+        )
+        cent = _materialize(cent)
+        cells = cells.select(id_col, F.col("cluster").alias("bucket"))
+    # materialized: the quantized corpus feeds BOTH the cell-centroid
+    # aggregate and the residual join — one quantize scan per build
+    q = _materialize(
+        quantize_int8(corpus.select(id_col, vec_col), vec_col, id_col, scale)
+    )
     if max_cell_frac is not None:
         try:
             _check_cell_balance(cells, max_cell_frac)
