@@ -2305,13 +2305,34 @@ def containment_candidate_pairs(
     # probe by the join key pins post-join parallelism (measured on the
     # q81 fixture: the witness->candidates stage drops 15.3 -> 4.1 s).
     par = 2 * index.sparkSession.sparkContext.defaultParallelism
+    # Probe-side partition KEY is regime-dependent — the r16 gate the
+    # exact-Jaccard and winnow engines already carry (see
+    # _PAIR_PROBE_DOC_PARTITION_ROWS): probing by WITNESS DOC collapses
+    # the pair partial aggregation inside the one task holding all of a
+    # doc's hits, so the exchange before the pair agg carries ~2 rows
+    # per distinct pair instead of per-witness hit mass (52.4M hit rows
+    # at sf0.1; candidate stage measured 2.92 -> 1.89 s). Valid only in
+    # the broadcast regime — under a shingle-keyed sort-merge join a
+    # doc-keyed probe is a pure wasted exchange — so the index is
+    # force-broadcast under the gate (its checkpointed-row size estimate
+    # would otherwise leave the strategy to the session). The gate
+    # statistic is one count over the index: the operator contract says
+    # pass a (materialized) shingle_index, which both consumers scan
+    # anyway, so the count reads stored blocks — the minhash hot-census
+    # precedent. At corpus scale the count exceeds the gate and the
+    # shingle pin runs unchanged.
+    probe_key = "shingle"
+    if index.count() <= _PAIR_PROBE_DOC_PARTITION_ROWS:
+        probe_key = "__wid"
     warr = F.array(*[F.col(f"__w{i}") for i in range(num_hashes)])
     if min_hits == 1:
         probe = witnesses.select(
             F.col(id_col).alias("__wid"),
             F.explode(F.array_distinct(warr)).alias("shingle"),
-        ).repartition(par, "shingle")
-        hits = probe.join(index, "shingle").filter(
+        ).repartition(par, probe_key)
+        hits = probe.join(
+            F.broadcast(index) if probe_key == "__wid" else index, "shingle"
+        ).filter(
             F.col("__wid") != F.col(id_col)
         )
         return hits.select(
@@ -2342,8 +2363,10 @@ def containment_candidate_pairs(
         "__wid",
         F.col("__p.shingle").alias("shingle"),
         F.col("__p.__seeds").alias("__seeds"),
-    ).repartition(par, "shingle")
-    hits = probe.join(index, "shingle").filter(
+    ).repartition(par, probe_key)
+    hits = probe.join(
+        F.broadcast(index) if probe_key == "__wid" else index, "shingle"
+    ).filter(
         F.col("__wid") != F.col(id_col)
     )
     fwd = F.col("__wid") < F.col(id_col)  # probing doc is id_a

@@ -114,3 +114,28 @@ def test_winnow_doc_probe_gate_identical_pairs(spark, sf_smoke, monkeypatch):
         _rows(pinned, ["id_a", "id_b", "n_shared", "overlap"]) == gated_rows
     )
     assert gated_rows, "fixture must produce pairs or the equality is vacuous"
+
+
+def test_containment_doc_probe_gate_identical_pairs(
+    spark, sf_smoke, monkeypatch
+):
+    """change #7 (containment witness probe): doc-keyed probe +
+    broadcast index under the row-count gate must emit the identical
+    candidate set as the shingle-pinned path, in both the min_hits=1
+    and the weighted min_hits>1 branches."""
+    from candia_spark.operators import dedup
+
+    docs = load_table(spark, sf_smoke, "documents")
+    idx = dedup.shingle_index(docs, 2)
+    for mh in (1, 4):
+        gated = dedup.containment_candidate_pairs(
+            docs, num_hashes=16, index=idx, min_hits=mh
+        )
+        gated_rows = _rows(gated, ["id_a", "id_b"])
+        monkeypatch.setattr(dedup, "_PAIR_PROBE_DOC_PARTITION_ROWS", -1)
+        pinned = dedup.containment_candidate_pairs(
+            docs, num_hashes=16, index=idx, min_hits=mh
+        )
+        monkeypatch.undo()
+        assert _rows(pinned, ["id_a", "id_b"]) == gated_rows
+        assert gated_rows, "fixture must produce candidates"
