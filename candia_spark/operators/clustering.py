@@ -49,13 +49,19 @@ from pyspark.sql import DataFrame, Observation, Window
 from pyspark.sql import functions as F
 
 
-def _quantized(df: DataFrame, scale: int, vec_col: str, id_col: str) -> DataFrame:
+def _quantized(
+    df: DataFrame, scale: int, vec_col: str, id_col: str,
+    carry: tuple[str, ...] = (),
+) -> DataFrame:
     """(id, qv: array<long>, n2: bigint squared norm) — the integer-exact
     vector form shared by the whole family (one quantization convention,
     so cluster assignments and pair math always line up). n2 is computed
-    lazily; Catalyst prunes it for consumers that don't select it."""
+    lazily; Catalyst prunes it for consumers that don't select it.
+    ``carry`` names extra ``df`` columns passed through unchanged (the
+    probe's one-scan ride-through, r16 optimization round)."""
     return df.select(
         F.col(id_col).alias("__vid"),
+        *[F.col(c) for c in carry],
         F.transform(
             F.col(vec_col),
             lambda x: F.round(x.cast("double") * scale, 0).cast("long"),
@@ -666,6 +672,7 @@ def kmeans_probe_cells(
     vec_col: str = "embedding",
     id_col: str = "query_id",
     int_sum: bool | None = None,
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
     """Top-``nprobe`` nearest trained cells per query — the IVF probe
     stage against a :func:`kmeans_centroids` table: the SAME
@@ -676,10 +683,14 @@ def kmeans_probe_cells(
     pass is a pure map over the query batch, exploded to
     (id, cluster) rows.
 
-    Output: (id, cluster), nprobe rows per query."""
+    Output: (id, cluster, *carry), nprobe rows per query. ``carry``
+    names extra ``queries`` columns replicated onto each probe row —
+    the one-scan assign+payload device (an nprobe=1 consumer that needs
+    the routed vector avoids re-joining the probe output against a
+    second scan of the batch; r16 optimization round, guide §2.4)."""
     if nprobe < 1:
         raise ValueError(f"nprobe must be >= 1, got {nprobe}")
-    q = _quantized(queries, scale, vec_col, id_col)
+    q = _quantized(queries, scale, vec_col, id_col, carry=carry)
     if int_sum is None:
         # derive the bigint-branch gate from one tiny job: the k-row
         # centroid stats cross-joined with the query batch's
@@ -721,8 +732,16 @@ def kmeans_probe_cells(
     ranked = F.slice(F.array_sort(keyed), 1, nprobe)
     return (
         q.crossJoin(F.broadcast(carr))
-        .select(F.col("__vid").alias(id_col), F.explode(ranked).alias("__p"))
-        .select(id_col, F.col("__p")["cluster"].alias("cluster"))
+        .select(
+            F.col("__vid").alias(id_col),
+            *[F.col(c) for c in carry],
+            F.explode(ranked).alias("__p"),
+        )
+        .select(
+            id_col,
+            F.col("__p")["cluster"].alias("cluster"),
+            *[F.col(c) for c in carry],
+        )
     )
 
 

@@ -740,6 +740,7 @@ def quantize_int8(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     scale: int = 127,
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
     """Unit-normalize and int8-quantize an embedding column:
     ``q_i = floor(x_i / ||x|| * scale)``, a bigint array in
@@ -760,7 +761,11 @@ def quantize_int8(
     Zero-norm vectors raise loudly in-plan (the mmr_select contract —
     ADVICE r11 made silent zero-norm drops a defect class).
 
-    Output: (id, qvec). ``scale`` defaults to 127 (int8 range)."""
+    Output: (id, qvec). ``scale`` defaults to 127 (int8 range).
+    ``carry`` names extra ``df`` columns appended unchanged after
+    ``qvec`` — the one-scan quantize+route device (a caller that needs
+    the quantized lanes AND an already-computed per-row key, e.g. the
+    IVF cell, reads the corpus once instead of joining two scans)."""
     norm = _norm(F.col(vec_col))
     safe = F.when(
         norm == 0.0,
@@ -779,6 +784,7 @@ def quantize_int8(
             lambda x: F.floor(x.cast("double") / safe * F.lit(int(scale)))
             .cast("bigint"),
         ).alias("qvec"),
+        *[F.col(c) for c in carry],
     )
 
 
@@ -976,15 +982,19 @@ def pq_codebook_first_k(
 
 
 def _subspaces(
-    q: DataFrame, m: int, id_col: str, vec_field: str = "qvec"
+    q: DataFrame, m: int, id_col: str, vec_field: str = "qvec",
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
     """(id, sub, sv): the m contiguous subvector slices of an integer
     vector frame — the one subspace-explode expression shared by the
     codebook trainer, the corpus encoder, and the query-LUT builders
-    (and by the raw and residual PQ families alike)."""
+    (and by the raw and residual PQ families alike). ``carry`` names
+    extra ``q`` columns replicated unchanged onto every exploded row
+    (the encoder's bucket ride-through, r16 optimization round)."""
     d_over_m = F.floor(F.size(vec_field) / F.lit(m)).cast("int")
     return q.select(
         F.col(id_col),
+        *[F.col(c) for c in carry],
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(m - 1)),
@@ -997,7 +1007,10 @@ def _subspaces(
             )
         ).alias("__e"),
     ).select(
-        F.col(id_col), F.col("__e.sub").alias("sub"), F.col("__e.sv").alias("sv")
+        F.col(id_col),
+        *[F.col(c) for c in carry],
+        F.col("__e.sub").alias("sub"),
+        F.col("__e.sv").alias("sv"),
     )
 
 
@@ -1222,23 +1235,40 @@ def pq_encode(
 
 
 def _pq_encode_q(
-    q: DataFrame, codebook: DataFrame, m: int, id_col: str
+    q: DataFrame, codebook: DataFrame, m: int, id_col: str,
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
     """PQ-encode a PRE-QUANTIZED integer vector frame (id, qvec) — the
     shared core of :func:`pq_encode` (raw int8 lanes) and the residual
-    encode pass of :func:`pq_topk_ivfadc_residual`."""
-    subs = _subspaces(q, m, id_col)
+    encode pass of :func:`pq_topk_ivfadc_residual`.
+
+    ``carry`` names extra ``q`` columns (each functionally dependent on
+    the id — the cell assignment) that ride the subspace explode and
+    the argmin group key and come back on every output row, in place of
+    the id-keyed re-join of the encoded rows the callers used to run —
+    that join was a corpus-sized exchange pair (N*m code rows + N
+    assignment rows) re-attaching a value the explode input already
+    held (r16 optimization round, guide §2.4). Grouping by (id, carry,
+    sub) groups exactly as (id, sub): carry adds no key entropy, only
+    ~8 bytes of exchange-row width."""
+    subs = _subspaces(q, m, id_col, carry=carry)
     scored = subs.join(F.broadcast(codebook), "sub").select(
         F.col(id_col),
+        *[F.col(c) for c in carry],
         "sub",
         F.struct(
             _l2_int(F.col("sv"), F.col("cw")).alias("d"),
             F.col("code").alias("code"),
         ).alias("__dc"),
     )
-    enc = scored.groupBy(id_col, "sub").agg(F.min("__dc").alias("__best"))
+    enc = scored.groupBy(id_col, *carry, "sub").agg(
+        F.min("__dc").alias("__best")
+    )
     return enc.select(
-        F.col(id_col), "sub", F.col("__best.code").cast("bigint").alias("code")
+        F.col(id_col),
+        "sub",
+        F.col("__best.code").cast("bigint").alias("code"),
+        *[F.col(c) for c in carry],
     )
 
 
@@ -1626,8 +1656,9 @@ def pq_topk_ivf(
     asc).
 
     Scale: the coarse index is n_cells literal vectors in the plan; the
-    codes ⋈ cells attach is an id-keyed join of thin integer rows
-    (16 bytes/row, co-partitioned under AQE); the probe-restricted LUT
+    cell rides the encode's group key from one quantize+route corpus
+    scan (no codes ⋈ cells attach join — r16 optimization round); the
+    probe-restricted LUT
     (Q*nprobe*m*K bigint rows) broadcasts; nothing corpus-sized
     shuffles after encode. Pass ``codebook`` and ``encoded_cells``
     (codes already joined with their cell: id, sub, code, bucket —
@@ -1641,11 +1672,16 @@ def pq_topk_ivf(
     if encoded_cells is not None:
         enc = encoded_cells
     else:
-        cells = ivf_bucket(corpus, centroids, vec_col).select(
-            id_col, "bucket"
-        )
-        enc = pq_encode(corpus, cb, m, vec_col, id_col, scale).join(
-            cells, id_col
+        # the cell is a pure map (argmax against literal centroids), so
+        # ONE corpus scan computes (id, qvec, bucket) and the encoder
+        # carries `bucket` through its group key — the previous shape
+        # ran a second corpus scan for the cells and re-attached them
+        # to the encoded rows with an id-keyed join of two corpus-sized
+        # frames (r16 optimization round, guide §2.4)
+        qb = ivf_bucket(corpus.select(id_col, vec_col), centroids, vec_col)
+        enc = _pq_encode_q(
+            quantize_int8(qb, vec_col, id_col, scale, carry=("bucket",)),
+            cb, m, id_col, carry=("bucket",),
         )
     qscores = _centroid_scores(vec_col, centroids)
     ranked = F.slice(
@@ -1711,7 +1747,7 @@ def _lut_side(lut: DataFrame, broadcast_lut: bool) -> DataFrame:
 
 
 def cell_centroids_int8(
-    q: DataFrame, cells: DataFrame, id_col: str = "vec_id"
+    q: DataFrame, cells: DataFrame | None, id_col: str = "vec_id"
 ) -> DataFrame:
     """Integer centroids of the coarse cells IN THE PQ LANE SPACE:
     per-position round-half-up mean of the int8-quantized members of
@@ -1724,16 +1760,18 @@ def cell_centroids_int8(
     is re-derived from the quantized lanes of the cell's members.
 
     Input: ``q`` = (id, qvec array<bigint>) from :func:`quantize_int8`;
-    ``cells`` = (id, bucket). Output: (bucket, cvec array<bigint>) —
-    coarse_k rows, broadcast material.
+    ``cells`` = (id, bucket), or ``None`` when ``q`` already carries its
+    ``bucket`` column (the build's one-join frame, r16 optimization
+    round). Output: (bucket, cvec array<bigint>) — coarse_k rows,
+    broadcast material.
 
     Scale: one id-keyed join of the two corpus-sized thin frames (the
     O(N) exchange of this operator — co-partitioned under AQE when the
-    caller materialized both on id), then one (bucket, pos)
-    partial-aggregated shuffle whose exchanged volume is
-    O(partitions x k x dim), independent of corpus size; the
-    collect_list runs on k x dim rows."""
-    lanes = q.join(cells, id_col).select(
+    caller materialized both on id; skipped entirely on the pre-joined
+    form), then one (bucket, pos) partial-aggregated shuffle whose
+    exchanged volume is O(partitions x k x dim), independent of corpus
+    size; the collect_list runs on k x dim rows."""
+    lanes = (q if cells is None else q.join(cells, id_col)).select(
         "bucket", F.posexplode("qvec").alias("pos", "v")
     )
     sums = lanes.groupBy("bucket", "pos").agg(
@@ -1870,9 +1908,12 @@ def ivfadc_build_index(
     a corpus still violating after one split raises.
 
     Scale: identical shape to the q127 in-build chain — coarse train is
-    broadcast-centroid maps, residual derivation two broadcast joins
-    around one materialized quantize scan, encode one keyed shuffle of
-    N*m integer rows; nothing corpus-sized shuffles after encode."""
+    broadcast-centroid maps; ONE id-keyed join attaches cells to the
+    quantized corpus (materialized — cell centroids, residuals and the
+    encode all read it); the residual map is a broadcast join (coarse_k
+    rows); the encode is one keyed shuffle of N*m integer rows carrying
+    the bucket in its group key; nothing corpus-sized shuffles after
+    encode."""
     from candia_spark.operators.clustering import (
         kmeans_probe_cells,
         kmeans_train_assign,
@@ -1927,11 +1968,7 @@ def ivfadc_build_index(
         )
         cent = _materialize(cent)
         cells = cells.select(id_col, F.col("cluster").alias("bucket"))
-    # materialized: the quantized corpus feeds BOTH the cell-centroid
-    # aggregate and the residual join — one quantize scan per build
-    q = _materialize(
-        quantize_int8(corpus.select(id_col, vec_col), vec_col, id_col, scale)
-    )
+    q = quantize_int8(corpus.select(id_col, vec_col), vec_col, id_col, scale)
     if max_cell_frac is not None:
         try:
             _check_cell_balance(cells, max_cell_frac)
@@ -1950,21 +1987,28 @@ def ivfadc_build_index(
             )
             cells = _assign(cent)
             _check_cell_balance(cells, max_cell_frac)
+    # ONE id-keyed join attaches the cell to the quantized corpus, and
+    # the joined frame is THE materialized corpus artifact of the build:
+    # the cell-centroid aggregate reads it joinlessly, the residual map
+    # rides it under a broadcast join (coarse_k rows), and the encoder
+    # carries `bucket` through its group key — replacing the two
+    # separate q ⋈ cells joins and the encode ⋈ assignment re-join this
+    # path used to run, three corpus-sized exchange pairs → one
+    # (r16 optimization round, guide §2.4).
+    qc = _materialize(q.join(cells, id_col))
     cc = (
         cell_centroids
         if cell_centroids is not None
-        else _materialize(cell_centroids_int8(q, cells, id_col))
+        else _materialize(cell_centroids_int8(qc, None, id_col))
     )
-    # residual lanes: bigint differences in the int8 lane space,
-    # materialized once — consumed by the trainer AND the encoder
-    rz = _materialize(
-        q.join(cells, id_col)
-        .join(F.broadcast(cc), "bucket")
-        .select(
-            F.col(id_col),
-            F.col("bucket"),
-            F.zip_with("qvec", "cvec", lambda x, c: x - c).alias("qvec"),
-        )
+    # residual lanes: bigint differences in the int8 lane space — a pure
+    # map over the stored qc rows (the trainer checkpoints its subvector
+    # explode of this internally; the encoder streams it once), so the
+    # frame itself no longer needs its own checkpoint job
+    rz = qc.join(F.broadcast(cc), "bucket").select(
+        F.col(id_col),
+        F.col("bucket"),
+        F.zip_with("qvec", "cvec", lambda x, c: x - c).alias("qvec"),
     )
     cb = (
         codebook
@@ -1973,20 +2017,18 @@ def ivfadc_build_index(
             rz.select(id_col, "qvec"), m, codewords, pq_iters, id_col
         )
     )
-    enc = _pq_encode_q(rz.select(id_col, "qvec"), cb, m, id_col).join(
-        rz.select(id_col, "bucket"), id_col
-    )
+    enc = _pq_encode_q(rz, cb, m, id_col, carry=("bucket",))
     return {
         "centroids": _stamped(cent, "sv", geom),
         "cell_centroids": _stamped(cc, "cvec", geom),
         "codebook": _stamped(cb, "cw", geom),
         "encoded_cells": _stamped(enc, "code", geom),
         # the int8 corpus the build already quantized (one scan,
-        # materialized above) — persisting it makes the exact re-rank
-        # stage (pq_topk_rerank quantized_corpus=) run from stored
-        # integers too: the fully-persisted search path never touches
-        # the float payload at all
-        "quantized_corpus": _stamped(q, "qvec", geom),
+        # materialized above inside qc) — persisting it makes the exact
+        # re-rank stage (pq_topk_rerank quantized_corpus=) run from
+        # stored integers too: the fully-persisted search path never
+        # touches the float payload at all
+        "quantized_corpus": _stamped(qc.select(id_col, "qvec"), "qvec", geom),
     }
 
 
@@ -2023,9 +2065,12 @@ def ivfadc_encode_batch(
     and ``append == rebuild`` are pytest-pinned (the q103/q78 rolling
     stance).
 
-    Scale: one broadcast-centroid probe map + two broadcast joins
-    (cells, cell centroids) + one keyed shuffle of batch*m integer
-    rows — cost tracks the BATCH, the corpus is never touched."""
+    Scale: ONE map chain over a single batch scan (broadcast-centroid
+    probe carrying the vector, int8 quantize carrying the cell) + one
+    broadcast join (cell centroids) + one keyed shuffle of batch*m
+    integer rows with the bucket riding its group key — cost tracks
+    the BATCH, the corpus is never touched, and the batch is never
+    shuffled through an attach join."""
     from candia_spark.operators.clustering import kmeans_probe_cells
 
     geom = {
@@ -2042,13 +2087,20 @@ def ivfadc_encode_batch(
         {"scale": scale, "coarse_scale": coarse_scale}, "cell_centroids",
     )
     _assert_index_geometry(codebook, "cw", geom, "codebook")
-    cells = kmeans_probe_cells(
+    # ONE scan chain: the nprobe=1 probe is a pure map (broadcast
+    # centroid row) that carries the raw vector through, the int8
+    # quantize maps over its output carrying the routed cell, and the
+    # residual subtracts under a broadcast join — the batch is never
+    # id-joined against a second scan of itself (r16 optimization
+    # round, guide §2.4; the previous shape shuffled both batch-sized
+    # map outputs through an id-keyed attach join)
+    cq = kmeans_probe_cells(
         batch.select(id_col, vec_col), centroids, nprobe=1,
         scale=coarse_scale, vec_col=vec_col, id_col=id_col,
-    ).select(id_col, F.col("cluster").alias("bucket"))
-    q = quantize_int8(batch.select(id_col, vec_col), vec_col, id_col, scale)
+        carry=(vec_col,),
+    ).select(id_col, F.col("cluster").alias("bucket"), vec_col)
     rz = (
-        q.join(cells, id_col)
+        quantize_int8(cq, vec_col, id_col, scale, carry=("bucket",))
         .join(F.broadcast(cell_centroids.select("bucket", "cvec")), "bucket")
         .select(
             F.col(id_col),
@@ -2056,9 +2108,10 @@ def ivfadc_encode_batch(
             F.zip_with("qvec", "cvec", lambda x, c: x - c).alias("qvec"),
         )
     )
-    enc = _pq_encode_q(rz.select(id_col, "qvec"), codebook, m, id_col).join(
-        rz.select(id_col, "bucket"), id_col
-    )
+    # the encoder carries `bucket` through its group key — no re-join
+    # of the encoded rows against the assignment (r16 optimization
+    # round, guide §2.4; same device as the build path)
+    enc = _pq_encode_q(rz, codebook, m, id_col, carry=("bucket",))
     # the output inherits `codewords` from the codebook's own stamp when
     # present (this call never sees K — the codebook table IS the
     # codewords), so downstream search asserts see the full geometry

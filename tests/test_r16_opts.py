@@ -10,7 +10,11 @@ move work, never results).
 - change #4 + the committed jaccard twin: the doc-keyed probe
   partitioning is a pure exchange-shape choice — both probe keys must
   emit the identical pair set for the exact-Jaccard and the winnowed
-  engines.
+  engines;
+- change #9: carrying the cell assignment through the PQ encoder's
+  explode/group key must equal the encode-then-join attach it replaced,
+  row for row, on every path that took the join (residual build, frozen
+  batch encode, pinned-centroid IVF).
 """
 
 from __future__ import annotations
@@ -139,3 +143,62 @@ def test_containment_doc_probe_gate_identical_pairs(
         monkeypatch.undo()
         assert _rows(pinned, ["id_a", "id_b"]) == gated_rows
         assert gated_rows, "fixture must produce candidates"
+
+
+def test_pq_encode_bucket_carry_matches_join(spark, sf_smoke):
+    """change #9: the carry form of _pq_encode_q (bucket rides the
+    subspace explode and the argmin group key) must emit the identical
+    rows — and the identical column order — as the encode-then-join
+    attach it replaced, and the one-scan quantize+route of pq_topk_ivf
+    must reproduce the old two-scan encoded_cells exactly."""
+    from candia_spark.operators.similarity import (
+        _pq_encode_q,
+        cell_centroids_int8,
+        ivf_bucket,
+        pq_codebook_first_k,
+        pq_codebook_kmeans,
+        pq_encode,
+        pq_topk_ivf,
+        quantize_int8,
+        train_spherical_centroids,
+    )
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    q = quantize_int8(emb)
+    cells = q.select(
+        "vec_id", (F.col("vec_id") % 3).cast("bigint").alias("bucket")
+    )
+    cb = pq_codebook_kmeans(emb, m=2, codewords=4, iters=2)
+    cols = ["vec_id", "sub", "code", "bucket"]
+    joined = _pq_encode_q(q, cb, 2, "vec_id").join(cells, "vec_id")
+    carried = _pq_encode_q(
+        q.join(cells, "vec_id"), cb, 2, "vec_id", carry=("bucket",)
+    )
+    assert carried.columns == joined.columns == cols
+    rows = _rows(carried, cols)
+    assert rows == _rows(joined, cols) and rows
+
+    # the build's joinless cell-centroid aggregate over the pre-joined
+    # frame equals the two-frame form
+    assert _rows(
+        cell_centroids_int8(q.join(cells, "vec_id"), None),
+        ["bucket", "cvec"],
+    ) == _rows(cell_centroids_int8(q, cells), ["bucket", "cvec"])
+
+    # pq_topk_ivf: the new one-scan enc path vs the old two-scan
+    # encode ⋈ cells pattern passed back as encoded_cells
+    cents = train_spherical_centroids(emb, n_centroids=4)
+    qs = emb.filter(F.col("vec_id") % 11 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cb1 = pq_codebook_first_k(emb, 2, 4)
+    enc_old = pq_encode(emb, cb1, 2).join(
+        ivf_bucket(emb, cents).select("vec_id", "bucket"), "vec_id"
+    )
+    kw = dict(k=3, m=2, codewords=4, nprobe=2, codebook=cb1)
+    ocols = ["query_id", "vec_id", "dist", "rank"]
+    new_rows = _rows(pq_topk_ivf(emb, qs, cents, **kw), ocols)
+    assert new_rows == _rows(
+        pq_topk_ivf(emb, qs, cents, encoded_cells=enc_old, **kw), ocols
+    )
+    assert new_rows, "fixture must produce hits or the equality is vacuous"
