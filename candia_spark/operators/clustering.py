@@ -49,6 +49,20 @@ from pyspark.sql import DataFrame, Observation, Window
 from pyspark.sql import functions as F
 
 
+def _check_carry(carry: tuple[str, ...], reserved: set[str], op: str) -> None:
+    """Carry columns ride an operator's selects and group keys verbatim,
+    so a carry name colliding with one of the operator's own internal or
+    output columns fails with an obscure analyzer error — or worse, a
+    silently wrong grouping (ADVICE r16). Fail fast with the real reason."""
+    bad = sorted(set(carry) & reserved)
+    if bad:
+        raise ValueError(
+            f"{op}: carry column(s) {bad} collide with the operator's "
+            f"internal/output column names {sorted(reserved)}; rename the "
+            "carried column(s)"
+        )
+
+
 def _quantized(
     df: DataFrame, scale: int, vec_col: str, id_col: str,
     carry: tuple[str, ...] = (),
@@ -690,6 +704,10 @@ def kmeans_probe_cells(
     second scan of the batch; r16 optimization round, guide §2.4)."""
     if nprobe < 1:
         raise ValueError(f"nprobe must be >= 1, got {nprobe}")
+    _check_carry(
+        carry, {id_col, "__vid", "qv", "n2", "cs", "__p", "cluster"},
+        "kmeans_probe_cells",
+    )
     q = _quantized(queries, scale, vec_col, id_col, carry=carry)
     if int_sum is None:
         # derive the bigint-branch gate from one tiny job: the k-row

@@ -53,6 +53,27 @@ def _materialize(df: DataFrame, eager: bool = True) -> DataFrame:
     return df.localCheckpoint(eager=eager)
 
 
+def _materialize_counted(df: DataFrame) -> DataFrame:
+    """`_materialize`, additionally stashing the materialized row count on
+    the returned DataFrame as ``_candia_rows`` (verdict r16 next #4: never
+    pay a job for a statistic a prior job already computed). The count
+    rides the eager localCheckpoint's own job as an ``Observation`` —
+    zero extra actions; downstream routing gates read the attribute
+    instead of running ``count()`` over the stored blocks. The reliable
+    (persist) leg is lazy, so no metric can ride it: the attribute is
+    absent there and consumers keep their explicit fallback."""
+    if os.environ.get("CANDIA_SPARK_RELIABLE"):
+        return df.persist()
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    out = df.observe(obs, F.count(F.lit(1)).alias("n")).localCheckpoint(
+        eager=True
+    )
+    out._candia_rows = int(obs.get["n"])  # collected by the eager action
+    return out
+
+
 def exact_dedup(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -164,7 +185,7 @@ def shingle_index(
     bound — Σ_{df<=cap} df² <= cap * index_rows, linear in the corpus by
     construction. At corpus scale pass both (they compose as a LEAST).
     """
-    base = _materialize(word_ngram_hashes(df, n, text_col, id_col))
+    base = _materialize_counted(word_ngram_hashes(df, n, text_col, id_col))
     capped, _ = _cap_hot_keys(
         base, "shingle", id_col, max_shingle_df, max_shingle_frac
     )
@@ -210,7 +231,9 @@ def _cap_hot_keys(
     if n_hot == 0:
         return base, 0
     return (
-        _materialize(base.join(F.broadcast(hot), key_col, "left_anti")),
+        _materialize_counted(
+            base.join(F.broadcast(hot), key_col, "left_anti")
+        ),
         n_hot,
     )
 
@@ -279,6 +302,59 @@ _PAIR_PROBE_DOC_PARTITION_ROWS = 500_000
 # under the gate (~15 MB worst case) because the string index's
 # ExistingRDD size estimate routes the planner to sort-merge on its own.
 _WINNOW_PROBE_DOC_PARTITION_ROWS = 300_000
+
+
+# Data-derived bounds for the probe-side parallelism pin (guide §2.2:
+# right-size partitions by DATA, not cores — verdict r16 next #1: the
+# bare 2x-cores pin scales partition count with the box while the data
+# doesn't, so a 32-core driver run pays 64 tiny-partition overheads the
+# 8-core run never sees). A probe partition should hold at least this
+# many input rows before another one is worth its scheduling/agg-map
+# overhead; and the post-join EXPANSION (the census' join mass, when in
+# hand) bounds par UPWARD so a cluster-scale pair exchange is not forced
+# through 2x-cores partitions of unbounded size (~16 B/row pair-agg
+# rows, targeting ~128 MB of expanded join output per task).
+_PROBE_TARGET_ROWS_PER_TASK = 10_000
+_PROBE_TARGET_EXPANDED_BYTES_PER_TASK = 128 * 1024 * 1024
+_PROBE_EXPANDED_ROW_BYTES = 16
+_PROBE_MAX_PARTITIONS = 40_000
+
+
+def _probe_parallelism(
+    df: DataFrame,
+    probe_rows: int | None = None,
+    expanded_rows: int | None = None,
+) -> int:
+    """Parallelism for the pinned probe-side repartition of the pair
+    engines (the AQE-expansion pin: an exact repartition count is honored
+    by AQE, a bare repartition(col) is not — without it AQE sizes the
+    join stage by its megabyte INPUTS and runs the 10^7-row expansion
+    near-serial).
+
+    Bounded by data when the caller has row statistics in hand (never an
+    extra job): at most one partition per ``_PROBE_TARGET_ROWS_PER_TASK``
+    probe rows (floor: the core count — the pin must still defeat AQE
+    input-byte coalescing), and at least enough partitions that the
+    expanded join output stays near
+    ``_PROBE_TARGET_EXPANDED_BYTES_PER_TASK`` per task at corpus scale.
+    With no statistics, the historical 2x-cores pin."""
+    import math
+
+    cores = df.sparkSession.sparkContext.defaultParallelism
+    par = 2 * cores
+    if probe_rows is not None and probe_rows >= 0:
+        par = min(
+            par,
+            max(cores, math.ceil(probe_rows / _PROBE_TARGET_ROWS_PER_TASK)),
+        )
+    if expanded_rows is not None and expanded_rows >= 0:
+        need = math.ceil(
+            expanded_rows
+            * _PROBE_EXPANDED_ROW_BYTES
+            / _PROBE_TARGET_EXPANDED_BYTES_PER_TASK
+        )
+        par = max(par, min(_PROBE_MAX_PARTITIONS, need))
+    return max(par, 1)
 
 
 def _jaccard_mass_stats(index: DataFrame) -> dict:
@@ -549,8 +625,20 @@ def ngram_jaccard_pairs(
         )
         # parallelism pin on the probe side only — same rationale as the
         # plain branch below (broadcastable build stays unshuffled; at
-        # scale EnsureRequirements co-partitions it itself)
-        par = 2 * index.sparkSession.sparkContext.defaultParallelism
+        # scale EnsureRequirements co-partitions it itself). Data bounds
+        # from the auto census when it ran: index_rows over-counts the
+        # prefix postings and total over-counts the prefix join mass, so
+        # both bounds are conservative (never under-partition the
+        # expansion, never over-partition past the full index).
+        par = _probe_parallelism(
+            index,
+            probe_rows=(
+                auto_stats["index_rows"] if auto_stats is not None else None
+            ),
+            expanded_rows=(
+                auto_stats["total"] if auto_stats is not None else None
+            ),
+        )
         cand = (
             pre.select(F.col(id_col).alias("id_a"), "shingle")
             .repartition(par, "shingle")
@@ -600,7 +688,15 @@ def ngram_jaccard_pairs(
         # threshold the planner broadcasts it (repartitioning a broadcast
         # build is pure wasted shuffle), and at corpus scale
         # EnsureRequirements inserts the co-partitioning exchange itself.
-        par = 2 * index.sparkSession.sparkContext.defaultParallelism
+        par = _probe_parallelism(
+            index,
+            probe_rows=(
+                auto_stats["index_rows"] if auto_stats is not None else None
+            ),
+            expanded_rows=(
+                auto_stats["total"] if auto_stats is not None else None
+            ),
+        )
         # Probe partition KEY is regime-dependent (see
         # _PAIR_PROBE_DOC_PARTITION_ROWS): in the broadcast regime a
         # doc-keyed probe makes the pair partial agg collapse fully, so
@@ -2304,7 +2400,6 @@ def containment_candidate_pairs(
     # would all flow through those few partitions. Repartitioning the
     # probe by the join key pins post-join parallelism (measured on the
     # q81 fixture: the witness->candidates stage drops 15.3 -> 4.1 s).
-    par = 2 * index.sparkSession.sparkContext.defaultParallelism
     # Probe-side partition KEY is regime-dependent — the r16 gate the
     # exact-Jaccard and winnow engines already carry (see
     # _PAIR_PROBE_DOC_PARTITION_ROWS): probing by WITNESS DOC collapses
@@ -2316,13 +2411,20 @@ def containment_candidate_pairs(
     # doc-keyed probe is a pure wasted exchange — so the index is
     # force-broadcast under the gate (its checkpointed-row size estimate
     # would otherwise leave the strategy to the session). The gate
-    # statistic is one count over the index: the operator contract says
-    # pass a (materialized) shingle_index, which both consumers scan
-    # anyway, so the count reads stored blocks — the minhash hot-census
-    # precedent. At corpus scale the count exceeds the gate and the
-    # shingle pin runs unchanged.
+    # statistic is the row count the index's own materialization already
+    # observed (`_materialize_counted`, verdict r16 next #4 — the r16
+    # form ran an `index.count()` action here, one extra job per call
+    # and at corpus scale a full index scan purely for routing); an
+    # index built outside `shingle_index` (no stat attribute, or the
+    # lazy persist leg) pays the one count it always did. At corpus
+    # scale the count exceeds the gate and the shingle pin runs
+    # unchanged.
+    index_rows = getattr(index, "_candia_rows", None)
+    if index_rows is None:
+        index_rows = index.count()
+    par = _probe_parallelism(index, probe_rows=index_rows)
     probe_key = "shingle"
-    if index.count() <= _PAIR_PROBE_DOC_PARTITION_ROWS:
+    if index_rows <= _PAIR_PROBE_DOC_PARTITION_ROWS:
         probe_key = "__wid"
     warr = F.array(*[F.col(f"__w{i}") for i in range(num_hashes)])
     if min_hits == 1:
@@ -2510,30 +2612,35 @@ def winnow_fingerprint_pairs(
     # the fingerprint index feeds THREE consumers (sizes, both join
     # sides) — cut it once so the md5 + window-minima map runs one time
     # (measured 6.4 -> ~2.5 s at sf0.1 on the q72 fixture)
-    fp = _materialize(
+    fp = _materialize_counted(
         fingerprints
         if fingerprints is not None
         else winnow_fingerprints(df, n, window, text_col, id_col)
     )
     fp, n_hot = _cap_hot_keys(fp, "fp", id_col, max_fp_df, max_fp_frac)
-    # fp_rows is telemetry-only: count it only when a cap was requested
-    # (the cap path already ran census jobs, so one more scalar agg over
-    # the materialized index is marginal); cap-free calls stay
-    # action-free in the builder path (advice r8 #5) — fp_rows=-1, the
-    # int sentinel, so arithmetic consumers never see a None
-    # (advice r9 #4).
-    fp_rows = (
-        fp.count()
-        if (max_fp_df is not None or max_fp_frac is not None)
-        else -1
-    )
+    # fp_rows rides the index's own materialization (verdict r16 next
+    # #4 device) — free for EVERY call now, so cap-free calls get the
+    # real row count (and with it the broadcast-regime probe gate below)
+    # instead of the historical -1 sentinel, still with zero extra
+    # actions. Only the reliable (persist) leg keeps the old rule: count
+    # when a cap already paid census jobs, sentinel otherwise (advice
+    # r8 #5 / r9 #4).
+    fp_rows = getattr(fp, "_candia_rows", None)
+    if fp_rows is None:
+        fp_rows = (
+            fp.count()
+            if (max_fp_df is not None or max_fp_frac is not None)
+            else -1
+        )
     LAST_WINNOW_TELEMETRY.update(
         calls=LAST_WINNOW_TELEMETRY.get("calls", 0) + 1,
         fp_rows=fp_rows,
         hot_fps=n_hot,
     )
     sizes = fp.groupBy(id_col).agg(F.count(F.lit(1)).alias("fp_n"))
-    par = 2 * fp.sparkSession.sparkContext.defaultParallelism
+    par = _probe_parallelism(
+        fp, probe_rows=fp_rows if fp_rows >= 0 else None
+    )
     # Probe-side partition key mirrors ngram_jaccard_pairs' broadcast-
     # regime gate (see _PAIR_PROBE_DOC_PARTITION_ROWS): a doc-keyed
     # probe completes every output pair inside one task, so the pair

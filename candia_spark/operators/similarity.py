@@ -766,6 +766,9 @@ def quantize_int8(
     ``qvec`` — the one-scan quantize+route device (a caller that needs
     the quantized lanes AND an already-computed per-row key, e.g. the
     IVF cell, reads the corpus once instead of joining two scans)."""
+    from candia_spark.operators.clustering import _check_carry
+
+    _check_carry(carry, {id_col, "qvec"}, "quantize_int8")
     norm = _norm(F.col(vec_col))
     safe = F.when(
         norm == 0.0,
@@ -991,6 +994,9 @@ def _subspaces(
     (and by the raw and residual PQ families alike). ``carry`` names
     extra ``q`` columns replicated unchanged onto every exploded row
     (the encoder's bucket ride-through, r16 optimization round)."""
+    from candia_spark.operators.clustering import _check_carry
+
+    _check_carry(carry, {id_col, vec_field, "sub", "sv", "__e"}, "_subspaces")
     d_over_m = F.floor(F.size(vec_field) / F.lit(m)).cast("int")
     return q.select(
         F.col(id_col),
@@ -1251,6 +1257,12 @@ def _pq_encode_q(
     held (r16 optimization round, guide §2.4). Grouping by (id, carry,
     sub) groups exactly as (id, sub): carry adds no key entropy, only
     ~8 bytes of exchange-row width."""
+    from candia_spark.operators.clustering import _check_carry
+
+    _check_carry(
+        carry, {id_col, "qvec", "sub", "sv", "code", "cw", "__dc", "__best"},
+        "_pq_encode_q",
+    )
     subs = _subspaces(q, m, id_col, carry=carry)
     scored = subs.join(F.broadcast(codebook), "sub").select(
         F.col(id_col),
@@ -1771,6 +1783,20 @@ def cell_centroids_int8(
     form), then one (bucket, pos) partial-aggregated shuffle whose
     exchanged volume is O(partitions x k x dim), independent of corpus
     size; the collect_list runs on k x dim rows."""
+    # Misuse fails fast (ADVICE r16): a pre-joined q passed TOGETHER with
+    # a cells frame would produce a duplicate/ambiguous `bucket` after the
+    # id join and fail obscurely downstream; a cells=None call without a
+    # bucket column has nothing to aggregate by.
+    if cells is not None and "bucket" in q.columns:
+        raise ValueError(
+            "cell_centroids_int8: q already carries a 'bucket' column — "
+            "pass cells=None for the pre-joined form, or drop the column"
+        )
+    if cells is None and "bucket" not in q.columns:
+        raise ValueError(
+            "cell_centroids_int8: cells=None requires q to carry the "
+            "'bucket' column (the pre-joined (id, qvec, bucket) form)"
+        )
     lanes = (q if cells is None else q.join(cells, id_col)).select(
         "bucket", F.posexplode("qvec").alias("pos", "v")
     )
