@@ -304,17 +304,19 @@ _PAIR_PROBE_DOC_PARTITION_ROWS = 500_000
 _WINNOW_PROBE_DOC_PARTITION_ROWS = 300_000
 
 
-# Data-derived bounds for the probe-side parallelism pin (guide §2.2:
-# right-size partitions by DATA, not cores — verdict r16 next #1: the
-# bare 2x-cores pin scales partition count with the box while the data
-# doesn't, so a 32-core driver run pays 64 tiny-partition overheads the
-# 8-core run never sees). A probe partition should hold at least this
-# many input rows before another one is worth its scheduling/agg-map
-# overhead; and the post-join EXPANSION (the census' join mass, when in
-# hand) bounds par UPWARD so a cluster-scale pair exchange is not forced
-# through 2x-cores partitions of unbounded size (~16 B/row pair-agg
-# rows, targeting ~128 MB of expanded join output per task).
-_PROBE_TARGET_ROWS_PER_TASK = 10_000
+# Data-derived UP-bound for the probe-side parallelism pin (guide §2.2:
+# size partitions by data). The pin's historical 2x-cores value is kept
+# as the FLOOR: this round A/B-measured the verdict-suggested down-bound
+# (par = min(2x cores, probe_rows / target)) and it LOSES — the pair
+# engines' probe partitions EXPAND 100-200x through the join, and the
+# per-doc hit mass is skewed, so fewer/larger partitions concentrate a
+# hot doc's expansion in one wave (q81 interleaved A/B at local[32]:
+# par=32 ran 15.9/15.9/38.3 s vs par=64 5.4/7.4/8.3 s on identical
+# code). What survives measurement is the UP-bound: at corpus scale the
+# census' join mass (the expansion's row count, already in hand — never
+# an extra job) demands more than 2x-cores partitions or each carries an
+# unbounded slice of the pair exchange (~16 B/row, targeting ~128 MB of
+# expanded join output per task).
 _PROBE_TARGET_EXPANDED_BYTES_PER_TASK = 128 * 1024 * 1024
 _PROBE_EXPANDED_ROW_BYTES = 16
 _PROBE_MAX_PARTITIONS = 40_000
@@ -322,31 +324,20 @@ _PROBE_MAX_PARTITIONS = 40_000
 
 def _probe_parallelism(
     df: DataFrame,
-    probe_rows: int | None = None,
     expanded_rows: int | None = None,
 ) -> int:
     """Parallelism for the pinned probe-side repartition of the pair
     engines (the AQE-expansion pin: an exact repartition count is honored
     by AQE, a bare repartition(col) is not — without it AQE sizes the
     join stage by its megabyte INPUTS and runs the 10^7-row expansion
-    near-serial).
-
-    Bounded by data when the caller has row statistics in hand (never an
-    extra job): at most one partition per ``_PROBE_TARGET_ROWS_PER_TASK``
-    probe rows (floor: the core count — the pin must still defeat AQE
-    input-byte coalescing), and at least enough partitions that the
-    expanded join output stays near
-    ``_PROBE_TARGET_EXPANDED_BYTES_PER_TASK`` per task at corpus scale.
-    With no statistics, the historical 2x-cores pin."""
+    near-serial). 2x cores, raised when the caller's census says the
+    expanded join output needs more partitions to stay near
+    ``_PROBE_TARGET_EXPANDED_BYTES_PER_TASK`` per task (the at-scale
+    regime; a no-op at bench scale)."""
     import math
 
     cores = df.sparkSession.sparkContext.defaultParallelism
     par = 2 * cores
-    if probe_rows is not None and probe_rows >= 0:
-        par = min(
-            par,
-            max(cores, math.ceil(probe_rows / _PROBE_TARGET_ROWS_PER_TASK)),
-        )
     if expanded_rows is not None and expanded_rows >= 0:
         need = math.ceil(
             expanded_rows
@@ -625,16 +616,11 @@ def ngram_jaccard_pairs(
         )
         # parallelism pin on the probe side only — same rationale as the
         # plain branch below (broadcastable build stays unshuffled; at
-        # scale EnsureRequirements co-partitions it itself). Data bounds
-        # from the auto census when it ran: index_rows over-counts the
-        # prefix postings and total over-counts the prefix join mass, so
-        # both bounds are conservative (never under-partition the
-        # expansion, never over-partition past the full index).
+        # scale EnsureRequirements co-partitions it itself). The census'
+        # total join mass (an over-count of the prefix join mass, so a
+        # conservative bound) raises par past 2x cores at corpus scale.
         par = _probe_parallelism(
             index,
-            probe_rows=(
-                auto_stats["index_rows"] if auto_stats is not None else None
-            ),
             expanded_rows=(
                 auto_stats["total"] if auto_stats is not None else None
             ),
@@ -690,9 +676,6 @@ def ngram_jaccard_pairs(
         # EnsureRequirements inserts the co-partitioning exchange itself.
         par = _probe_parallelism(
             index,
-            probe_rows=(
-                auto_stats["index_rows"] if auto_stats is not None else None
-            ),
             expanded_rows=(
                 auto_stats["total"] if auto_stats is not None else None
             ),
@@ -2422,7 +2405,7 @@ def containment_candidate_pairs(
     index_rows = getattr(index, "_candia_rows", None)
     if index_rows is None:
         index_rows = index.count()
-    par = _probe_parallelism(index, probe_rows=index_rows)
+    par = _probe_parallelism(index)
     probe_key = "shingle"
     if index_rows <= _PAIR_PROBE_DOC_PARTITION_ROWS:
         probe_key = "__wid"
@@ -2638,9 +2621,7 @@ def winnow_fingerprint_pairs(
         hot_fps=n_hot,
     )
     sizes = fp.groupBy(id_col).agg(F.count(F.lit(1)).alias("fp_n"))
-    par = _probe_parallelism(
-        fp, probe_rows=fp_rows if fp_rows >= 0 else None
-    )
+    par = _probe_parallelism(fp)
     # Probe-side partition key mirrors ngram_jaccard_pairs' broadcast-
     # regime gate (see _PAIR_PROBE_DOC_PARTITION_ROWS): a doc-keyed
     # probe completes every output pair inside one task, so the pair

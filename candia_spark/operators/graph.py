@@ -67,6 +67,30 @@ from pyspark.sql import functions as F
 
 _BIGINT_LIMIT = 2**63
 
+# Estimated bytes per (id, score) row for the broadcast-regime gate below
+# (two bigints + row overhead; deliberately generous so the exchange-free
+# leg arms BEFORE the planner stops broadcasting the score side).
+_SCORE_ROW_BYTES = 48
+
+
+def _size_bytes(v: str) -> int:
+    """Parse a Spark size conf value ('-1', '10485760', '10485760b',
+    '64MB', '1g') to bytes."""
+    s = v.strip().lower()
+    mult = 1
+    for suffix, m in (
+        ("kb", 1 << 10), ("mb", 1 << 20), ("gb", 1 << 30), ("tb", 1 << 40),
+        ("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30), ("t", 1 << 40),
+        ("b", 1),
+    ):
+        if s.endswith(suffix):
+            s, mult = s[: -len(suffix)], m
+            break
+    try:
+        return int(float(s) * mult)
+    except ValueError:
+        return -1
+
 # Telemetry from the most recent authority_scores call on this driver
 # (the LAST_CC_TELEMETRY pattern): {"calls": monotone counter,
 # "n_nodes": int, "n_edges": int, "static_safe": bool, "dynamic_checks":
@@ -226,48 +250,13 @@ def authority_scores(
                 f"the worst-case divisor product at {den * n_edges} "
                 "(limit 2^63)."
             )
-    deg = e.groupBy("src").agg(
-        F.count(F.lit(1)).cast("bigint").alias("deg"),
-        *(
-            [F.sum("__w").cast("bigint").alias("__wsum")]
-            if weight_col is not None
-            else []
-        ),
-    )
-    # (src, dst[, __w], deg[, __wsum]) ready for every iteration's join.
-    # The denominator-side margin input max(__wsum) (advice r8 #1) rides
-    # this materialization pass too — the max is trustworthy because the
-    # n_edges * maxw bound above already certified every per-source sum,
-    # and the check below still precedes every iteration's divisor use.
-    ed_src = e.join(deg, "src")
-    ed_obs: Observation | None = None
-    if weight_col is not None and eager_materialize:
-        ed_obs = Observation("authority_wsum_margin")
-        ed_src = ed_src.observe(ed_obs, F.max("__wsum").alias("mws"))
-    ed = _materialize(ed_src)
-    if weight_col is not None:
-        # denominator side (advice r8 #1): `den * __wsum` is a bigint
-        # product too — a high-degree hub with large integer weights
-        # pushes it past 2^63 just as surely as the numerator.
-        if ed_obs is not None:
-            max_wsum = int(ed_obs.get["mws"] or 1)
-        else:
-            max_wsum = int(ed.agg(F.max("__wsum")).collect()[0][0] or 1)
-        if den * max_wsum >= _BIGINT_LIMIT:
-            raise ValueError(
-                "authority_scores overflow margin exceeded: max "
-                f"per-source out-weight sum {max_wsum} with damping "
-                f"denominator {den} puts the per-edge divisor product "
-                f"at {den * max_wsum} (limit 2^63); the non-ANSI "
-                "multiply would wrap silently into wrong (possibly "
-                "negative) divisors. Rescale edge weights "
-                f"(max out-weight sum <= {_BIGINT_LIMIT // den - 1} "
-                "is safe)."
-            )
     # materialized: every iteration's left-join rebuilds from this node
-    # set, and the margin guard needs its count anyway. In personalized
-    # mode the broadcast seed flag rides the node table, so the restart
-    # term needs no extra join in the iteration loop.
+    # set, and the margin guard needs its count anyway — and the
+    # exchange-free regime gate below needs n_nodes BEFORE the edge
+    # table's materialization form is chosen, so the node table is built
+    # first. In personalized mode the broadcast seed flag rides the node
+    # table, so the restart term needs no extra join in the iteration
+    # loop.
     n = nodes.select(F.col(id_col)).distinct()
     if seeds is not None:
         seed_ids = seeds.select(F.col(id_col)).distinct()
@@ -307,6 +296,83 @@ def authority_scores(
             f"(<= {_BIGINT_LIMIT // (num * maxw * max(n_nodes, 1))} is "
             "statically safe for this graph)."
         )
+    deg = e.groupBy("src").agg(
+        F.count(F.lit(1)).cast("bigint").alias("deg"),
+        *(
+            [F.sum("__w").cast("bigint").alias("__wsum")]
+            if weight_col is not None
+            else []
+        ),
+    )
+    # (src, dst[, __w], deg[, __wsum]) ready for every iteration's join.
+    # The denominator-side margin input max(__wsum) (advice r8 #1) rides
+    # this materialization pass too — the max is trustworthy because the
+    # n_edges * maxw bound above already certified every per-source sum,
+    # and the check below still precedes every iteration's divisor use.
+    ed_src = e.join(deg, "src")
+    ed_obs: Observation | None = None
+    if weight_col is not None and eager_materialize:
+        ed_obs = Observation("authority_wsum_margin")
+        ed_src = ed_src.observe(ed_obs, F.max("__wsum").alias("mws"))
+    # --- edge-table materialization form: regime-gated (verdict r16
+    # next #3, guide §2.4 exchange-free iteration). In the BROADCAST
+    # regime (the score table fits the session's broadcast threshold)
+    # every iteration's scores ⋈ edges join broadcasts the score side
+    # and the edge table is never shuffled — the eager localCheckpoint
+    # (Observation-riding, zero extra actions) is the right cut. At
+    # SCALE the score side cannot broadcast, the planner shuffles BOTH
+    # sides per iteration, and a localCheckpoint loses its
+    # outputPartitioning to the planner (Spark 4.1.2, r16 change #6
+    # probe) — iters full edge-table exchanges+sorts. There the edge
+    # table is instead repartitioned by the join key, sorted within
+    # partitions, and persist()ed: InMemoryRelation PRESERVES
+    # partitioning and ordering, so every iteration reuses them and
+    # only the node-sized score table moves. The one materializing
+    # count() replaces the localCheckpoint's own job (and fires the
+    # wsum Observation), so the action count is unchanged; the
+    # broadcast regime keeps the historical zero-collect/count
+    # contract its pytest pins.
+    try:
+        bcast = _size_bytes(
+            edges.sparkSession.conf.get(
+                "spark.sql.autoBroadcastJoinThreshold"
+            )
+        )
+    except Exception:  # noqa: BLE001 — unreadable conf: assume default
+        bcast = 10 << 20
+    exchange_free = bcast <= 0 or n_nodes * _SCORE_ROW_BYTES > bcast
+    if exchange_free:
+        iter_par = int(
+            edges.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        )
+        ed = (
+            ed_src.repartition(iter_par, "src")
+            .sortWithinPartitions("src")
+            .persist()
+        )
+        if eager_materialize:
+            ed.count()  # populate the cache; collects ed_obs metrics
+    else:
+        ed = _materialize(ed_src)
+    if weight_col is not None:
+        # denominator side (advice r8 #1): `den * __wsum` is a bigint
+        # product too — a high-degree hub with large integer weights
+        # pushes it past 2^63 just as surely as the numerator.
+        if ed_obs is not None:
+            max_wsum = int(ed_obs.get["mws"] or 1)
+        else:
+            max_wsum = int(ed.agg(F.max("__wsum")).collect()[0][0] or 1)
+        if den * max_wsum >= _BIGINT_LIMIT:
+            raise ValueError(
+                "authority_scores overflow margin exceeded: max "
+                f"per-source out-weight sum {max_wsum} with damping "
+                f"denominator {den} puts the per-edge divisor product "
+                f"at {den * max_wsum} (limit 2^63); the non-ANSI "
+                "multiply would wrap silently into wrong (possibly "
+                "negative) divisors. Rescale edge weights "
+                f"(max out-weight sum <= {_BIGINT_LIMIT // den - 1} "
+                "is safe)."
+            )
     # static whole-trajectory bound: every score is <= total mass
     # N*init (floor division only sheds mass), so this one inequality
     # makes all `iters` products provably safe with zero per-iteration
