@@ -124,6 +124,7 @@ def test_in_cluster_pairs_shuffle_on_cluster_key_only(spark):
     assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan or "ShuffledHashJoin" in plan
 
 
+@pytest.mark.slow
 def test_kmeans_hierarchical_recovers_nested_structure(spark):
     from candia_spark.operators.clustering import kmeans_hierarchical
 
@@ -158,6 +159,7 @@ def test_kmeans_hierarchical_recovers_nested_structure(spark):
         kmeans_hierarchical(_vecs(spark, rows), k2=0)
 
 
+@pytest.mark.slow
 def test_kmeans_hierarchical_matches_flat_per_super(spark):
     """Phase 2 restricted to one super-cluster must equal flat k-means on
     that super-cluster's members (same seeds, same trajectory) — the
@@ -258,6 +260,7 @@ def test_kmeans_overflow_guard_fires_before_silent_wrap(spark):
     assert kmeans_assign(df, k=2, iters=2, scale=1000).count() == 6
 
 
+@pytest.mark.slow
 def test_farthest_point_seeding_recovers_what_min_id_misses(spark):
     """Seeding-quality option (verdict r5 #6): when the k smallest ids
     are near-identical vectors, min-id seeding collapses — every row ties
@@ -294,6 +297,7 @@ def test_farthest_point_seeding_recovers_what_min_id_misses(spark):
         kmeans_assign(df, k=2, seeding="kmeans++")
 
 
+@pytest.mark.slow
 def test_cluster_nearest_neighbors_planted_and_injected(spark):
     """kNN-graph semantics: each vector's in-cluster argmax-cosine
     partner. Planted: two tight pairs inside one blob — each vector picks

@@ -505,6 +505,7 @@ def test_bpe_train_trajectory_by_hand(spark):
         bpe_train(df, engine="gpu")
 
 
+@pytest.mark.slow
 def test_bpe_train_local_equals_distributed(spark):
     """Verdict r10 next #2: the driver-local merge loop (vocab collected
     once, incremental pair census) returns the IDENTICAL trajectory to

@@ -267,6 +267,7 @@ def test_cosine_topk_heap_matches_bruteforce(clustered_vecs):
     assert base == heap and len(base) == 8 * 5
 
 
+@pytest.mark.slow
 def test_connected_components_fuzz_vs_union_find(spark):
     """Star-contraction components must equal a driver-side union-find on
     random graphs: mixed shapes (chains force multi-round convergence,
@@ -343,6 +344,7 @@ def test_connected_components_round_telemetry_module_level(spark):
     assert LAST_CC_TELEMETRY.get("rounds") == 0
 
 
+@pytest.mark.slow
 def test_prefix_filter_jaccard_matches_plain(spark):
     """The AllPairs prefix-filtered exact Jaccard join must return the
     IDENTICAL pair set and statistics as the full inverted-index self-join
@@ -772,6 +774,7 @@ def test_incremental_near_dups_index_reuse(spark):
     assert sorted(map(key, direct)) == sorted(map(key, reused)) == [(21, 10)]
 
 
+@pytest.mark.slow
 def test_incremental_near_dups_persisted_index_round_trip(spark, tmp_path):
     """The rolling-ingestion artifact contract END TO END (verdict r5 #5):
     the corpus shingle index is written to parquet once, reloaded from
@@ -1029,6 +1032,7 @@ def test_mmr_select_validation(spark):
     with pytest.raises(ValueError, match="shortlist"):
         mmr_select(emb, q, k=10, shortlist=5)
 
+@pytest.mark.slow
 def test_mmr_select_grouped_matches_driver(spark):
     """The grouped engine (verdict r10 next #1) replays the driver
     greedy's exact trajectory — same rounded doubles, same smallest-id

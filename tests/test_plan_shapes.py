@@ -64,6 +64,7 @@ def test_interval_join_never_shuffles_fact_side(spark):
     assert "Exchange rangepartitioning" not in plan
 
 
+@pytest.mark.slow
 def test_relational_queries_have_no_python_udfs(spark):
     """Everything except the grouped numeric kernels and the sequential
     partitioners stays JVM-side (no BatchEvalPython/ArrowEvalPython)."""

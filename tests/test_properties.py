@@ -328,6 +328,7 @@ def _ref_kmeans(rows, k, iters, scale):
     st.integers(min_value=1, max_value=3),
 )
 @settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@pytest.mark.slow
 def test_kmeans_matches_exact_reference(spark, vecs, k, iters):
     from candia_spark.operators.clustering import kmeans_assign
 
@@ -425,6 +426,7 @@ def test_quantization_rounding_agrees_with_duckdb_on_real_data(spark, sf_smoke):
 
 @given(docs_strategy)
 @settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@pytest.mark.slow
 def test_containment_matches_sets_and_dominates_jaccard(spark, docs):
     """ngram_containment_pairs against python set arithmetic: n_common /
     min(|A|,|B|) exactly, and containment >= jaccard on every pair (the
@@ -515,6 +517,7 @@ def _py_selfrep(toks: list[str], bw: int) -> tuple[int, int, str]:
        st.integers(min_value=1, max_value=4))
 @settings(max_examples=8, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
+@pytest.mark.slow
 def test_self_repeated_blocks_matches_reference(spark, docs, bw):
     """remove_self_repeated_blocks == an independent first-occurrence
     fold, for any tokenization and block width (repetition-rich alphabet
@@ -671,6 +674,7 @@ bpe_word = st.text(alphabet="ab", min_size=1, max_size=6)
        st.integers(min_value=1, max_value=4))
 @settings(max_examples=8, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
+@pytest.mark.slow
 def test_bpe_train_matches_reference(spark, docs, rounds):
     """bpe_train == an independent Counter-based Sennrich loop for any
     tiny two-letter corpus and round count: same merges, same order,
@@ -700,6 +704,7 @@ def test_bpe_train_matches_reference(spark, docs, rounds):
        st.integers(min_value=1, max_value=3))
 @settings(max_examples=8, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
+@pytest.mark.slow
 def test_bpe_encode_matches_reference(spark, docs, rounds):
     """bpe_encode == training with _py_bpe then applying the merges in
     order (greedy left-to-right) to every word and counting symbols."""
@@ -744,6 +749,7 @@ def test_bpe_encode_matches_reference(spark, docs, rounds):
 @given(st.lists(doc_strategy, min_size=2, max_size=6))
 @settings(max_examples=8, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
+@pytest.mark.slow
 def test_dsir_select_matches_reference(spark, docs):
     """dsir_select == an independent Counter fold: per token
     bits(target cnt, 0 if absent) - bits(corpus cnt), per-doc sums,
@@ -787,6 +793,7 @@ def test_dsir_select_matches_reference(spark, docs):
 @given(st.lists(doc_strategy, min_size=2, max_size=6))
 @settings(max_examples=8, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
+@pytest.mark.slow
 def test_dsir_hashed_bigrams_matches_reference(spark, docs):
     """dsir_select with ngram=2/buckets (r11) == the same Counter fold
     over HASHED BIGRAM features: feature = md5(a+' '+b) first-15-hex ->
@@ -844,6 +851,7 @@ def test_dsir_hashed_bigrams_matches_reference(spark, docs):
 @given(st.lists(doc_strategy, min_size=1, max_size=6))
 @settings(max_examples=8, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
+@pytest.mark.slow
 def test_bigram_assoc_matches_reference(spark, docs):
     """bigram_assoc == an independent integer PMI-proxy fold (bits =
     bit_length of exact counts; incoherent flag by cross-multiplied
@@ -896,6 +904,7 @@ def test_bigram_assoc_matches_reference(spark, docs):
 )
 @settings(max_examples=8, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
+@pytest.mark.slow
 def test_cluster_safe_split_matches_reference(spark, edges, train_lt):
     """cluster_safe_split == an independent union-find + audit for any
     pair graph over the 0..25 corpus and any train fraction."""
@@ -950,6 +959,7 @@ def test_cluster_safe_split_matches_reference(spark, edges, train_lt):
 )
 @settings(max_examples=8, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
+@pytest.mark.slow
 def test_canonical_docs_matches_reference(spark, edges, lens):
     """canonical_docs == union-find + keep-longest (min-id ties) for any
     pair graph and token-length assignment over a 16-doc corpus."""
@@ -997,6 +1007,7 @@ def test_canonical_docs_matches_reference(spark, edges, lens):
                 max_size=12))
 @settings(max_examples=6, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
+@pytest.mark.slow
 def test_cluster_purity_consistent_with_assignment(spark, k, labels):
     """cluster_purity's contingency layer agrees with kmeans_assign's
     own output joined to the labels (majority by count, ties to the
@@ -1043,6 +1054,7 @@ def test_cluster_purity_consistent_with_assignment(spark, k, labels):
 )
 @settings(max_examples=8, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
+@pytest.mark.slow
 def test_mmr_select_matches_reference(spark, vecs, k):
     """mmr_select == an independent numpy pipeline (cosines rounded to
     6 digits, shortlist cut with id-asc ties, greedy num*rel -
@@ -1105,6 +1117,7 @@ def test_mmr_select_matches_reference(spark, vecs, k):
        st.integers(min_value=0, max_value=3))
 @settings(max_examples=8, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
+@pytest.mark.slow
 def test_quality_classifier_matches_reference(spark, docs, num):
     """quality_classifier_weights + _score == an independent Counter
     fold: weight = bits(pos cnt) - bits(neg cnt) (0 for an absent
@@ -1158,6 +1171,7 @@ line_strategy = st.sampled_from(["aa", "bb", "cc", "dd x", ""])
        st.integers(min_value=1, max_value=3))
 @settings(max_examples=8, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
+@pytest.mark.slow
 def test_strip_boilerplate_lines_matches_reference(spark, docs, min_docs):
     """strip_boilerplate_lines == an independent per-group fold (line ->
     distinct-doc count; strip iff count*den >= num*group_docs and count
@@ -1506,6 +1520,7 @@ def test_jl_projection_matches_numpy(spark, vecs):
 @given(_vec_lists)
 @settings(max_examples=8, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
+@pytest.mark.slow
 def test_pq_encode_matches_numpy_argmin(spark, vecs):
     """q116's assignment equals the numpy integer-L2 argmin (ties ->
     smallest code) against the same first-k codebook."""
@@ -1545,6 +1560,7 @@ def test_pq_encode_matches_numpy_argmin(spark, vecs):
 @given(_vec_lists)
 @settings(max_examples=8, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
+@pytest.mark.slow
 def test_pq_codebook_kmeans_matches_numpy_lloyd(spark, vecs):
     """q122/q124's PQ trainer equals a from-scratch numpy replay of the
     per-subspace Lloyd's trajectory: same int8 quantization, min-id

@@ -504,6 +504,7 @@ def _walk_jvm_plan(node):
         yield from _walk_jvm_plan(ch.apply(i))
 
 
+@pytest.mark.slow
 def test_registry_has_no_unbounded_global_windows(spark, sf_smoke):
     """The r13 q15/q40 lesson, made structural: an unpartitioned Window
     moves its WHOLE input to one task, so every one in the registry must

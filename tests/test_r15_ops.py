@@ -151,6 +151,7 @@ def test_wet_ingest_batch_duplicate_record_ids_gate_per_row(spark, tmp_path):
 # --- trained IVFADC: cells follow the PASSED centroid table (ADVICE #1) ------
 
 
+@pytest.mark.slow
 def test_trained_ivfadc_cells_follow_passed_centroids(spark, sf_smoke):
     # Persist a centroid table trained with coarse_k=4, then call the
     # index with DEFAULT coarse params (coarse_k=8) passing only
@@ -289,6 +290,7 @@ def _clustered_corpus(spark, n_clusters=4, per_cluster=30, dim=8):
     )
 
 
+@pytest.mark.slow
 def test_residual_ivfadc_probe_all_equals_flat_residual_pq(spark):
     # nprobe = coarse_k means every encoded vector is scored with the
     # LUT of its OWN cell — by the paper's construction that IS flat
@@ -385,6 +387,7 @@ def test_residual_ivfadc_probe_all_equals_flat_residual_pq(spark):
     assert math.isfinite(1.0)  # silence lint about math import
 
 
+@pytest.mark.slow
 def test_residual_encoding_beats_raw_on_clustered_corpus(spark):
     # the POINT of residual encoding: on a clustered corpus the raw
     # encoder spends codewords describing cluster offsets while the
@@ -443,6 +446,7 @@ def test_ivf_cell_balance_guard_fires_on_planted_skew(spark):
     assert out.count() > 0
 
 
+@pytest.mark.slow
 def test_residual_ivfadc_persisted_pieces_reproduce_the_search(spark):
     # encode-once / search-many: persisting centroids + cell centroids
     # + codebook + encoded cells and passing them back must reproduce
@@ -546,6 +550,7 @@ def _rows_sorted(df):
     return sorted(out)
 
 
+@pytest.mark.slow
 def test_rolling_ingestion_grand_equivalence(spark, tmp_path):
     """THE cross-family rolling test: three WET batches arrive through
     the streaming gate, and ALL FIVE persisted corpus-state families
@@ -846,6 +851,7 @@ def test_rerank_full_coverage_equals_exact_search(spark):
     assert sorted(map(tuple, got)) == sorted(map(tuple, want))
 
 
+@pytest.mark.slow
 def test_rerank_recovers_recall_over_plain_adc_ranks(spark):
     # the production point: a small shortlist re-ranked exactly must
     # beat the plain ADC ranking at the same index parameters.

@@ -79,6 +79,7 @@ def test_encode_batch_rolled_equals_rebuilt(spark):
     )
 
 
+@pytest.mark.slow
 def test_search_over_rolled_equals_search_over_rebuilt(spark):
     from candia_spark.operators.similarity import (
         ivfadc_build_index,
@@ -170,6 +171,7 @@ def test_corpus_none_requires_all_pieces(spark):
 # --- persisted index store: partitioned layout, append, scan pruning ---------
 
 
+@pytest.mark.slow
 def test_index_store_roundtrip_append_replay_ownership(spark, tmp_path):
     from candia_spark.operators.similarity import (
         append_ivfadc_batch,
@@ -222,6 +224,7 @@ def test_index_store_roundtrip_append_replay_ownership(spark, tmp_path):
     assert meta["cw"]["residual"] == 1
 
 
+@pytest.mark.slow
 def test_search_index_scan_pruning_plan_and_equivalence(spark, tmp_path):
     # VERDICT r15 missing #2 done-criteria: the physical plan shows a
     # PartitionFilters bucket IN (...) on the encoded_cells scan, and
@@ -348,6 +351,7 @@ def test_cell_balance_guard_censuses_passed_encoded_cells(spark):
         )
 
 
+@pytest.mark.slow
 def test_split_hot_cells_passes_armed_guard_on_planted_skew(spark):
     # VERDICT r15 missing #3 done-criteria: the planted 90%-one-cell
     # corpus fails the bare guard, and with split_hot_k the build
@@ -404,6 +408,7 @@ def test_split_hot_cells_validates_args(spark):
 # --- LUT broadcast fallback (ADVICE r15) ------------------------------------
 
 
+@pytest.mark.slow
 def test_broadcast_lut_fallback_is_value_identical(spark):
     from candia_spark.operators.similarity import (
         pq_topk_ivf_trained,
@@ -424,6 +429,7 @@ def test_broadcast_lut_fallback_is_value_identical(spark):
 # --- re-rank candidate pushdown (VERDICT r15 missing #4) ---------------------
 
 
+@pytest.mark.slow
 def test_rerank_pushdown_plan_and_quantized_corpus_equivalence(spark):
     from candia_spark.operators.similarity import (
         pq_topk_rerank,
@@ -680,6 +686,7 @@ def test_dhash_real_leg_strict_stub_leg_lenient(spark):
 # --- fully-persisted exact re-rank (the fifth index piece) -------------------
 
 
+@pytest.mark.slow
 def test_persisted_rerank_path_never_touches_floats(spark, tmp_path):
     # the build already quantizes the corpus once; persisting that as
     # the index's fifth piece lets ivfadc_search_index run the full
@@ -774,6 +781,7 @@ def test_real_codec_leg_resize_and_features(spark):
     assert resize_plumbing(junk).count() == 1
 
 
+@pytest.mark.slow
 def test_compact_ivfadc_index_blue_green(spark, tmp_path):
     # rolling appends accumulate one small file per (bucket, batch);
     # compaction rewrites to dest with one file per bucket under

@@ -3,6 +3,8 @@ expectations (SURVEY §5 strategy: small golden fixtures per operator)."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import Row
 from pyspark.sql import functions as F
 
@@ -48,6 +50,7 @@ def test_interval_anti_join(spark):
     assert [r.v for r in out] == [25.0]
 
 
+@pytest.mark.slow
 def test_band_join_matches_naive(spark):
     left = spark.createDataFrame([Row(a=float(i)) for i in range(0, 100, 7)])
     right = spark.createDataFrame([Row(b=float(i) + 0.5) for i in range(0, 100, 11)])

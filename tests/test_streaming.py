@@ -72,6 +72,7 @@ def test_events_stream_on_empty_source_dir(spark, tmp_path):
     assert "event_time" in stream.columns
 
 
+@pytest.mark.slow
 def test_full_sf01_stream_matches_batch(spark, tmp_path_factory):
     """Volume stream-batch equivalence (verdict r4 #6): the FULL sf0.1
     events table (100k rows, 1500 users) chunked through the file source
